@@ -1,0 +1,52 @@
+"""Crawl configuration.
+
+The reference hardwires every policy as function-local literals (seed list
+src/crawler.go:61-87, allowed schemes/paths src/crawler.go:205-207, allowed
+content types src/crawler.go:275, user agent src/crawler.go:24, politeness
+700ms src/crawler.go:195, robots TTL 1mo15d src/crawler.go:230, frontier cap
+100k src/crawler.go:42, 20 workers src/crawler.go:96).  We surface them as a
+config dataclass so each operator is independently testable (SURVEY §2.10).
+
+Politeness is the reference's *intended* semantics made deterministic
+(SURVEY §2.3 T2): per BFS round, at most ``per_host_quota`` URLs per host are
+admitted (in frontier order); the rest are deferred to the next round,
+preserving order.  The wall-clock 700 ms/host rule maps to a quota because a
+round at scale takes >> 700 ms per host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # semantics (reference-derived)
+    user_agent: str = "grawler"
+    allowed_schemes: tuple[str, ...] = ("http", "https")
+    blocked_hosts: tuple[str, ...] = ()
+    blocked_paths: tuple[str, ...] = ("/robots.txt",)
+    allowed_content_types: tuple[str, ...] = ("text/html", "text/plain")
+    per_host_quota: int = 4          # round-based politeness budget (T2)
+    robots_ttl_days: int = 45        # ~1 month + 15 days (src/crawler.go:230)
+    now_us: int = 1_722_988_800_000_000  # "wall clock" for TTL checks: 2024-08-07 UTC, the reference snapshot date (no real wall clock in the engine)
+    canonicalize_seen: bool = False  # False = reference raw-URL equality (src/crawler.go:191); True = north-rule canonicalization
+    frontier_cap: int | None = None  # None = unbounded (reference: 100_000 with silent child drops)
+
+    # termination (the reference never terminates, src/crawler.go:107-113;
+    # bounded rounds are our documented improvement, SURVEY §2.9)
+    max_rounds: int = 50
+    max_urls: int | None = None
+
+    # physical execution
+    num_fetch_buckets: int = 32      # corpus hash-bucket count (must match corpus layout)
+    seen_shards: int = 8             # seen-set actor shards
+    seen_mode: str = "exact"         # "exact" (conformance) | "cuckoo" (scale)
+    parse_batch_size: int = 64       # html rows per parse batch (bodies are large)
+    parse_concurrency: int | tuple[int, int] | None = None  # actor pool size for parse stage; None = stateless tasks
+    min_parallelism: int = 8
+
+    # paths
+    out_dir: str = "/tmp/grawler_out"
+
+    extra: dict = field(default_factory=dict)

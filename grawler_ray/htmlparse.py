@@ -1,0 +1,272 @@
+"""HTML extraction reproducing the reference's parser semantics.
+
+The reference parses with Go x/net/html (WHATWG HTML5) and then runs three
+independent DFS extractions over the tree:
+
+- ``parsers.HtmlUrls``     (src/parsers/html.go:69-82): every ``href`` attr of
+  every ``<a>`` element, in document order (duplicates kept).
+- ``parsers.HtmlMetaData`` (src/parsers/html.go:10-67): first-wins icon /
+  title / description / site_name.
+- ``parsers.HtmlText``     (src/parsers/html.go:84-116): TrimSpace each text
+  node, skip {script, style, noscript, svg, iframe} subtrees, join non-empty
+  child results with single spaces, TrimSpace at each element.
+
+Because every text leaf is trimmed before joining, the nested trim-join is
+associative: the result equals ``' '.join(trimmed non-empty text nodes in
+document order, excluding skipped subtrees)``.  That lets us extract in ONE
+streaming pass over the token stream (stdlib ``html.parser``) with no DOM at
+all — the hot-path cost is one tokenizer scan per document.
+
+Tokenizer parity notes (vs x/net/html, which follows the HTML5 spec):
+- rawtext elements (content is a single text node, no entity decoding, no
+  child elements): script, style, iframe, xmp, noembed, noframes, and
+  noscript (x/net/html parses with scripting enabled by default).
+- RCDATA elements (text content, entities decoded): title, textarea.
+- Entity references in normal text and in attribute values are decoded with
+  the HTML5 named/numeric tables by both sides.
+- Adjacent text chunks are coalesced into one logical text node (Go's
+  ``addText`` appends to the previous text sibling), flushed at every tag /
+  comment / doctype boundary — required because TrimSpace applies per NODE.
+- Known divergence (documented): table foster-parenting reorders stray text
+  in Go's DOM; our flat scan keeps it in place.  Conformance fixtures do not
+  place bare text directly inside <table>.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from html.parser import HTMLParser
+
+from .textops import (
+    byte_prefix,
+    go_json_str,
+    go_trim_space,
+    process_text,
+    to_valid_utf8,
+    words_freq,
+)
+from .urlops import child_url_allowed
+
+# HtmlText skip list — src/parsers/html.go:98
+_TEXT_SKIP = {"script", "style", "noscript", "svg", "iframe"}
+# HTML5 rawtext / RCDATA element sets (x/net/html tokenizer behavior)
+_RAWTEXT = ("script", "style", "iframe", "xmp", "noembed", "noframes", "noscript")
+_RCDATA = ("title", "textarea")
+
+_ICON_RELS = ("icon", "icon shortcut", "shortcut icon")
+
+
+class _Extractor(HTMLParser):
+    """One-pass extraction of text parts, hrefs and metadata."""
+
+    CDATA_CONTENT_ELEMENTS = _RAWTEXT + _RCDATA
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.text_parts: list[str] = []
+        self.hrefs: list[str] = []
+        self.icon_link = ""
+        self.title = ""
+        self._title_set = False
+        self.description = ""
+        self.site_name = ""
+        self._buf: list[str] = []  # pending text chunks of the current node
+        self._buf_ctx: str | None = None  # cdata_elem at buffer time
+        self._svg_depth = 0
+        self._in_title = False
+        self._title_buf: list[str] = []
+
+    # -- text node handling -------------------------------------------------
+    def _flush_text(self) -> None:
+        if not self._buf:
+            return
+        data = "".join(self._buf)
+        self._buf.clear()
+        if self._in_title:
+            # RCDATA: entities decoded (cdata mode suppresses convert_charrefs)
+            self._title_buf.append(_html.unescape(data))
+        ctx = self._buf_ctx
+        self._buf_ctx = None
+        if self._svg_depth > 0:
+            return
+        if ctx in ("title", "textarea"):
+            data = _html.unescape(data)
+        elif ctx is not None and ctx in _TEXT_SKIP:
+            return  # script/style/iframe/noscript raw content
+        # xmp/noembed/noframes rawtext is NOT in the HtmlText skip list, so it
+        # contributes raw (entities undecoded), matching Go's DOM text node.
+        trimmed = go_trim_space(data)
+        if trimmed:
+            self.text_parts.append(trimmed)
+
+    def handle_data(self, data: str) -> None:
+        if self._buf and self._buf_ctx != self.cdata_elem:
+            self._flush_text()
+        self._buf_ctx = self.cdata_elem
+        self._buf.append(data)
+
+    # -- structure ----------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._flush_text()
+        if tag == "svg":
+            self._svg_depth += 1
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    self.hrefs.append(v if v is not None else "")
+        elif tag == "link":
+            # src/parsers/html.go:21-34 — rel must precede href in attr order
+            rel = ""
+            for k, v in attrs:
+                v = v if v is not None else ""
+                if k == "rel":
+                    rel = v
+                elif k == "href":
+                    if rel in _ICON_RELS and self.icon_link == "":
+                        self.icon_link = v
+        elif tag == "meta":
+            # src/parsers/html.go:40-57 — collect attrs, then first-wins checks
+            name = prop = content = ""
+            for k, v in attrs:
+                v = v if v is not None else ""
+                if k == "name":
+                    name = v
+                elif k == "property":
+                    prop = v
+                elif k == "content":
+                    content = v
+            if (name == "description" or prop == "og:description") and self.description == "":
+                self.description = content
+            if prop == "og:site_name" and self.site_name == "":
+                self.site_name = content
+        elif tag == "title":
+            self._in_title = True
+            self._title_buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush_text()
+        if tag == "svg" and self._svg_depth > 0:
+            self._svg_depth -= 1
+        elif tag == "title" and self._in_title:
+            self._in_title = False
+            # Go: first <title> whose element has a FirstChild (>=1 text node)
+            text = "".join(self._title_buf)
+            if self._title_buf and not self._title_set:
+                self.title = text
+                self._title_set = True
+            self._title_buf = []
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # foreign-content self-closing tags (<path/>), plus void elements
+        self._flush_text()
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href":
+                    self.hrefs.append(v if v is not None else "")
+        elif tag in ("link", "meta"):
+            self.handle_starttag(tag, attrs)
+
+    def handle_comment(self, data: str) -> None:
+        self._flush_text()
+
+    def handle_decl(self, decl: str) -> None:
+        self._flush_text()
+
+    def handle_pi(self, data: str) -> None:
+        self._flush_text()
+
+    def close(self) -> None:
+        super().close()
+        self._flush_text()
+
+
+def extract_html(content: str) -> tuple[str, list[str], dict[str, str]]:
+    """Run the one-pass extractor.  Returns (joined_text, hrefs, metadata)
+    where joined_text is the HtmlText equivalent (pre-ProcessText)."""
+    ex = _Extractor()
+    ex.feed(content)
+    ex.close()
+    meta = {
+        "icon_link": ex.icon_link,
+        "title": ex.title,
+        "description": ex.description,
+        "site_name": ex.site_name,
+    }
+    return " ".join(ex.text_parts), ex.hrefs, meta
+
+
+def _fill_meta(meta: dict[str, str], content_bytes: bytes, host: str, base_url: str) -> dict[str, str]:
+    """utils.FillTextDocEmptyMetaData (src/utils/utils.go:123-141).
+
+    Fallback truncations are BYTE slices of the content (may split a rune);
+    the Go values hit the JSON sink which replaces each invalid byte with
+    U+FFFD — reproduced by go_json_str.
+    """
+    out = dict(meta)
+    if out["title"] == "":
+        out["title"] = go_json_str(content_bytes[:60])
+    if out["description"] == "":
+        # ProcessText on the truncated prefix; content already has no \n/\r,
+        # so only the ASCII-space trim applies (byte level).
+        out["description"] = go_json_str(content_bytes[:160].strip(b" "))
+    if out["site_name"] == "":
+        out["site_name"] = host
+    if out["icon_link"] != "" and out["icon_link"][0] == "/":
+        out["icon_link"] = base_url + out["icon_link"]
+    return out
+
+
+def parse_page(
+    body: bytes,
+    content_type: str,
+    url: str,
+    base_url: str,
+    host: str,
+) -> dict:
+    """parseDocument (src/crawler.go:284-313) for one fetched page.
+
+    Returns a dict with keys: content, meta_icon_link, meta_site_name,
+    meta_title, meta_description, child_urls (normalized via
+    utils.childUrlAllowed, ready to enqueue), words (dict word->freq).
+    """
+    if content_type == "text/html":
+        content = to_valid_utf8(body)  # strings.ToValidUTF8(s, "") src/crawler.go:287
+        joined, hrefs, meta = extract_html(content)
+        content = process_text(joined)
+        content_bytes = content.encode("utf-8")
+        meta = _fill_meta(meta, content_bytes, host, base_url)
+        children = []
+        for h in hrefs:
+            norm = child_url_allowed(h, base_url)
+            if norm is not None:
+                children.append(norm)
+        words = words_freq(content)
+        return {
+            "content": content,
+            "meta_icon_link": meta["icon_link"],
+            "meta_site_name": meta["site_name"],
+            "meta_title": meta["title"],
+            "meta_description": meta["description"],
+            "child_urls": children,
+            "words": words,
+        }
+    elif content_type == "text/plain":
+        # No UTF-8 sanitize in this branch (src/crawler.go:303-309): the raw
+        # bytes flow through ProcessText and the byte-prefix fallbacks, and
+        # become valid UTF-8 only at the JSON sink (go_json_str).
+        content_b = body.replace(b"\n", b"").replace(b"\r", b"").strip(b" ")
+        meta = {"icon_link": "", "title": "", "description": "", "site_name": ""}
+        meta = _fill_meta(meta, content_b, host, base_url)
+        content = go_json_str(content_b)
+        words = words_freq(content)
+        return {
+            "content": content,
+            "meta_icon_link": meta["icon_link"],
+            "meta_site_name": meta["site_name"],
+            "meta_title": meta["title"],
+            "meta_description": meta["description"],
+            "child_urls": [],  # plain text has no ChildUrls (parse sets none)
+            "words": words,
+        }
+    else:  # unreachable behind documentAllowed (src/crawler.go:274-282)
+        raise ValueError(f"content type not parseable: {content_type}")

@@ -1,0 +1,126 @@
+"""Go-compatible scalar text primitives.
+
+These reproduce, byte-for-byte, the text semantics of the reference Go
+crawler (fou3fou3/Grawler):
+
+- ``process_text``      <-> ``parsers.ProcessText``     (src/parsers/text.go:8-14)
+- ``words_freq``        <-> ``parsers.TextWordsFreq``   (src/parsers/text.go:16-29)
+- ``go_trim_space``     <-> ``strings.TrimSpace``       (used in src/parsers/html.go:88,111)
+- ``to_valid_utf8``     <-> ``strings.ToValidUTF8(s,"")`` (src/crawler.go:287)
+- ``go_json_str``       <-> Go encoding/json invalid-UTF-8 handling at the
+                            Couchbase sink (src/db/db.go:64): each invalid
+                            byte becomes one U+FFFD
+- ``byte_prefix``       <-> Go string byte-slicing ``s[:min(n,len(s))]``
+                            (src/utils/utils.go:125,129)
+
+All functions operate on ``bytes`` where Go operates on raw (possibly
+invalid-UTF-8) strings, and on ``str`` where the value is known valid.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Go's unicode.IsSpace == Unicode White_Space property. Python's str.strip()
+# default set additionally strips \x1c-\x1f (FS/GS/RS/US), which Go does NOT
+# consider space — so we always pass this explicit charset.
+GO_SPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+# Go regexp is RE2: \w and \b are ASCII ([0-9A-Za-z_]).  Python needs re.ASCII
+# to match (its default \w is Unicode).  src/parsers/text.go:18
+_WORD_RE = re.compile(r"\b\w+\b", re.ASCII)
+
+
+def go_trim_space(s: str) -> str:
+    """strings.TrimSpace — trim Unicode White_Space from both ends."""
+    return s.strip(GO_SPACE)
+
+
+def process_text(text: str) -> str:
+    """parsers.ProcessText: remove ALL \\n and \\r (not replaced by a space),
+    then trim ASCII spaces only (strings.Trim(text, " "))."""
+    text = text.replace("\n", "").replace("\r", "")
+    return text.strip(" ")
+
+
+def words_freq(text: str) -> dict[str, int]:
+    """parsers.TextWordsFreq: ASCII \\b\\w+\\b tokens, lowercased AFTER the
+    match, counted into a dict (insertion order = first occurrence order)."""
+    freq: dict[str, int] = {}
+    for word in _WORD_RE.findall(text):
+        word = word.lower()
+        freq[word] = freq.get(word, 0) + 1
+    return freq
+
+
+def to_valid_utf8(b: bytes) -> str:
+    """strings.ToValidUTF8(s, "") — drop every invalid byte.  With an empty
+    replacement this is exactly Python's errors="ignore" decode."""
+    return b.decode("utf-8", errors="ignore")
+
+
+def go_json_str(b: bytes) -> str:
+    """Decode bytes the way Go's encoding/json marshals an invalid-UTF-8
+    string: utf8.DecodeRune consumes exactly ONE byte per invalid sequence and
+    yields U+FFFD for it (so a truncated 3-byte sequence at end-of-string
+    becomes TWO replacement chars, where Python's errors="replace" would emit
+    one).  Needed for the byte-truncated metadata fallbacks
+    (src/utils/utils.go:125,129) flowing into the JSON sink."""
+    out: list[str] = []
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            out.append(chr(c))
+            i += 1
+            continue
+        # determine sequence length from the lead byte
+        if 0xC2 <= c <= 0xDF:
+            need, lo, hi = 1, 0x80, 0xBF
+        elif c == 0xE0:
+            need, lo, hi = 2, 0xA0, 0xBF
+        elif 0xE1 <= c <= 0xEC or c == 0xEE or c == 0xEF:
+            need, lo, hi = 2, 0x80, 0xBF
+        elif c == 0xED:
+            need, lo, hi = 2, 0x80, 0x9F
+        elif c == 0xF0:
+            need, lo, hi = 3, 0x90, 0xBF
+        elif 0xF1 <= c <= 0xF3:
+            need, lo, hi = 3, 0x80, 0xBF
+        elif c == 0xF4:
+            need, lo, hi = 3, 0x80, 0x8F
+        else:
+            out.append("�")
+            i += 1
+            continue
+        seq = b[i + 1 : i + 1 + need]
+        ok = len(seq) == need and lo <= seq[0] <= hi and all(
+            0x80 <= x <= 0xBF for x in seq[1:]
+        )
+        if not ok:
+            out.append("�")
+            i += 1
+            continue
+        out.append(b[i : i + 1 + need].decode("utf-8"))
+        i += 1 + need
+    return "".join(out)
+
+
+def byte_prefix(s: str, n: int) -> bytes:
+    """Go s[:min(n, len(s))] — a BYTE slice of the UTF-8 encoding (may split a
+    multi-byte rune; callers sanitize with go_json_str at the sink)."""
+    return s.encode("utf-8")[:n]
+
+
+def is_valid_utf8(b: bytes) -> bool:
+    """utf8.ValidString (src/utils/utils.go:182).  Go rejects surrogates and
+    overlong encodings; Python's strict utf-8 decoder rejects the same set."""
+    try:
+        b.decode("utf-8", errors="strict")
+        return True
+    except UnicodeDecodeError:
+        return False
