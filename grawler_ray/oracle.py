@@ -1,0 +1,190 @@
+"""Serial reference-semantics oracle (SURVEY §5.2).
+
+Executes the reference's crawl loop (src/crawler.go:116-188) serially,
+round-based, over an in-memory corpus — the executable specification that the
+Ray pipeline must match on documents / words / seen-set / crawl order.
+
+Round-based determinization of the reference semantics (SURVEY §2.3 T2,
+§2.9): the reference's FIFO with 20 workers is nondeterministic and its
+politeness map is inert (never written, src/crawler.go:194-199 bugs); the
+*intended* semantics is parameterized as: per round, at most
+``per_host_quota`` URLs per host are admitted (in frontier order), the rest
+are deferred to the next round preserving order, placed before that round's
+newly-discovered children.
+
+Stage order per URL is exactly crawlDocument's:
+  components (:119) -> seen check (:191, incl. first-wins intra-round dedup)
+  -> politeness (:194) -> urlAllowed (:137) -> robots (:142) -> fetch (:152,
+  corpus lookup; miss or status>399 drops like utils.go:40-42) -> content
+  type filter (:166) -> parse (:172) -> commit seen (:178) -> children (:179)
+  -> sink (:181).
+
+Trace actions: fetched / dup-drop / parse-url-drop / scheme-drop /
+robots-drop / fetch-miss / type-drop / deferred (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .config import CrawlConfig
+from .htmlparse import parse_page
+from .robots import RobotsRules
+from .urlops import UrlError, canonical_url, extract_url_components, url_allowed
+
+
+@dataclass
+class OracleResult:
+    documents: list[dict] = field(default_factory=list)
+    words: list[dict] = field(default_factory=list)
+    seen: set = field(default_factory=set)
+    trace: list[dict] = field(default_factory=list)
+    robots_cache: dict = field(default_factory=dict)  # host -> (body, ts_us)
+    rounds: int = 0
+
+
+def run_oracle(
+    corpus: dict[str, dict],
+    seeds: list[str],
+    cfg: CrawlConfig,
+    robots_cache: dict[str, tuple[str, int]] | None = None,
+) -> OracleResult:
+    """corpus: url -> {html: bytes, content_type: str, status_code: int}.
+    robots_cache: initial host -> (body, ts_us) cache table state."""
+    res = OracleResult()
+    res.robots_cache = dict(robots_cache or {})
+    compiled: dict[str, RobotsRules] = {}
+    ttl_us = cfg.robots_ttl_days * 86_400_000_000
+
+    def robots_allowed(host: str, base_url: str, url: str) -> bool:
+        """agentAllowed (src/crawler.go:222-254): cached+fresh else fetch
+        {base}/robots.txt; ANY fetch error (incl. 404) => deny."""
+        entry = res.robots_cache.get(host)
+        if entry is None or entry[1] < cfg.now_us - ttl_us:
+            row = corpus.get(f"{base_url}/robots.txt")
+            if row is None or row["status_code"] > 399:
+                return False  # fetch error => agentAllowed returns err => skip
+            body = row["html"].decode("utf-8", errors="replace")
+            res.robots_cache[host] = (body, cfg.now_us)
+            compiled.pop(host, None)
+        else:
+            body = entry[0]
+        if host not in compiled:
+            compiled[host] = RobotsRules(body)
+        return compiled[host].allowed(cfg.user_agent, url)
+
+    frontier: list[tuple[int, str, str]] = [(i, u, "") for i, u in enumerate(seeds)]
+    next_seq = len(seeds)
+    fetched_count = 0
+
+    for rnd in range(cfg.max_rounds):
+        if not frontier:
+            break
+        res.rounds = rnd + 1
+        frontier.sort(key=lambda t: t[0])
+        deferred: list[tuple[int, str, str]] = []
+        children: list[tuple[int, int, str, str]] = []  # (parent_seq, child_idx, url, parent)
+        # Intra-round dedup is FIRST-WINS: later occurrences of a URL in the
+        # same round dup-drop regardless of the first occurrence's outcome
+        # (spec determinization — all failure modes are deterministic, so a
+        # same-round retry would fail identically; only trace labels differ
+        # from the serial reference interleave).  Cross-round seen commits
+        # only after successful parse, like crawler.go:178.
+        attempted_this_round: set[str] = set()
+        host_slots: dict[str, int] = {}
+
+        def trace(seq: int, url: str, parent: str, action: str) -> None:
+            res.trace.append(
+                {"round": rnd, "seq": seq, "url": url, "parent_url": parent, "action": action}
+            )
+
+        for seq, url, parent in frontier:
+            # 1. components (crawler.go:119)
+            try:
+                scheme, host, path = extract_url_components(url)
+            except UrlError:
+                trace(seq, url, parent, "parse-url-drop")
+                continue
+            base_url = f"{scheme}://{host}"
+            # 2. seen check (crawler.go:191) + intra-round first-wins dedup
+            key = canonical_url(url) if cfg.canonicalize_seen else url
+            if key in res.seen or key in attempted_this_round:
+                trace(seq, url, parent, "dup-drop")
+                continue
+            attempted_this_round.add(key)
+            # 3. politeness (intended semantics of crawler.go:194-199)
+            slot = host_slots.get(host, 0)
+            if slot >= cfg.per_host_quota:
+                trace(seq, url, parent, "deferred")
+                deferred.append((seq, url, parent))
+                continue
+            host_slots[host] = slot + 1
+            # 4. urlAllowed (crawler.go:137)
+            if not url_allowed(scheme, host, path) or host in cfg.blocked_hosts:
+                trace(seq, url, parent, "scheme-drop")
+                continue
+            # 5. robots (crawler.go:142)
+            if not robots_allowed(host, base_url, url):
+                trace(seq, url, parent, "robots-drop")
+                continue
+            # 6. fetch = corpus lookup (crawler.go:152; >399 errors utils.go:40-42)
+            row = corpus.get(url)
+            if row is None or row["status_code"] > 399:
+                trace(seq, url, parent, "fetch-miss")
+                continue
+            # 7. content-type normalization (crawler.go:257)
+            ctype = row["content_type"].lower().split(";")[0]
+            # 8. documentAllowed (crawler.go:274-282)
+            if ctype not in cfg.allowed_content_types:
+                trace(seq, url, parent, "type-drop")
+                continue
+            # 9. parse (crawler.go:172)
+            parsed = parse_page(row["html"], ctype, url, base_url, host)
+            # 10. commit seen AFTER successful parse (crawler.go:178)
+            res.seen.add(key)
+            # 11. children (crawler.go:179; normalization in parse_page)
+            for ci, child in enumerate(parsed["child_urls"]):
+                children.append((seq, ci, child, url))
+            # 12. sink (crawler.go:181; InsertDocument projection common.go:44-54)
+            res.documents.append(
+                {
+                    "url": url,
+                    "parent_url": parent,
+                    "content_type": ctype,
+                    "status_code": row["status_code"],
+                    "content": parsed["content"],
+                    "meta_icon_link": parsed["meta_icon_link"],
+                    "meta_site_name": parsed["meta_site_name"],
+                    "meta_title": parsed["meta_title"],
+                    "meta_description": parsed["meta_description"],
+                }
+            )
+            for word, freq in parsed["words"].items():
+                res.words.append({"parent_url": url, "word": word, "frequency": freq})
+            trace(seq, url, parent, "fetched")
+            fetched_count += 1
+            if cfg.max_urls is not None and fetched_count >= cfg.max_urls:
+                return res
+
+        # next frontier: deferred (original seqs, first) then children in
+        # (parent_seq, child_index) order with fresh seqs
+        children.sort(key=lambda t: (t[0], t[1]))
+        new_rows = deferred + [
+            (next_seq + i, url, parent) for i, (_, _, url, parent) in enumerate(children)
+        ]
+        next_seq += len(children)
+        frontier = new_rows
+
+    return res
+
+
+def corpus_table_to_dict(table) -> dict[str, dict]:
+    """pyarrow.Table (url, html, content_type, status_code) -> oracle corpus."""
+    d = {}
+    urls = table.column("url").to_pylist()
+    htmls = table.column("html").to_pylist()
+    cts = table.column("content_type").to_pylist()
+    scs = table.column("status_code").to_pylist()
+    for u, h, c, s in zip(urls, htmls, cts, scs):
+        d[u] = {"html": h, "content_type": c, "status_code": s}
+    return d

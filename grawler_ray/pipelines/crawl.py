@@ -1,0 +1,612 @@
+"""Round-based Ray-Data crawl pipeline — the engine's flagship.
+
+Each BFS round translates crawlDocument's 12 stages (src/crawler.go:116-188,
+SURVEY §3.2) into Dataset stages:
+
+    frontier_r (materialized control table: seq,url,parent_url — SMALL; the
+                heavy html bytes never enter it)
+      -> map_batches(prepare)          M1/M2 url components + keys   [no shuffle]
+      -> groupby(url)  first-wins dedup                              [shuffle: url]
+      -> map_batches(seen test)        T1 actor calls                [no shuffle]
+      -> groupby(host) politeness + urlAllowed + robots gate  T2/T3  [shuffle: host]
+      == materialize (admission table: split admitted/deferred/trace)
+    admitted
+      -> groupby(bucket).map_groups(fetch)  J1: bucketed-corpus point join;
+         only the buckets the frontier touches are read, with an `url in`
+         predicate pushed into the Parquet scan              [shuffle: bucket]
+      -> map_batches(parse)            M3-M11 + A1, html -> text    [no shuffle]
+      -> write_parquet(out/round=R/parsed)   streaming, no materialization of
+         html; this file IS the round checkpoint AND the documents/words sink
+         (documents = column projection; words = explode of the words column)
+    post-round (cheap column-pruned reads of the parsed file):
+      commit seen (T1), explode children (M12/M13) + deterministic seq
+      assignment, write trace; next frontier = deferred ∪ children.
+
+Scale notes (10^10-URL frontier):
+- the corpus is hash-bucketed by url (sources/corpus.py) so a round's fetch
+  cost is proportional to the FRONTIER, not the corpus;
+- per-round shuffles touch only the slim control table (url+ints ≈ 100 B/row);
+- seen membership lives in sharded actors (exact or cuckoo), never shipped;
+- child seq assignment broadcasts one (parent_seq -> offset) map whose size
+  is one int per fetched page per round (bounded by hosts x quota), not per
+  child;
+- every round's outputs are partitioned Parquet — a failed run resumes from
+  the last complete round manifest (see resume()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import CrawlConfig
+from ..htmlparse import parse_page
+from ..state.robots_store import RobotsShard
+from ..state.seen import SeenShard
+from ..urlops import UrlError, canonical_url, extract_url_components, url_allowed, xxhash64
+
+ACTION_PENDING = "pending"
+
+PARSED_COLUMNS = [
+    "seq", "url", "parent_url", "host", "action", "content_type", "status_code",
+    "content", "meta_icon_link", "meta_site_name", "meta_title",
+    "meta_description", "child_urls", "words_w", "words_f",
+]
+
+DOC_COLUMNS = [
+    "url", "parent_url", "content_type", "status_code", "content",
+    "meta_icon_link", "meta_site_name", "meta_title", "meta_description",
+]
+
+
+# ---------------------------------------------------------------------------
+# per-stage batch functions
+# ---------------------------------------------------------------------------
+
+def _prepare_batch(cfg: CrawlConfig):
+    """M1 url components + seen key/shard + fetch bucket, vectorized per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        n = len(urls)
+        scheme = [""] * n
+        host = [""] * n
+        path = [""] * n
+        base = [""] * n
+        action = [ACTION_PENDING] * n
+        key = [""] * n
+        shard = np.zeros(n, dtype=np.int32)
+        bucket = np.zeros(n, dtype=np.int32)
+        for i, u in enumerate(urls):
+            try:
+                s, h, p = extract_url_components(u)
+            except UrlError:
+                action[i] = "parse-url-drop"
+                continue
+            scheme[i], host[i], path[i] = s, h, p
+            base[i] = f"{s}://{h}"
+            k = canonical_url(u) if cfg.canonicalize_seen else u
+            key[i] = k
+            hh = xxhash64(k)
+            shard[i] = hh % cfg.seen_shards
+            bucket[i] = xxhash64(u) % cfg.num_fetch_buckets
+        return (
+            t.append_column("scheme", pa.array(scheme))
+            .append_column("host", pa.array(host))
+            .append_column("path", pa.array(path))
+            .append_column("base_url", pa.array(base))
+            .append_column("action", pa.array(action))
+            .append_column("seen_key", pa.array(key))
+            .append_column("shard", pa.array(shard))
+            .append_column("bucket", pa.array(bucket))
+        )
+
+    return fn
+
+
+def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+    """groupby(url): first-wins intra-round dedup (spec §oracle)."""
+    pending = df["action"] == ACTION_PENDING
+    if pending.sum() > 1:
+        first = df.loc[pending, "seq"].idxmin()
+        dup = pending.copy()
+        dup.loc[first] = False
+        df.loc[dup, "action"] = "dup-drop"
+    return df
+
+
+def _seen_test_batch(seen_actors, cfg: CrawlConfig):
+    """T1 admit-time membership test (crawler.go:191): route keys to their
+    shard actor; one remote call per shard per batch."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        pending = df.index[df["action"] == ACTION_PENDING]
+        if len(pending) == 0:
+            return df
+        by_shard: dict[int, list] = {}
+        for idx in pending:
+            by_shard.setdefault(int(df.at[idx, "shard"]), []).append(idx)
+        refs, order = [], []
+        for sh, idxs in by_shard.items():
+            keys = [df.at[i, "seen_key"] for i in idxs]
+            hashes = [xxhash64(k) for k in keys]
+            refs.append(seen_actors[sh].test_batch.remote(keys, hashes))
+            order.append(idxs)
+        for idxs, res in zip(order, ray.get(refs)):
+            for i, hit in zip(idxs, res):
+                if hit:
+                    df.at[i, "action"] = "dup-drop"
+        return df
+
+    return fn
+
+
+def _politeness_group(robots_actors, cfg: CrawlConfig):
+    """groupby(host): T2 politeness slots (in seq order, BEFORE urlAllowed —
+    crawler.go:132 precedes :137), then M2 urlAllowed, then T3 robots gate."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq")
+        pending = df["action"] == ACTION_PENDING
+        if not pending.any():
+            return df
+        host = df["host"].iloc[0]
+        idxs = df.index[pending]
+        # politeness: first `quota` pending rows admitted, rest deferred
+        over = idxs[cfg.per_host_quota :]
+        df.loc[over, "action"] = "deferred"
+        kept = idxs[: cfg.per_host_quota]
+        # urlAllowed
+        drop = [
+            i
+            for i in kept
+            if not url_allowed(df.at[i, "scheme"], host, df.at[i, "path"])
+            or host in cfg.blocked_hosts
+        ]
+        df.loc[drop, "action"] = "scheme-drop"
+        kept = [i for i in kept if i not in set(drop)]
+        if kept:
+            sh = xxhash64(host) % len(robots_actors)
+            allowed = ray.get(
+                robots_actors[sh].gate.remote(
+                    host, df.at[kept[0], "base_url"], [df.at[i, "url"] for i in kept]
+                )
+            )
+            for i, ok in zip(kept, allowed):
+                df.at[i, "action"] = "admitted" if ok else "robots-drop"
+        return df
+
+    return fn
+
+
+def _fetch_group(corpus_dir: str):
+    """groupby(bucket): J1 fetch join — read ONE corpus bucket with an
+    `url in (...)` predicate (row-group pruning via url-sorted buckets)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(df["bucket"].iloc[0])
+        urls = df["url"].tolist()
+        path = os.path.join(corpus_dir, f"bucket={bucket}")
+        cols = {"url": [], "html": [], "content_type": [], "status_code": []}
+        if os.path.isdir(path):
+            t = pads.dataset(path, format="parquet").to_table(
+                columns=["url", "html", "content_type", "status_code"],
+                filter=pads.field("url").isin(urls),
+            )
+            cols = t.to_pydict()
+        lookup = {
+            u: (h, c, s)
+            for u, h, c, s in zip(
+                cols["url"], cols["html"], cols["content_type"], cols["status_code"]
+            )
+        }
+        htmls, cts, scs, found = [], [], [], []
+        for u in urls:
+            row = lookup.get(u)
+            if row is None:
+                htmls.append(b""); cts.append(""); scs.append(0); found.append(False)
+            else:
+                htmls.append(row[0]); cts.append(row[1]); scs.append(row[2]); found.append(True)
+        out = df[["seq", "url", "parent_url", "host", "base_url"]].copy()
+        out["html"] = htmls
+        out["content_type"] = cts
+        out["status_code"] = np.array(scs, dtype=np.int16)
+        out["found"] = found
+        return out
+
+    return fn
+
+
+class ParsePages:
+    """M3-M11 + A1 as one map_batches stage over Arrow batches — the CPU hot
+    path.  Stateless per batch; declared as a class so the pipeline can run
+    it as an actor pool (setup amortized) when cfg.parse_concurrency is set."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        seqs = t.column("seq").to_pylist()
+        urls = t.column("url").to_pylist()
+        parents = t.column("parent_url").to_pylist()
+        hosts = t.column("host").to_pylist()
+        bases = t.column("base_url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        cts = t.column("content_type").to_pylist()
+        scs = t.column("status_code").to_pylist()
+        founds = t.column("found").to_pylist()
+
+        action = [""] * n
+        ctype_out = [""] * n
+        content = [None] * n
+        mi, ms, mt, md = [""] * n, [""] * n, [""] * n, [""] * n
+        child_urls: list[list[str]] = [[] for _ in range(n)]
+        words_w: list[list[str]] = [[] for _ in range(n)]
+        words_f: list[list[int]] = [[] for _ in range(n)]
+
+        allowed = self.cfg.allowed_content_types
+        for i in range(n):
+            # fetch error: missing row or status > 399 (utils.go:40-42)
+            if not founds[i] or scs[i] > 399:
+                action[i] = "fetch-miss"
+                continue
+            # handleCrawlResponse content-type normalization (crawler.go:257)
+            ct = cts[i].lower().split(";")[0]
+            ctype_out[i] = ct
+            if ct not in allowed:  # documentAllowed (crawler.go:274-282)
+                action[i] = "type-drop"
+                continue
+            d = parse_page(htmls[i], ct, urls[i], bases[i], hosts[i])
+            action[i] = "fetched"
+            content[i] = d["content"]
+            mi[i] = d["meta_icon_link"]
+            ms[i] = d["meta_site_name"]
+            mt[i] = d["meta_title"]
+            md[i] = d["meta_description"]
+            child_urls[i] = d["child_urls"]
+            words_w[i] = list(d["words"].keys())
+            words_f[i] = list(d["words"].values())
+
+        return pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "url": pa.array(urls),
+                "parent_url": pa.array(parents),
+                "host": pa.array(hosts),
+                "action": pa.array(action),
+                "content_type": pa.array(ctype_out),
+                "status_code": pa.array(scs, pa.int16()),
+                "content": pa.array(content, pa.string()),
+                "meta_icon_link": pa.array(mi),
+                "meta_site_name": pa.array(ms),
+                "meta_title": pa.array(mt),
+                "meta_description": pa.array(md),
+                "child_urls": pa.array(child_urls, pa.list_(pa.string())),
+                "words_w": pa.array(words_w, pa.list_(pa.string())),
+                "words_f": pa.array(words_f, pa.list_(pa.int64())),
+            }
+        )
+
+
+def _commit_seen_batch(seen_actors, cfg: CrawlConfig):
+    """T1 commit AFTER successful parse (crawler.go:178).  Idempotent on the
+    shard, so task retries are safe."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keys = t.column("seen_key").to_pylist()
+        by_shard: dict[int, list[str]] = {}
+        for k in keys:
+            by_shard.setdefault(xxhash64(k) % cfg.seen_shards, []).append(k)
+        ray.get(
+            [
+                seen_actors[sh].commit_batch.remote(ks, [xxhash64(k) for k in ks])
+                for sh, ks in by_shard.items()
+            ]
+        )
+        return pa.table({"committed": pa.array([len(keys)], pa.int64())})
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# driver loop
+# ---------------------------------------------------------------------------
+
+def _round_dir(out_dir: str, rnd: int) -> str:
+    return os.path.join(out_dir, f"round={rnd:04d}")
+
+
+def run_crawl(
+    corpus_dir: str,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    robots_cache_path: str | None = None,
+) -> dict:
+    """Run the crawl; returns summary stats.  Ray must already be initialized
+    by the caller (driver contract)."""
+    out_dir = cfg.out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.monotonic()
+
+    # --- stateful actor pools (T1 seen shards, T3 robots shards) ---
+    SeenActor = ray.remote(num_cpus=0.1)(SeenShard)
+    RobotsActor = ray.remote(num_cpus=0.1)(RobotsShard)
+    seen_actors = [
+        SeenActor.remote(mode=cfg.seen_mode, capacity=1_000_000)
+        for _ in range(cfg.seen_shards)
+    ]
+    initial_robots: dict[str, tuple[str, int]] = {}
+    if robots_cache_path and os.path.exists(robots_cache_path):
+        rt = pq.read_table(robots_cache_path)
+        for h, b, ts_us in zip(
+            rt.column("host").to_pylist(),
+            rt.column("robots").to_pylist(),
+            rt.column("ts").cast(pa.int64()).to_pylist(),  # tz-safe epoch µs
+        ):
+            initial_robots[h] = (b, ts_us)
+    n_robots_shards = max(2, cfg.seen_shards // 2)
+    robots_actors = [
+        RobotsActor.remote(
+            corpus_dir,
+            cfg.num_fetch_buckets,
+            cfg.user_agent,
+            cfg.now_us,
+            cfg.robots_ttl_days,
+            {h: v for h, v in initial_robots.items() if xxhash64(h) % n_robots_shards == i},
+        )
+        for i in range(n_robots_shards)
+    ]
+
+    frontier = pa.table(
+        {
+            "seq": pa.array(range(len(seeds)), pa.int64()),
+            "url": pa.array(seeds, pa.string()),
+            "parent_url": pa.array([""] * len(seeds), pa.string()),
+        }
+    )
+    frontier_ds = ray.data.from_arrow(frontier)
+    next_seq = len(seeds)
+    stats = {"rounds": 0, "fetched": 0, "frontier_total": len(seeds)}
+
+    try:
+        for rnd in range(cfg.max_rounds):
+            frontier_rows = frontier_ds.count()
+            if frontier_rows == 0:
+                break
+            stats["rounds"] = rnd + 1
+            rdir = _round_dir(out_dir, rnd)
+
+            # ---- admission: prepare -> dedup -> seen test -> politeness ----
+            admission = (
+                frontier_ds.map_batches(_prepare_batch(cfg), batch_format="pyarrow")
+                .groupby("url")
+                .map_groups(_dedup_group, batch_format="pandas")
+                .map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pandas")
+                .groupby("host")
+                .map_groups(_politeness_group(robots_actors, cfg), batch_format="pandas")
+                .materialize()
+            )
+
+            admitted = admission.filter(expr="action == 'admitted'")
+            # ---- fetch (bucketed corpus point join) -> parse -> sink ----
+            parse_kwargs = dict(batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+            if cfg.parse_concurrency is not None:
+                parse_kwargs["concurrency"] = cfg.parse_concurrency
+                parse_fn = ParsePages
+                parse_kwargs["fn_constructor_args"] = (cfg,)
+            else:
+                parse_fn = ParsePages(cfg)
+            (
+                admitted.groupby("bucket")
+                .map_groups(_fetch_group(corpus_dir), batch_format="pandas")
+                .map_batches(parse_fn, **parse_kwargs)
+                .write_parquet(os.path.join(rdir, "parsed"))
+            )
+
+            # ---- trace sink: admission drops + parse outcomes ----
+            admission.filter(expr="action != 'admitted'").map_batches(
+                lambda t, r=rnd: pa.table(
+                    {
+                        "round": pa.array([r] * t.num_rows, pa.int32()),
+                        "seq": t.column("seq"),
+                        "url": t.column("url"),
+                        "parent_url": t.column("parent_url"),
+                        "action": t.column("action"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(rdir, "trace"))
+
+            parsed = ray.data.read_parquet(
+                os.path.join(rdir, "parsed"),
+                columns=["seq", "url", "parent_url", "action"],
+            )
+            parsed.map_batches(
+                lambda t, r=rnd: pa.table(
+                    {
+                        "round": pa.array([r] * t.num_rows, pa.int32()),
+                        "seq": t.column("seq"),
+                        "url": t.column("url"),
+                        "parent_url": t.column("parent_url"),
+                        "action": t.column("action"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(rdir, "trace_parse"))
+
+            # ---- commit seen (post-parse, from the checkpointed file) ----
+            fetched_keys = (
+                ray.data.read_parquet(
+                    os.path.join(rdir, "parsed"), columns=["url", "action"]
+                )
+                .filter(expr="action == 'fetched'")
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "seen_key": pa.array(
+                                [
+                                    canonical_url(u) if cfg.canonicalize_seen else u
+                                    for u in t.column("url").to_pylist()
+                                ]
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            committed = sum(
+                b.column("committed")[0].as_py()
+                for b in fetched_keys.map_batches(
+                    _commit_seen_batch(seen_actors, cfg), batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            )
+            stats["fetched"] += int(committed)
+
+            # ---- children: explode + deterministic seq assignment ----
+            kids_src = ray.data.read_parquet(
+                os.path.join(rdir, "parsed"), columns=["seq", "url", "child_urls", "action"]
+            ).filter(expr="action == 'fetched'")
+            # offsets: one int per fetched page this round (small, broadcast)
+            counts: list[tuple[int, int]] = []
+            for b in kids_src.iter_batches(batch_format="pyarrow"):
+                pseqs = b.column("seq").to_pylist()
+                lens = pc.list_value_length(b.column("child_urls")).to_pylist()
+                counts.extend(zip(pseqs, (l or 0 for l in lens)))
+            counts.sort()
+            offsets: dict[int, int] = {}
+            acc = 0
+            for pseq, c in counts:
+                offsets[pseq] = acc
+                acc += c
+            offsets_ref = ray.put(offsets)
+            base_seq = next_seq
+            next_seq += acc
+
+            def explode_children(t: pa.Table, base=base_seq, oref=offsets_ref) -> pa.Table:
+                off = ray.get(oref)
+                pseqs = t.column("seq").to_pylist()
+                parents = t.column("url").to_pylist()
+                kids = t.column("child_urls").to_pylist()
+                seqs, urls, purls = [], [], []
+                for pseq, purl, lst in zip(pseqs, parents, kids):
+                    o = off[pseq]
+                    for ci, k in enumerate(lst or []):
+                        seqs.append(base + o + ci)
+                        urls.append(k)
+                        purls.append(purl)
+                return pa.table(
+                    {
+                        "seq": pa.array(seqs, pa.int64()),
+                        "url": pa.array(urls, pa.string()),
+                        "parent_url": pa.array(purls, pa.string()),
+                    }
+                )
+
+            children_ds = kids_src.map_batches(explode_children, batch_format="pyarrow")
+            deferred_ds = admission.filter(expr="action == 'deferred'").select_columns(
+                ["seq", "url", "parent_url"]
+            )
+            frontier_ds = deferred_ds.union(children_ds).materialize()
+            stats["frontier_total"] += acc
+
+            with open(os.path.join(rdir, "manifest.json"), "w") as f:
+                json.dump(
+                    {
+                        "round": rnd,
+                        "admitted_rows": int(committed),
+                        "next_frontier_rows": frontier_ds.count(),
+                        "next_seq": next_seq,
+                        "complete": True,
+                    },
+                    f,
+                )
+
+        # final robots snapshot (↔ Robots collection, db.go:102-109)
+        rows = [r for snap in ray.get([a.snapshot.remote() for a in robots_actors]) for r in snap]
+        if rows:
+            t = pa.table(
+                {
+                    "host": pa.array([r[0] for r in rows]),
+                    "robots": pa.array([r[1] for r in rows]),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            )
+            pq.write_table(t.sort_by("host"), os.path.join(out_dir, "robots_final.parquet"))
+    finally:
+        for a in seen_actors + robots_actors:
+            ray.kill(a)
+
+    stats["wall_sec"] = time.monotonic() - t0
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# output readers (the sinks are projections of the round checkpoints)
+# ---------------------------------------------------------------------------
+
+def _round_files(out_dir: str, sub: str) -> list[str]:
+    """All parquet files of one sink across rounds (read_parquet wants files
+    when given a list)."""
+    files: list[str] = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d, sub)
+        if d.startswith("round=") and os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+    return files
+
+
+def read_documents(out_dir: str) -> "ray.data.Dataset":
+    """documents sink (↔ InsertDocument projection, common.go:44-54)."""
+    ds = ray.data.read_parquet(
+        _round_files(out_dir, "parsed"), columns=DOC_COLUMNS + ["action"]
+    )
+    return ds.filter(expr="action == 'fetched'").select_columns(DOC_COLUMNS)
+
+
+def read_words(out_dir: str) -> "ray.data.Dataset":
+    """words sink (↔ Word rows, db.go:71-79): explode the per-doc word lists."""
+    ds = ray.data.read_parquet(
+        _round_files(out_dir, "parsed"), columns=["url", "action", "words_w", "words_f"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, ws, fs = [], [], []
+        for u, w_list, f_list in zip(
+            t.column("url").to_pylist(),
+            t.column("words_w").to_pylist(),
+            t.column("words_f").to_pylist(),
+        ):
+            for w, f in zip(w_list or [], f_list or []):
+                urls.append(u)
+                ws.append(w)
+                fs.append(f)
+        return pa.table(
+            {
+                "parent_url": pa.array(urls, pa.string()),
+                "word": pa.array(ws, pa.string()),
+                "frequency": pa.array(fs, pa.int64()),
+            }
+        )
+
+    return ds.filter(expr="action == 'fetched'").map_batches(explode, batch_format="pyarrow")
+
+
+def read_trace(out_dir: str) -> "ray.data.Dataset":
+    """crawl trace (FIXTURES.md §4): all actions, ordered by (round, seq)."""
+    return ray.data.read_parquet(
+        _round_files(out_dir, "trace") + _round_files(out_dir, "trace_parse")
+    )
