@@ -1,44 +1,475 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initializes Ray BEFORE importing this module; nothing here may
+call ray.init()/ray.shutdown().  Each ``queries()[name](sf_dir)`` is compared
+against ``oracle_sql()[name]`` via DuckDB at sf=0.01 (row-count + schema +
+order-insensitive value-hash); entries without SQL get a rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Operator inventory coverage: SURVEY.md §2 (crawl engine ops are exercised by
+the ``crawl_*`` entries over the deterministic synthetic corpus — the
+reference's pipeline is not SQL-expressible end-to-end) plus the
+training-data ops (dedup / similarity / text analysis / multimodal) over the
+driver-provided tables.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+STOP_SQL = "('the','a','and','of','to','in','is','on','for','by')"
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship crawl (synthetic corpus; rows-only checks)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict[str, str] = {}
+
+
+def _ensure_crawl(tag: str = "entry", n_hosts: int = 6, pages_per_host: int = 12) -> str:
+    """Generate the deterministic corpus + run the crawl once per process."""
+    if tag in _CRAWL_CACHE:
+        return _CRAWL_CACHE[tag]
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.pipelines.crawl import run_crawl
+    from grawler_ray.sources.corpus import (
+        generate_corpus,
+        generate_robots_cache,
+        seed_urls,
+    )
+
+    base = f"/tmp/grawler_entry_{tag}"
+    corpus = f"{base}/corpus"
+    out = f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = CrawlConfig(
+        per_host_quota=3, max_rounds=6, num_fetch_buckets=8, seen_shards=4, out_dir=out
+    )
+    generate_corpus(corpus, n_hosts=n_hosts, pages_per_host=pages_per_host, seed=42, num_buckets=8)
+    robots = f"{base}/robots.parquet"
+    generate_robots_cache(robots, 42, n_hosts, cfg.now_us)
+    run_crawl(corpus, seed_urls(n_hosts, 3), cfg, robots_cache_path=robots)
+    _CRAWL_CACHE[tag] = out
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: frontier-scheduled fetch+extract crawl over the synthetic
+    Common-Crawl-style corpus; returns the documents table (byte-identical
+    extracted text per url vs the corpus golden text column)."""
+    from grawler_ray.pipelines.crawl import read_documents
+
+    out = _ensure_crawl()
+    return read_documents(out)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _word_freq(sf_dir: str):
+    from grawler_ray.functions.textstats import word_freq_batch
+
+    return _read(sf_dir, "documents").map_batches(word_freq_batch, batch_format="pyarrow")
+
+
+def _process_text(sf_dir: str):
+    from grawler_ray.functions.textstats import process_text_batch
+
+    return _read(sf_dir, "documents").map_batches(process_text_batch, batch_format="pyarrow")
+
+
+def _doc_stats(sf_dir: str):
+    from grawler_ray.functions.textstats import doc_stats_batch
+
+    return _read(sf_dir, "documents").map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def _fingerprint(sf_dir: str):
+    from grawler_ray.functions.textstats import fingerprint_batch
+
+    return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _exact_dedup(sf_dir: str):
+    from grawler_ray.functions.dedup import exact_dedup_group, exact_hash_batch
+
+    return (
+        _read(sf_dir, "documents")
+        .map_batches(exact_hash_batch, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(exact_dedup_group, batch_format="pandas")
+    )
+
+
+def _lang_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "documents").groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _top_words(sf_dir: str):
+    """Global top-100 words: per-batch partial combine BEFORE the shuffle
+    (the pre-aggregation pattern — the groupby then moves one row per
+    distinct word per batch, not one per token)."""
+    from grawler_ray.textops import words_freq
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            for w, f in words_freq(txt or "").items():
+                acc[w] = acc.get(w, 0) + f
+        return pa.table(
+            {
+                "word": pa.array(list(acc.keys()), pa.string()),
+                "partial": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="total"))
+        .sort(["total", "word"], descending=[True, False])
+        .limit(100)
+    )
+    return ds
+
+
+def _events_first(sf_dir: str):
+    def first_event(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "event_type": [df["event_type"].iloc[0]],
+                "first_event_id": [int(df["event_id"].iloc[0])],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events")
+        .groupby(["user_id", "event_type"])
+        .map_groups(first_event, batch_format="pandas")
+    )
+
+
+def _politeness_slots(sf_dir: str, quota: int = 4):
+    """T2 politeness analog on the events table: per user, slot = arrival
+    rank; admitted = slot < quota (SURVEY §2.3 T2 made SQL-checkable)."""
+
+    def slots(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        out = df[["event_id", "user_id"]].copy()
+        out["slot"] = np.arange(len(df), dtype=np.int64)
+        out["admitted"] = out["slot"] < quota
+        return out
+
+    return _read(sf_dir, "events").groupby("user_id").map_groups(slots, batch_format="pandas")
+
+
+def _q1_agg(sf_dir: str):
+    """TPC-H Q1-style aggregate with exact integer-scaled sums (no float
+    accumulation => bit-identical to the SQL oracle)."""
+    from ray.data.aggregate import Count, Sum
+
+    def scale(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("l_quantity"), 100.0), 0.5)), pa.int64()
+        )
+        price = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_cents": qty,
+                "price_cents": price,
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem")
+        .map_batches(scale, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
+def _orders_by_nation(sf_dir: str):
+    """orders x customer x nation via BROADCAST of the small dimension side
+    (ray.put once, dict lookup per batch — no shuffle; SURVEY §2.4 J2)."""
+    import ray
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
+    n2name = dict(zip(nation.n_nationkey, nation.n_name))
+    ref = ray.put((c2n, n2name))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(ref)
+        nations = [n2name_[c2n_[c]] for c in t.column("o_custkey").to_pylist()]
+        price_cents = [
+            int(np.floor(p * 100.0 + 0.5)) for p in t.column("o_totalprice").to_pylist()
+        ]
+        return pa.table(
+            {
+                "nation": pa.array(nations, pa.string()),
+                "price_cents": pa.array(price_cents, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "orders")
+        .map_batches(join_batch, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
+    )
+
+
+def _lineitem_join_orders(sf_dir: str):
+    """Large-large hash join via Dataset.join (both sides shuffle on the
+    key), then aggregate — the J1 fetch-join pattern on driver tables."""
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_quantity"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "qty_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t.column("l_quantity"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = li.map_batches(scale, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    from ray.data.aggregate import Count, Sum
+
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("qty_cents", alias_name="sum_qty_cents")
+    )
+
+
+def _ann_topk(sf_dir: str):
+    from grawler_ray.functions.similarity import ann_topk
+
+    return ann_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _multimodal_meta(sf_dir: str):
+    from grawler_ray.stages.multimodal import decode_image_meta
+
+    return decode_image_meta(_read(sf_dir, "documents"))
+
+
+# rows-only (non-SQL-expressible) ------------------------------------------
+
+def _langid(sf_dir: str):
+    from grawler_ray.functions.textstats import langid_batch
+
+    return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
+
+
+def _minhash_pairs(sf_dir: str):
+    from grawler_ray.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash(sf_dir: str):
+    from grawler_ray.functions.dedup import simhash_batch
+
+    return _read(sf_dir, "documents").map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _lsh_buckets(sf_dir: str):
+    from grawler_ray.functions.similarity import lsh_bucket_batch
+
+    ds = _read(sf_dir, "embeddings")
+    dim = len(ds.take(1)[0]["embedding"])
+    return ds.map_batches(lsh_bucket_batch(dim), batch_format="pyarrow")
+
+
+def _crawl_documents(sf_dir: str):
+    from grawler_ray.pipelines.crawl import read_documents
+
+    return read_documents(_ensure_crawl())
+
+
+def _crawl_words(sf_dir: str):
+    from grawler_ray.pipelines.crawl import read_words
+
+    return read_words(_ensure_crawl())
+
+
+def _crawl_trace(sf_dir: str):
+    from grawler_ray.pipelines.crawl import read_trace
+
+    return read_trace(_ensure_crawl())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-checked
+        "word_freq": _word_freq,
+        "process_text": _process_text,
+        "doc_stats": _doc_stats,
+        "fingerprint": _fingerprint,
+        "exact_dedup": _exact_dedup,
+        "lang_count": _lang_count,
+        "top_words": _top_words,
+        "events_first": _events_first,
+        "politeness_slots": _politeness_slots,
+        "q1_agg": _q1_agg,
+        "orders_by_nation": _orders_by_nation,
+        "lineitem_join_orders": _lineitem_join_orders,
+        "ann_topk": _ann_topk,
+        "multimodal_meta": _multimodal_meta,
+        # rows-only
+        "langid": _langid,
+        "minhash_pairs": _minhash_pairs,
+        "simhash": _simhash,
+        "lsh_buckets": _lsh_buckets,
+        "crawl_documents": _crawl_documents,
+        "crawl_words": _crawl_words,
+        "crawl_trace": _crawl_trace,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "word_freq": rf"""
+            SELECT doc_id, lower(w) AS word, count(*)::BIGINT AS frequency
+            FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                  FROM documents)
+            GROUP BY doc_id, lower(w)
+        """,
+        "process_text": """
+            SELECT doc_id,
+                   trim(replace(replace(text, chr(10), ''), chr(13), ''), ' ') AS processed
+            FROM documents
+        """,
+        "doc_stats": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\b\w+\b'))::BIGINT AS n_words,
+                   len(list_filter(regexp_extract_all(lower(text), '\b\w+\b'),
+                                   x -> x IN {STOP_SQL}))::BIGINT AS n_stop,
+                   length(text)::BIGINT AS n_chars_actual,
+                   CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE)
+                        ELSE NULL END AS stop_ratio
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "lang_count": """
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "top_words": rf"""
+            SELECT lower(w) AS word, count(*)::BIGINT AS total
+            FROM (SELECT unnest(regexp_extract_all(text, '\b\w+\b')) AS w FROM documents)
+            GROUP BY lower(w)
+            ORDER BY total DESC, word ASC
+            LIMIT 100
+        """,
+        "events_first": """
+            SELECT user_id, event_type, event_id AS first_event_id
+            FROM (SELECT user_id, event_type, event_id,
+                         row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "politeness_slots": """
+            SELECT event_id, user_id, slot, slot < 4 AS admitted
+            FROM (SELECT event_id, user_id,
+                         (row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) - 1)::BIGINT AS slot
+                  FROM events)
+        """,
+        "q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_price_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS nation,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "lineitem_join_orders": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) AS sim
+                  FROM embeddings e CROSS JOIN q
+                  WHERE e.vec_id <> q.query_id)
+            SELECT query_id, rank, vec_id
+            FROM (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id) AS rank
+                  FROM s)
+            WHERE rank <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   (octet_length(encode(text)) % 640 + 16)::BIGINT AS width,
+                   (octet_length(encode(text)) % 480 + 16)::BIGINT AS height,
+                   'fake' AS format
+            FROM documents
+        """,
+    }

@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's operators (SURVEY §2.5 A1 is the word-frequency core,
+src/parsers/text.go:16-29), these are the text-quality stages a 100 TB
+pipeline needs: per-doc token stats / quality scoring, language ID, document
+fingerprinting.  All run as vectorized-per-batch ``map_batches`` transforms
+over the ``documents`` table (doc_id, text, lang, source, n_chars).
+
+Every SQL-checkable op keeps its semantics expressible in DuckDB (RE2 regex
+= same ASCII \\w semantics as Go's regexp; see tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+from ..textops import _WORD_RE, words_freq
+
+# a small, fixed stopword list (shared with the SQL oracle literally)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "by")
+
+_LANG_PROFILES = {
+    # tiny deterministic stopword profiles for the language-ID heuristic
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "on"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "por", "con"},
+}
+
+
+def word_freq_batch(t: pa.Table) -> pa.Table:
+    """A1 exploded: (doc_id, word, frequency) — ASCII \\b\\w+\\b, lowercase
+    after match (src/parsers/text.go:16-29)."""
+    ids, ws, fs = [], [], []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        for w, f in words_freq(text or "").items():
+            ids.append(doc_id)
+            ws.append(w)
+            fs.append(f)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "word": pa.array(ws, pa.string()),
+            "frequency": pa.array(fs, pa.int64()),
+        }
+    )
+
+
+def process_text_batch(t: pa.Table) -> pa.Table:
+    """M9 ProcessText over a column (src/parsers/text.go:8-14)."""
+    from ..textops import process_text
+
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "processed": pa.array(
+                [process_text(x or "") for x in t.column("text").to_pylist()], pa.string()
+            ),
+        }
+    )
+
+
+def doc_stats_batch(t: pa.Table) -> pa.Table:
+    """Quality scoring: token count, stopword count/ratio, char length.
+    Integer counts + one single-division double => bit-identical to the SQL
+    oracle (no float accumulation)."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n_words, n_stop, n_chars, ratios = [], [], [], []
+    stop = set(STOPWORDS)
+    for txt in texts:
+        txt = txt or ""
+        toks = _WORD_RE.findall(txt.lower())
+        nw = len(toks)
+        ns = sum(1 for w in toks if w in stop)
+        n_words.append(nw)
+        n_stop.append(ns)
+        n_chars.append(len(txt))
+        ratios.append(ns / nw if nw else None)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "n_chars_actual": pa.array(n_chars, pa.int64()),
+            "stop_ratio": pa.array(ratios, pa.float64()),
+        }
+    )
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Document fingerprint: first 16 hex chars of md5(text) — matches
+    DuckDB substring(md5(text),1,16) for the oracle."""
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "fingerprint": pa.array(
+                [
+                    hashlib.md5((x or "").encode()).hexdigest()[:16]
+                    for x in t.column("text").to_pylist()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def langid_batch(t: pa.Table) -> pa.Table:
+    """Heuristic language ID: stopword-profile hit counts, deterministic
+    tie-break by language code.  Non-SQL-expressible (rows-only oracle)."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs, scores = [], []
+    for txt in texts:
+        toks = set(_WORD_RE.findall((txt or "").lower()))
+        best_lang, best = "und", 0
+        for lang in sorted(_LANG_PROFILES):
+            s = len(toks & _LANG_PROFILES[lang])
+            if s > best:
+                best, best_lang = s, lang
+        langs.append(best_lang)
+        scores.append(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_lang": pa.array(langs, pa.string()),
+            "score": pa.array(scores, pa.int64()),
+        }
+    )
+
+
+# re-export for oracle-SQL construction
+WORD_PATTERN_SQL = r"\b\w+\b"
+
+
+def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Polynomial rolling hash of the whole text (content-defined
+    fingerprinting primitive; used by the shingling dedup ops)."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * base + b) % mod
+    return h
