@@ -1,0 +1,197 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: frontier-scheduled fetch+extract crawl (URLs/sec) over the
+deterministic synthetic Common-Crawl-style corpus (BASELINE.json metric).
+Sub-pipeline timings run over $GRAFT_SF_DIR tables.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh-process runs at 8 and 32 CPUs,
+                                 # reports both + scaling efficiency
+
+Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAWLER_BENCH_HOSTS,
+GRAWLER_BENCH_PAGES (corpus = hosts x pages, generated once under /tmp and
+reused across runs — generation is excluded from timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_HOSTS = int(os.environ.get("GRAWLER_BENCH_HOSTS", "150"))
+PAGES = int(os.environ.get("GRAWLER_BENCH_PAGES", "1500"))
+SEED = 42
+BENCH_BUCKETS = 256
+
+
+def log(*a) -> None:
+    print(*a, file=sys.stderr, flush=True)
+
+
+def corpus_dir() -> str:
+    return f"/tmp/grawler_bench_corpus_{N_HOSTS}x{PAGES}_s{SEED}"
+
+
+def ensure_corpus() -> tuple[str, str]:
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.sources.corpus import generate_corpus, generate_robots_cache
+
+    cdir = corpus_dir()
+    robots = os.path.join(cdir, "robots_cache.parquet")
+    if not os.path.exists(os.path.join(cdir, "bucket=0")):
+        log(f"generating bench corpus {N_HOSTS}x{PAGES} at {cdir} ...")
+        t0 = time.monotonic()
+        generate_corpus(
+            cdir, n_hosts=N_HOSTS, pages_per_host=PAGES, seed=SEED,
+            num_buckets=BENCH_BUCKETS, use_ray=True,
+        )
+        generate_robots_cache(robots, SEED, N_HOSTS, CrawlConfig().now_us)
+        log(f"corpus generated in {time.monotonic() - t0:.1f}s")
+    return cdir, robots
+
+
+def run_crawl_bench(num_cpus: int) -> dict:
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.pipelines.crawl import run_crawl
+    from grawler_ray.sources.corpus import seed_urls
+
+    cdir, robots = ensure_corpus()
+    out = f"/tmp/grawler_bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        per_host_quota=10_000,      # bench throughput mode: politeness off the
+        max_rounds=8,               # critical path (semantics covered by tests)
+        num_fetch_buckets=BENCH_BUCKETS,
+        seen_shards=8,
+        out_dir=out,
+        write_trace=False,
+        parse_batch_size=128,
+        parse_concurrency=num_cpus,
+    )
+    seeds = seed_urls(N_HOSTS, N_HOSTS)  # one seed per host
+    t0 = time.monotonic()
+    stats = run_crawl(cdir, seeds, cfg, robots_cache_path=robots)
+    wall = time.monotonic() - t0
+    return {
+        "wall_sec": wall,
+        "fetched": stats["fetched"],
+        "rounds": stats["rounds"],
+        "urls_per_sec": stats["fetched"] / wall if wall > 0 else 0.0,
+    }
+
+
+def run_subqueries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [
+        "word_freq", "doc_stats", "exact_dedup", "top_words", "q1_agg",
+        "orders_by_nation", "lineitem_join_orders", "politeness_slots",
+        "ann_topk", "minhash_pairs", "simhash",
+    ]
+    import ray.data
+
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # drain the lazy pipeline so timing covers execution
+        out[name] = round(time.monotonic() - t0, 3)
+        log(f"  {name}: {out[name]}s")
+    return out
+
+
+def single_run() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    crawl = run_crawl_bench(NUM_CPUS)
+    log(f"crawl: {crawl}")
+    queries = run_subqueries()
+    ray.shutdown()
+    return {
+        "metric": "frontier crawl fetch+extract throughput (URLs/sec) over "
+                  "bucketed Common-Crawl-style parquet corpus",
+        "value": round(crawl["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl_fetched_urls": crawl["fetched"],
+        "crawl_rounds": crawl["rounds"],
+        "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
+        "bench_corpus": f"{N_HOSTS}x{PAGES}",
+    }
+
+
+def scaling_run() -> dict:
+    """Fresh-process runs at two parallelism levels (the sandbox stand-in for
+    the N vs 4N cluster-size criterion; BASELINE.md)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAWLER_BENCH_MODE"] = "crawl_only"
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        log(p.stderr[-2000:])
+        line = p.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["crawl_urls_per_sec"]
+    t32 = results[32]["crawl_urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8) if t8 > 0 else 0.0
+    return {
+        "metric": "crawl scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "urls_per_sec_8": t8,
+        "urls_per_sec_32": t32,
+        "speedup": round(t32 / t8, 2) if t8 else 0.0,
+        "target": ">= 0.8",
+        "runs": results,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling_run()))
+    elif os.environ.get("GRAWLER_BENCH_MODE") == "crawl_only":
+        import ray
+
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        crawl = run_crawl_bench(NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps({
+            "num_cpus": NUM_CPUS,
+            "value": round(crawl["wall_sec"], 3),
+            "unit": "sec",
+            "crawl_fetched_urls": crawl["fetched"],
+            "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
+        }))
+    else:
+        print(json.dumps(single_run()))

@@ -46,6 +46,9 @@ class CrawlConfig:
     parse_concurrency: int | tuple[int, int] | None = None  # actor pool size for parse stage; None = stateless tasks
     min_parallelism: int = 8
 
+    # observability
+    write_trace: bool = True  # per-round trace parquet (off for bench runs)
+
     # paths
     out_dir: str = "/tmp/grawler_out"
 

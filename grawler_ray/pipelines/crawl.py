@@ -86,6 +86,7 @@ def _prepare_batch(cfg: CrawlConfig):
         base = [""] * n
         action = [ACTION_PENDING] * n
         key = [""] * n
+        key_hash = np.zeros(n, dtype=np.uint64)
         shard = np.zeros(n, dtype=np.int32)
         bucket = np.zeros(n, dtype=np.int32)
         for i, u in enumerate(urls):
@@ -96,11 +97,16 @@ def _prepare_batch(cfg: CrawlConfig):
                 continue
             scheme[i], host[i], path[i] = s, h, p
             base[i] = f"{s}://{h}"
-            k = canonical_url(u) if cfg.canonicalize_seen else u
-            key[i] = k
-            hh = xxhash64(k)
+            if cfg.canonicalize_seen:
+                k = canonical_url(u)
+                key[i] = k
+                hh = xxhash64(k)
+            else:
+                key[i] = u
+                hh = xxhash64(u)
+            key_hash[i] = hh
             shard[i] = hh % cfg.seen_shards
-            bucket[i] = xxhash64(u) % cfg.num_fetch_buckets
+            bucket[i] = (hh if not cfg.canonicalize_seen else xxhash64(u)) % cfg.num_fetch_buckets
         return (
             t.append_column("scheme", pa.array(scheme))
             .append_column("host", pa.array(host))
@@ -108,6 +114,7 @@ def _prepare_batch(cfg: CrawlConfig):
             .append_column("base_url", pa.array(base))
             .append_column("action", pa.array(action))
             .append_column("seen_key", pa.array(key))
+            .append_column("key_hash", pa.array(key_hash, pa.uint64()))
             .append_column("shard", pa.array(shard))
             .append_column("bucket", pa.array(bucket))
         )
@@ -115,45 +122,44 @@ def _prepare_batch(cfg: CrawlConfig):
     return fn
 
 
-def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-    """groupby(url): first-wins intra-round dedup (spec §oracle)."""
-    pending = df["action"] == ACTION_PENDING
-    if pending.sum() > 1:
-        first = df.loc[pending, "seq"].idxmin()
-        dup = pending.copy()
-        dup.loc[first] = False
-        df.loc[dup, "action"] = "dup-drop"
-    return df
 
 
 def _seen_test_batch(seen_actors, cfg: CrawlConfig):
     """T1 admit-time membership test (crawler.go:191): route keys to their
-    shard actor; one remote call per shard per batch."""
+    shard actor; one remote call per shard per batch (vectorized routing;
+    key hashes were computed once in the prepare stage)."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        pending = df.index[df["action"] == ACTION_PENDING]
+    def fn(t: pa.Table) -> pa.Table:
+        actions = np.asarray(t.column("action").to_pylist(), dtype=object)
+        pending = np.flatnonzero(actions == ACTION_PENDING)
         if len(pending) == 0:
-            return df
-        by_shard: dict[int, list] = {}
-        for idx in pending:
-            by_shard.setdefault(int(df.at[idx, "shard"]), []).append(idx)
+            return t
+        keys = t.column("seen_key").to_pylist()
+        shards = t.column("shard").to_numpy(zero_copy_only=False)
+        hashes = t.column("key_hash").to_numpy(zero_copy_only=False)
         refs, order = [], []
-        for sh, idxs in by_shard.items():
-            keys = [df.at[i, "seen_key"] for i in idxs]
-            hashes = [xxhash64(k) for k in keys]
-            refs.append(seen_actors[sh].test_batch.remote(keys, hashes))
+        for sh in np.unique(shards[pending]):
+            idxs = pending[shards[pending] == sh]
+            refs.append(
+                seen_actors[int(sh)].test_batch.remote(
+                    [keys[i] for i in idxs], [int(hashes[i]) for i in idxs]
+                )
+            )
             order.append(idxs)
         for idxs, res in zip(order, ray.get(refs)):
-            for i, hit in zip(idxs, res):
-                if hit:
-                    df.at[i, "action"] = "dup-drop"
-        return df
+            hit_idx = idxs[np.asarray(res, dtype=bool)]
+            actions[hit_idx] = "dup-drop"
+        return t.set_column(
+            t.schema.get_field_index("action"), "action", pa.array(actions, pa.string())
+        )
 
     return fn
 
 
 def _politeness_group(robots_actors, cfg: CrawlConfig):
-    """groupby(host): T2 politeness slots (in seq order, BEFORE urlAllowed —
+    """groupby(host): first-wins intra-round url dedup (duplicates of a URL
+    always share its host, so the url dedup rides this shuffle for free),
+    then T2 politeness slots (in seq order, BEFORE urlAllowed —
     crawler.go:132 precedes :137), then M2 urlAllowed, then T3 robots gate."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -161,6 +167,10 @@ def _politeness_group(robots_actors, cfg: CrawlConfig):
         pending = df["action"] == ACTION_PENDING
         if not pending.any():
             return df
+        # intra-round dedup (spec: first occurrence wins regardless of outcome)
+        dup = pending & df["url"].duplicated(keep="first")
+        df.loc[dup, "action"] = "dup-drop"
+        pending = df["action"] == ACTION_PENDING
         host = df["host"].iloc[0]
         idxs = df.index[pending]
         # politeness: first `quota` pending rows admitted, rest deferred
@@ -301,21 +311,24 @@ class ParsePages:
 
 
 def _commit_seen_batch(seen_actors, cfg: CrawlConfig):
-    """T1 commit AFTER successful parse (crawler.go:178).  Idempotent on the
-    shard, so task retries are safe."""
+    """T1 commit AFTER successful parse (crawler.go:178), from the url column
+    of fetched rows.  Idempotent on the shard, so task retries are safe."""
 
-    def fn(t: pa.Table) -> pa.Table:
-        keys = t.column("seen_key").to_pylist()
-        by_shard: dict[int, list[str]] = {}
-        for k in keys:
-            by_shard.setdefault(xxhash64(k) % cfg.seen_shards, []).append(k)
+    def fn(t: pa.Table) -> None:
+        urls = t.column("url").to_pylist()
+        by_shard: dict[int, tuple[list[str], list[int]]] = {}
+        for u in urls:
+            k = canonical_url(u) if cfg.canonicalize_seen else u
+            h = xxhash64(k)
+            ks, hs = by_shard.setdefault(h % cfg.seen_shards, ([], []))
+            ks.append(k)
+            hs.append(h)
         ray.get(
             [
-                seen_actors[sh].commit_batch.remote(ks, [xxhash64(k) for k in ks])
-                for sh, ks in by_shard.items()
+                seen_actors[sh].commit_batch.remote(ks, hs)
+                for sh, (ks, hs) in by_shard.items()
             ]
         )
-        return pa.table({"committed": pa.array([len(keys)], pa.int64())})
 
     return fn
 
@@ -328,14 +341,39 @@ def _round_dir(out_dir: str, rnd: int) -> str:
     return os.path.join(out_dir, f"round={rnd:04d}")
 
 
+def _completed_rounds(out_dir: str) -> list[int]:
+    """Rounds with a complete manifest (the per-round checkpoint unit)."""
+    done = []
+    if not os.path.isdir(out_dir):
+        return done
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round="):
+            continue
+        mpath = os.path.join(out_dir, d, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("complete"):
+                done.append(m["round"])
+    return done
+
+
 def run_crawl(
     corpus_dir: str,
     seeds: list[str],
     cfg: CrawlConfig,
     robots_cache_path: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """Run the crawl; returns summary stats.  Ray must already be initialized
-    by the caller (driver contract)."""
+    by the caller (driver contract).
+
+    ``resume=True``: continue from the last round whose manifest says
+    complete — the next frontier is read from that round's ``frontier_next``
+    checkpoint, and the seen set is rebuilt by re-committing the ``url``
+    column of every completed round's parsed file (a column-pruned read;
+    rebuilding from data beats trusting a separately-written snapshot).
+    Interrupted (incomplete) round directories are simply overwritten."""
     out_dir = cfg.out_dir
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.monotonic()
@@ -369,6 +407,7 @@ def run_crawl(
         for i in range(n_robots_shards)
     ]
 
+    start_round = 0
     frontier = pa.table(
         {
             "seq": pa.array(range(len(seeds)), pa.int64()),
@@ -380,24 +419,67 @@ def run_crawl(
     next_seq = len(seeds)
     stats = {"rounds": 0, "fetched": 0, "frontier_total": len(seeds)}
 
+    if resume:
+        done = _completed_rounds(out_dir)
+        if done:
+            last = done[-1]
+            with open(os.path.join(_round_dir(out_dir, last), "manifest.json")) as f:
+                man = json.load(f)
+            start_round = last + 1
+            next_seq = man["next_seq"]
+            stats["rounds"] = start_round
+            stats["resumed_from_round"] = last
+            # seen-set rebuild: commit fetched urls of all completed rounds
+            commit = _commit_seen_batch(seen_actors, cfg)
+
+            def _recommit(t: pa.Table) -> pa.Table:
+                commit(t)
+                return t
+
+            files = []
+            for r in done:
+                p = os.path.join(_round_dir(out_dir, r), "parsed")
+                files.extend(
+                    os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                )
+            if files:
+                stats["fetched"] = (
+                    ray.data.read_parquet(files, columns=["url", "action"])
+                    .filter(expr="action == 'fetched'")
+                    .map_batches(_recommit, batch_format="pyarrow")
+                    .count()
+                )
+            fpath = os.path.join(_round_dir(out_dir, last), "frontier_next")
+            if man.get("next_frontier_rows", 0) > 0 and os.path.isdir(fpath):
+                frontier_ds = ray.data.read_parquet(fpath).materialize()
+            else:
+                frontier_ds = ray.data.from_arrow(frontier.slice(0, 0))
+
     try:
-        for rnd in range(cfg.max_rounds):
+        for rnd in range(start_round, cfg.max_rounds):
             frontier_rows = frontier_ds.count()
             if frontier_rows == 0:
                 break
             stats["rounds"] = rnd + 1
             rdir = _round_dir(out_dir, rnd)
+            _pt = time.monotonic()
+
+            def _phase(name: str) -> None:
+                nonlocal _pt
+                now = time.monotonic()
+                stats.setdefault("phase_sec", {})
+                stats["phase_sec"][name] = stats["phase_sec"].get(name, 0.0) + (now - _pt)
+                _pt = now
 
             # ---- admission: prepare -> dedup -> seen test -> politeness ----
             admission = (
                 frontier_ds.map_batches(_prepare_batch(cfg), batch_format="pyarrow")
-                .groupby("url")
-                .map_groups(_dedup_group, batch_format="pandas")
-                .map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pandas")
+                .map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pyarrow")
                 .groupby("host")
                 .map_groups(_politeness_group(robots_actors, cfg), batch_format="pandas")
                 .materialize()
             )
+            _phase("admission")
 
             admitted = admission.filter(expr="action == 'admitted'")
             # ---- fetch (bucketed corpus point join) -> parse -> sink ----
@@ -414,10 +496,11 @@ def run_crawl(
                 .map_batches(parse_fn, **parse_kwargs)
                 .write_parquet(os.path.join(rdir, "parsed"))
             )
+            _phase("fetch_parse_write")
 
             # ---- trace sink: admission drops + parse outcomes ----
-            admission.filter(expr="action != 'admitted'").map_batches(
-                lambda t, r=rnd: pa.table(
+            def _as_trace(t: pa.Table, r=rnd) -> pa.Table:
+                return pa.table(
                     {
                         "round": pa.array([r] * t.num_rows, pa.int32()),
                         "seq": t.column("seq"),
@@ -425,62 +508,50 @@ def run_crawl(
                         "parent_url": t.column("parent_url"),
                         "action": t.column("action"),
                     }
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(os.path.join(rdir, "trace"))
+                )
 
-            parsed = ray.data.read_parquet(
-                os.path.join(rdir, "parsed"),
-                columns=["seq", "url", "parent_url", "action"],
-            )
-            parsed.map_batches(
-                lambda t, r=rnd: pa.table(
-                    {
-                        "round": pa.array([r] * t.num_rows, pa.int32()),
-                        "seq": t.column("seq"),
-                        "url": t.column("url"),
-                        "parent_url": t.column("parent_url"),
-                        "action": t.column("action"),
-                    }
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(os.path.join(rdir, "trace_parse"))
-
-            # ---- commit seen (post-parse, from the checkpointed file) ----
-            fetched_keys = (
+            if cfg.write_trace:
+                admission.filter(expr="action != 'admitted'").map_batches(
+                    _as_trace, batch_format="pyarrow"
+                ).write_parquet(os.path.join(rdir, "trace"))
                 ray.data.read_parquet(
-                    os.path.join(rdir, "parsed"), columns=["url", "action"]
+                    os.path.join(rdir, "parsed"),
+                    columns=["seq", "url", "parent_url", "action"],
+                ).map_batches(_as_trace, batch_format="pyarrow").write_parquet(
+                    os.path.join(rdir, "trace_parse")
+                )
+            _phase("trace")
+
+            # ---- post-round control table: ONE column-pruned read of the
+            # checkpointed file serves seen-commit, child counts and explode.
+            # The seen commit (AFTER parse success, crawler.go:178) rides this
+            # materialize as a pass-through map — idempotent on the shard, so
+            # a retried task is harmless.
+            _commit = _commit_seen_batch(seen_actors, cfg)
+
+            def _commit_passthrough(t: pa.Table) -> pa.Table:
+                _commit(t)
+                return t
+
+            kids_src = (
+                ray.data.read_parquet(
+                    os.path.join(rdir, "parsed"),
+                    columns=["seq", "url", "child_urls", "action"],
                 )
                 .filter(expr="action == 'fetched'")
-                .map_batches(
-                    lambda t: pa.table(
-                        {
-                            "seen_key": pa.array(
-                                [
-                                    canonical_url(u) if cfg.canonicalize_seen else u
-                                    for u in t.column("url").to_pylist()
-                                ]
-                            )
-                        }
-                    ),
-                    batch_format="pyarrow",
-                )
+                .map_batches(_commit_passthrough, batch_format="pyarrow")
+                .materialize()
             )
-            committed = sum(
-                b.column("committed")[0].as_py()
-                for b in fetched_keys.map_batches(
-                    _commit_seen_batch(seen_actors, cfg), batch_format="pyarrow"
-                ).iter_batches(batch_format="pyarrow")
-            )
+            committed = kids_src.count()
             stats["fetched"] += int(committed)
+            _phase("kids_read_commit")
 
             # ---- children: explode + deterministic seq assignment ----
-            kids_src = ray.data.read_parquet(
-                os.path.join(rdir, "parsed"), columns=["seq", "url", "child_urls", "action"]
-            ).filter(expr="action == 'fetched'")
             # offsets: one int per fetched page this round (small, broadcast)
             counts: list[tuple[int, int]] = []
-            for b in kids_src.iter_batches(batch_format="pyarrow"):
+            for b in kids_src.select_columns(["seq", "child_urls"]).iter_batches(
+                batch_format="pyarrow"
+            ):
                 pseqs = b.column("seq").to_pylist()
                 lens = pc.list_value_length(b.column("child_urls")).to_pylist()
                 counts.extend(zip(pseqs, (l or 0 for l in lens)))
@@ -518,7 +589,24 @@ def run_crawl(
             deferred_ds = admission.filter(expr="action == 'deferred'").select_columns(
                 ["seq", "url", "parent_url"]
             )
-            frontier_ds = deferred_ds.union(children_ds).materialize()
+            # bound the control table's block count: groupby/sort shuffle cost
+            # scales with blocks, and unions would otherwise accumulate tiny
+            # blocks round over round (~100 B/row => 100k rows/block is small)
+            # block count = map-stage parallelism for the whole next round
+            # (operators fuse onto these blocks), so it must track cluster
+            # CPUs; the cap bounds sort-shuffle overhead on the control table
+            cluster_cpus = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
+            nparts = max(
+                cfg.min_parallelism,
+                min(512, max(2 * cluster_cpus, acc // 100_000 + 1)),
+            )
+            frontier_ds = deferred_ds.union(children_ds).repartition(nparts).materialize()
+            next_rows = frontier_ds.count()
+            if next_rows > 0:
+                # frontier checkpoint: with the manifest this makes the round
+                # the unit of resume (see run_crawl resume=True)
+                frontier_ds.write_parquet(os.path.join(rdir, "frontier_next"))
+            _phase("next_frontier")
             stats["frontier_total"] += acc
 
             with open(os.path.join(rdir, "manifest.json"), "w") as f:
@@ -526,7 +614,7 @@ def run_crawl(
                     {
                         "round": rnd,
                         "admitted_rows": int(committed),
-                        "next_frontier_rows": frontier_ds.count(),
+                        "next_frontier_rows": next_rows,
                         "next_seq": next_seq,
                         "complete": True,
                     },

@@ -100,7 +100,7 @@ def page_spec(seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_per_h
 
     # children: same-host chain + fan-out + cross-host + edge-case hrefs
     hrefs: list[str] = []
-    fan = r.randint(2, 6)
+    fan = r.randint(4, 10)
     for _ in range(fan):
         tgt = r.randrange(pages_per_host)
         hrefs.append(f"/page/{tgt}")  # root-relative (resolved against base)
@@ -160,7 +160,10 @@ def page_body(seed: int, spec: dict) -> bytes:
         else ""
     )
     icon = '<link rel="icon" href="/favicon.ico">' if variant > 0.5 else ""
-    paras = "".join(f"<p>{_sentence(r, r.randint(6, 18))}</p>" for _ in range(r.randint(2, 8)))
+    # realistic Common-Crawl-ish body weight (~20-50 KB of markup)
+    paras = "".join(
+        f"<p>{_sentence(r, r.randint(12, 28))}</p>" for _ in range(r.randint(80, 240))
+    )
     noise = "<script>var q=1;</script><style>p{color:red}</style>"
     if r.random() < 0.1:
         noise += f"<svg><text>{_sentence(r, 3)}</text></svg>"
