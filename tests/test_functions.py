@@ -1,0 +1,84 @@
+"""Unit tests for the training-data operators' pure kernels (no Ray)."""
+
+import numpy as np
+
+from grawler_ray.functions.dedup import (
+    _perm_params,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from grawler_ray.functions.textstats import STOPWORDS, rolling_hash
+
+
+class TestShingles:
+    def test_basic_trigrams(self):
+        s = shingles("the quick brown fox jumps", k=3)
+        assert len(s) == 3  # 5 tokens -> 3 trigrams
+
+    def test_short_text_single_shingle(self):
+        assert len(shingles("one two", k=3)) == 1
+        assert shingles("", k=3) == set()
+
+    def test_deterministic(self):
+        assert shingles("a b c d") == shingles("a b c d")
+
+
+class TestMinHash:
+    def test_identical_sets_identical_sigs(self):
+        a, b = _perm_params(64)
+        s = shingles("the quick brown fox jumps over the lazy dog")
+        assert (minhash_signature(s, a, b) == minhash_signature(set(s), a, b)).all()
+
+    def test_similarity_estimate_tracks_jaccard(self):
+        a, b = _perm_params(256)
+        t1 = "the quick brown fox jumps over the lazy dog again and again today"
+        t2 = "the quick brown fox jumps over the lazy cat again and again today"
+        s1, s2 = shingles(t1), shingles(t2)
+        true_j = jaccard(s1, s2)
+        est = (minhash_signature(s1, a, b) == minhash_signature(s2, a, b)).mean()
+        assert abs(est - true_j) < 0.2
+
+    def test_empty_set_signature(self):
+        a, b = _perm_params(16)
+        sig = minhash_signature(set(), a, b)
+        assert (sig == np.iinfo(np.uint64).max).all()
+
+
+class TestJaccard:
+    def test_bounds(self):
+        assert jaccard({1, 2}, {1, 2}) == 1.0
+        assert jaccard({1}, {2}) == 0.0
+        assert jaccard(set(), set()) == 1.0
+        assert jaccard({1, 2, 3}, {2, 3, 4}) == 0.5
+
+
+class TestSimHash:
+    def test_deterministic_and_64bit(self):
+        h = simhash64("hello world hello")
+        assert h == simhash64("hello world hello")
+        assert 0 <= h < (1 << 64)
+
+    def test_similar_texts_close_hamming(self):
+        t1 = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = t1 + "extra word"
+        d_sim = hamming64(simhash64(t1), simhash64(t2))
+        d_diff = hamming64(simhash64(t1), simhash64("completely different content entirely xyz"))
+        assert d_sim < d_diff
+
+    def test_hamming(self):
+        assert hamming64(0, 0) == 0
+        assert hamming64(0, 0b1011) == 3
+
+
+def test_rolling_hash_deterministic_order_sensitive():
+    assert rolling_hash("abc") == rolling_hash("abc")
+    assert rolling_hash("abc") != rolling_hash("acb")
+    assert rolling_hash("") == 0
+
+
+def test_stopwords_fixed():
+    # the SQL oracle embeds this list literally — it must not drift silently
+    assert STOPWORDS == ("the", "a", "and", "of", "to", "in", "is", "on", "for", "by")
