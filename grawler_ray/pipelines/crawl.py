@@ -602,6 +602,14 @@ def run_crawl(
             )
             frontier_ds = deferred_ds.union(children_ds).repartition(nparts).materialize()
             next_rows = frontier_ds.count()
+            if cfg.frontier_cap is not None and next_rows > cfg.frontier_cap:
+                # reference artifact, opt-in: bounded frontier drops the
+                # highest-seq (latest-enqueued) children, approximating the
+                # queue-full silent drop (src/utils/utils.go:192-194)
+                frontier_ds = (
+                    frontier_ds.sort("seq").limit(cfg.frontier_cap).materialize()
+                )
+                next_rows = cfg.frontier_cap
             if next_rows > 0:
                 # frontier checkpoint: with the manifest this makes the round
                 # the unit of resume (see run_crawl resume=True)

@@ -116,6 +116,14 @@ def byte_prefix(s: str, n: int) -> bytes:
     return s.encode("utf-8")[:n]
 
 
+def sha256_hex(text: str) -> str:
+    """utils.HashSHA256 (src/utils/utils.go:83-88) — unused helper in the
+    reference; kept for API parity (the seen set uses xxhash64 instead)."""
+    import hashlib
+
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
 def is_valid_utf8(b: bytes) -> bool:
     """utf8.ValidString (src/utils/utils.go:182).  Go rejects surrogates and
     overlong encodings; Python's strict utf-8 decoder rejects the same set."""

@@ -1,0 +1,122 @@
+"""Property-based tests (SURVEY §5.3) — no Ray, hypothesis over the pure core."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grawler_ray.config import CrawlConfig
+from grawler_ray.htmlparse import extract_html, parse_page
+from grawler_ray.oracle import run_oracle
+from grawler_ray.urlops import UrlError, child_url_allowed, extract_url_components, url_allowed
+
+ASCII_WORD = re.compile(r"^[0-9a-z_]+$")
+
+html_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " \n\t<>&;/=\"'#?%.:-_é",
+    max_size=400,
+)
+
+
+@given(html_text)
+@settings(max_examples=150, deadline=None)
+def test_parse_page_invariants(body):
+    d = parse_page(body.encode(), "text/html", "https://h.test/p", "https://h.test", "h.test")
+    # M9: extracted content never contains raw newlines / CRs
+    assert "\n" not in d["content"] and "\r" not in d["content"]
+    # A1: words are lowercase ASCII word-class tokens with positive counts
+    for w, f in d["words"].items():
+        assert ASCII_WORD.match(w), w
+        assert f >= 1
+    # M12 survivors: non-empty, not fragment/query-only
+    for c in d["child_urls"]:
+        assert c != ""
+        assert c[0] not in "#?"
+
+
+@given(html_text)
+@settings(max_examples=100, deadline=None)
+def test_extract_is_deterministic(body):
+    assert extract_html(body) == extract_html(body)
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_url_parse_never_wrong_type(u):
+    try:
+        s, h, p = extract_url_components(u)
+    except UrlError:
+        return
+    assert isinstance(s, str) and isinstance(h, str) and isinstance(p, str)
+    # anything urlAllowed admits has an http(s) scheme and a non-robots path
+    if url_allowed(s, h, p):
+        assert s in ("http", "https")
+        assert p != "/robots.txt"
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_child_url_survivors_are_valid_utf8(c):
+    out = child_url_allowed(c, "https://base.test")
+    if out is not None:
+        out.encode("utf-8")  # must not raise
+        assert out[0] not in "#?"
+
+
+@st.composite
+def tiny_web(draw):
+    n_hosts = draw(st.integers(1, 3))
+    pages = {}
+    for hi in range(n_hosts):
+        pages[f"https://h{hi}.test/robots.txt"] = {
+            "html": b"User-agent: *\nAllow: /\n",
+            "content_type": "text/plain",
+            "status_code": 200,
+        }
+        n_pages = draw(st.integers(1, 4))
+        for pi in range(n_pages):
+            links = draw(
+                st.lists(st.sampled_from([f"/p{j}" for j in range(4)] + ["#f", "?q"]), max_size=4)
+            )
+            body = "".join(f'<a href="{l}">x</a>' for l in links).encode()
+            pages[f"https://h{hi}.test/p{pi}"] = {
+                "html": body,
+                "content_type": "text/html",
+                "status_code": 200,
+            }
+    seeds = [f"https://h{hi}.test/p0" for hi in range(n_hosts)]
+    return pages, seeds
+
+
+@given(tiny_web(), st.integers(1, 3))
+@settings(max_examples=40, deadline=None)
+def test_oracle_invariants(web, quota):
+    pages, seeds = web
+    cfg = CrawlConfig(per_host_quota=quota, max_rounds=6)
+    res = run_oracle(pages, seeds, cfg, {})
+    # politeness: per round, at most `quota` URLs per host pass the slot gate
+    per_round_host: dict = {}
+    for t in res.trace:
+        if t["action"] in ("fetched", "scheme-drop", "robots-drop", "fetch-miss", "type-drop"):
+            key = (t["round"], t["url"].split("/")[2])
+            per_round_host[key] = per_round_host.get(key, 0) + 1
+    assert all(v <= quota for v in per_round_host.values())
+    # every fetched url is in the seen set, exactly once in documents
+    fetched = [t["url"] for t in res.trace if t["action"] == "fetched"]
+    assert set(fetched) == res.seen
+    assert len(fetched) == len(set(fetched)) == len(res.documents)
+    # dedup idempotence: re-crawling the same seeds adds nothing new
+    res2 = run_oracle(pages, seeds, cfg, {})
+    assert res2.seen == res.seen
+
+
+@given(tiny_web())
+@settings(max_examples=20, deadline=None)
+def test_oracle_deterministic(web):
+    pages, seeds = web
+    cfg = CrawlConfig(per_host_quota=2, max_rounds=5)
+    a = run_oracle(pages, seeds, cfg, {})
+    b = run_oracle(pages, seeds, cfg, {})
+    assert a.trace == b.trace
+    assert a.documents == b.documents
