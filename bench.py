@@ -24,8 +24,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_HOSTS = int(os.environ.get("GRAWLER_BENCH_HOSTS", "150"))
-PAGES = int(os.environ.get("GRAWLER_BENCH_PAGES", "1500"))
+N_HOSTS = int(os.environ.get("GRAWLER_BENCH_HOSTS", "100"))
+PAGES = int(os.environ.get("GRAWLER_BENCH_PAGES", "1000"))
 SEED = 42
 BENCH_BUCKETS = 256
 
@@ -56,25 +56,30 @@ def ensure_corpus() -> tuple[str, str]:
     return cdir, robots
 
 
-def run_crawl_bench(num_cpus: int) -> dict:
+def run_crawl_bench(num_cpus: int, saturated: bool = False) -> dict:
+    """BFS discovery mode (default) or `saturated` recrawl mode: the frontier
+    is the full known url list in ONE round — the steady-state shape of every
+    round at 10^10-frontier scale (and a real workload: refresh recrawl)."""
     from grawler_ray.config import CrawlConfig
     from grawler_ray.pipelines.crawl import run_crawl
-    from grawler_ray.sources.corpus import seed_urls
+    from grawler_ray.sources.corpus import page_url, seed_urls
 
     cdir, robots = ensure_corpus()
     out = f"/tmp/grawler_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CrawlConfig(
         per_host_quota=10_000,      # bench throughput mode: politeness off the
-        max_rounds=8,               # critical path (semantics covered by tests)
+        max_rounds=1 if saturated else 8,
         num_fetch_buckets=BENCH_BUCKETS,
         seen_shards=8,
         out_dir=out,
         write_trace=False,
         parse_batch_size=128,
-        parse_concurrency=num_cpus,
     )
-    seeds = seed_urls(N_HOSTS, N_HOSTS)  # one seed per host
+    if saturated:
+        seeds = [page_url(h, p) for h in range(N_HOSTS) for p in range(PAGES)]
+    else:
+        seeds = seed_urls(N_HOSTS, N_HOSTS)  # one seed per host
     t0 = time.monotonic()
     stats = run_crawl(cdir, seeds, cfg, robots_cache_path=robots)
     wall = time.monotonic() - t0
@@ -149,6 +154,7 @@ def scaling_run() -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAWLER_BENCH_MODE"] = "crawl_only"
+        env.setdefault("GRAWLER_BENCH_SATURATED", "1")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, env=env,
@@ -184,10 +190,13 @@ if __name__ == "__main__":
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
-        crawl = run_crawl_bench(NUM_CPUS)
+        crawl = run_crawl_bench(
+            NUM_CPUS, saturated=os.environ.get("GRAWLER_BENCH_SATURATED") == "1"
+        )
         ray.shutdown()
         print(json.dumps({
             "num_cpus": NUM_CPUS,
+            "saturated": os.environ.get("GRAWLER_BENCH_SATURATED") == "1",
             "value": round(crawl["wall_sec"], 3),
             "unit": "sec",
             "crawl_fetched_urls": crawl["fetched"],

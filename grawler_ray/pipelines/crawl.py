@@ -378,6 +378,12 @@ def run_crawl(
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.monotonic()
 
+    # finer blocks => better task packing for the fused fetch+parse stage
+    # (output blocks split at this size; map parallelism = block count)
+    _ctx = ray.data.DataContext.get_current()
+    _prev_block_size = _ctx.target_max_block_size
+    _ctx.target_max_block_size = 32 * 1024 * 1024
+
     # --- stateful actor pools (T1 seen shards, T3 robots shards) ---
     SeenActor = ray.remote(num_cpus=0.1)(SeenShard)
     RobotsActor = ray.remote(num_cpus=0.1)(RobotsShard)
@@ -415,7 +421,14 @@ def run_crawl(
             "parent_url": pa.array([""] * len(seeds), pa.string()),
         }
     )
-    frontier_ds = ray.data.from_arrow(frontier)
+    # split the seed table: block count = map parallelism for round 0 (a
+    # single from_arrow block would serialize the whole first round)
+    _cpus0 = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
+    frontier_ds = (
+        ray.data.from_arrow(frontier)
+        .repartition(max(cfg.min_parallelism, min(512, 4 * _cpus0)))
+        .materialize()
+    )
     next_seq = len(seeds)
     stats = {"rounds": 0, "fetched": 0, "frontier_total": len(seeds)}
 
@@ -598,7 +611,7 @@ def run_crawl(
             cluster_cpus = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
             nparts = max(
                 cfg.min_parallelism,
-                min(512, max(2 * cluster_cpus, acc // 100_000 + 1)),
+                min(512, max(4 * cluster_cpus, acc // 100_000 + 1)),
             )
             frontier_ds = deferred_ds.union(children_ds).repartition(nparts).materialize()
             next_rows = frontier_ds.count()
@@ -641,6 +654,7 @@ def run_crawl(
             )
             pq.write_table(t.sort_by("host"), os.path.join(out_dir, "robots_final.parquet"))
     finally:
+        _ctx.target_max_block_size = _prev_block_size
         for a in seen_actors + robots_actors:
             ray.kill(a)
 
