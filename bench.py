@@ -80,6 +80,15 @@ def run_crawl_bench(num_cpus: int, saturated: bool = False) -> dict:
         seeds = [page_url(h, p) for h in range(N_HOSTS) for p in range(PAGES)]
     else:
         seeds = seed_urls(N_HOSTS, N_HOSTS)  # one seed per host
+
+    # warm the worker pool before timing (exclude process cold-start)
+    import ray as _ray
+
+    @_ray.remote
+    def _noop():
+        return 0
+
+    _ray.get([_noop.remote() for _ in range(num_cpus * 2)])
     t0 = time.monotonic()
     stats = run_crawl(cdir, seeds, cfg, robots_cache_path=robots)
     wall = time.monotonic() - t0

@@ -560,32 +560,42 @@ def run_crawl(
             _phase("kids_read_commit")
 
             # ---- children: explode + deterministic seq assignment ----
-            # offsets: one int per fetched page this round (small, broadcast)
-            counts: list[tuple[int, int]] = []
+            # offsets: one int per fetched page this round (small, broadcast;
+            # vectorized — numpy argsort/cumsum over per-parent child counts)
+            _seq_chunks, _len_chunks = [], []
             for b in kids_src.select_columns(["seq", "child_urls"]).iter_batches(
                 batch_format="pyarrow"
             ):
-                pseqs = b.column("seq").to_pylist()
-                lens = pc.list_value_length(b.column("child_urls")).to_pylist()
-                counts.extend(zip(pseqs, (l or 0 for l in lens)))
-            counts.sort()
-            offsets: dict[int, int] = {}
-            acc = 0
-            for pseq, c in counts:
-                offsets[pseq] = acc
-                acc += c
-            offsets_ref = ray.put(offsets)
+                _seq_chunks.append(b.column("seq").to_numpy(zero_copy_only=False))
+                _len_chunks.append(
+                    pc.fill_null(pc.list_value_length(b.column("child_urls")), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            if _seq_chunks:
+                pseq_arr = np.concatenate(_seq_chunks)
+                len_arr = np.concatenate(_len_chunks)
+                order = np.argsort(pseq_arr, kind="stable")
+                pseq_sorted = pseq_arr[order]
+                csum = np.cumsum(len_arr[order])
+                off_sorted = np.concatenate(([0], csum[:-1]))
+                acc = int(csum[-1])
+            else:
+                pseq_sorted = np.array([], dtype=np.int64)
+                off_sorted = np.array([], dtype=np.int64)
+                acc = 0
+            offsets_ref = ray.put((pseq_sorted, off_sorted))
             base_seq = next_seq
             next_seq += acc
 
             def explode_children(t: pa.Table, base=base_seq, oref=offsets_ref) -> pa.Table:
-                off = ray.get(oref)
+                pseq_sorted_, off_sorted_ = ray.get(oref)
                 pseqs = t.column("seq").to_pylist()
                 parents = t.column("url").to_pylist()
                 kids = t.column("child_urls").to_pylist()
                 seqs, urls, purls = [], [], []
                 for pseq, purl, lst in zip(pseqs, parents, kids):
-                    o = off[pseq]
+                    o = int(off_sorted_[np.searchsorted(pseq_sorted_, pseq)])
                     for ci, k in enumerate(lst or []):
                         seqs.append(base + o + ci)
                         urls.append(k)
