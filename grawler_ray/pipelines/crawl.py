@@ -523,16 +523,22 @@ def run_crawl(
                     }
                 )
 
+            # a round where nothing was admitted writes no parsed files at all
+            parsed_exists = os.path.isdir(os.path.join(rdir, "parsed")) and any(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(rdir, "parsed"))
+            )
+
             if cfg.write_trace:
                 admission.filter(expr="action != 'admitted'").map_batches(
                     _as_trace, batch_format="pyarrow"
                 ).write_parquet(os.path.join(rdir, "trace"))
-                ray.data.read_parquet(
-                    os.path.join(rdir, "parsed"),
-                    columns=["seq", "url", "parent_url", "action"],
-                ).map_batches(_as_trace, batch_format="pyarrow").write_parquet(
-                    os.path.join(rdir, "trace_parse")
-                )
+                if parsed_exists:
+                    ray.data.read_parquet(
+                        os.path.join(rdir, "parsed"),
+                        columns=["seq", "url", "parent_url", "action"],
+                    ).map_batches(_as_trace, batch_format="pyarrow").write_parquet(
+                        os.path.join(rdir, "trace_parse")
+                    )
             _phase("trace")
 
             # ---- post-round control table: ONE column-pruned read of the
@@ -546,15 +552,27 @@ def run_crawl(
                 _commit(t)
                 return t
 
-            kids_src = (
-                ray.data.read_parquet(
-                    os.path.join(rdir, "parsed"),
-                    columns=["seq", "url", "child_urls", "action"],
+            if parsed_exists:
+                kids_src = (
+                    ray.data.read_parquet(
+                        os.path.join(rdir, "parsed"),
+                        columns=["seq", "url", "child_urls", "action"],
+                    )
+                    .filter(expr="action == 'fetched'")
+                    .map_batches(_commit_passthrough, batch_format="pyarrow")
+                    .materialize()
                 )
-                .filter(expr="action == 'fetched'")
-                .map_batches(_commit_passthrough, batch_format="pyarrow")
-                .materialize()
-            )
+            else:
+                kids_src = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "seq": pa.array([], pa.int64()),
+                            "url": pa.array([], pa.string()),
+                            "child_urls": pa.array([], pa.list_(pa.string())),
+                            "action": pa.array([], pa.string()),
+                        }
+                    )
+                )
             committed = kids_src.count()
             stats["fetched"] += int(committed)
             _phase("kids_read_commit")
@@ -689,19 +707,38 @@ def _round_files(out_dir: str, sub: str) -> list[str]:
     return files
 
 
+def _empty_ds(schema: pa.Schema) -> "ray.data.Dataset":
+    return ray.data.from_arrow(schema.empty_table())
+
+
 def read_documents(out_dir: str) -> "ray.data.Dataset":
     """documents sink (↔ InsertDocument projection, common.go:44-54)."""
-    ds = ray.data.read_parquet(
-        _round_files(out_dir, "parsed"), columns=DOC_COLUMNS + ["action"]
-    )
+    files = _round_files(out_dir, "parsed")
+    if not files:  # a crawl can legitimately fetch nothing (all seeds denied)
+        return _empty_ds(
+            pa.schema(
+                [("url", pa.string()), ("parent_url", pa.string()),
+                 ("content_type", pa.string()), ("status_code", pa.int16()),
+                 ("content", pa.string()), ("meta_icon_link", pa.string()),
+                 ("meta_site_name", pa.string()), ("meta_title", pa.string()),
+                 ("meta_description", pa.string())]
+            )
+        )
+    ds = ray.data.read_parquet(files, columns=DOC_COLUMNS + ["action"])
     return ds.filter(expr="action == 'fetched'").select_columns(DOC_COLUMNS)
 
 
 def read_words(out_dir: str) -> "ray.data.Dataset":
     """words sink (↔ Word rows, db.go:71-79): explode the per-doc word lists."""
-    ds = ray.data.read_parquet(
-        _round_files(out_dir, "parsed"), columns=["url", "action", "words_w", "words_f"]
-    )
+    files = _round_files(out_dir, "parsed")
+    if not files:
+        return _empty_ds(
+            pa.schema(
+                [("parent_url", pa.string()), ("word", pa.string()),
+                 ("frequency", pa.int64())]
+            )
+        )
+    ds = ray.data.read_parquet(files, columns=["url", "action", "words_w", "words_f"])
 
     def explode(t: pa.Table) -> pa.Table:
         urls, ws, fs = [], [], []
@@ -727,6 +764,12 @@ def read_words(out_dir: str) -> "ray.data.Dataset":
 
 def read_trace(out_dir: str) -> "ray.data.Dataset":
     """crawl trace (FIXTURES.md §4): all actions, ordered by (round, seq)."""
-    return ray.data.read_parquet(
-        _round_files(out_dir, "trace") + _round_files(out_dir, "trace_parse")
-    )
+    files = _round_files(out_dir, "trace") + _round_files(out_dir, "trace_parse")
+    if not files:
+        return _empty_ds(
+            pa.schema(
+                [("round", pa.int32()), ("seq", pa.int64()), ("url", pa.string()),
+                 ("parent_url", pa.string()), ("action", pa.string())]
+            )
+        )
+    return ray.data.read_parquet(files)
