@@ -173,6 +173,13 @@ def run_oracle(
             (next_seq + i, url, parent) for i, (_, _, url, parent) in enumerate(children)
         ]
         next_seq += len(children)
+        if cfg.frontier_cap is not None and len(new_rows) > cfg.frontier_cap:
+            # mirror of the pipeline's bounded-frontier mode: keep the lowest
+            # seqs (deferred first, then earliest-discovered children) —
+            # approximating the reference's queue-full silent child drop
+            # (src/utils/utils.go:192-194)
+            new_rows.sort(key=lambda t: t[0])
+            new_rows = new_rows[: cfg.frontier_cap]
         frontier = new_rows
 
     return res

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -75,7 +76,13 @@ DOC_COLUMNS = [
 # ---------------------------------------------------------------------------
 
 def _prepare_batch(cfg: CrawlConfig):
-    """M1 url components + seen key/shard + fetch bucket, vectorized per batch."""
+    """M1 url components + seen key/shard + fetch bucket, vectorized per batch.
+
+    ``group_host`` is the politeness-shuffle key: the raw host in conformance
+    mode, the canonicalized host (lowercase, default port stripped) in
+    ``canonicalize_seen`` mode — so rows whose seen keys are equal are
+    guaranteed to land in the same admission group (the intra-round first-wins
+    dedup is group-local)."""
 
     def fn(t: pa.Table) -> pa.Table:
         urls = t.column("url").to_pylist()
@@ -84,6 +91,7 @@ def _prepare_batch(cfg: CrawlConfig):
         host = [""] * n
         path = [""] * n
         base = [""] * n
+        ghost = [""] * n
         action = [ACTION_PENDING] * n
         key = [""] * n
         key_hash = np.zeros(n, dtype=np.uint64)
@@ -101,9 +109,16 @@ def _prepare_batch(cfg: CrawlConfig):
                 k = canonical_url(u)
                 key[i] = k
                 hh = xxhash64(k)
+                ch = h.lower()
+                if s == "http" and ch.endswith(":80"):
+                    ch = ch[:-3]
+                elif s == "https" and ch.endswith(":443"):
+                    ch = ch[:-4]
+                ghost[i] = ch
             else:
                 key[i] = u
                 hh = xxhash64(u)
+                ghost[i] = h
             key_hash[i] = hh
             shard[i] = hh % cfg.seen_shards
             bucket[i] = (hh if not cfg.canonicalize_seen else xxhash64(u)) % cfg.num_fetch_buckets
@@ -112,6 +127,7 @@ def _prepare_batch(cfg: CrawlConfig):
             .append_column("host", pa.array(host))
             .append_column("path", pa.array(path))
             .append_column("base_url", pa.array(base))
+            .append_column("group_host", pa.array(ghost))
             .append_column("action", pa.array(action))
             .append_column("seen_key", pa.array(key))
             .append_column("key_hash", pa.array(key_hash, pa.uint64()))
@@ -156,46 +172,91 @@ def _seen_test_batch(seen_actors, cfg: CrawlConfig):
     return fn
 
 
-def _politeness_group(robots_actors, cfg: CrawlConfig):
-    """groupby(host): first-wins intra-round url dedup (duplicates of a URL
-    always share its host, so the url dedup rides this shuffle for free),
-    then T2 politeness slots (in seq order, BEFORE urlAllowed —
-    crawler.go:132 precedes :137), then M2 urlAllowed, then T3 robots gate."""
+def _admission_group(cfg: CrawlConfig):
+    """groupby(group_host): first-wins intra-round dedup on the seen key
+    (rows with equal keys always share the group key, so the dedup rides this
+    shuffle for free), then T2 politeness slots per RAW host in seq order
+    (BEFORE urlAllowed — crawler.go:132 precedes :137), then M2 urlAllowed.
+    Rows that survive are marked ``robots-wait`` — the T3 gate runs in the
+    following batched stage (one actor call per shard per batch, never one
+    blocking call per host group)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("seq")
         pending = df["action"] == ACTION_PENDING
         if not pending.any():
             return df
-        # intra-round dedup (spec: first occurrence wins regardless of outcome)
-        dup = pending & df["url"].duplicated(keep="first")
+        # intra-round dedup (spec: first occurrence wins regardless of its
+        # outcome — oracle.py adds to attempted_this_round before politeness)
+        dup = pending & df["seen_key"].duplicated(keep="first")
         df.loc[dup, "action"] = "dup-drop"
-        pending = df["action"] == ACTION_PENDING
-        host = df["host"].iloc[0]
-        idxs = df.index[pending]
-        # politeness: first `quota` pending rows admitted, rest deferred
-        over = idxs[cfg.per_host_quota :]
-        df.loc[over, "action"] = "deferred"
-        kept = idxs[: cfg.per_host_quota]
-        # urlAllowed
-        drop = [
-            i
-            for i in kept
-            if not url_allowed(df.at[i, "scheme"], host, df.at[i, "path"])
-            or host in cfg.blocked_hosts
-        ]
-        df.loc[drop, "action"] = "scheme-drop"
-        kept = [i for i in kept if i not in set(drop)]
-        if kept:
-            sh = xxhash64(host) % len(robots_actors)
-            allowed = ray.get(
-                robots_actors[sh].gate.remote(
-                    host, df.at[kept[0], "base_url"], [df.at[i, "url"] for i in kept]
+        actions = df["action"].tolist()
+        hosts = df["host"].tolist()
+        schemes = df["scheme"].tolist()
+        paths = df["path"].tolist()
+        host_slots: dict[str, int] = {}
+        quota = cfg.per_host_quota
+        blocked = set(cfg.blocked_hosts)
+        for i in range(len(actions)):
+            if actions[i] != ACTION_PENDING:
+                continue
+            h = hosts[i]
+            slot = host_slots.get(h, 0)
+            if slot >= quota:
+                actions[i] = "deferred"
+                continue
+            host_slots[h] = slot + 1
+            if not url_allowed(schemes[i], h, paths[i]) or h in blocked:
+                actions[i] = "scheme-drop"
+            else:
+                actions[i] = "robots-wait"
+        df["action"] = actions
+        return df
+
+    return fn
+
+
+def _robots_gate_batch(robots_actors, cfg: CrawlConfig):
+    """T3 robots gate, batched per shard (VERDICT r1 item 6): rows marked
+    ``robots-wait`` are routed to their host's robots shard — one
+    ``gate_many`` call per shard per batch, exactly the `_seen_test_batch`
+    shape.  Concurrent batches hitting one host serialize on the shard actor
+    and reuse its cache, so the outcome is deterministic."""
+    nsh = len(robots_actors)
+
+    def fn(t: pa.Table) -> pa.Table:
+        actions = np.asarray(t.column("action").to_pylist(), dtype=object)
+        wait = np.flatnonzero(actions == "robots-wait")
+        if len(wait) == 0:
+            return t
+        hosts = t.column("host").to_pylist()
+        bases = t.column("base_url").to_pylist()
+        urls = t.column("url").to_pylist()
+        host_shard: dict[str, int] = {}
+        by_shard: dict[int, list[int]] = {}
+        for i in wait:
+            h = hosts[i]
+            sh = host_shard.get(h)
+            if sh is None:
+                sh = xxhash64(h) % nsh
+                host_shard[h] = sh
+            by_shard.setdefault(sh, []).append(int(i))
+        refs, order = [], []
+        for sh, idxs in by_shard.items():
+            refs.append(
+                robots_actors[sh].gate_many.remote(
+                    [hosts[i] for i in idxs],
+                    [bases[i] for i in idxs],
+                    [urls[i] for i in idxs],
                 )
             )
-            for i, ok in zip(kept, allowed):
-                df.at[i, "action"] = "admitted" if ok else "robots-drop"
-        return df
+            order.append(idxs)
+        for idxs, res in zip(order, ray.get(refs)):
+            for i, ok in zip(idxs, res):
+                actions[i] = "admitted" if ok else "robots-drop"
+        return t.set_column(
+            t.schema.get_field_index("action"), "action", pa.array(actions, pa.string())
+        )
 
     return fn
 
@@ -449,19 +510,37 @@ def run_crawl(
                 commit(t)
                 return t
 
+            cutoffs = _round_cutoffs(out_dir)
             files = []
+            cut_parts: list[tuple[list[str], int]] = []  # (files, seq_cutoff)
             for r in done:
                 p = os.path.join(_round_dir(out_dir, r), "parsed")
-                files.extend(
+                if not os.path.isdir(p):
+                    continue
+                fl = [
                     os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-                )
+                ]
+                if r in cutoffs:
+                    cut_parts.append((fl, cutoffs[r]))
+                else:
+                    files.extend(fl)
+            total = 0
             if files:
-                stats["fetched"] = (
+                total += (
                     ray.data.read_parquet(files, columns=["url", "action"])
                     .filter(expr="action == 'fetched'")
                     .map_batches(_recommit, batch_format="pyarrow")
                     .count()
                 )
+            for fl, cut in cut_parts:  # at most one: a cutoff ends the crawl
+                total += (
+                    ray.data.read_parquet(fl, columns=["url", "action", "seq"])
+                    .filter(expr="action == 'fetched'")
+                    .filter(expr=f"seq <= {cut}")
+                    .map_batches(_recommit, batch_format="pyarrow")
+                    .count()
+                )
+            stats["fetched"] = total
             fpath = os.path.join(_round_dir(out_dir, last), "frontier_next")
             if man.get("next_frontier_rows", 0) > 0 and os.path.isdir(fpath):
                 frontier_ds = ray.data.read_parquet(fpath).materialize()
@@ -475,6 +554,10 @@ def run_crawl(
                 break
             stats["rounds"] = rnd + 1
             rdir = _round_dir(out_dir, rnd)
+            # a crashed earlier attempt may have left partial parquet in this
+            # round dir; write_parquet appends, so stale files would be
+            # re-read as duplicate rows — delete before (re)writing
+            shutil.rmtree(rdir, ignore_errors=True)
             _pt = time.monotonic()
 
             def _phase(name: str) -> None:
@@ -484,12 +567,14 @@ def run_crawl(
                 stats["phase_sec"][name] = stats["phase_sec"].get(name, 0.0) + (now - _pt)
                 _pt = now
 
-            # ---- admission: prepare -> dedup -> seen test -> politeness ----
+            # ---- admission: prepare -> seen test -> dedup+politeness ->
+            # batched robots gate ----
             admission = (
                 frontier_ds.map_batches(_prepare_batch(cfg), batch_format="pyarrow")
                 .map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pyarrow")
-                .groupby("host")
-                .map_groups(_politeness_group(robots_actors, cfg), batch_format="pandas")
+                .groupby("group_host")
+                .map_groups(_admission_group(cfg), batch_format="pandas")
+                .map_batches(_robots_gate_batch(robots_actors, cfg), batch_format="pyarrow")
                 .materialize()
             )
             _phase("admission")
@@ -511,7 +596,44 @@ def run_crawl(
             )
             _phase("fetch_parse_write")
 
-            # ---- trace sink: admission drops + parse outcomes ----
+            # a round where nothing was admitted writes no parsed files at all
+            parsed_exists = os.path.isdir(os.path.join(rdir, "parsed")) and any(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(rdir, "parsed"))
+            )
+
+            # ---- max_urls budget (mirrors oracle.py:166): the oracle stops
+            # mid-round at the fetch that reaches the budget; everything after
+            # that frontier seq is never attempted.  Distributed equivalent:
+            # find the cutoff seq (the `remaining`-th fetched seq in order)
+            # and truncate every downstream consumer at it.  The driver-side
+            # seq pull here is gated on max_urls being set, and is bounded by
+            # the round's fetched count.
+            seq_cutoff: int | None = None
+            stop_after_round = False
+            if cfg.max_urls is not None and parsed_exists:
+                # oracle checks AFTER each fetch, so even max_urls<=fetched
+                # still performs one more fetch before stopping
+                remaining = max(1, cfg.max_urls - stats["fetched"])
+                fseq_chunks = []
+                for b in (
+                    ray.data.read_parquet(
+                        os.path.join(rdir, "parsed"), columns=["seq", "action"]
+                    )
+                    .filter(expr="action == 'fetched'")
+                    .iter_batches(batch_format="pyarrow")
+                ):
+                    fseq_chunks.append(b.column("seq").to_numpy(zero_copy_only=False))
+                fs = (
+                    np.sort(np.concatenate(fseq_chunks))
+                    if fseq_chunks
+                    else np.array([], dtype=np.int64)
+                )
+                if len(fs) >= remaining:
+                    seq_cutoff = int(fs[remaining - 1])
+                    stop_after_round = True
+
+            # ---- trace sink: admission drops + parse outcomes, ONE fused
+            # write (two separate writes were per-round fixed cost) ----
             def _as_trace(t: pa.Table, r=rnd) -> pa.Table:
                 return pa.table(
                     {
@@ -523,22 +645,22 @@ def run_crawl(
                     }
                 )
 
-            # a round where nothing was admitted writes no parsed files at all
-            parsed_exists = os.path.isdir(os.path.join(rdir, "parsed")) and any(
-                f.endswith(".parquet") for f in os.listdir(os.path.join(rdir, "parsed"))
-            )
-
             if cfg.write_trace:
-                admission.filter(expr="action != 'admitted'").map_batches(
-                    _as_trace, batch_format="pyarrow"
-                ).write_parquet(os.path.join(rdir, "trace"))
+                tds = admission.filter(expr="action != 'admitted'").select_columns(
+                    ["seq", "url", "parent_url", "action"]
+                )
                 if parsed_exists:
-                    ray.data.read_parquet(
-                        os.path.join(rdir, "parsed"),
-                        columns=["seq", "url", "parent_url", "action"],
-                    ).map_batches(_as_trace, batch_format="pyarrow").write_parquet(
-                        os.path.join(rdir, "trace_parse")
+                    tds = tds.union(
+                        ray.data.read_parquet(
+                            os.path.join(rdir, "parsed"),
+                            columns=["seq", "url", "parent_url", "action"],
+                        )
                     )
+                if seq_cutoff is not None:
+                    tds = tds.filter(expr=f"seq <= {seq_cutoff}")
+                tds.map_batches(_as_trace, batch_format="pyarrow").write_parquet(
+                    os.path.join(rdir, "trace")
+                )
             _phase("trace")
 
             # ---- post-round control table: ONE column-pruned read of the
@@ -553,15 +675,15 @@ def run_crawl(
                 return t
 
             if parsed_exists:
-                kids_src = (
-                    ray.data.read_parquet(
-                        os.path.join(rdir, "parsed"),
-                        columns=["seq", "url", "child_urls", "action"],
-                    )
-                    .filter(expr="action == 'fetched'")
-                    .map_batches(_commit_passthrough, batch_format="pyarrow")
-                    .materialize()
-                )
+                kids_src = ray.data.read_parquet(
+                    os.path.join(rdir, "parsed"),
+                    columns=["seq", "url", "child_urls", "action"],
+                ).filter(expr="action == 'fetched'")
+                if seq_cutoff is not None:
+                    kids_src = kids_src.filter(expr=f"seq <= {seq_cutoff}")
+                kids_src = kids_src.map_batches(
+                    _commit_passthrough, batch_format="pyarrow"
+                ).materialize()
             else:
                 kids_src = ray.data.from_arrow(
                     pa.table(
@@ -576,6 +698,24 @@ def run_crawl(
             committed = kids_src.count()
             stats["fetched"] += int(committed)
             _phase("kids_read_commit")
+
+            if stop_after_round:
+                # budget reached mid-round: no next frontier, crawl is over
+                # (readers apply seq_cutoff from this manifest to the round's
+                # parsed files — they were written before the cutoff was known)
+                with open(os.path.join(rdir, "manifest.json"), "w") as f:
+                    json.dump(
+                        {
+                            "round": rnd,
+                            "admitted_rows": int(committed),
+                            "next_frontier_rows": 0,
+                            "next_seq": next_seq,
+                            "seq_cutoff": seq_cutoff,
+                            "complete": True,
+                        },
+                        f,
+                    )
+                break
 
             # ---- children: explode + deterministic seq assignment ----
             # offsets: one int per fetched page this round (small, broadcast;
@@ -665,6 +805,7 @@ def run_crawl(
                         "admitted_rows": int(committed),
                         "next_frontier_rows": next_rows,
                         "next_seq": next_seq,
+                        "seq_cutoff": None,
                         "complete": True,
                     },
                     f,
@@ -707,14 +848,80 @@ def _round_files(out_dir: str, sub: str) -> list[str]:
     return files
 
 
+def _round_cutoffs(out_dir: str) -> dict[int, int]:
+    """round -> seq_cutoff, for rounds truncated by the max_urls budget (the
+    parsed files of such a round contain rows past the budget; readers must
+    filter them out).  At most one round — a cutoff ends the crawl."""
+    cuts: dict[int, int] = {}
+    if not os.path.isdir(out_dir):
+        return cuts
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("round="):
+            continue
+        m = os.path.join(out_dir, d, "manifest.json")
+        if os.path.exists(m):
+            with open(m) as f:
+                j = json.load(f)
+            if j.get("seq_cutoff") is not None:
+                cuts[j["round"]] = j["seq_cutoff"]
+    return cuts
+
+
+def _parsed_split(out_dir: str) -> tuple[list[str], list[tuple[list[str], int]]]:
+    """Parsed files split into (uncut files, [(cut-round files, cutoff)])."""
+    cuts = _round_cutoffs(out_dir)
+    plain: list[str] = []
+    cut: list[tuple[list[str], int]] = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d, "parsed")
+        if not (d.startswith("round=") and os.path.isdir(p)):
+            continue
+        rnd = int(d.split("=")[1])
+        fl = [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        if not fl:
+            continue
+        if rnd in cuts:
+            cut.append((fl, cuts[rnd]))
+        else:
+            plain.extend(fl)
+    return plain, cut
+
+
 def _empty_ds(schema: pa.Schema) -> "ray.data.Dataset":
     return ray.data.from_arrow(schema.empty_table())
 
 
+def _read_parsed_fetched(out_dir: str, columns: list[str]) -> "ray.data.Dataset | None":
+    """Parsed rows with action=='fetched' across rounds, honoring any
+    max_urls seq_cutoff; projected to ``columns``.  None when no files."""
+    plain, cut = _parsed_split(out_dir)
+    parts = []
+    if plain:
+        parts.append(
+            ray.data.read_parquet(plain, columns=columns + ["action"])
+            .filter(expr="action == 'fetched'")
+            .select_columns(columns)
+        )
+    for fl, cutoff in cut:
+        cols = columns + ["action"] + (["seq"] if "seq" not in columns else [])
+        parts.append(
+            ray.data.read_parquet(fl, columns=cols)
+            .filter(expr="action == 'fetched'")
+            .filter(expr=f"seq <= {cutoff}")
+            .select_columns(columns)
+        )
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
 def read_documents(out_dir: str) -> "ray.data.Dataset":
     """documents sink (↔ InsertDocument projection, common.go:44-54)."""
-    files = _round_files(out_dir, "parsed")
-    if not files:  # a crawl can legitimately fetch nothing (all seeds denied)
+    ds = _read_parsed_fetched(out_dir, DOC_COLUMNS)
+    if ds is None:  # a crawl can legitimately fetch nothing (all seeds denied)
         return _empty_ds(
             pa.schema(
                 [("url", pa.string()), ("parent_url", pa.string()),
@@ -724,21 +931,19 @@ def read_documents(out_dir: str) -> "ray.data.Dataset":
                  ("meta_description", pa.string())]
             )
         )
-    ds = ray.data.read_parquet(files, columns=DOC_COLUMNS + ["action"])
-    return ds.filter(expr="action == 'fetched'").select_columns(DOC_COLUMNS)
+    return ds
 
 
 def read_words(out_dir: str) -> "ray.data.Dataset":
     """words sink (↔ Word rows, db.go:71-79): explode the per-doc word lists."""
-    files = _round_files(out_dir, "parsed")
-    if not files:
+    ds = _read_parsed_fetched(out_dir, ["url", "words_w", "words_f"])
+    if ds is None:
         return _empty_ds(
             pa.schema(
                 [("parent_url", pa.string()), ("word", pa.string()),
                  ("frequency", pa.int64())]
             )
         )
-    ds = ray.data.read_parquet(files, columns=["url", "action", "words_w", "words_f"])
 
     def explode(t: pa.Table) -> pa.Table:
         urls, ws, fs = [], [], []
@@ -759,7 +964,7 @@ def read_words(out_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.filter(expr="action == 'fetched'").map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
 
 
 def read_trace(out_dir: str) -> "ray.data.Dataset":

@@ -44,6 +44,11 @@ class RobotsShard:
         # host -> (body, ts_us) | None = known-missing (negative cache)
         self.cache: dict[str, tuple[str, int] | None] = dict(initial or {})
         self.rules: dict[str, RobotsRules] = {}
+        # hosts whose (re)fetch failed this run: deny, but KEEP any stale
+        # cached body for the snapshot (the reference only upserts robots rows
+        # on fetch success, src/db/db.go:95-100 — a failed refetch leaves the
+        # old DB row in place; the oracle mirrors that in robots_allowed)
+        self.denied: set[str] = set()
 
     def _fetch_robots(self, base_url: str) -> tuple[str, int] | None:
         """Point lookup of {base}/robots.txt in the bucketed corpus."""
@@ -62,20 +67,47 @@ class RobotsShard:
         body = t.column("html")[0].as_py().decode("utf-8", errors="replace")
         return body, self.now_us
 
-    def gate(self, host: str, base_url: str, urls: list[str]) -> list[bool]:
-        """True = allowed.  Resolves (cache -> corpus fetch -> deny) once per
-        host, then matches each URL."""
+    def _resolve(self, host: str, base_url: str) -> RobotsRules | None:
+        """Rules for a host, or None = deny.  Resolves cache -> corpus fetch
+        -> deny once per host; failed fetches memoize a deny (now_us is fixed
+        for the run, so a retry would fail identically) without evicting a
+        stale cached body from the snapshot."""
+        if host in self.denied:
+            return None
         entry = self.cache.get(host, "MISS")
-        if entry == "MISS" or (entry is not None and entry[1] < self.now_us - self.ttl_us):
-            entry = self._fetch_robots(base_url)
-            self.cache[host] = entry
+        stale = entry != "MISS" and entry is not None and entry[1] < self.now_us - self.ttl_us
+        if entry == "MISS" or stale:
+            fetched = self._fetch_robots(base_url)
+            if fetched is None:
+                if entry == "MISS":
+                    self.cache[host] = None  # negative cache (never snapshotted)
+                self.denied.add(host)
+                return None  # deny-on-error (incl. robots 404)
+            self.cache[host] = fetched
             self.rules.pop(host, None)
+            entry = fetched
         if entry is None:
-            return [False] * len(urls)  # deny-on-error (incl. robots 404)
+            return None
         if host not in self.rules:
             self.rules[host] = RobotsRules(entry[0])
-        r = self.rules[host]
+        return self.rules[host]
+
+    def gate(self, host: str, base_url: str, urls: list[str]) -> list[bool]:
+        """True = allowed — single-host form (unit tests / small callers)."""
+        r = self._resolve(host, base_url)
+        if r is None:
+            return [False] * len(urls)
         return [r.allowed(self.user_agent, u) for u in urls]
+
+    def gate_many(self, hosts: list[str], base_urls: list[str], urls: list[str]) -> list[bool]:
+        """Batched gate: one remote call per (shard, admission batch) instead
+        of one blocking call per host group (the `_seen_test_batch` routing
+        pattern).  Rows may span many hosts; each host resolves once."""
+        out = []
+        for h, b, u in zip(hosts, base_urls, urls):
+            r = self._resolve(h, b)
+            out.append(False if r is None else r.allowed(self.user_agent, u))
+        return out
 
     def snapshot(self) -> list[tuple[str, str, int]]:
         """(host, body, ts) rows for the written-back robots table."""

@@ -1,0 +1,165 @@
+"""Config-mode conformance: max_urls budget, frontier_cap, canonicalize_seen
+— each must keep the pipeline equal to the oracle spec (CLAUDE.md invariant),
+plus resume-after-mid-round-crash (partial round dir must not duplicate data).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from grawler_ray.config import CrawlConfig
+from grawler_ray.oracle import corpus_table_to_dict, run_oracle
+from grawler_ray.sources.corpus import generate_corpus, generate_robots_cache, seed_urls
+
+N_HOSTS, PAGES, SEED = 4, 10, 42
+CORPUS = "/tmp/gr_modes_corpus"
+ROBOTS = "/tmp/gr_modes_corpus/robots_cache.parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus_fixture():
+    if not os.path.isdir(f"{CORPUS}/bucket=0"):
+        generate_corpus(CORPUS, n_hosts=N_HOSTS, pages_per_host=PAGES, seed=SEED, num_buckets=8)
+        generate_robots_cache(ROBOTS, SEED, N_HOSTS, CrawlConfig().now_us)
+    full = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(f"{CORPUS}/bucket=*/part.parquet"))]
+    )
+    rc = pq.read_table(ROBOTS)
+    robots_cache = {
+        h: (b, t)
+        for h, b, t in zip(
+            rc["host"].to_pylist(),
+            rc["robots"].to_pylist(),
+            rc["ts"].cast(pa.int64()).to_pylist(),
+        )
+    }
+    return full, robots_cache
+
+
+def _cfg(out_dir, **kw):
+    base = dict(per_host_quota=3, max_rounds=8, num_fetch_buckets=8, seen_shards=4)
+    base.update(kw)
+    return CrawlConfig(out_dir=out_dir, **base)
+
+
+def _run_both(ray_session, corpus_fixture, out_dir, seeds, **cfg_kw):
+    from grawler_ray.pipelines.crawl import run_crawl
+
+    full, robots_cache = corpus_fixture
+    cfg = _cfg(out_dir, **cfg_kw)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stats = run_crawl(CORPUS, seeds, cfg, robots_cache_path=ROBOTS)
+    oracle = run_oracle(corpus_table_to_dict(full), seeds, cfg, robots_cache)
+    return stats, oracle
+
+
+def _assert_conformance(out_dir, oracle):
+    from grawler_ray.pipelines.crawl import read_documents, read_trace, read_words
+
+    docs = read_documents(out_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    odocs = pd.DataFrame(oracle.documents).sort_values("url").reset_index(drop=True)
+    assert len(docs) == len(odocs)
+    if len(docs):
+        for col in docs.columns:
+            assert (docs[col].values == odocs[col].astype(docs[col].dtype).values).all(), col
+    words = read_words(out_dir).to_pandas().sort_values(["parent_url", "word"]).reset_index(drop=True)
+    owords = (
+        pd.DataFrame(oracle.words, columns=["parent_url", "word", "frequency"])
+        .sort_values(["parent_url", "word"])
+        .reset_index(drop=True)
+    )
+    assert len(words) == len(owords)
+    if len(words):
+        assert words.equals(owords.astype(words.dtypes.to_dict()))
+    trace = read_trace(out_dir).to_pandas().sort_values(["round", "seq"]).reset_index(drop=True)
+    otrace = pd.DataFrame(oracle.trace).sort_values(["round", "seq"]).reset_index(drop=True)
+    assert len(trace) == len(otrace), (len(trace), len(otrace))
+    cols = ["round", "seq", "url", "parent_url", "action"]
+    assert trace[cols].astype({"round": int, "seq": int}).equals(
+        otrace[cols].astype({"round": int, "seq": int})
+    )
+
+
+def test_max_urls_budget(ray_session, corpus_fixture):
+    out = "/tmp/gr_modes_maxurls"
+    seeds = seed_urls(N_HOSTS, 3)
+    stats, oracle = _run_both(ray_session, corpus_fixture, out, seeds, max_urls=7)
+    assert stats["fetched"] == 7 == len(oracle.documents)
+    _assert_conformance(out, oracle)
+    from grawler_ray.pipelines.crawl import read_documents
+
+    assert set(read_documents(out).to_pandas().url) == oracle.seen
+
+
+def test_max_urls_budget_smaller_than_first_round(ray_session, corpus_fixture):
+    out = "/tmp/gr_modes_maxurls2"
+    seeds = seed_urls(N_HOSTS, 3)
+    stats, oracle = _run_both(ray_session, corpus_fixture, out, seeds, max_urls=2)
+    assert stats["fetched"] == 2 == len(oracle.documents)
+    _assert_conformance(out, oracle)
+
+
+def test_frontier_cap(ray_session, corpus_fixture):
+    out = "/tmp/gr_modes_fcap"
+    seeds = seed_urls(N_HOSTS, 3)
+    stats, oracle = _run_both(ray_session, corpus_fixture, out, seeds, frontier_cap=5)
+    _assert_conformance(out, oracle)
+
+
+def test_canonicalize_seen(ray_session, corpus_fixture):
+    out = "/tmp/gr_modes_canon"
+    base = seed_urls(N_HOSTS, 2)
+    # raw-distinct spellings of one canonical URL: fragment and host-case
+    # variants must dup-drop after the first occurrence (oracle.py:110-114)
+    variants = [base[0] + "#frag", base[0].replace("site0", "SITE0")]
+    seeds = base + variants
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds, canonicalize_seen=True
+    )
+    acts = {t["action"] for t in oracle.trace}
+    assert "dup-drop" in acts
+    _assert_conformance(out, oracle)
+
+
+def test_resume_after_mid_round_crash(ray_session, corpus_fixture):
+    """A crashed attempt leaves a partial (manifest-less) round dir with stale
+    parquet; resume must not re-read it as duplicate rows (ADVICE r1 high)."""
+    from grawler_ray.pipelines.crawl import read_documents, read_words, run_crawl
+
+    seeds = seed_urls(N_HOSTS, 2)
+    ref_out = "/tmp/gr_modes_crash_ref"
+    shutil.rmtree(ref_out, ignore_errors=True)
+    run_crawl(CORPUS, seeds, _cfg(ref_out, max_rounds=6), robots_cache_path=ROBOTS)
+    ref_docs = read_documents(ref_out).to_pandas().sort_values("url").reset_index(drop=True)
+
+    out = "/tmp/gr_modes_crash"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(CORPUS, seeds, _cfg(out, max_rounds=3), robots_cache_path=ROBOTS)
+    # fake a mid-round-3 crash: partial parsed files, no manifest
+    crash_dir = os.path.join(out, "round=0003", "parsed")
+    os.makedirs(crash_dir)
+    src = glob.glob(os.path.join(out, "round=0002", "parsed", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(crash_dir, "stale_partial.parquet"))
+
+    run_crawl(CORPUS, seeds, _cfg(out, max_rounds=6), robots_cache_path=ROBOTS, resume=True)
+    docs = read_documents(out).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ref_docs, docs)
+    # no duplicate urls anywhere
+    assert docs.url.is_unique
+    words = read_words(out).to_pandas()
+    assert not words.duplicated(["parent_url", "word"]).any()
+
+
+def test_max_urls_manifest_cutoff_written(ray_session, corpus_fixture):
+    out = "/tmp/gr_modes_maxurls"
+    mans = sorted(glob.glob(os.path.join(out, "round=*", "manifest.json")))
+    assert mans
+    with open(mans[-1]) as f:
+        last = json.load(f)
+    assert last["seq_cutoff"] is not None
