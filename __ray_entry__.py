@@ -289,6 +289,18 @@ def _ann_topk(sf_dir: str):
     return ann_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+def _ngram_jaccard_pairs(sf_dir: str):
+    from grawler_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def _embedding_dup_pairs(sf_dir: str):
+    from grawler_ray.functions.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
+
+
 def _multimodal_meta(sf_dir: str):
     from grawler_ray.stages.multimodal import decode_image_meta
 
@@ -313,6 +325,18 @@ def _simhash(sf_dir: str):
     from grawler_ray.functions.dedup import simhash_batch
 
     return _read(sf_dir, "documents").map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _simhash_pairs(sf_dir: str):
+    from grawler_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
+
+
+def _ann_lsh_topk(sf_dir: str):
+    from grawler_ray.functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
 def _lsh_buckets(sf_dir: str):
@@ -357,11 +381,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "lineitem_join_orders": _lineitem_join_orders,
         "ann_topk": _ann_topk,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "embedding_dup_pairs": _embedding_dup_pairs,
         "multimodal_meta": _multimodal_meta,
         # rows-only
         "langid": _langid,
         "minhash_pairs": _minhash_pairs,
         "simhash": _simhash,
+        "simhash_pairs": _simhash_pairs,
+        "ann_lsh_topk": _ann_lsh_topk,
         "lsh_buckets": _lsh_buckets,
         "crawl_documents": _crawl_documents,
         "crawl_words": _crawl_words,
@@ -463,6 +491,30 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, vec_id) AS rank
                   FROM s)
             WHERE rank <= 10
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            )
+            SELECT s1.doc_id AS a, s2.doc_id AS b
+            FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+            WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                       ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                            NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
+                  END >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.45
         """,
         "multimodal_meta": """
             SELECT doc_id,

@@ -108,7 +108,8 @@ def run_subqueries() -> dict[str, float]:
     names = [
         "word_freq", "doc_stats", "exact_dedup", "top_words", "q1_agg",
         "orders_by_nation", "lineitem_join_orders", "politeness_slots",
-        "ann_topk", "minhash_pairs", "simhash",
+        "ann_topk", "ann_lsh_topk", "minhash_pairs", "simhash",
+        "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
     ]
     import ray.data
 

@@ -57,7 +57,10 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10):
             idx = np.nonzero(mask)[0]
             if len(idx) == 0:
                 continue
-            top = idx[np.argsort(-row[idx], kind="stable")[:k]]
+            # (-sim, vec_id) order BEFORE truncating: >k ties at the cutoff
+            # must keep the lowest vec_ids, matching the SQL oracle's
+            # ORDER BY sim DESC, vec_id (ADVICE r1)
+            top = idx[np.lexsort((vids[idx], -row[idx]))[:k]]
             out_q.extend([q_ids_[qi]] * len(top))
             out_v.extend(vids[top].tolist())
             out_s.extend(row[top].tolist())
@@ -78,22 +81,184 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10):
     return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
 
 
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+def _bucket_ids(V: np.ndarray, H: np.ndarray) -> np.ndarray:
+    signs = (H @ V.T) > 0  # (nbits, n)
+    weights = (1 << np.arange(H.shape[0])).astype(np.int64)
+    return (signs.astype(np.int64).T @ weights).astype(np.int64)
+
+
 def lsh_bucket_batch(dim: int, nbits: int = 16, seed: int = 3):
     """Sign-LSH bucket id per vector: bucket = bits of sign(H @ v) with a
     fixed random hyperplane matrix H (deterministic seed)."""
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((nbits, dim))
+    H = _hyperplanes(dim, nbits, seed)
 
     def fn(t: pa.Table) -> pa.Table:
-        V = _to_matrix(t.column("embedding"))
-        signs = (H @ V.T) > 0  # (nbits, n)
-        weights = (1 << np.arange(nbits)).astype(np.int64)
-        buckets = (signs.astype(np.int64).T @ weights).astype(np.int64)
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
-                "bucket": pa.array(buckets, pa.int64()),
+                "bucket": pa.array(_bucket_ids(_to_matrix(t.column("embedding")), H), pa.int64()),
             }
         )
 
     return fn
+
+
+def embedding_dup_pairs(embeddings_ds, threshold: float = 0.45, num_blocks: int = 4):
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs, distributed
+    as a block-replicated theta-join: each vector (block ``vec_id % B``) is
+    replicated to the B groups ``(min(i,j), max(i,j))`` it participates in;
+    each group computes its block-vs-block cosine matrix with one numpy
+    matmul and emits pairs >= threshold.  Replication factor is B (choose
+    B ~ sqrt(n_vectors / rows_per_task)), compute is the unavoidable O(n²)
+    of the exact answer — the approximate scale path is `ann_lsh_topk`'s
+    bucketing.  Output (a, b) with a < b by vec_id, integer-only so the SQL
+    oracle compares exactly (float sims never leave the task).
+    """
+    B = num_blocks
+
+    def explode(t: pa.Table) -> pa.Table:
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = t.column("embedding")
+        blocks = vids % B
+        out_g, out_take = [], []
+        for j in range(B):
+            i = np.minimum(blocks, j)
+            k = np.maximum(blocks, j)
+            out_g.append(i * B + k)
+            out_take.append(np.arange(len(vids)))
+        g = np.concatenate(out_g)
+        take = np.concatenate(out_take)
+        sub = t.take(pa.array(take, pa.int64()))
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "vec_id": sub.column("vec_id"),
+                "embedding": sub.column("embedding"),
+            }
+        )
+
+    def pair_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("vec_id")
+        g = int(df["g"].iloc[0])
+        i, j = g // B, g % B
+        vids = df["vec_id"].to_numpy().astype(np.int64)
+        V = np.array(df["embedding"].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if i == j:
+            sel = vids % B == i
+            vv, M = vids[sel], Vn[sel]
+            S = M @ M.T
+            ai, bi = np.nonzero(np.triu(S, 1) >= threshold)
+            a, b = vv[ai], vv[bi]
+        else:
+            sa, sb = vids % B == i, vids % B == j
+            va, vb = vids[sa], vids[sb]
+            S = Vn[sa] @ Vn[sb].T
+            ai, bi = np.nonzero(S >= threshold)
+            a, b = va[ai], vb[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo.astype(np.int64), "b": hi.astype(np.int64)})
+
+    return (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(pair_group, batch_format="pandas")
+    )
+
+
+def _probe_set(bucket: int, nbits: int, radius: int) -> set[int]:
+    """All bucket ids within `radius` bit flips of `bucket` (multi-probe)."""
+    out = {bucket}
+    frontier = [bucket]
+    for _ in range(radius):
+        nxt = []
+        for b in frontier:
+            for i in range(nbits):
+                v = b ^ (1 << i)
+                if v not in out:
+                    out.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return out
+
+
+def ann_lsh_topk(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    nbits: int = 12,
+    seed: int = 3,
+    multiprobe: int = 2,
+):
+    """Bucketed ANN top-k — the scale path for `ann_topk` (VERDICT r1 item 5):
+    each vector hashes to a sign-LSH bucket; a query scores ONLY vectors whose
+    bucket lies within `multiprobe` bit flips of its own bucket, then the
+    candidates are exactly cosine-reranked.  Same output schema as `ann_topk`
+    (query_id, rank, vec_id); recall depends on (nbits, multiprobe) — see
+    tests/test_similarity.py for the planted-cluster recall bound.
+
+    Scale shape: the full scan touches every vector once per batch (numpy
+    matmul for bucket ids + mask), but similarity is computed only on probed
+    candidates; queries + probe sets are broadcast once via ray.put.  An
+    indexed variant would pre-partition by bucket (the corpus fetch-join
+    layout) — the probe math here is identical.
+    """
+    import ray
+
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v in qset]
+        return t.take(pa.array(keep, pa.int64()))
+
+    q_tab = embeddings_ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    q_tab = q_tab.sort_values("vec_id")
+    Q = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    dim = Q.shape[1]
+    H = _hyperplanes(dim, nbits, seed)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = q_tab["vec_id"].to_numpy()
+    q_buckets = _bucket_ids(Q, H)
+    probes = [
+        np.fromiter(_probe_set(int(b), nbits, multiprobe), dtype=np.int64)
+        for b in q_buckets
+    ]
+    q_ref = ray.put((q_ids, Qn, probes))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Qn_, probes_ = ray.get(q_ref)
+        V = _to_matrix(t.column("embedding"))
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        buckets = _bucket_ids(V, H)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            mask = np.isin(buckets, probes_[qi]) & (vids != q_ids_[qi])
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            sims = Vn[idx] @ Qn_[qi]
+            top = np.lexsort((vids[idx], -sims))[:k]
+            out_q.extend([q_ids_[qi]] * len(top))
+            out_v.extend(vids[idx][top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, vec_id in enumerate(grp["vec_id"], start=1):
+            out.append((int(qid), rank, int(vec_id)))
+    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])

@@ -1,0 +1,139 @@
+"""Ray-pipeline tests for the near-dup / similarity operators: planted
+duplicates must be found, both minhash verification strategies must agree,
+and the exact baselines must match brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards brew "
+    "strong potions under a pale moon and the river runs cold past the mill"
+)
+
+
+def _docs_table():
+    rows = []
+    # 20 distinct docs
+    for i in range(20):
+        rows.append({"doc_id": i, "text": f"document {i} " + BASE + f" variant token{i} " * 3})
+    # planted near-dups: 100/101 near-identical, 102 identical to 100
+    rows.append({"doc_id": 100, "text": BASE + " alpha beta gamma delta epsilon zeta"})
+    rows.append({"doc_id": 101, "text": BASE + " alpha beta gamma delta epsilon eta"})
+    rows.append({"doc_id": 102, "text": BASE + " alpha beta gamma delta epsilon zeta"})
+    # empty pair (both-empty jaccard == 1.0 by definition)
+    rows.append({"doc_id": 200, "text": ""})
+    rows.append({"doc_id": 201, "text": ""})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(_docs_table())
+
+
+def _exact_jaccard_pairs(threshold):
+    from grawler_ray.functions.dedup import jaccard, shingles
+
+    rows = _docs_table()
+    shs = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    ids = sorted(shs)
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if jaccard(shs[ids[x]], shs[ids[y]]) >= threshold:
+                out.add((ids[x], ids[y]))
+    return out
+
+
+def test_minhash_dedup_finds_planted_pairs(docs_ds):
+    from grawler_ray.functions.dedup import minhash_dedup
+
+    got = minhash_dedup(docs_ds, threshold=0.8).to_pandas()
+    pairs = set(zip(got.a, got.b))
+    assert (100, 101) in pairs
+    assert (100, 102) in pairs
+    assert (101, 102) in pairs
+    assert (200, 201) in pairs  # both-empty docs: jaccard 1.0
+    # identical docs must have jaccard exactly 1.0
+    assert got[(got.a == 100) & (got.b == 102)].jaccard.iloc[0] == 1.0
+    # no invented pairs: everything reported must be exact-verified
+    exact = _exact_jaccard_pairs(0.8)
+    assert pairs <= exact
+
+
+def test_minhash_verify_modes_agree(docs_ds):
+    from grawler_ray.functions.dedup import minhash_dedup
+
+    loc = minhash_dedup(docs_ds, threshold=0.5).to_pandas()
+    jn = minhash_dedup(docs_ds, threshold=0.5, verify="join").to_pandas()
+    sl = {(a, b): round(j, 12) for a, b, j in zip(loc.a, loc.b, loc.jaccard)}
+    sj = {(a, b): round(j, 12) for a, b, j in zip(jn.a, jn.b, jn.jaccard)}
+    assert sl == sj and len(sl) > 0
+
+
+def test_ngram_jaccard_exact_baseline(docs_ds):
+    from grawler_ray.functions.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(docs_ds, threshold=0.5).to_pandas()
+    assert set(zip(got.a, got.b)) == _exact_jaccard_pairs(0.5)
+
+
+def test_simhash_pairs_match_bruteforce(docs_ds):
+    from grawler_ray.functions.dedup import hamming64, simhash64, simhash_pairs
+
+    got = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    rows = _docs_table()
+    hs = {r["doc_id"]: simhash64(r["text"]) for r in rows}
+    ids = sorted(hs)
+    exact = {
+        (ids[x], ids[y]): hamming64(hs[ids[x]], hs[ids[y]])
+        for x in range(len(ids))
+        for y in range(x + 1, len(ids))
+        if hamming64(hs[ids[x]], hs[ids[y]]) <= 3
+    }
+    assert {(a, b): h for a, b, h in zip(got.a, got.b, got.hamming)} == exact
+    assert (100, 102) in exact  # identical docs: distance 0
+
+
+def test_embedding_dup_pairs_exact(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((80, 16))
+    V[50] = V[10] + 0.05 * rng.standard_normal(16)  # planted near-dup
+    items = [{"vec_id": i, "embedding": V[i].tolist()} for i in range(80)]
+    got = embedding_dup_pairs(ray.data.from_items(items), threshold=0.9).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.triu(Vn @ Vn.T, 1)
+    exact = set(zip(*np.nonzero(S >= 0.9)))
+    assert set(zip(got.a, got.b)) == exact
+    assert (10, 50) in exact
+
+
+def test_ann_lsh_recall_on_clustered_data(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.similarity import ann_lsh_topk, ann_topk
+
+    # clustered embeddings: 10 centers x 40 members — true neighbors are
+    # genuinely close, the regime LSH is built for
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 3
+    vecs, items = [], []
+    for i in range(400):
+        v = centers[i % 10] + 0.3 * rng.standard_normal(32)
+        items.append({"vec_id": i, "embedding": v.tolist()})
+    ds = ray.data.from_items(items)
+    qids = [0, 1, 2, 3, 4]
+    exact = ann_topk(ds, qids, k=10)
+    approx = ann_lsh_topk(ds, qids, k=10, nbits=12, multiprobe=2)
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
