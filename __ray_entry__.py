@@ -307,6 +307,28 @@ def _multimodal_meta(sf_dir: str):
     return decode_image_meta(_read(sf_dir, "documents"))
 
 
+def _multimodal_resize(sf_dir: str):
+    from grawler_ray.stages.multimodal import resize_image
+
+    return resize_image(_read(sf_dir, "documents"), width=64, height=48).select_columns(
+        ["doc_id", "width", "height", "n_bytes_out"]
+    )
+
+
+def _multimodal_frames(sf_dir: str):
+    from grawler_ray.stages.multimodal import sample_frames
+
+    return sample_frames(_read(sf_dir, "documents"), frame_size=1024, stride=4).select_columns(
+        ["doc_id", "frame_idx", "frame_len"]
+    )
+
+
+def _multimodal_features(sf_dir: str):
+    from grawler_ray.stages.multimodal import extract_features
+
+    return extract_features(_read(sf_dir, "documents"))
+
+
 # rows-only (non-SQL-expressible) ------------------------------------------
 
 def _langid(sf_dir: str):
@@ -384,7 +406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "multimodal_meta": _multimodal_meta,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_frames": _multimodal_frames,
         # rows-only
+        "multimodal_features": _multimodal_features,
         "langid": _langid,
         "minhash_pairs": _minhash_pairs,
         "simhash": _simhash,
@@ -523,5 +548,23 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) % 480 + 16)::BIGINT AS height,
                    'fake' AS format
             FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id,
+                   64::BIGINT AS width,
+                   48::BIGINT AS height,
+                   least(octet_length(encode(text)), 64 * 48)::BIGINT AS n_bytes_out
+            FROM documents
+        """,
+        "multimodal_frames": """
+            WITH f AS (
+              SELECT doc_id, octet_length(encode(text)) AS n,
+                     unnest(range(((octet_length(encode(text)) + 1023) // 1024 + 3) // 4)) AS i
+              FROM documents
+            )
+            SELECT doc_id,
+                   (i * 4)::BIGINT AS frame_idx,
+                   least(1024, n - i * 4 * 1024)::BIGINT AS frame_len
+            FROM f
         """,
     }

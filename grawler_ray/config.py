@@ -39,12 +39,20 @@ class CrawlConfig:
     max_urls: int | None = None
 
     # physical execution
+    fetch_mode: str = "corpus"       # "corpus" (bucketed-parquet point join) | "http" (live fetch, S3 utils.go:22-45)
+    http_concurrency: int = 4        # HttpFetcher actor-pool size (http mode)
+    http_timeout_s: float = 10.0
+    http_threads: int = 16           # in-flight requests per fetcher actor
     num_fetch_buckets: int = 32      # corpus hash-bucket count (must match corpus layout)
     seen_shards: int = 8             # seen-set actor shards
     seen_mode: str = "exact"         # "exact" (conformance) | "cuckoo" (scale)
     parse_batch_size: int = 64       # html rows per parse batch (bodies are large)
     parse_concurrency: int | tuple[int, int] | None = None  # actor pool size for parse stage; None = stateless tasks
     min_parallelism: int = 8
+    # child-seq assignment: rounds with more fetched pages than this use the
+    # fully distributed prefix sum (driver holds one row per block); below
+    # it, the (seq, count) pairs — 16 B/page — go to the driver directly
+    offsets_driver_max: int = 5_000_000
 
     # observability
     write_trace: bool = True  # per-round trace parquet (off for bench runs)

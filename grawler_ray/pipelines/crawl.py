@@ -60,8 +60,8 @@ from ..urlops import UrlError, canonical_url, extract_url_components, url_allowe
 ACTION_PENDING = "pending"
 
 PARSED_COLUMNS = [
-    "seq", "url", "parent_url", "host", "action", "content_type", "status_code",
-    "content", "meta_icon_link", "meta_site_name", "meta_title",
+    "seq", "url", "parent_url", "host", "key_hash", "action", "content_type",
+    "status_code", "content", "meta_icon_link", "meta_site_name", "meta_title",
     "meta_description", "child_urls", "words_w", "words_f",
 ]
 
@@ -289,7 +289,7 @@ def _fetch_group(corpus_dir: str):
                 htmls.append(b""); cts.append(""); scs.append(0); found.append(False)
             else:
                 htmls.append(row[0]); cts.append(row[1]); scs.append(row[2]); found.append(True)
-        out = df[["seq", "url", "parent_url", "host", "base_url"]].copy()
+        out = df[["seq", "url", "parent_url", "host", "base_url", "key_hash"]].copy()
         out["html"] = htmls
         out["content_type"] = cts
         out["status_code"] = np.array(scs, dtype=np.int16)
@@ -314,6 +314,7 @@ class ParsePages:
         parents = t.column("parent_url").to_pylist()
         hosts = t.column("host").to_pylist()
         bases = t.column("base_url").to_pylist()
+        key_hashes = t.column("key_hash")
         htmls = t.column("html").to_pylist()
         cts = t.column("content_type").to_pylist()
         scs = t.column("status_code").to_pylist()
@@ -356,6 +357,7 @@ class ParsePages:
                 "url": pa.array(urls),
                 "parent_url": pa.array(parents),
                 "host": pa.array(hosts),
+                "key_hash": key_hashes,
                 "action": pa.array(action),
                 "content_type": pa.array(ctype_out),
                 "status_code": pa.array(scs, pa.int16()),
@@ -373,14 +375,21 @@ class ParsePages:
 
 def _commit_seen_batch(seen_actors, cfg: CrawlConfig):
     """T1 commit AFTER successful parse (crawler.go:178), from the url column
-    of fetched rows.  Idempotent on the shard, so task retries are safe."""
+    of fetched rows.  Idempotent on the shard, so task retries are safe.
+    Reuses the ``key_hash`` computed in the prepare stage when the batch
+    carries it (the parsed checkpoint does) instead of re-hashing each URL."""
 
     def fn(t: pa.Table) -> None:
         urls = t.column("url").to_pylist()
+        hashes = (
+            t.column("key_hash").to_pylist()
+            if "key_hash" in t.schema.names
+            else None
+        )
         by_shard: dict[int, tuple[list[str], list[int]]] = {}
-        for u in urls:
+        for i, u in enumerate(urls):
             k = canonical_url(u) if cfg.canonicalize_seen else u
-            h = xxhash64(k)
+            h = hashes[i] if hashes is not None else xxhash64(k)
             ks, hs = by_shard.setdefault(h % cfg.seen_shards, ([], []))
             ks.append(k)
             hs.append(h)
@@ -394,12 +403,156 @@ def _commit_seen_batch(seen_actors, cfg: CrawlConfig):
     return fn
 
 
+def _counts_batch(t: pa.Table) -> pa.Table:
+    """(parent seq, child count) rows — the only thing the seq-offset pass
+    ever moves off the workers."""
+    return pa.table(
+        {
+            "seq": t.column("seq"),
+            "n": pc.fill_null(pc.list_value_length(t.column("child_urls")), 0).cast(
+                pa.int64()
+            ),
+        }
+    )
+
+
+def _distributed_children(kids_src, base_seq: int, nparts: int):
+    """Child-seq assignment without a per-page driver pull (VERDICT r1 item
+    7), for rounds beyond ``cfg.offsets_driver_max`` fetched pages:
+
+    1. (seq, n) rows — 16 B/page — are range-SORTED by seq; within each
+       sorted block a local cumsum gives in-block offsets;
+    2. per-block (min_seq, total) single-row partials go to the driver —
+       O(num_blocks), not O(pages) — for the tiny block-base prefix sum;
+    3. a repartition join (union + hash(seq) groupby, same pattern as
+       minhash_dedup's verify="join") attaches each parent's offset and
+       explodes its children in-group.
+
+    Returns (children Dataset of (seq, url, parent_url), total children).
+    The oracle invariant — children numbered consecutively in (parent_seq,
+    child_idx) order — is preserved exactly; tests force this path via
+    offsets_driver_max=0 and assert full trace equality."""
+    counts = (
+        kids_src.map_batches(_counts_batch, batch_format="pyarrow")
+        .sort("seq")
+        .materialize()
+    )
+    part = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "min_seq": pa.array(
+                    [t.column("seq")[0].as_py() if t.num_rows else -1], pa.int64()
+                ),
+                "total": pa.array(
+                    [int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()
+                ),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).to_pandas()
+    part = part[part["min_seq"] >= 0].sort_values("min_seq")
+    totals = part["total"].to_numpy(dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1])) if len(totals) else totals
+    acc = int(totals.sum())
+    base_by_minseq = dict(zip(part["min_seq"].astype(int), bases.astype(int)))
+    bref = ray.put(base_by_minseq)
+
+    def block_offsets(t: pa.Table) -> pa.Table:
+        # batch_size=None => exactly one call per stored (sorted) block
+        if t.num_rows == 0:
+            return pa.table({"seq": pa.array([], pa.int64()), "off": pa.array([], pa.int64())})
+        base = ray.get(bref)[int(t.column("seq")[0].as_py())]
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({"seq": t.column("seq"), "off": pa.array(off, pa.int64())})
+
+    offsets_ds = counts.map_batches(block_offsets, batch_size=None, batch_format="pyarrow")
+
+    def off_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seq": t.column("seq"),
+                "off": t.column("off"),
+                "url": pa.array([None] * t.num_rows, pa.string()),
+                "child_urls": pa.array([None] * t.num_rows, pa.list_(pa.string())),
+            }
+        )
+
+    def kid_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "seq": t.column("seq"),
+                "off": pa.array([-1] * t.num_rows, pa.int64()),
+                "url": t.column("url"),
+                "child_urls": t.column("child_urls"),
+            }
+        )
+
+    def hash_part(t: pa.Table) -> pa.Table:
+        s = t.column("seq").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((s * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(nparts)
+        return t.append_column("pg", pa.array(g.astype(np.int64), pa.int64()))
+
+    def attach_explode(df: pd.DataFrame, base=base_seq) -> pd.DataFrame:
+        df = df.sort_values(["seq", "off"])  # kid row (off=-1) first in run
+        seqs_ = df["seq"].to_numpy()
+        offs = df["off"].to_numpy()
+        urls_ = df["url"].tolist()
+        kids_ = df["child_urls"].tolist()
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(seqs_) != 0) + 1, [len(df)]))
+        out_s: list[int] = []
+        out_u: list[str] = []
+        out_p: list[str] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:  # missing one side (shouldn't happen; be safe)
+                continue
+            off = int(offs[e - 1])
+            purl = urls_[s]
+            lst = kids_[s]
+            lst = [] if lst is None else list(lst)  # pandas gives ndarray
+            for ci, k in enumerate(lst):
+                out_s.append(base + off + ci)
+                out_u.append(k)
+                out_p.append(purl)
+        # arrow out: the downstream union+repartition mixes these blocks with
+        # arrow blocks, and the shuffle reducer requires one block type
+        return pa.table(
+            {
+                "seq": pa.array(out_s, pa.int64()),
+                "url": pa.array(out_u, pa.string()),
+                "parent_url": pa.array(out_p, pa.string()),
+            }
+        )
+
+    children_ds = (
+        kids_src.select_columns(["seq", "url", "child_urls"])
+        .map_batches(kid_rows, batch_format="pyarrow")
+        .union(offsets_ds.map_batches(off_rows, batch_format="pyarrow"))
+        .map_batches(hash_part, batch_format="pyarrow")
+        .groupby("pg")
+        .map_groups(attach_explode, batch_format="pandas")
+    )
+    return children_ds, acc
+
+
 # ---------------------------------------------------------------------------
 # driver loop
 # ---------------------------------------------------------------------------
 
 def _round_dir(out_dir: str, rnd: int) -> str:
     return os.path.join(out_dir, f"round={rnd:04d}")
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footers only — no data read, no dataset pass."""
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total
 
 
 def _completed_rounds(out_dir: str) -> list[int]:
@@ -470,6 +623,8 @@ def run_crawl(
             cfg.now_us,
             cfg.robots_ttl_days,
             {h: v for h, v in initial_robots.items() if xxhash64(h) % n_robots_shards == i},
+            fetch_mode=cfg.fetch_mode,
+            http_timeout_s=cfg.http_timeout_s,
         )
         for i in range(n_robots_shards)
     ]
@@ -491,6 +646,7 @@ def run_crawl(
         .materialize()
     )
     next_seq = len(seeds)
+    frontier_rows = len(seeds)
     stats = {"rounds": 0, "fetched": 0, "frontier_total": len(seeds)}
 
     if resume:
@@ -527,14 +683,14 @@ def run_crawl(
             total = 0
             if files:
                 total += (
-                    ray.data.read_parquet(files, columns=["url", "action"])
+                    ray.data.read_parquet(files, columns=["url", "key_hash", "action"])
                     .filter(expr="action == 'fetched'")
                     .map_batches(_recommit, batch_format="pyarrow")
                     .count()
                 )
             for fl, cut in cut_parts:  # at most one: a cutoff ends the crawl
                 total += (
-                    ray.data.read_parquet(fl, columns=["url", "action", "seq"])
+                    ray.data.read_parquet(fl, columns=["url", "key_hash", "action", "seq"])
                     .filter(expr="action == 'fetched'")
                     .filter(expr=f"seq <= {cut}")
                     .map_batches(_recommit, batch_format="pyarrow")
@@ -543,13 +699,14 @@ def run_crawl(
             stats["fetched"] = total
             fpath = os.path.join(_round_dir(out_dir, last), "frontier_next")
             if man.get("next_frontier_rows", 0) > 0 and os.path.isdir(fpath):
-                frontier_ds = ray.data.read_parquet(fpath).materialize()
+                frontier_ds = ray.data.read_parquet(fpath)
+                frontier_rows = man["next_frontier_rows"]
             else:
                 frontier_ds = ray.data.from_arrow(frontier.slice(0, 0))
+                frontier_rows = 0
 
     try:
         for rnd in range(start_round, cfg.max_rounds):
-            frontier_rows = frontier_ds.count()
             if frontier_rows == 0:
                 break
             stats["rounds"] = rnd + 1
@@ -580,7 +737,8 @@ def run_crawl(
             _phase("admission")
 
             admitted = admission.filter(expr="action == 'admitted'")
-            # ---- fetch (bucketed corpus point join) -> parse -> sink ----
+            # ---- fetch (corpus point join | live-HTTP actor pool) ->
+            # parse -> sink ----
             parse_kwargs = dict(batch_format="pyarrow", batch_size=cfg.parse_batch_size)
             if cfg.parse_concurrency is not None:
                 parse_kwargs["concurrency"] = cfg.parse_concurrency
@@ -588,11 +746,27 @@ def run_crawl(
                 parse_kwargs["fn_constructor_args"] = (cfg,)
             else:
                 parse_fn = ParsePages(cfg)
-            (
-                admitted.groupby("bucket")
-                .map_groups(_fetch_group(corpus_dir), batch_format="pandas")
-                .map_batches(parse_fn, **parse_kwargs)
-                .write_parquet(os.path.join(rdir, "parsed"))
+            if cfg.fetch_mode == "http":
+                from ..sources.httpfetch import HttpFetcher
+
+                fetched_src = admitted.map_batches(
+                    HttpFetcher,
+                    fn_constructor_kwargs=dict(
+                        user_agent=cfg.user_agent,
+                        timeout_s=cfg.http_timeout_s,
+                        max_threads=cfg.http_threads,
+                    ),
+                    concurrency=cfg.http_concurrency,
+                    batch_size=64,
+                    num_cpus=0.25,  # I/O-bound: don't starve parse of cores
+                    batch_format="pyarrow",
+                )
+            else:
+                fetched_src = admitted.groupby("bucket").map_groups(
+                    _fetch_group(corpus_dir), batch_format="pandas"
+                )
+            fetched_src.map_batches(parse_fn, **parse_kwargs).write_parquet(
+                os.path.join(rdir, "parsed")
             )
             _phase("fetch_parse_write")
 
@@ -677,7 +851,7 @@ def run_crawl(
             if parsed_exists:
                 kids_src = ray.data.read_parquet(
                     os.path.join(rdir, "parsed"),
-                    columns=["seq", "url", "child_urls", "action"],
+                    columns=["seq", "url", "key_hash", "child_urls", "action"],
                 ).filter(expr="action == 'fetched'")
                 if seq_cutoff is not None:
                     kids_src = kids_src.filter(expr=f"seq <= {seq_cutoff}")
@@ -690,6 +864,7 @@ def run_crawl(
                         {
                             "seq": pa.array([], pa.int64()),
                             "url": pa.array([], pa.string()),
+                            "key_hash": pa.array([], pa.uint64()),
                             "child_urls": pa.array([], pa.list_(pa.string())),
                             "action": pa.array([], pa.string()),
                         }
@@ -718,55 +893,61 @@ def run_crawl(
                 break
 
             # ---- children: explode + deterministic seq assignment ----
-            # offsets: one int per fetched page this round (small, broadcast;
-            # vectorized — numpy argsort/cumsum over per-parent child counts)
-            _seq_chunks, _len_chunks = [], []
-            for b in kids_src.select_columns(["seq", "child_urls"]).iter_batches(
-                batch_format="pyarrow"
-            ):
-                _seq_chunks.append(b.column("seq").to_numpy(zero_copy_only=False))
-                _len_chunks.append(
-                    pc.fill_null(pc.list_value_length(b.column("child_urls")), 0)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-            if _seq_chunks:
-                pseq_arr = np.concatenate(_seq_chunks)
-                len_arr = np.concatenate(_len_chunks)
-                order = np.argsort(pseq_arr, kind="stable")
-                pseq_sorted = pseq_arr[order]
-                csum = np.cumsum(len_arr[order])
-                off_sorted = np.concatenate(([0], csum[:-1]))
-                acc = int(csum[-1])
-            else:
-                pseq_sorted = np.array([], dtype=np.int64)
-                off_sorted = np.array([], dtype=np.int64)
-                acc = 0
-            offsets_ref = ray.put((pseq_sorted, off_sorted))
+            cluster_cpus = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
             base_seq = next_seq
+            if committed <= cfg.offsets_driver_max:
+                # small/medium rounds: per-parent (seq, child-count) — two
+                # int64 per fetched page, computed DISTRIBUTED and pulled to
+                # the driver only for the prefix sum (numpy argsort/cumsum)
+                _seq_chunks, _len_chunks = [], []
+                for b in kids_src.map_batches(
+                    _counts_batch, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow"):
+                    _seq_chunks.append(b.column("seq").to_numpy(zero_copy_only=False))
+                    _len_chunks.append(b.column("n").to_numpy(zero_copy_only=False))
+                if _seq_chunks:
+                    pseq_arr = np.concatenate(_seq_chunks)
+                    len_arr = np.concatenate(_len_chunks)
+                    order = np.argsort(pseq_arr, kind="stable")
+                    pseq_sorted = pseq_arr[order]
+                    csum = np.cumsum(len_arr[order])
+                    off_sorted = np.concatenate(([0], csum[:-1]))
+                    acc = int(csum[-1])
+                else:
+                    pseq_sorted = np.array([], dtype=np.int64)
+                    off_sorted = np.array([], dtype=np.int64)
+                    acc = 0
+                offsets_ref = ray.put((pseq_sorted, off_sorted))
+
+                def explode_children(t: pa.Table, base=base_seq, oref=offsets_ref) -> pa.Table:
+                    pseq_sorted_, off_sorted_ = ray.get(oref)
+                    pseqs = t.column("seq").to_pylist()
+                    parents = t.column("url").to_pylist()
+                    kids = t.column("child_urls").to_pylist()
+                    seqs, urls, purls = [], [], []
+                    for pseq, purl, lst in zip(pseqs, parents, kids):
+                        o = int(off_sorted_[np.searchsorted(pseq_sorted_, pseq)])
+                        for ci, k in enumerate(lst or []):
+                            seqs.append(base + o + ci)
+                            urls.append(k)
+                            purls.append(purl)
+                    return pa.table(
+                        {
+                            "seq": pa.array(seqs, pa.int64()),
+                            "url": pa.array(urls, pa.string()),
+                            "parent_url": pa.array(purls, pa.string()),
+                        }
+                    )
+
+                children_ds = kids_src.map_batches(explode_children, batch_format="pyarrow")
+            else:
+                # huge rounds: fully distributed prefix sum + repartition
+                # join — the driver holds one row per BLOCK, never per page
+                children_ds, acc = _distributed_children(
+                    kids_src, base_seq, 4 * cluster_cpus
+                )
             next_seq += acc
 
-            def explode_children(t: pa.Table, base=base_seq, oref=offsets_ref) -> pa.Table:
-                pseq_sorted_, off_sorted_ = ray.get(oref)
-                pseqs = t.column("seq").to_pylist()
-                parents = t.column("url").to_pylist()
-                kids = t.column("child_urls").to_pylist()
-                seqs, urls, purls = [], [], []
-                for pseq, purl, lst in zip(pseqs, parents, kids):
-                    o = int(off_sorted_[np.searchsorted(pseq_sorted_, pseq)])
-                    for ci, k in enumerate(lst or []):
-                        seqs.append(base + o + ci)
-                        urls.append(k)
-                        purls.append(purl)
-                return pa.table(
-                    {
-                        "seq": pa.array(seqs, pa.int64()),
-                        "url": pa.array(urls, pa.string()),
-                        "parent_url": pa.array(purls, pa.string()),
-                    }
-                )
-
-            children_ds = kids_src.map_batches(explode_children, batch_format="pyarrow")
             deferred_ds = admission.filter(expr="action == 'deferred'").select_columns(
                 ["seq", "url", "parent_url"]
             )
@@ -776,25 +957,27 @@ def run_crawl(
             # block count = map-stage parallelism for the whole next round
             # (operators fuse onto these blocks), so it must track cluster
             # CPUs; the cap bounds sort-shuffle overhead on the control table
-            cluster_cpus = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
             nparts = max(
                 cfg.min_parallelism,
                 min(512, max(4 * cluster_cpus, acc // 100_000 + 1)),
             )
+            # materialized, nparts-balanced control table: next round's map
+            # parallelism = these blocks (measured faster than writing the
+            # frontier and re-reading it lazily — admission then streams from
+            # the object store, not from many tiny parquet files)
             frontier_ds = deferred_ds.union(children_ds).repartition(nparts).materialize()
-            next_rows = frontier_ds.count()
+            next_rows = frontier_ds.count()  # metadata-only on materialized ds
             if cfg.frontier_cap is not None and next_rows > cfg.frontier_cap:
                 # reference artifact, opt-in: bounded frontier drops the
                 # highest-seq (latest-enqueued) children, approximating the
                 # queue-full silent drop (src/utils/utils.go:192-194)
-                frontier_ds = (
-                    frontier_ds.sort("seq").limit(cfg.frontier_cap).materialize()
-                )
+                frontier_ds = frontier_ds.sort("seq").limit(cfg.frontier_cap).materialize()
                 next_rows = cfg.frontier_cap
             if next_rows > 0:
                 # frontier checkpoint: with the manifest this makes the round
                 # the unit of resume (see run_crawl resume=True)
                 frontier_ds.write_parquet(os.path.join(rdir, "frontier_next"))
+            frontier_rows = next_rows
             _phase("next_frontier")
             stats["frontier_total"] += acc
 
@@ -867,21 +1050,30 @@ def _round_cutoffs(out_dir: str) -> dict[int, int]:
     return cuts
 
 
-def _parsed_split(out_dir: str) -> tuple[list[str], list[tuple[list[str], int]]]:
-    """Parsed files split into (uncut files, [(cut-round files, cutoff)])."""
+def _parsed_rounds(out_dir: str) -> list[tuple[int, list[str], int | None]]:
+    """[(round, parquet files, seq_cutoff | None)] for every round with data."""
     cuts = _round_cutoffs(out_dir)
-    plain: list[str] = []
-    cut: list[tuple[list[str], int]] = []
+    out: list[tuple[int, list[str], int | None]] = []
+    if not os.path.isdir(out_dir):
+        return out
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d, "parsed")
         if not (d.startswith("round=") and os.path.isdir(p)):
             continue
         rnd = int(d.split("=")[1])
         fl = [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
-        if not fl:
-            continue
-        if rnd in cuts:
-            cut.append((fl, cuts[rnd]))
+        if fl:
+            out.append((rnd, fl, cuts.get(rnd)))
+    return out
+
+
+def _parsed_split(out_dir: str) -> tuple[list[str], list[tuple[list[str], int]]]:
+    """Parsed files split into (uncut files, [(cut-round files, cutoff)])."""
+    plain: list[str] = []
+    cut: list[tuple[list[str], int]] = []
+    for rnd, fl, cutoff in _parsed_rounds(out_dir):
+        if cutoff is not None:
+            cut.append((fl, cutoff))
         else:
             plain.extend(fl)
     return plain, cut
@@ -918,25 +1110,108 @@ def _read_parsed_fetched(out_dir: str, columns: list[str]) -> "ray.data.Dataset 
     return ds
 
 
-def read_documents(out_dir: str) -> "ray.data.Dataset":
-    """documents sink (↔ InsertDocument projection, common.go:44-54)."""
-    ds = _read_parsed_fetched(out_dir, DOC_COLUMNS)
-    if ds is None:  # a crawl can legitimately fetch nothing (all seeds denied)
-        return _empty_ds(
-            pa.schema(
-                [("url", pa.string()), ("parent_url", pa.string()),
-                 ("content_type", pa.string()), ("status_code", pa.int16()),
-                 ("content", pa.string()), ("meta_icon_link", pa.string()),
-                 ("meta_site_name", pa.string()), ("meta_title", pa.string()),
-                 ("meta_description", pa.string())]
-            )
-        )
+def _read_parsed_runs(out_dirs: list[str], columns: list[str]):
+    """Fetched parsed rows across a SEQUENCE of runs, with (run_i, rnd)
+    provenance columns attached (run order = list order).  None if no data."""
+    parts = []
+    for ri, d in enumerate(out_dirs):
+        for rnd, fl, cutoff in _parsed_rounds(d):
+            cols = columns + ["action"] + (["seq"] if "seq" not in columns else [])
+            ds = ray.data.read_parquet(fl, columns=cols).filter(expr="action == 'fetched'")
+            if cutoff is not None:
+                ds = ds.filter(expr=f"seq <= {cutoff}")
+
+            def tag(t: pa.Table, ri=ri, rnd=rnd) -> pa.Table:
+                return t.select(columns + (["seq"] if "seq" not in columns else [])).append_column(
+                    "run_i", pa.array([ri] * t.num_rows, pa.int32())
+                ).append_column("rnd", pa.array([rnd] * t.num_rows, pa.int32()))
+
+            parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+    if not parts:
+        return None
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
     return ds
 
 
-def read_words(out_dir: str) -> "ray.data.Dataset":
-    """words sink (↔ Word rows, db.go:71-79): explode the per-doc word lists."""
-    ds = _read_parsed_fetched(out_dir, ["url", "words_w", "words_f"])
+def _last_wins(ds, out_columns: list[str], num_groups: int = 256):
+    """Upsert-on-read: keep the NEWEST (run_i, rnd, seq) row per url — the
+    read-side equivalent of the reference's couchbase Upsert keyed on url
+    (src/db/db.go:64,73), where a re-crawl's row replaces the earlier one.
+    Coarse url-hash groups keep the groupby wide and vectorized."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ug = [xxhash64(u) % num_groups for u in t.column("url").to_pylist()]
+        return t.append_column("ug", pa.array(ug, pa.int32()))
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["url", "run_i", "rnd", "seq"]).drop_duplicates(
+            "url", keep="last"
+        )
+        return pa.Table.from_pandas(df[out_columns], preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ug")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+_DOCS_SCHEMA = pa.schema(
+    [("url", pa.string()), ("parent_url", pa.string()),
+     ("content_type", pa.string()), ("status_code", pa.int16()),
+     ("content", pa.string()), ("meta_icon_link", pa.string()),
+     ("meta_site_name", pa.string()), ("meta_title", pa.string()),
+     ("meta_description", pa.string())]
+)
+
+
+def read_documents(out_dir: str | list[str], dedup: str | None = None) -> "ray.data.Dataset":
+    """documents sink (↔ InsertDocument projection, common.go:44-54).
+
+    ``out_dir`` may be a list of run directories (run order = list order).
+    ``dedup="last"`` applies the reference's upsert semantics at read time:
+    one row per url, the newest (run, round, seq) wins — re-running a crawl
+    over the same corpus then reading both runs behaves like the couchbase
+    Upsert (db.go:64).  Default (None) is raw append across runs."""
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
+    if dedup == "last":
+        ds = _read_parsed_runs(dirs, DOC_COLUMNS)
+        if ds is None:
+            return _empty_ds(_DOCS_SCHEMA)
+        return _last_wins(ds, DOC_COLUMNS)
+    if dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r} (None or 'last')")
+    parts = [p for p in (_read_parsed_fetched(d, DOC_COLUMNS) for d in dirs) if p is not None]
+    if not parts:  # a crawl can legitimately fetch nothing (all seeds denied)
+        return _empty_ds(_DOCS_SCHEMA)
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds
+
+
+def read_words(out_dir: str | list[str], dedup: str | None = None) -> "ray.data.Dataset":
+    """words sink (↔ Word rows, db.go:71-79): explode the per-doc word lists.
+    ``dedup="last"`` keeps only the newest run/round's words per url — the
+    reference's InsertWords upsert (db.go:73) replaces a url's whole word
+    list on re-crawl."""
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
+    cols = ["url", "words_w", "words_f"]
+    if dedup == "last":
+        ds = _read_parsed_runs(dirs, cols)
+        ds = _last_wins(ds, cols) if ds is not None else None
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r} (None or 'last')")
+    else:
+        parts = [p for p in (_read_parsed_fetched(d, cols) for d in dirs) if p is not None]
+        if parts:
+            ds = parts[0]
+            for p in parts[1:]:
+                ds = ds.union(p)
+        else:
+            ds = None
     if ds is None:
         return _empty_ds(
             pa.schema(

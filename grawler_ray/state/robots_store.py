@@ -35,11 +35,15 @@ class RobotsShard:
         now_us: int,
         ttl_days: int,
         initial: dict[str, tuple[str, int]] | None = None,
+        fetch_mode: str = "corpus",
+        http_timeout_s: float = 10.0,
     ):
         self.corpus_dir = corpus_dir
         self.num_buckets = num_buckets
         self.user_agent = user_agent
         self.now_us = now_us
+        self.fetch_mode = fetch_mode
+        self.http_timeout_s = http_timeout_s
         self.ttl_us = ttl_days * 86_400_000_000
         # host -> (body, ts_us) | None = known-missing (negative cache)
         self.cache: dict[str, tuple[str, int] | None] = dict(initial or {})
@@ -51,7 +55,13 @@ class RobotsShard:
         self.denied: set[str] = set()
 
     def _fetch_robots(self, base_url: str) -> tuple[str, int] | None:
-        """Point lookup of {base}/robots.txt in the bucketed corpus."""
+        """{base}/robots.txt — point lookup in the bucketed corpus, or a live
+        HTTP GET in fetch_mode="http" (S3 live mode)."""
+        if self.fetch_mode == "http":
+            from ..sources.httpfetch import fetch_robots_http
+
+            body = fetch_robots_http(base_url, self.user_agent, self.http_timeout_s)
+            return None if body is None else (body, self.now_us)
         url = f"{base_url}/robots.txt"
         bucket = xxhash64(url) % self.num_buckets
         path = os.path.join(self.corpus_dir, f"bucket={bucket}")

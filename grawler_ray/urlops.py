@@ -203,10 +203,17 @@ def canonical_url(url: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# xxhash64 — pure-Python implementation of the public XXH64 algorithm
-# (https://github.com/Cyan4973/xxHash, public domain spec).  Used to key the
-# sharded seen-set (north rule: "canonicalized + xxhash64 URLs").
+# xxhash64 — XXH64 (https://github.com/Cyan4973/xxHash, public domain spec).
+# Used to key the sharded seen-set (north rule: "canonicalized + xxhash64
+# URLs").  The C `xxhash` wheel is used when installed (cluster images);
+# this container lacks it, so a pure-Python implementation of the public
+# algorithm is the fallback — bit-identical outputs (tests/test_urlops.py).
 # ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - exercised only where the wheel exists
+    from xxhash import xxh64_intdigest as _xxh64_c
+except ImportError:
+    _xxh64_c = None
 
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
@@ -233,6 +240,12 @@ def _merge_round(acc: int, val: int) -> int:
 def xxhash64(data: bytes | str, seed: int = 0) -> int:
     if isinstance(data, str):
         data = data.encode("utf-8")
+    if _xxh64_c is not None:
+        return _xxh64_c(data, seed)
+    return _xxhash64_py(data, seed)
+
+
+def _xxhash64_py(data: bytes, seed: int = 0) -> int:
     n = len(data)
     if n >= 32:
         v1 = (seed + _P1 + _P2) & _M64

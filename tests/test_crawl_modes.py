@@ -156,6 +156,19 @@ def test_resume_after_mid_round_crash(ray_session, corpus_fixture):
     assert not words.duplicated(["parent_url", "word"]).any()
 
 
+def test_distributed_child_offsets(ray_session, corpus_fixture):
+    """offsets_driver_max=0 forces the distributed prefix-sum + repartition
+    join for child-seq assignment; seq numbering is the invariant, so full
+    trace equality against the oracle proves it exact."""
+    out = "/tmp/gr_modes_distoff"
+    seeds = seed_urls(N_HOSTS, 3)
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds, offsets_driver_max=0
+    )
+    assert stats["fetched"] == len(oracle.documents) > 0
+    _assert_conformance(out, oracle)
+
+
 def test_max_urls_manifest_cutoff_written(ray_session, corpus_fixture):
     out = "/tmp/gr_modes_maxurls"
     mans = sorted(glob.glob(os.path.join(out, "round=*", "manifest.json")))
