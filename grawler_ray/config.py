@@ -39,6 +39,7 @@ class CrawlConfig:
     max_urls: int | None = None
 
     # physical execution
+    admission_mode: str = "grouped"  # "grouped" (one politeness group per host) | "skew" (hot-host-safe: global key dedup + local top-quota prefilter; identical trace, tested)
     fetch_mode: str = "corpus"       # "corpus" (bucketed-parquet point join) | "http" (live fetch, S3 utils.go:22-45)
     http_concurrency: int = 4        # HttpFetcher actor-pool size (http mode)
     http_timeout_s: float = 10.0

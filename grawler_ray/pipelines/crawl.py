@@ -216,6 +216,61 @@ def _admission_group(cfg: CrawlConfig):
     return fn
 
 
+def _dedup_tag_batch(num_groups: int = 512):
+    """Coarse hash of seen_key — the shuffle key for the skew-mode global
+    first-wins dedup (exact-key groups would be millions of singletons)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        kg = [xxhash64(k) % num_groups for k in t.column("seen_key").to_pylist()]
+        return t.append_column("kg", pa.array(kg, pa.int32()))
+
+    return fn
+
+
+def _dedup_group() -> "callable":
+    """groupby(kg): intra-round first-wins dedup on seen_key (equal keys
+    share kg by construction).  Exactly the oracle's attempted_this_round
+    semantics: the first PENDING occurrence (lowest seq) claims the key, all
+    later ones dup-drop — regardless of what later stages do with the
+    first."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq")
+        pending = df["action"] == ACTION_PENDING
+        dup = pending & df["seen_key"].duplicated(keep="first")
+        df.loc[dup, "action"] = "dup-drop"
+        return df
+
+    return fn
+
+
+def _local_quota_batch(cfg: CrawlConfig):
+    """Skew prefilter: a pending row with >= per_host_quota lower-seq pending
+    same-host rows IN ITS OWN BATCH already has >= quota earlier rows
+    globally, so its politeness outcome is 'deferred' no matter what — label
+    it here and never ship it to the host group.  Survivors (<= quota per
+    host per batch) are marked cand=1; only they enter the per-host quota
+    groupby, so a hot host contributes quota x num_batches candidate rows
+    instead of its whole frontier (the straggler the north rule's
+    'skew-aware repartitioning of hot domains' is about)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq")
+        pending = df["action"] == ACTION_PENDING
+        cand = np.zeros(len(df), dtype=np.int8)
+        if pending.any():
+            sub = df.loc[pending]
+            rank = sub.groupby("host", sort=False).cumcount()
+            is_cand = rank < cfg.per_host_quota
+            cand[np.flatnonzero(pending.to_numpy())] = is_cand.to_numpy().astype(np.int8)
+            over_idx = sub.index[~is_cand]
+            df.loc[over_idx, "action"] = "deferred"
+        df["cand"] = cand
+        return df
+
+    return fn
+
+
 def _robots_gate_batch(robots_actors, cfg: CrawlConfig):
     """T3 robots gate, batched per shard (VERDICT r1 item 6): rows marked
     ``robots-wait`` are routed to their host's robots shard — one
@@ -726,14 +781,40 @@ def run_crawl(
 
             # ---- admission: prepare -> seen test -> dedup+politeness ->
             # batched robots gate ----
-            admission = (
-                frontier_ds.map_batches(_prepare_batch(cfg), batch_format="pyarrow")
-                .map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pyarrow")
-                .groupby("group_host")
-                .map_groups(_admission_group(cfg), batch_format="pandas")
-                .map_batches(_robots_gate_batch(robots_actors, cfg), batch_format="pyarrow")
-                .materialize()
-            )
+            prepared = frontier_ds.map_batches(
+                _prepare_batch(cfg), batch_format="pyarrow"
+            ).map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pyarrow")
+            if cfg.admission_mode == "skew":
+                # skew-aware path (north rule: hot domains must not become
+                # one straggler group): global first-wins dedup on a coarse
+                # seen_key hash, then a per-batch local top-quota prefilter
+                # labels everything beyond the quota 'deferred' WITHOUT
+                # shuffling it by host — only <= quota x num_batches
+                # candidate rows per host reach the per-host quota group.
+                base = (
+                    prepared.map_batches(_dedup_tag_batch(), batch_format="pyarrow")
+                    .groupby("kg")
+                    .map_groups(_dedup_group(), batch_format="pandas")
+                    .map_batches(_local_quota_batch(cfg), batch_format="pandas")
+                    .materialize()
+                )
+                cand_part = (
+                    base.filter(expr="cand == 1")
+                    .groupby("group_host")
+                    .map_groups(_admission_group(cfg), batch_format="pandas")
+                )
+                admission = (
+                    cand_part.union(base.filter(expr="cand == 0"))
+                    .map_batches(_robots_gate_batch(robots_actors, cfg), batch_format="pyarrow")
+                    .materialize()
+                )
+            else:
+                admission = (
+                    prepared.groupby("group_host")
+                    .map_groups(_admission_group(cfg), batch_format="pandas")
+                    .map_batches(_robots_gate_batch(robots_actors, cfg), batch_format="pyarrow")
+                    .materialize()
+                )
             _phase("admission")
 
             admitted = admission.filter(expr="action == 'admitted'")

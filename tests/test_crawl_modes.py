@@ -169,6 +169,24 @@ def test_distributed_child_offsets(ray_session, corpus_fixture):
     _assert_conformance(out, oracle)
 
 
+def test_skew_admission_mode(ray_session, corpus_fixture):
+    """admission_mode='skew' (hot-host-safe dedup + local top-quota
+    prefilter) must produce the exact same trace as the grouped path —
+    the standard fixture exercises dup-drop, deferred AND quota churn."""
+    out = "/tmp/gr_modes_skew"
+    # duplicate seeds + a burst of one host's pages: dedup + hot-host quota
+    seeds = seed_urls(N_HOSTS, 3)
+    from grawler_ray.sources.corpus import page_url
+
+    seeds = seeds + [seeds[0]] + [page_url(0, p) for p in range(8)]
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds, admission_mode="skew"
+    )
+    acts = {t["action"] for t in oracle.trace}
+    assert {"dup-drop", "deferred"} <= acts
+    _assert_conformance(out, oracle)
+
+
 def test_max_urls_manifest_cutoff_written(ray_session, corpus_fixture):
     out = "/tmp/gr_modes_maxurls"
     mans = sorted(glob.glob(os.path.join(out, "round=*", "manifest.json")))
