@@ -184,6 +184,30 @@ def _politeness_slots(sf_dir: str, quota: int = 4):
     return _read(sf_dir, "events").groupby("user_id").map_groups(slots, batch_format="pandas")
 
 
+def _sessionize(sf_dir: str):
+    from grawler_ray.functions.events import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30)
+
+
+def _rolling_sum(sf_dir: str):
+    from grawler_ray.functions.events import rolling_sum
+
+    return rolling_sum(_read(sf_dir, "events"), window=4)
+
+
+def _events_hourly(sf_dir: str):
+    from grawler_ray.functions.events import hourly_agg
+
+    return hourly_agg(_read(sf_dir, "events"))
+
+
+def _events_json(sf_dir: str):
+    from grawler_ray.functions.events import json_prop
+
+    return json_prop(_read(sf_dir, "events"), key="k")
+
+
 def _q1_agg(sf_dir: str):
     """TPC-H Q1-style aggregate with exact integer-scaled sums (no float
     accumulation => bit-identical to the SQL oracle)."""
@@ -398,6 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": _lang_count,
         "top_words": _top_words,
         "events_first": _events_first,
+        "sessionize": _sessionize,
+        "rolling_sum": _rolling_sum,
+        "events_hourly": _events_hourly,
+        "events_json": _events_json,
         "politeness_slots": _politeness_slots,
         "q1_agg": _q1_agg,
         "orders_by_nation": _orders_by_nation,
@@ -471,6 +499,37 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts, event_id) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   (sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT
+                     AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "rolling_sum": """
+            SELECT event_id, user_id,
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT
+                     AS roll_cents
+            FROM events
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+            FROM events GROUP BY event_type, hour
+        """,
+        "events_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "politeness_slots": """
             SELECT event_id, user_id, slot, slot < 4 AS admitted

@@ -1,0 +1,66 @@
+"""Event-stream operators: sessionize gap edges, rolling window math,
+hourly buckets, JSON extraction nulls."""
+
+import datetime as dt
+
+import pytest
+
+
+def _events(ray_session):
+    import ray.data
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 40min between e2 and e3)
+        {"event_id": 1, "user_id": 1, "ts": t0, "event_type": "view", "value": 1.0, "props": '{"k": 5}'},
+        {"event_id": 2, "user_id": 1, "ts": t0 + dt.timedelta(minutes=10), "event_type": "click", "value": 2.005, "props": '{"k": 6}'},
+        {"event_id": 3, "user_id": 1, "ts": t0 + dt.timedelta(minutes=50), "event_type": "view", "value": 3.0, "props": "{}"},
+        # user 2: one event, bad json
+        {"event_id": 4, "user_id": 2, "ts": t0 + dt.timedelta(hours=2), "event_type": "view", "value": 0.4, "props": "not json"},
+        # user 1: exactly-at-gap boundary (30min after e3 -> same session)
+        {"event_id": 5, "user_id": 1, "ts": t0 + dt.timedelta(minutes=80), "event_type": "view", "value": 4.0, "props": '{"k": null}'},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_sessionize(ray_session):
+    from grawler_ray.functions.events import sessionize
+
+    out = sessionize(_events(ray_session), gap_minutes=30).to_pandas()
+    sess = dict(zip(out.event_id, out.session_id))
+    assert sess[1] == 0 and sess[2] == 0          # 10min gap: same session
+    assert sess[3] == 1                            # 40min gap: new session
+    assert sess[5] == 1                            # exactly 30min: NOT > gap
+    assert sess[4] == 0                            # other user starts at 0
+
+
+def test_rolling_sum(ray_session):
+    from grawler_ray.functions.events import rolling_sum
+
+    out = rolling_sum(_events(ray_session), window=2).to_pandas()
+    roll = dict(zip(out.event_id, out.roll_cents))
+    assert roll[1] == 100
+    assert roll[2] == 100 + 201  # 2.005 -> 201 cents (floor(x*100+0.5))
+    assert roll[3] == 201 + 300  # window=2: only previous + current
+    assert roll[4] == 40
+
+
+def test_hourly_agg(ray_session):
+    from grawler_ray.functions.events import hourly_agg
+
+    out = hourly_agg(_events(ray_session)).to_pandas()
+    h0 = dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp() // 3600
+    views_h1 = out[(out.event_type == "view") & (out.hour == int(h0) + 1)]
+    assert views_h1.n.iloc[0] == 1 and views_h1.sum_cents.iloc[0] == 400
+
+
+def test_json_prop(ray_session):
+    from grawler_ray.functions.events import json_prop
+
+    out = json_prop(_events(ray_session), key="k").to_pandas()
+    k = dict(zip(out.event_id, out.k))
+    assert k[1] == 5 and k[2] == 6
+    assert all(k[i] is None or k[i] != k[i] for i in (3, 4, 5)) or True
+    import pandas as pd
+
+    assert pd.isna(k[3]) and pd.isna(k[4]) and pd.isna(k[5])
