@@ -442,37 +442,67 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3, num_blocks:
         )
 
     def pair_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("doc_id")
+        # Posting-list intersection counting: work is proportional to the
+        # ACTUAL shingle co-occurrences (sum of df² per shingle), not the
+        # dense n x vocab x n matmul — zero-overlap pairs (the vast
+        # majority) are never touched; they can only qualify via the
+        # both-empty jaccard=1.0 special case, handled explicitly.
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
         g = int(df["g"].iloc[0])
         i, j = g // B, g % B
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        shs = [shingles(x, k) for x in df["text"]]
-        vocab: dict[int, int] = {}
-        for s in shs:
-            for h in s:
-                vocab.setdefault(h, len(vocab))
-        M = np.zeros((len(ids), max(len(vocab), 1)), dtype=np.float32)
-        for r, s in enumerate(shs):
-            for h in s:
-                M[r, vocab[h]] = 1.0
-        sizes = M.sum(axis=1)
-        if i == j:
-            sel = np.nonzero(ids % B == i)[0]
-            inter = M[sel] @ M[sel].T
-            u = sizes[sel][:, None] + sizes[sel][None, :] - inter
-            with np.errstate(invalid="ignore", divide="ignore"):
-                jac = np.where(u > 0, inter / u, 1.0)  # both empty => 1.0
-            ai, bi = np.nonzero(np.triu(jac, 1) >= threshold)
-            a, b = ids[sel][ai], ids[sel][bi]
+        n = len(ids)
+        shs = [np.fromiter(shingles(x, k), dtype=np.uint64) for x in df["text"]]
+        sizes = np.array([len(s) for s in shs], dtype=np.int64)
+        blocks = ids % B
+
+        def _valid(ai: np.ndarray, bi: np.ndarray) -> np.ndarray:
+            if i == j:
+                return np.ones(len(ai), dtype=bool)
+            return blocks[ai] != blocks[bi]  # cross-block pairs only
+
+        # inverted index: (shingle, doc_idx) sorted by shingle; equal-shingle
+        # runs emit all doc pairs of that run
+        if sizes.sum() > 0:
+            all_h = np.concatenate([s for s in shs if len(s)])
+            all_d = np.concatenate(
+                [np.full(len(s), di, dtype=np.int64) for di, s in enumerate(shs) if len(s)]
+            )
+            order = np.argsort(all_h, kind="stable")
+            all_h, all_d = all_h[order], all_d[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(all_h) != 0) + 1, [len(all_h)])
+            )
+            packed: list[np.ndarray] = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                if e - s < 2:
+                    continue
+                d = np.sort(all_d[s:e])
+                ai, bi = np.triu_indices(len(d), k=1)
+                packed.append(d[ai] * n + d[bi])
+            if packed:
+                keys, inter = np.unique(np.concatenate(packed), return_counts=True)
+                ai, bi = keys // n, keys % n
+                keep = _valid(ai, bi)
+                ai, bi, inter = ai[keep], bi[keep], inter[keep]
+                u = sizes[ai] + sizes[bi] - inter
+                jac_keep = inter.astype(np.float64) / np.maximum(u, 1) >= threshold
+                ai, bi = ai[jac_keep], bi[jac_keep]
+            else:
+                ai = bi = np.array([], dtype=np.int64)
         else:
-            sa = np.nonzero(ids % B == i)[0]
-            sb = np.nonzero(ids % B == j)[0]
-            inter = M[sa] @ M[sb].T
-            u = sizes[sa][:, None] + sizes[sb][None, :] - inter
-            with np.errstate(invalid="ignore", divide="ignore"):
-                jac = np.where(u > 0, inter / u, 1.0)
-            ai, bi = np.nonzero(jac >= threshold)
-            a, b = ids[sa][ai], ids[sb][bi]
+            ai = bi = np.array([], dtype=np.int64)
+
+        # both-empty docs: jaccard 1.0 by definition
+        empties = np.flatnonzero(sizes == 0)
+        if len(empties) >= 2 and threshold <= 1.0:
+            ea, eb = np.triu_indices(len(empties), k=1)
+            ea, eb = empties[ea], empties[eb]
+            keep = _valid(ea, eb)
+            ai = np.concatenate([ai, ea[keep]])
+            bi = np.concatenate([bi, eb[keep]])
+
+        a, b = ids[ai], ids[bi]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"a": lo.astype(np.int64), "b": hi.astype(np.int64)})
 

@@ -771,13 +771,33 @@ def run_crawl(
             # re-read as duplicate rows — delete before (re)writing
             shutil.rmtree(rdir, ignore_errors=True)
             _pt = time.monotonic()
+            round_phases: dict[str, float] = {}
 
             def _phase(name: str) -> None:
                 nonlocal _pt
                 now = time.monotonic()
                 stats.setdefault("phase_sec", {})
                 stats["phase_sec"][name] = stats["phase_sec"].get(name, 0.0) + (now - _pt)
+                round_phases[name] = round(round_phases.get(name, 0.0) + (now - _pt), 3)
                 _pt = now
+
+            def _lineage() -> dict:
+                """Per-round metrics + per-partition lineage for the manifest
+                (north rule): the sink files (= output partitions) with their
+                footer row counts, and this round's phase timings."""
+                parsed_dir = os.path.join(rdir, "parsed")
+                files = {}
+                if os.path.isdir(parsed_dir):
+                    for f in sorted(os.listdir(parsed_dir)):
+                        if f.endswith(".parquet"):
+                            files[f] = pq.ParquetFile(
+                                os.path.join(parsed_dir, f)
+                            ).metadata.num_rows
+                return {
+                    "phase_sec": round_phases,
+                    "parsed_partitions": files,
+                    "parsed_rows": sum(files.values()),
+                }
 
             # ---- admission: prepare -> seen test -> dedup+politeness ->
             # batched robots gate ----
@@ -968,6 +988,7 @@ def run_crawl(
                             "next_seq": next_seq,
                             "seq_cutoff": seq_cutoff,
                             "complete": True,
+                            **_lineage(),
                         },
                         f,
                     )
@@ -1071,6 +1092,7 @@ def run_crawl(
                         "next_seq": next_seq,
                         "seq_cutoff": None,
                         "complete": True,
+                        **_lineage(),
                     },
                     f,
                 )
