@@ -399,6 +399,16 @@ def _crawl_documents(sf_dir: str):
     return read_documents(_ensure_crawl())
 
 
+def _crawl_documents_upsert(sf_dir: str):
+    """Last-wins upsert read over a run sequence (db.go:64 semantics); the
+    two-run divergence case is covered by tests/test_last_wins.py — here the
+    same run twice exercises the provenance + groupby path deterministically."""
+    from grawler_ray.pipelines.crawl import read_documents
+
+    out = _ensure_crawl()
+    return read_documents([out, out], dedup="last")
+
+
 def _crawl_words(sf_dir: str):
     from grawler_ray.pipelines.crawl import read_words
 
@@ -445,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "lsh_buckets": _lsh_buckets,
         "crawl_documents": _crawl_documents,
+        "crawl_documents_upsert": _crawl_documents_upsert,
         "crawl_words": _crawl_words,
         "crawl_trace": _crawl_trace,
     }

@@ -110,6 +110,7 @@ def run_subqueries() -> dict[str, float]:
         "orders_by_nation", "lineitem_join_orders", "politeness_slots",
         "ann_topk", "ann_lsh_topk", "minhash_pairs", "simhash",
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
+        "sessionize", "rolling_sum", "events_hourly",
     ]
     import ray.data
 

@@ -1345,6 +1345,48 @@ def read_words(out_dir: str | list[str], dedup: str | None = None) -> "ray.data.
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def crawl_report(out_dir: str) -> dict:
+    """Read-side metrics: per-round manifests (row counts, partition lineage,
+    phase timings, cutoffs) plus per-round action tallies when a trace was
+    written.  Pure checkpoint reads — no recomputation, callable on a live
+    or crashed out_dir."""
+    rounds = []
+    total_rows = 0
+    for d in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if not d.startswith("round="):
+            continue
+        rd = os.path.join(out_dir, d)
+        m = os.path.join(rd, "manifest.json")
+        entry: dict = {"round": int(d.split("=")[1]), "complete": False}
+        if os.path.exists(m):
+            with open(m) as f:
+                entry.update(json.load(f))
+        entry["partitions"] = len(entry.pop("parsed_partitions", {}) or {})
+        total_rows += entry.get("parsed_rows", 0) or 0
+        tdirs = [os.path.join(rd, "trace"), os.path.join(rd, "trace_parse")]
+        tfiles = [
+            os.path.join(td, f)
+            for td in tdirs
+            if os.path.isdir(td)
+            for f in sorted(os.listdir(td))
+            if f.endswith(".parquet")
+        ]
+        if tfiles:
+            actions: dict[str, int] = {}
+            for f in tfiles:
+                t = pq.read_table(f, columns=["action"])
+                for a, n in zip(*np.unique(t.column("action").to_numpy(zero_copy_only=False), return_counts=True)):
+                    actions[str(a)] = actions.get(str(a), 0) + int(n)
+            entry["actions"] = actions
+        rounds.append(entry)
+    return {
+        "rounds": rounds,
+        "num_rounds": len(rounds),
+        "complete_rounds": sum(1 for r in rounds if r.get("complete")),
+        "parsed_rows_total": total_rows,
+    }
+
+
 def read_trace(out_dir: str) -> "ray.data.Dataset":
     """crawl trace (FIXTURES.md §4): all actions, ordered by (round, seq)."""
     files = _round_files(out_dir, "trace") + _round_files(out_dir, "trace_parse")

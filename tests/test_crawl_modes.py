@@ -194,3 +194,20 @@ def test_max_urls_manifest_cutoff_written(ray_session, corpus_fixture):
     with open(mans[-1]) as f:
         last = json.load(f)
     assert last["seq_cutoff"] is not None
+
+
+def test_crawl_report(ray_session, corpus_fixture):
+    """crawl_report: read-side per-round metrics from manifests + trace."""
+    from grawler_ray.pipelines.crawl import crawl_report
+
+    out = "/tmp/gr_modes_maxurls"  # produced by test_max_urls_budget
+    rep = crawl_report(out)
+    assert rep["complete_rounds"] == rep["num_rounds"] > 0
+    last = rep["rounds"][-1]
+    assert last["seq_cutoff"] is not None
+    assert last["partitions"] > 0 and last["parsed_rows"] > 0
+    assert "fetch_parse_write" in last["phase_sec"]
+    assert last["actions"]["fetched"] > 0  # trace-derived tallies
+    assert rep["parsed_rows_total"] >= sum(
+        r.get("admitted_rows", 0) for r in rep["rounds"]
+    )

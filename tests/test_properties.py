@@ -120,3 +120,52 @@ def test_oracle_deterministic(web):
     b = run_oracle(pages, seeds, cfg, {})
     assert a.trace == b.trace
     assert a.documents == b.documents
+
+
+# --- round-2 kernels -------------------------------------------------------
+
+words_text = st.text(
+    alphabet=string.ascii_lowercase + string.ascii_uppercase + string.digits + " .,\n",
+    max_size=300,
+)
+
+
+@given(words_text)
+@settings(max_examples=100, deadline=None)
+def test_shingles_deterministic_and_64bit(text):
+    from grawler_ray.functions.dedup import shingles
+
+    s1, s2 = shingles(text), shingles(text)
+    assert s1 == s2
+    assert all(0 <= h < (1 << 64) for h in s1)
+
+
+@given(words_text, words_text)
+@settings(max_examples=60, deadline=None)
+def test_jaccard_symmetric_bounded(t1, t2):
+    from grawler_ray.functions.dedup import jaccard, shingles
+
+    a, b = shingles(t1), shingles(t2)
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == jaccard(b, a)
+    assert jaccard(a, a) == 1.0
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_pdf_literal_escape_roundtrip_never_crashes(raw):
+    """The PDF string decoder must accept arbitrary escape garbage."""
+    from grawler_ray.functions.pdf import _decode_hex, _decode_literal
+
+    _decode_literal(raw)
+    _decode_hex(raw)
+
+
+@given(st.binary(max_size=500))
+@settings(max_examples=60, deadline=None)
+def test_pdf_extract_never_crashes(raw):
+    from grawler_ray.functions.pdf import extract_pdf_text
+
+    out = extract_pdf_text(b"%PDF-1.4\n" + raw)
+    assert isinstance(out, str)
