@@ -120,7 +120,10 @@ def run_oracle(
                 continue
             host_slots[host] = slot + 1
             # 4. urlAllowed (crawler.go:137)
-            if not url_allowed(scheme, host, path) or host in cfg.blocked_hosts:
+            if (
+                not url_allowed(scheme, host, path, cfg.allowed_schemes, cfg.blocked_paths)
+                or host in cfg.blocked_hosts
+            ):
                 trace(seq, url, parent, "scheme-drop")
                 continue
             # 5. robots (crawler.go:142)

@@ -206,7 +206,10 @@ def _admission_group(cfg: CrawlConfig):
                 actions[i] = "deferred"
                 continue
             host_slots[h] = slot + 1
-            if not url_allowed(schemes[i], h, paths[i]) or h in blocked:
+            if (
+                not url_allowed(schemes[i], h, paths[i], cfg.allowed_schemes, cfg.blocked_paths)
+                or h in blocked
+            ):
                 actions[i] = "scheme-drop"
             else:
                 actions[i] = "robots-wait"

@@ -147,12 +147,20 @@ def extract_url_components(link: str) -> tuple[str, str, str]:
     return scheme, host, path
 
 
-def url_allowed(scheme: str, host: str, path: str) -> bool:
-    """urlAllowed (src/crawler.go:204-220): scheme in {http,https}, host not in
-    the (empty) blocklist, path != /robots.txt."""
-    if scheme not in ("http", "https"):
+def url_allowed(
+    scheme: str,
+    host: str,
+    path: str,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
+    blocked_paths: tuple[str, ...] = ("/robots.txt",),
+) -> bool:
+    """urlAllowed (src/crawler.go:204-220): scheme allow-list, (empty) host
+    blocklist is the caller's job, path blocklist.  The reference hardwires
+    the literals; they are config here (CrawlConfig.allowed_schemes /
+    blocked_paths) with the reference values as defaults."""
+    if scheme not in allowed_schemes:
         return False
-    if path == "/robots.txt":
+    if path in blocked_paths:
         return False
     return True
 

@@ -211,3 +211,23 @@ def test_crawl_report(ray_session, corpus_fixture):
     assert rep["parsed_rows_total"] >= sum(
         r.get("admitted_rows", 0) for r in rep["rounds"]
     )
+
+
+def test_blocked_paths_and_schemes_config(ray_session, corpus_fixture):
+    """cfg.blocked_paths / allowed_schemes are honored identically by the
+    pipeline and the oracle (they were hardwired reference literals)."""
+    out = "/tmp/gr_modes_blockedpaths"
+    seeds = seed_urls(N_HOSTS, 3)
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds,
+        blocked_paths=("/robots.txt", "/page/1"),
+    )
+    _assert_conformance(out, oracle)
+    from grawler_ray.pipelines.crawl import read_trace
+
+    trace = read_trace(out).to_pandas()
+    blocked = trace[trace.url.str.endswith("/page/1")]
+    # a blocked path is never fetched; it scheme-drops when it reaches the
+    # urlAllowed check (and may dup-drop/defer on re-discovery before that)
+    assert (blocked.action == "scheme-drop").any()
+    assert not (blocked.action == "fetched").any()
