@@ -231,3 +231,42 @@ def test_blocked_paths_and_schemes_config(ray_session, corpus_fixture):
     # urlAllowed check (and may dup-drop/defer on re-discovery before that)
     assert (blocked.action == "scheme-drop").any()
     assert not (blocked.action == "fetched").any()
+
+
+def test_distributed_children_many_blocks(ray_session):
+    """_distributed_children vs the driver prefix-sum on a many-block input:
+    identical (seq, url, parent) triples, consecutive child seqs in
+    (parent_seq, child_idx) order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.pipelines.crawl import _distributed_children
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    seqs = rng.permutation(np.arange(10_000, 10_000 + n)).astype(np.int64)
+    counts = rng.integers(0, 5, size=n)
+    rows = [
+        {
+            "seq": int(s),
+            "url": f"https://h{s % 7}.test/p{s}",
+            "child_urls": [f"https://h{s % 7}.test/c{s}/{i}" for i in range(c)],
+            "action": "fetched",
+        }
+        for s, c in zip(seqs, counts)
+    ]
+    kids = ray.data.from_items(rows).repartition(23).materialize()
+    base_seq = 50_000
+    ds, acc = _distributed_children(kids, base_seq, nparts=16)
+    got = ds.to_pandas().sort_values("seq").reset_index(drop=True)
+    assert acc == int(counts.sum()) == len(got)
+    # reference: sort parents by seq, enumerate children consecutively
+    order = np.argsort(seqs)
+    expect = []
+    nxt = base_seq
+    for idx in order:
+        for i in range(counts[idx]):
+            expect.append((nxt, f"https://h{seqs[idx] % 7}.test/c{seqs[idx]}/{i}"))
+            nxt += 1
+    assert list(zip(got.seq, got.url)) == expect
