@@ -325,6 +325,36 @@ def _embedding_dup_pairs(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _sample_docs(sf_dir: str):
+    from grawler_ray.functions.sampling import sample_fraction
+
+    return sample_fraction(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]), permille=100
+    )
+
+
+def _stratified_sample(sf_dir: str):
+    from grawler_ray.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]),
+        permille={"en": 200, "de": 500},
+    )
+
+
+def _train_split_counts(sf_dir: str):
+    from grawler_ray.functions.sampling import split_train_holdout
+    from ray.data.aggregate import Count
+
+    return (
+        split_train_holdout(
+            _read(sf_dir, "documents").select_columns(["doc_id"]), holdout_permille=100
+        )
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def _multimodal_meta(sf_dir: str):
     from grawler_ray.stages.multimodal import decode_image_meta
 
@@ -443,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
+        "sample_docs": _sample_docs,
+        "stratified_sample": _stratified_sample,
+        "train_split_counts": _train_split_counts,
         "multimodal_meta": _multimodal_meta,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frames": _multimodal_frames,
@@ -618,6 +651,21 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) % 480 + 16)::BIGINT AS height,
                    'fake' AS format
             FROM documents
+        """,
+        "sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+                  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 0 END
+        """,
+        "train_split_counts": """
+            SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY split
         """,
         "multimodal_resize": """
             SELECT doc_id,

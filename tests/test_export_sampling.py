@@ -1,0 +1,81 @@
+"""Export sinks (parquet/JSONL/CSV roundtrip) and deterministic sampling."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(
+        [
+            {"doc_id": i, "lang": ["en", "de", "fr"][i % 3], "text": f'doc {i}, "quoted" text'}
+            for i in range(200)
+        ]
+    )
+
+
+def test_sample_fraction_deterministic(docs_ds):
+    from grawler_ray.functions.sampling import sample_fraction
+
+    a = sorted(sample_fraction(docs_ds, permille=100).to_pandas().doc_id)
+    b = sorted(sample_fraction(docs_ds, permille=100).to_pandas().doc_id)
+    assert a == b and 0 < len(a) < 200
+    # monotone: a larger rate is a superset
+    big = set(sample_fraction(docs_ds, permille=500).to_pandas().doc_id)
+    assert set(a) <= big
+
+
+def test_stratified_sample_rates(docs_ds):
+    from grawler_ray.functions.sampling import stratified_sample
+
+    out = stratified_sample(docs_ds, permille={"en": 1000, "de": 0}).to_pandas()
+    assert set(out.lang) == {"en"}  # de rate 0, fr missing -> dropped
+    assert len(out) == 67  # every en row kept
+
+
+def test_split_train_holdout_partition(docs_ds):
+    from grawler_ray.functions.sampling import split_train_holdout
+
+    out = split_train_holdout(docs_ds, holdout_permille=200).to_pandas()
+    assert len(out) == 200
+    assert set(out.split) == {"train", "holdout"}
+    # re-tagging is identical (leak-free reproducibility)
+    again = split_train_holdout(docs_ds, holdout_permille=200).to_pandas()
+    assert dict(zip(out.doc_id, out.split)) == dict(zip(again.doc_id, again.split))
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_export_roundtrip(docs_ds, fmt, tmp_path):
+    from grawler_ray.sources.export import export_dataset, read_export
+
+    dest = str(tmp_path / fmt)
+    export_dataset(docs_ds, dest, format=fmt)
+    back = read_export(dest, format=fmt).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = docs_ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert (back.doc_id.to_numpy() == orig.doc_id.to_numpy()).all()
+    assert list(back.text) == list(orig.text)  # quotes/commas survive CSV
+
+
+def test_export_documents_from_crawl(ray_session, tmp_path):
+    import os
+
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.pipelines.crawl import read_documents, run_crawl
+    from grawler_ray.sources.corpus import generate_corpus, generate_robots_cache, seed_urls
+    from grawler_ray.sources.export import export_documents, read_export
+
+    corp = "/tmp/gr_export_corpus"
+    if not os.path.isdir(f"{corp}/bucket=0"):
+        generate_corpus(corp, n_hosts=2, pages_per_host=5, seed=3, num_buckets=4)
+        generate_robots_cache(f"{corp}/robots.parquet", 3, 2, CrawlConfig().now_us)
+    out = str(tmp_path / "out")
+    cfg = CrawlConfig(per_host_quota=3, max_rounds=3, num_fetch_buckets=4, seen_shards=2, out_dir=out)
+    run_crawl(corp, seed_urls(2, 2), cfg, robots_cache_path=f"{corp}/robots.parquet")
+    dest = str(tmp_path / "docs_jsonl")
+    export_documents(out, dest, format="json")
+    back = read_export(dest, format="json").to_pandas()
+    docs = read_documents(out).to_pandas()
+    assert sorted(back.url) == sorted(docs.url) and len(docs) > 0
