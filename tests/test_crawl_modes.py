@@ -270,3 +270,22 @@ def test_distributed_children_many_blocks(ray_session):
             expect.append((nxt, f"https://h{seqs[idx] % 7}.test/c{seqs[idx]}/{i}"))
             nxt += 1
     assert list(zip(got.seq, got.url)) == expect
+
+
+def test_skew_plus_canonicalize(ray_session, corpus_fixture):
+    """Mode combination: skew admission with canonicalized seen keys —
+    dedup groups key on the canonical form, candidates group on the
+    canonical host; trace must still match the oracle exactly."""
+    out = "/tmp/gr_modes_skewcanon"
+    base = seed_urls(N_HOSTS, 3)
+    from grawler_ray.sources.corpus import page_url
+
+    seeds = base + [base[0] + "#f", base[1].replace("site1", "SITE1")] + [
+        page_url(1, p) for p in range(6)
+    ]
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds,
+        admission_mode="skew", canonicalize_seen=True,
+    )
+    assert "dup-drop" in {t["action"] for t in oracle.trace}
+    _assert_conformance(out, oracle)
