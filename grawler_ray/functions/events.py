@@ -26,19 +26,49 @@ import pyarrow.compute as pc
 US_PER_HOUR = 3_600_000_000
 
 
-def sessionize(events_ds, gap_minutes: int = 30):
+def _coarse_user_groupby(events_ds, fn, num_groups: int = 256):
+    """groupby on a coarse user-hash: one vectorized kernel call per ~large
+    group instead of one pandas group per user (millions of tiny groups is
+    the Python-overhead pathology at scale; users inside a group are
+    separated by a run-scan)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (u * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+        return t.append_column("ug", pa.array(g.astype(np.int32), pa.int32()))
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ug")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def _user_starts(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+    """Sort a coarse group by (user, ts, event_id); return (sorted df,
+    user-run start flags, per-row index of the row's user-run start)."""
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    users = df["user_id"].to_numpy()
+    is_start = np.concatenate(([True], np.diff(users) != 0))
+    start_idx = np.maximum.accumulate(np.where(is_start, np.arange(len(df)), 0))
+    return df, is_start, start_idx
+
+
+def sessionize(events_ds, gap_minutes: int = 30, num_groups: int = 256):
     """Gap-based sessions per user: a new session starts when the time since
     the previous event (ts order, event_id tiebreak) exceeds the gap.
     Output (event_id, user_id, session_id) with session_id 0-based per user.
-    """
+    Vectorized across ALL users of a coarse group: session breaks are
+    cumsum'd globally and re-based at each user-run start."""
     gap_us = gap_minutes * 60_000_000
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        df, is_start, start_idx = _user_starts(df)
         # unit-explicit epoch µs (pandas may carry ns OR µs precision)
         ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        breaks = np.diff(ts) > gap_us
-        sess = np.concatenate(([0], np.cumsum(breaks))).astype(np.int64)
+        gap_break = np.concatenate(([False], np.diff(ts) > gap_us)) & ~is_start
+        c = np.cumsum(gap_break)
+        sess = (c - c[start_idx]).astype(np.int64)
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(),
@@ -47,20 +77,22 @@ def sessionize(events_ds, gap_minutes: int = 30):
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
-def rolling_sum(events_ds, window: int = 4):
+def rolling_sum(events_ds, window: int = 4, num_groups: int = 256):
     """Rolling aggregate per user in (ts, event_id) order: sum of the
     integer-scaled ``value`` over the last ``window`` rows (ROWS window,
-    current row inclusive).  Output (event_id, user_id, roll_cents)."""
+    current row inclusive).  Output (event_id, user_id, roll_cents).
+    Vectorized across users: the window's low bound is clamped to the
+    row's user-run start."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        df, _, start_idx = _user_starts(df)
         cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(cents)))
         n = len(cents)
-        lo = np.maximum(np.arange(n) - window + 1, 0)
+        lo = np.maximum(np.arange(n) - window + 1, start_idx)
         roll = csum[1:] - csum[lo]
         return pd.DataFrame(
             {
@@ -70,7 +102,7 @@ def rolling_sum(events_ds, window: int = 4):
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
 def hourly_agg(events_ds):

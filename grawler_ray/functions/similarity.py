@@ -19,6 +19,34 @@ def _to_matrix(col) -> np.ndarray:
     return np.array(col.to_pylist(), dtype=np.float64)
 
 
+def _combine_topk(k: int):
+    """Tree-combine stage for per-batch top-k partials: after a repartition
+    to a few blocks, each block keeps only its per-query top-k — the driver
+    reduce then sees O(blocks x queries x k) rows instead of one partial per
+    SCAN BATCH (which grows with the corpus)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return fn
+
+
+def _reduce_partials(partials_ds, k: int, combine_parts: int = 8) -> pd.DataFrame:
+    reduced = partials_ds.repartition(combine_parts).map_batches(
+        _combine_topk(k), batch_size=None, batch_format="pyarrow"
+    )
+    partials = reduced.to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        for rank, vec_id in enumerate(grp["vec_id"], start=1):
+            out.append((int(qid), rank, int(vec_id)))
+    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
+
+
 def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10):
     """Exact cosine top-k for each query vector (queries = rows of the same
     table, selected by vec_id).  Returns (query_id, rank, vec_id) — integer
@@ -72,13 +100,9 @@ def ann_topk(embeddings_ds, query_ids: list[int], k: int = 10):
             }
         )
 
-    partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for rank, vec_id in enumerate(grp["vec_id"], start=1):
-            out.append((int(qid), rank, int(vec_id)))
-    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
+    return _reduce_partials(
+        embeddings_ds.map_batches(partial_topk, batch_format="pyarrow"), k
+    )
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
@@ -255,10 +279,6 @@ def ann_lsh_topk(
             }
         )
 
-    partials = embeddings_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for rank, vec_id in enumerate(grp["vec_id"], start=1):
-            out.append((int(qid), rank, int(vec_id)))
-    return pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
+    return _reduce_partials(
+        embeddings_ds.map_batches(partial_topk, batch_format="pyarrow"), k
+    )
