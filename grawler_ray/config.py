@@ -46,6 +46,7 @@ class CrawlConfig:
     http_threads: int = 16           # in-flight requests per fetcher actor
     num_fetch_buckets: int = 32      # corpus hash-bucket count (must match corpus layout)
     seen_shards: int = 8             # seen-set actor shards
+    robots_shards: int | None = None  # robots-cache actor shards; None = max(2, seen_shards // 2). Size up when many distinct hosts miss the cache per round (each miss is a point read serialized on its shard)
     seen_mode: str = "exact"         # "exact" (conformance) | "cuckoo" (scale)
     parse_batch_size: int = 64       # html rows per parse batch (bodies are large)
     parse_concurrency: int | tuple[int, int] | None = None  # actor pool size for parse stage; None = stateless tasks

@@ -672,7 +672,7 @@ def run_crawl(
             rt.column("ts").cast(pa.int64()).to_pylist(),  # tz-safe epoch µs
         ):
             initial_robots[h] = (b, ts_us)
-    n_robots_shards = max(2, cfg.seen_shards // 2)
+    n_robots_shards = cfg.robots_shards or max(2, cfg.seen_shards // 2)
     robots_actors = [
         RobotsActor.remote(
             corpus_dir,
