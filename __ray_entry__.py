@@ -570,9 +570,11 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_cents
             FROM events GROUP BY event_type, hour
         """,
-        "events_json": """
+        "events_json": r"""
             SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$')
+                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        ELSE NULL END AS k
             FROM events
         """,
         "politeness_slots": """

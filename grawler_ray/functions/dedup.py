@@ -60,10 +60,12 @@ def shingles(text: str, k: int = 3) -> set[int]:
         return set()
     hs = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
     if len(toks) < k:
-        acc = np.uint64(0x165667B19E3779F9)
-        for i, h in enumerate(hs):
-            acc = acc ^ (h * np.uint64(_POS_MULT[i % 4]))
-        return {int(acc)}
+        # plain-int arithmetic masked to 64 bits: numpy SCALAR multiply warns
+        # on overflow (the array branch below wraps silently)
+        acc = 0x165667B19E3779F9
+        for i, h in enumerate(hs.tolist()):
+            acc ^= (h * _POS_MULT[i % 4]) & 0xFFFFFFFFFFFFFFFF
+        return {acc}
     acc = np.zeros(len(toks) - k + 1, dtype=np.uint64)
     for p in range(k):
         acc ^= hs[p : len(toks) - k + 1 + p] * np.uint64(_POS_MULT[p % 4])
@@ -191,16 +193,6 @@ def minhash_blob_batch(num_perm: int = 128, seed: int = 1, num_bands: int = 16, 
 
 
 _EMPTY_PAIRS = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-
-
-def _rename(ds, mapping: dict[str, str]):
-    """Dataset column rename as an Arrow map (Dataset.rename_columns breaks
-    on the pandas-format blocks that aggregates emit in Ray 2.49)."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
-
-    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def bucket_pairs(max_bucket: int = 256):

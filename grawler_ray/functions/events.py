@@ -135,15 +135,19 @@ def hourly_agg(events_ds):
 
 
 def json_prop(events_ds, key: str = "k"):
-    """Scalar JSON extraction (§2.8 json): props[key] as int64 (null when
-    missing/invalid)."""
+    """Scalar JSON extraction (§2.8 json): props[key] as int64, null when
+    missing/invalid/NOT AN INTEGER LITERAL — floats and booleans are null,
+    matching the SQL oracle's integer-literal regexp guard exactly (Python
+    int() truncates floats and accepts bools; DuckDB CAST rounds floats and
+    errors on bools — restricting both sides to integer literals is the only
+    semantics they can share)."""
 
     def fn(t: pa.Table) -> pa.Table:
         vals = []
         for s in t.column("props").to_pylist():
             try:
                 v = json.loads(s).get(key)
-                vals.append(int(v) if v is not None else None)
+                vals.append(v if isinstance(v, int) and not isinstance(v, bool) else None)
             except (ValueError, TypeError, AttributeError):
                 vals.append(None)
         return pa.table(

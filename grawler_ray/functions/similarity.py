@@ -141,6 +141,13 @@ def embedding_dup_pairs(embeddings_ds, threshold: float = 0.45, num_blocks: int 
     of the exact answer — the approximate scale path is `ann_lsh_topk`'s
     bucketing.  Output (a, b) with a < b by vec_id, integer-only so the SQL
     oracle compares exactly (float sims never leave the task).
+
+    Float-boundary note: the engine (normalize-then-matmul) and the DuckDB
+    oracle (dot / |a||b|) accumulate in different orders, so a pair whose
+    TRUE cosine sits within ~1e-15 of the threshold could classify
+    differently.  The driver tables keep >= 5e-4 of clearance around the
+    default 0.45 (measured), eleven orders of magnitude of margin; pick
+    thresholds away from data modes when reusing this as a gate elsewhere.
     """
     B = num_blocks
 

@@ -221,10 +221,13 @@ def _admission_group(cfg: CrawlConfig):
 
 def _dedup_tag_batch(num_groups: int = 512):
     """Coarse hash of seen_key — the shuffle key for the skew-mode global
-    first-wins dedup (exact-key groups would be millions of singletons)."""
+    first-wins dedup (exact-key groups would be millions of singletons).
+    Reuses the key_hash column from the prepare stage (equal keys share it
+    by construction) — no re-hashing, one vectorized numpy mod."""
 
     def fn(t: pa.Table) -> pa.Table:
-        kg = [xxhash64(k) % num_groups for k in t.column("seen_key").to_pylist()]
+        kh = t.column("key_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        kg = (kh % np.uint64(num_groups)).astype(np.int32)
         return t.append_column("kg", pa.array(kg, pa.int32()))
 
     return fn
@@ -602,15 +605,16 @@ def _round_dir(out_dir: str, rnd: int) -> str:
     return os.path.join(out_dir, f"round={rnd:04d}")
 
 
-def _parquet_num_rows(path: str) -> int:
-    """Row count from parquet footers only — no data read, no dataset pass."""
+def _parquet_file_rows(path: str) -> dict[str, int]:
+    """file -> row count from parquet footers only (no data read) — the
+    per-partition lineage recorded in round manifests."""
     if not os.path.isdir(path):
-        return 0
-    total = 0
-    for f in os.listdir(path):
-        if f.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-    return total
+        return {}
+    return {
+        f: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in sorted(os.listdir(path))
+        if f.endswith(".parquet")
+    }
 
 
 def _completed_rounds(out_dir: str) -> list[int]:
@@ -645,9 +649,20 @@ def run_crawl(
     checkpoint, and the seen set is rebuilt by re-committing the ``url``
     column of every completed round's parsed file (a column-pruned read;
     rebuilding from data beats trusting a separately-written snapshot).
-    Interrupted (incomplete) round directories are simply overwritten."""
+    Interrupted (incomplete) round directories are simply overwritten.
+
+    ``resume=False`` treats ``out_dir`` as owned by this run: any round
+    directories from a previous crawl are deleted up front — otherwise a
+    shorter new crawl would leave the old crawl's higher-numbered complete
+    rounds in place and every reader would silently merge them in.  Cross-run
+    retention is explicit: separate out_dirs + ``read_documents([...],
+    dedup="last")``."""
     out_dir = cfg.out_dir
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        for d in os.listdir(out_dir):
+            if d.startswith("round="):
+                shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     t0 = time.monotonic()
 
     # finer blocks => better task packing for the fused fetch+parse stage
@@ -757,7 +772,15 @@ def run_crawl(
             stats["fetched"] = total
             fpath = os.path.join(_round_dir(out_dir, last), "frontier_next")
             if man.get("next_frontier_rows", 0) > 0 and os.path.isdir(fpath):
-                frontier_ds = ray.data.read_parquet(fpath)
+                # re-bound + materialize like the seed frontier: the file's
+                # block count reflects the PREVIOUS run's cluster, and the
+                # control-table rule is block count = this cluster's map
+                # parallelism for the whole first resumed round
+                frontier_ds = (
+                    ray.data.read_parquet(fpath)
+                    .repartition(max(cfg.min_parallelism, min(512, 4 * _cpus0)))
+                    .materialize()
+                )
                 frontier_rows = man["next_frontier_rows"]
             else:
                 frontier_ds = ray.data.from_arrow(frontier.slice(0, 0))
@@ -788,14 +811,7 @@ def run_crawl(
                 """Per-round metrics + per-partition lineage for the manifest
                 (north rule): the sink files (= output partitions) with their
                 footer row counts, and this round's phase timings."""
-                parsed_dir = os.path.join(rdir, "parsed")
-                files = {}
-                if os.path.isdir(parsed_dir):
-                    for f in sorted(os.listdir(parsed_dir)):
-                        if f.endswith(".parquet"):
-                            files[f] = pq.ParquetFile(
-                                os.path.join(parsed_dir, f)
-                            ).metadata.num_rows
+                files = _parquet_file_rows(os.path.join(rdir, "parsed"))
                 return {
                     "phase_sec": round_phases,
                     "parsed_partitions": files,

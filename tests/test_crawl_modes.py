@@ -289,3 +289,23 @@ def test_skew_plus_canonicalize(ray_session, corpus_fixture):
     )
     assert "dup-drop" in {t["action"] for t in oracle.trace}
     _assert_conformance(out, oracle)
+
+
+def test_fresh_run_clears_previous_rounds(ray_session, corpus_fixture):
+    """A fresh (resume=False) run owns its out_dir: a previous longer
+    crawl's higher-numbered complete rounds must not leak into readers."""
+    from grawler_ray.pipelines.crawl import read_documents, read_trace, run_crawl
+
+    out = "/tmp/gr_modes_fresh_rerun"
+    seeds = seed_urls(N_HOSTS, 3)
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(CORPUS, seeds, _cfg(out, max_rounds=6), robots_cache_path=ROBOTS)
+    long_docs = read_documents(out).count()
+
+    stats, oracle = _run_both(ray_session, corpus_fixture, out, seeds, max_urls=3)
+    assert stats["fetched"] == 3
+    docs = read_documents(out).to_pandas()
+    assert len(docs) == 3 < long_docs
+    assert docs.url.is_unique
+    _assert_conformance(out, oracle)
+    assert read_trace(out).to_pandas()["round"].max() <= 1
