@@ -654,17 +654,20 @@ def oracle_sql() -> dict[str, str]:
                    'fake' AS format
             FROM documents
         """,
+        # HUGEINT: BIGINT id * 2654435761 overflows int64 for id >= ~3.47e9;
+        # (x % 2^128) % 2^32 == x % 2^32 == numpy's uint64-wrap bucket for
+        # any non-negative int64 id (ADVICE r2)
         "sample_docs": """
             SELECT doc_id, lang FROM documents
-            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+            WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 100
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
-            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+            WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 <
                   CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 ELSE 0 END
         """,
         "train_split_counts": """
-            SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+            SELECT CASE WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000 < 100
                         THEN 'holdout' ELSE 'train' END AS split,
                    count(*)::BIGINT AS n
             FROM documents GROUP BY split

@@ -113,9 +113,15 @@ def hourly_agg(events_ds):
 
     def bucket(t: pa.Table) -> pa.Table:
         # normalize the unit BEFORE the int cast (sources differ: parquet
-        # carries us, from_items/pandas carries ns), then tz-safe epoch µs
+        # carries us, from_items/pandas carries ns), then tz-safe epoch µs.
+        # FLOOR division via numpy (pc.divide truncates toward zero, which
+        # diverges from the SQL // oracle for pre-1970 negative epochs —
+        # ADVICE r2)
         us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-        hour = pc.divide(us, US_PER_HOUR)
+        hour = pa.array(
+            us.combine_chunks().to_numpy(zero_copy_only=False) // US_PER_HOUR,
+            pa.int64(),
+        )
         cents = pc.cast(
             pc.floor(pc.add(pc.multiply(t.column("value"), 100.0), 0.5)), pa.int64()
         )

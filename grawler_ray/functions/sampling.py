@@ -18,13 +18,21 @@ _MOD = 1 << 32
 
 
 def _bucket1000(ids: np.ndarray) -> np.ndarray:
+    # non-negative ids only: numpy would wrap a negative int64 mod 2^64 while
+    # the SQL mirror keeps its sign — fail loudly instead of silently
+    # diverging from the oracle (ADVICE r2)
+    if len(ids) and int(ids.min()) < 0:
+        raise ValueError("sampling id column must be non-negative")
     return ((ids.astype(np.uint64) * _KNUTH) % _MOD) % 1000
 
 
 def sample_fraction(ds, id_col: str = "doc_id", permille: int = 100):
     """Keep rows whose hash bucket (0-999) falls below ``permille`` — a
-    deterministic ~permille/1000 sample.  SQL mirror:
-    ((id * 2654435761) % 4294967296) % 1000 < permille."""
+    deterministic ~permille/1000 sample.  SQL mirror (HUGEINT: BIGINT
+    id * 2654435761 overflows int64 for id >= ~3.47e9, and
+    ((x mod 2^128) mod 2^32) == (x mod 2^32) == numpy's uint64-wrap result
+    for any non-negative int64 id):
+    ((id::HUGEINT * 2654435761) % 4294967296) % 1000 < permille."""
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -740,8 +740,12 @@ def run_crawl(
                 return t
 
             cutoffs = _round_cutoffs(out_dir)
-            files = []
-            cut_parts: list[tuple[list[str], int]] = []  # (files, seq_cutoff)
+            # checkpoints written before the key_hash column existed lack it;
+            # probe each round's footer and fall back to url-only there —
+            # _commit_seen_batch re-hashes when the column is absent (ADVICE
+            # r2).  Rounds are split by schema so one read never mixes them.
+            files: dict[bool, list[str]] = {True: [], False: []}
+            cut_parts: list[tuple[list[str], int, bool]] = []  # (files, cutoff, has_kh)
             for r in done:
                 p = os.path.join(_round_dir(out_dir, r), "parsed")
                 if not os.path.isdir(p):
@@ -749,21 +753,28 @@ def run_crawl(
                 fl = [
                     os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
                 ]
+                if not fl:
+                    continue
+                has_kh = "key_hash" in pq.ParquetFile(fl[0]).schema_arrow.names
                 if r in cutoffs:
-                    cut_parts.append((fl, cutoffs[r]))
+                    cut_parts.append((fl, cutoffs[r], has_kh))
                 else:
-                    files.extend(fl)
+                    files[has_kh].extend(fl)
             total = 0
-            if files:
+            for has_kh, fl in files.items():
+                if not fl:
+                    continue
+                cols = ["url", "action"] + (["key_hash"] if has_kh else [])
                 total += (
-                    ray.data.read_parquet(files, columns=["url", "key_hash", "action"])
+                    ray.data.read_parquet(fl, columns=cols)
                     .filter(expr="action == 'fetched'")
                     .map_batches(_recommit, batch_format="pyarrow")
                     .count()
                 )
-            for fl, cut in cut_parts:  # at most one: a cutoff ends the crawl
+            for fl, cut, has_kh in cut_parts:  # at most one: a cutoff ends the crawl
+                cols = ["url", "action", "seq"] + (["key_hash"] if has_kh else [])
                 total += (
-                    ray.data.read_parquet(fl, columns=["url", "key_hash", "action", "seq"])
+                    ray.data.read_parquet(fl, columns=cols)
                     .filter(expr="action == 'fetched'")
                     .filter(expr=f"seq <= {cut}")
                     .map_batches(_recommit, batch_format="pyarrow")

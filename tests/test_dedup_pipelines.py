@@ -131,8 +131,8 @@ def test_ann_lsh_recall_on_clustered_data(ray_session):
         items.append({"vec_id": i, "embedding": v.tolist()})
     ds = ray.data.from_items(items)
     qids = [0, 1, 2, 3, 4]
-    exact = ann_topk(ds, qids, k=10)
-    approx = ann_lsh_topk(ds, qids, k=10, nbits=12, multiprobe=2)
+    exact = ann_topk(ds, qids, k=10).to_pandas()
+    approx = ann_lsh_topk(ds, qids, k=10, nbits=12, multiprobe=2).to_pandas()
     ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
     ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
     recall = len(ex & ap) / len(ex)
