@@ -8,7 +8,8 @@ SURVEY §3.2) into Dataset stages:
       -> map_batches(prepare)          M1/M2 url components + keys   [no shuffle]
       -> groupby(url)  first-wins dedup                              [shuffle: url]
       -> map_batches(seen test)        T1 actor calls                [no shuffle]
-      -> groupby(host) politeness + urlAllowed + robots gate  T2/T3  [shuffle: host]
+      -> groupby(hg: coarse host hash) politeness + urlAllowed
+         + robots gate  T2/T3                            [shuffle: host hash]
       == materialize (admission table: split admitted/deferred/trace)
     admitted
       -> groupby(bucket).map_groups(fetch)  J1: bucketed-corpus point join;
@@ -75,14 +76,18 @@ DOC_COLUMNS = [
 # per-stage batch functions
 # ---------------------------------------------------------------------------
 
-def _prepare_batch(cfg: CrawlConfig):
+def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
     """M1 url components + seen key/shard + fetch bucket, vectorized per batch.
 
-    ``group_host`` is the politeness-shuffle key: the raw host in conformance
-    mode, the canonicalized host (lowercase, default port stripped) in
-    ``canonicalize_seen`` mode — so rows whose seen keys are equal are
-    guaranteed to land in the same admission group (the intra-round first-wins
-    dedup is group-local)."""
+    ``group_host`` is the politeness key: the raw host in conformance mode,
+    the canonicalized host (lowercase, default port stripped) in
+    ``canonicalize_seen`` mode — so rows whose seen keys are equal share it.
+    The admission SHUFFLE key is ``hg`` — a COARSE hash of group_host into
+    ``admission_groups`` buckets (VERDICT r2 item 1): a 10^8-host frontier
+    must not spawn one pandas group per host; equal hosts (and therefore
+    equal seen keys) still always land in the same group, which is the only
+    property the group-local dedup + politeness kernel needs.  The host hash
+    is memoized per batch (hosts repeat heavily within a block)."""
 
     def fn(t: pa.Table) -> pa.Table:
         urls = t.column("url").to_pylist()
@@ -97,6 +102,8 @@ def _prepare_batch(cfg: CrawlConfig):
         key_hash = np.zeros(n, dtype=np.uint64)
         shard = np.zeros(n, dtype=np.int32)
         bucket = np.zeros(n, dtype=np.int32)
+        hg = np.zeros(n, dtype=np.int32)
+        ghash_memo: dict[str, int] = {}
         for i, u in enumerate(urls):
             try:
                 s, h, p = extract_url_components(u)
@@ -122,6 +129,11 @@ def _prepare_batch(cfg: CrawlConfig):
             key_hash[i] = hh
             shard[i] = hh % cfg.seen_shards
             bucket[i] = (hh if not cfg.canonicalize_seen else xxhash64(u)) % cfg.num_fetch_buckets
+            gh = ghash_memo.get(ghost[i])
+            if gh is None:
+                gh = xxhash64(ghost[i]) % admission_groups
+                ghash_memo[ghost[i]] = gh
+            hg[i] = gh
         return (
             t.append_column("scheme", pa.array(scheme))
             .append_column("host", pa.array(host))
@@ -133,6 +145,7 @@ def _prepare_batch(cfg: CrawlConfig):
             .append_column("key_hash", pa.array(key_hash, pa.uint64()))
             .append_column("shard", pa.array(shard))
             .append_column("bucket", pa.array(bucket))
+            .append_column("hg", pa.array(hg, pa.int32()))
         )
 
     return fn
@@ -173,46 +186,52 @@ def _seen_test_batch(seen_actors, cfg: CrawlConfig):
 
 
 def _admission_group(cfg: CrawlConfig):
-    """groupby(group_host): first-wins intra-round dedup on the seen key
-    (rows with equal keys always share the group key, so the dedup rides this
-    shuffle for free), then T2 politeness slots per RAW host in seq order
-    (BEFORE urlAllowed — crawler.go:132 precedes :137), then M2 urlAllowed.
+    """groupby(hg) — COARSE host-hash groups (VERDICT r2 item 1): each group
+    holds MANY hosts (frontier_rows / admission_groups rows), never one pandas
+    group per host, and the kernel below is fully vectorized across them.
+    Within a group, in seq order:
+
+    1. first-wins intra-round dedup on the seen key (equal keys share
+       group_host and therefore hg, so the dedup rides this shuffle for
+       free — the first occurrence claims the key regardless of its own
+       outcome, mirroring oracle.py's attempted_this_round);
+    2. T2 politeness: per-RAW-host slot rank (vectorized cumcount); rank >=
+       quota defers WITHOUT consuming a slot, exactly the serial counter's
+       behavior (a deferred row never increments host_slots);
+    3. M2 urlAllowed (crawler.go:132 politeness precedes :137 allow check):
+       pure membership tests (scheme allow-list, path blocklist, host
+       blocklist), vectorized with isin.
+
     Rows that survive are marked ``robots-wait`` — the T3 gate runs in the
     following batched stage (one actor call per shard per batch, never one
     blocking call per host group)."""
+    quota = cfg.per_host_quota
+    allowed_schemes = list(cfg.allowed_schemes)
+    blocked_paths = list(cfg.blocked_paths)
+    blocked_hosts = list(cfg.blocked_hosts)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("seq")
-        pending = df["action"] == ACTION_PENDING
+        actions = df["action"].to_numpy(dtype=object, copy=True)
+        pending = actions == ACTION_PENDING
         if not pending.any():
+            df["action"] = actions
             return df
-        # intra-round dedup (spec: first occurrence wins regardless of its
-        # outcome — oracle.py adds to attempted_this_round before politeness)
-        dup = pending & df["seen_key"].duplicated(keep="first")
-        df.loc[dup, "action"] = "dup-drop"
-        actions = df["action"].tolist()
-        hosts = df["host"].tolist()
-        schemes = df["scheme"].tolist()
-        paths = df["path"].tolist()
-        host_slots: dict[str, int] = {}
-        quota = cfg.per_host_quota
-        blocked = set(cfg.blocked_hosts)
-        for i in range(len(actions)):
-            if actions[i] != ACTION_PENDING:
-                continue
-            h = hosts[i]
-            slot = host_slots.get(h, 0)
-            if slot >= quota:
-                actions[i] = "deferred"
-                continue
-            host_slots[h] = slot + 1
-            if (
-                not url_allowed(schemes[i], h, paths[i], cfg.allowed_schemes, cfg.blocked_paths)
-                or h in blocked
-            ):
-                actions[i] = "scheme-drop"
-            else:
-                actions[i] = "robots-wait"
+        dup = pending & df["seen_key"].duplicated(keep="first").to_numpy()
+        actions[dup] = "dup-drop"
+        idx = np.flatnonzero(pending & ~dup)
+        hosts = df["host"].to_numpy()
+        rank = pd.Series(0, index=np.arange(len(idx))).groupby(hosts[idx]).cumcount().to_numpy()
+        over = rank >= quota
+        actions[idx[over]] = "deferred"
+        cand = idx[~over]
+        ok = (
+            pd.Series(df["scheme"].to_numpy()[cand]).isin(allowed_schemes).to_numpy()
+            & ~pd.Series(df["path"].to_numpy()[cand]).isin(blocked_paths).to_numpy()
+            & ~pd.Series(hosts[cand]).isin(blocked_hosts).to_numpy()
+        )
+        actions[cand[ok]] = "robots-wait"
+        actions[cand[~ok]] = "scheme-drop"
         df["action"] = actions
         return df
 
@@ -863,8 +882,11 @@ def run_crawl(
 
             # ---- admission: prepare -> seen test -> dedup+politeness ->
             # batched robots gate ----
+            # coarse admission shuffle: ~4 x cpus big vectorized groups, not
+            # one pandas group per host (VERDICT r2 item 1)
+            adm_groups = max(cfg.min_parallelism, min(512, 4 * _cpus0))
             prepared = frontier_ds.map_batches(
-                _prepare_batch(cfg), batch_format="pyarrow"
+                _prepare_batch(cfg, adm_groups), batch_format="pyarrow"
             ).map_batches(_seen_test_batch(seen_actors, cfg), batch_format="pyarrow")
             if cfg.admission_mode == "skew":
                 # skew-aware path (north rule: hot domains must not become
@@ -882,7 +904,7 @@ def run_crawl(
                 )
                 cand_part = (
                     base.filter(expr="cand == 1")
-                    .groupby("group_host")
+                    .groupby("hg")
                     .map_groups(_admission_group(cfg), batch_format="pandas")
                 )
                 admission = (
@@ -892,7 +914,7 @@ def run_crawl(
                 )
             else:
                 admission = (
-                    prepared.groupby("group_host")
+                    prepared.groupby("hg")
                     .map_groups(_admission_group(cfg), batch_format="pandas")
                     .map_batches(_robots_gate_batch(robots_actors, cfg), batch_format="pyarrow")
                     .materialize()
