@@ -56,6 +56,14 @@ class CrawlConfig:
     # it, the (seq, count) pairs — 16 B/page — go to the driver directly
     offsets_driver_max: int = 5_000_000
 
+    # resume: persist per-round seen-shard snapshots (round=R/seen/shard=K
+    # .parquet, written BY the shard actors).  Resume restores the last
+    # complete round's snapshot in O(seen-set) instead of re-scanning every
+    # completed round's parsed files — the difference between O(1 round) and
+    # O(history) at 10^10 keys.  The rebuild path remains the fallback when
+    # snapshots are absent/mismatched (old out_dirs, changed shard count).
+    seen_snapshots: bool = True
+
     # observability
     write_trace: bool = True  # per-round trace parquet (off for bench runs)
 

@@ -697,9 +697,11 @@ def run_crawl(
 
     ``resume=True``: continue from the last round whose manifest says
     complete — the next frontier is read from that round's ``frontier_next``
-    checkpoint, and the seen set is rebuilt by re-committing the ``url``
-    column of every completed round's parsed file (a column-pruned read;
-    rebuilding from data beats trusting a separately-written snapshot).
+    checkpoint.  The seen set is restored from that round's per-shard
+    snapshot (``seen/shard=K.parquet``, O(seen set)) when its (mode, shard
+    count) match this run's config; otherwise it is rebuilt by re-committing
+    the ``url`` column of every completed round's parsed file (column-pruned
+    reads, O(history)) — ``stats["seen_restore"]`` records which path ran.
     Interrupted (incomplete) round directories are simply overwritten.
 
     ``resume=False`` treats ``out_dir`` as owned by this run: any round
@@ -783,55 +785,97 @@ def run_crawl(
             next_seq = man["next_seq"]
             stats["rounds"] = start_round
             stats["resumed_from_round"] = last
-            # seen-set rebuild: commit fetched urls of all completed rounds
-            commit = _commit_seen_batch(seen_actors, cfg)
 
-            def _recommit(t: pa.Table) -> pa.Table:
-                commit(t)
-                return t
+            # fast path: restore the last complete round's seen-shard
+            # snapshots — O(seen set), not O(crawl history) (VERDICT r2
+            # item 2).  Only when the snapshot's (mode, shard count) match
+            # this run's config: shard routing is hash % num_shards, so a
+            # different count would scatter keys to the wrong actors.
+            seen_dir = os.path.join(_round_dir(out_dir, last), "seen")
+            meta_path = os.path.join(seen_dir, "meta.json")
+            snap_ok = False
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    smeta = json.load(f)
+                snap_ok = (
+                    smeta.get("mode") == cfg.seen_mode
+                    and smeta.get("shards") == cfg.seen_shards
+                    and all(
+                        os.path.exists(os.path.join(seen_dir, f"shard={i}.parquet"))
+                        for i in range(cfg.seen_shards)
+                    )
+                )
+            if snap_ok:
+                ray.get(
+                    [
+                        seen_actors[i].load.remote(
+                            os.path.join(seen_dir, f"shard={i}.parquet")
+                        )
+                        for i in range(cfg.seen_shards)
+                    ]
+                )
+                stats["seen_restore"] = "snapshot"
+                # per-round fetched counts come straight from the manifests
+                # (admitted_rows is the committed count, cutoff-adjusted)
+                total = 0
+                for r in done:
+                    with open(os.path.join(_round_dir(out_dir, r), "manifest.json")) as f:
+                        total += json.load(f).get("admitted_rows", 0)
+                stats["fetched"] = total
+            else:
+                stats["seen_restore"] = "rebuild"
+                # fallback: rebuild the seen set by re-committing fetched
+                # urls of all completed rounds (column-pruned reads;
+                # O(history))
+                commit = _commit_seen_batch(seen_actors, cfg)
 
-            cutoffs = _round_cutoffs(out_dir)
-            # checkpoints written before the key_hash column existed lack it;
-            # probe each round's footer and fall back to url-only there —
-            # _commit_seen_batch re-hashes when the column is absent (ADVICE
-            # r2).  Rounds are split by schema so one read never mixes them.
-            files: dict[bool, list[str]] = {True: [], False: []}
-            cut_parts: list[tuple[list[str], int, bool]] = []  # (files, cutoff, has_kh)
-            for r in done:
-                p = os.path.join(_round_dir(out_dir, r), "parsed")
-                if not os.path.isdir(p):
-                    continue
-                fl = [
-                    os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-                ]
-                if not fl:
-                    continue
-                has_kh = "key_hash" in pq.ParquetFile(fl[0]).schema_arrow.names
-                if r in cutoffs:
-                    cut_parts.append((fl, cutoffs[r], has_kh))
-                else:
-                    files[has_kh].extend(fl)
-            total = 0
-            for has_kh, fl in files.items():
-                if not fl:
-                    continue
-                cols = ["url", "action"] + (["key_hash"] if has_kh else [])
-                total += (
-                    ray.data.read_parquet(fl, columns=cols)
-                    .filter(expr="action == 'fetched'")
-                    .map_batches(_recommit, batch_format="pyarrow")
-                    .count()
-                )
-            for fl, cut, has_kh in cut_parts:  # at most one: a cutoff ends the crawl
-                cols = ["url", "action", "seq"] + (["key_hash"] if has_kh else [])
-                total += (
-                    ray.data.read_parquet(fl, columns=cols)
-                    .filter(expr="action == 'fetched'")
-                    .filter(expr=f"seq <= {cut}")
-                    .map_batches(_recommit, batch_format="pyarrow")
-                    .count()
-                )
-            stats["fetched"] = total
+                def _recommit(t: pa.Table) -> pa.Table:
+                    commit(t)
+                    return t
+
+                cutoffs = _round_cutoffs(out_dir)
+                # checkpoints written before the key_hash column existed lack
+                # it; probe each round's footer and fall back to url-only
+                # there — _commit_seen_batch re-hashes when the column is
+                # absent (ADVICE r2).  Rounds are split by schema so one read
+                # never mixes them.
+                files: dict[bool, list[str]] = {True: [], False: []}
+                cut_parts: list[tuple[list[str], int, bool]] = []  # (files, cutoff, has_kh)
+                for r in done:
+                    p = os.path.join(_round_dir(out_dir, r), "parsed")
+                    if not os.path.isdir(p):
+                        continue
+                    fl = [
+                        os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+                    ]
+                    if not fl:
+                        continue
+                    has_kh = "key_hash" in pq.ParquetFile(fl[0]).schema_arrow.names
+                    if r in cutoffs:
+                        cut_parts.append((fl, cutoffs[r], has_kh))
+                    else:
+                        files[has_kh].extend(fl)
+                total = 0
+                for has_kh, fl in files.items():
+                    if not fl:
+                        continue
+                    cols = ["url", "action"] + (["key_hash"] if has_kh else [])
+                    total += (
+                        ray.data.read_parquet(fl, columns=cols)
+                        .filter(expr="action == 'fetched'")
+                        .map_batches(_recommit, batch_format="pyarrow")
+                        .count()
+                    )
+                for fl, cut, has_kh in cut_parts:  # at most one: a cutoff ends the crawl
+                    cols = ["url", "action", "seq"] + (["key_hash"] if has_kh else [])
+                    total += (
+                        ray.data.read_parquet(fl, columns=cols)
+                        .filter(expr="action == 'fetched'")
+                        .filter(expr=f"seq <= {cut}")
+                        .map_batches(_recommit, batch_format="pyarrow")
+                        .count()
+                    )
+                stats["fetched"] = total
             fpath = os.path.join(_round_dir(out_dir, last), "frontier_next")
             if man.get("next_frontier_rows", 0) > 0 and os.path.isdir(fpath):
                 # re-bound + materialize like the seed frontier: the file's
@@ -1058,6 +1102,23 @@ def run_crawl(
             committed = kids_src.count()
             stats["fetched"] += int(committed)
             _phase("kids_read_commit")
+
+            # ---- seen-shard snapshot (resume fast path): each actor writes
+            # its own shard file — the key set never moves through the
+            # driver; meta.json pins (mode, shard count) so resume only
+            # restores a compatible snapshot ----
+            if cfg.seen_snapshots:
+                ray.get(
+                    [
+                        a.save.remote(
+                            os.path.join(rdir, "seen", f"shard={i}.parquet")
+                        )
+                        for i, a in enumerate(seen_actors)
+                    ]
+                )
+                with open(os.path.join(rdir, "seen", "meta.json"), "w") as f:
+                    json.dump({"mode": cfg.seen_mode, "shards": cfg.seen_shards}, f)
+                _phase("seen_snapshot")
 
             if stop_after_round:
                 # budget reached mid-round: no next frontier, crawl is over

@@ -153,6 +153,59 @@ class SeenShard:
             "nbuckets": self.filter.nbuckets,
         }
 
+    def save(self, path: str) -> int:
+        """Persist this shard's state as one Parquet file (SURVEY §1.3's
+        checkpoint promise; VERDICT r2 item 2).  Written BY the actor so the
+        key set never moves through the driver; returns the key count.
+        Schema is mode-discriminated: exact = one `key:string` row per key,
+        cuckoo = a single row holding the packed filter."""
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        if self.mode == "exact":
+            t = _pa.table({"key": _pa.array(sorted(self.keys), _pa.string())})
+            _pq.write_table(t, path)
+            return len(self.keys)
+        t = _pa.table(
+            {
+                "table": _pa.array([self.filter.to_bytes()], _pa.binary()),
+                "overflow": _pa.array(
+                    [sorted(self.filter.overflow)], _pa.list_(_pa.uint64())
+                ),
+                "nbuckets": _pa.array([self.filter.nbuckets], _pa.int64()),
+            }
+        )
+        _pq.write_table(t, path)
+        return self.filter.count
+
+    def load(self, path: str) -> int:
+        """Restore this shard from a ``save()`` file (inverse of save);
+        returns the restored key count."""
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(path)
+        if "key" in t.schema.names:
+            self.mode = "exact"
+            self.keys = set(t.column("key").to_pylist())
+            self.filter = None
+            return len(self.keys)
+        self.mode = "cuckoo"
+        nbuckets = int(t.column("nbuckets")[0].as_py())
+        f = CuckooFilter.__new__(CuckooFilter)
+        f.nbuckets = nbuckets
+        f.mask = nbuckets - 1
+        f.table = _np.frombuffer(
+            t.column("table")[0].as_py(), dtype=_np.uint16
+        ).reshape(-1, CuckooFilter.SLOTS).copy()
+        f.overflow = set(t.column("overflow")[0].as_py())
+        f.count = int((f.table != 0).sum()) + len(f.overflow)
+        self.filter = f
+        self.keys = set()
+        return f.count
+
     def restore(self, snap: dict) -> None:
         if snap["mode"] == "exact":
             self.mode = "exact"
