@@ -415,6 +415,40 @@ def _ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_indexed_topk(sf_dir: str):
+    """Bucket-partitioned ANN (the 100-TB path): build the bucket=...
+    partitioned index once per process, then answer probes reading ONLY the
+    probed bucket partitions.  Same probe math as ann_lsh_topk (asserted
+    equal in tests/test_ann_index.py); recall >= 0.9 vs ann_topk asserted
+    there too."""
+    import numpy as np
+
+    from grawler_ray.functions.similarity import ann_indexed_topk, build_ann_index
+
+    idx_dir = _ANN_INDEX_CACHE.get(sf_dir)
+    if idx_dir is None:
+        idx_dir = f"/tmp/grawler_ann_index_{abs(hash(sf_dir))}"
+        build_ann_index(_read(sf_dir, "embeddings"), idx_dir, nbits=12, seed=3)
+        _ANN_INDEX_CACHE[sf_dir] = idx_dir
+    qset = set(ANN_QUERY_IDS)
+
+    def grab(t: pa.Table) -> pa.Table:
+        keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v in qset]
+        return t.take(pa.array(keep, pa.int64()))
+
+    q_tab = (
+        _read(sf_dir, "embeddings")
+        .map_batches(grab, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    return ann_indexed_topk(idx_dir, q_tab["vec_id"].to_numpy(), Q, k=10, multiprobe=2)
+
+
 def _lsh_buckets(sf_dir: str):
     from grawler_ray.functions.similarity import lsh_bucket_batch
 
@@ -486,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_indexed_topk": _ann_indexed_topk,
         "lsh_buckets": _lsh_buckets,
         "crawl_documents": _crawl_documents,
         "crawl_documents_upsert": _crawl_documents_upsert,

@@ -74,6 +74,7 @@ def run_crawl_bench(num_cpus: int, saturated: bool = False) -> dict:
         seen_shards=8,
         out_dir=out,
         write_trace=False,
+        seen_snapshots=False,  # like write_trace: resume aids off in throughput mode
         parse_batch_size=128,
     )
     if saturated:
@@ -108,7 +109,7 @@ def run_subqueries() -> dict[str, float]:
     names = [
         "word_freq", "doc_stats", "exact_dedup", "top_words", "q1_agg",
         "orders_by_nation", "lineitem_join_orders", "politeness_slots",
-        "ann_topk", "ann_lsh_topk", "minhash_pairs", "simhash",
+        "ann_topk", "ann_lsh_topk", "ann_indexed_topk", "minhash_pairs", "simhash",
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
         "sessionize", "rolling_sum", "events_hourly",
     ]

@@ -10,9 +10,14 @@ as the corpus fetch join.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -247,9 +252,10 @@ def ann_lsh_topk(
 
     Scale shape: the full scan touches every vector once per batch (numpy
     matmul for bucket ids + mask), but similarity is computed only on probed
-    candidates; queries + probe sets are broadcast once via ray.put.  An
-    indexed variant would pre-partition by bucket (the corpus fetch-join
-    layout) — the probe math here is identical.
+    candidates; queries + probe sets are broadcast once via ray.put.  The
+    indexed variant that also prunes the SCAN is `build_ann_index` +
+    `ann_indexed_topk` below (pre-partition by bucket, read only probed
+    buckets) — same probe math, read volume ∝ probes.
     """
     import ray
 
@@ -300,4 +306,149 @@ def ann_lsh_topk(
 
     return _reduce_partials(
         embeddings_ds.map_batches(partial_topk, batch_format="pyarrow"), k
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucket-partitioned ANN index (the 100-TB scale path — VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+def build_ann_index(embeddings_ds, index_dir: str, nbits: int = 12, seed: int = 3) -> dict:
+    """Write the embedding table PARTITIONED by sign-LSH bucket:
+    ``{index_dir}/bucket={b}/part.parquet`` + ``meta.json`` pinning
+    (nbits, seed, dim) so probes recompute the same hyperplanes.
+
+    Same layout trick as the crawl corpus fetch join
+    (sources/corpus.py:260-293): a probe then reads ONLY the probed bucket
+    directories — read volume is proportional to the probe set, not the
+    corpus (the full-scan-per-batch gap `ann_lsh_topk`'s docstring names).
+    Build is one embarrassingly-parallel bucket-id map + one groupby(bucket)
+    whose groups write their own partition file (bounded group count:
+    2^nbits, never one per vector); the per-bucket file name is
+    deterministic, so a retried write task is idempotent and a failed build
+    can re-run without cleanup.  Returns the index meta dict."""
+    first = embeddings_ds.take(1)[0]["embedding"]
+    dim = len(first)
+    H = _hyperplanes(dim, nbits, seed)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pa.array(_bucket_ids(_to_matrix(t.column("embedding")), H), pa.int64()),
+        )
+
+    def write_group(t: pa.Table) -> pa.Table:
+        b = int(t.column("bucket")[0].as_py())
+        d = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "part.parquet"))
+        return pa.table(
+            {"bucket": pa.array([b], pa.int64()), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    manifest = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "nbits": nbits,
+        "seed": seed,
+        "dim": dim,
+        "n_buckets": int(len(manifest)),
+        "rows": int(manifest["rows"].sum()) if len(manifest) else 0,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_index_probe_paths(
+    index_dir: str, Q: np.ndarray, multiprobe: int = 2
+) -> tuple[list[str], list[np.ndarray]]:
+    """(bucket dirs to read, per-query probe sets) for a query matrix.
+    Exposed so tests can assert read volume ∝ probed buckets."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    H = _hyperplanes(meta["dim"], meta["nbits"], meta["seed"])
+    q_buckets = _bucket_ids(Q, H)
+    probes = [
+        np.fromiter(_probe_set(int(b), meta["nbits"], multiprobe), dtype=np.int64)
+        for b in q_buckets
+    ]
+    union = sorted(set().union(*(set(p.tolist()) for p in probes))) if probes else []
+    paths = [
+        p
+        for b in union
+        if os.path.isdir(p := os.path.join(index_dir, f"bucket={b}"))
+    ]
+    return paths, probes
+
+
+def _probe_files(paths: list[str]) -> list[str]:
+    """Expand probed bucket dirs to their parquet files (read_parquet wants
+    files when given a list)."""
+    return [
+        os.path.join(d, f)
+        for d in paths
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+
+
+def ann_indexed_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10, multiprobe: int = 2):
+    """Bucket-partitioned ANN top-k: probes read ONLY their bucket
+    partitions (`build_ann_index` layout) and candidates' stored bucket ids
+    ride the files — no per-batch bucket recompute, no corpus scan.  Same
+    output schema as `ann_topk` (query_id, rank, vec_id).
+
+    ``query_ids``/``Q``: the query vectors (callers fetch them however —
+    typically one column-pruned filter scan of the query side, which is
+    small by definition)."""
+    import ray
+    import ray.data
+
+    paths, probes = ann_index_probe_paths(index_dir, Q, multiprobe)
+    if not paths:
+        return ray.data.from_pandas(
+            pd.DataFrame({"query_id": [], "rank": [], "vec_id": []}).astype(np.int64)
+        )
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn, probes))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Qn_, probes_ = ray.get(q_ref)
+        V = _to_matrix(t.column("embedding"))
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        buckets = t.column("bucket").to_numpy(zero_copy_only=False)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            mask = np.isin(buckets, probes_[qi]) & (vids != q_ids_[qi])
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            sims = Vn[idx] @ Qn_[qi]
+            top = np.lexsort((vids[idx], -sims))[:k]
+            out_q.extend([q_ids_[qi]] * len(top))
+            out_v.extend(vids[idx][top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _reduce_partials(
+        ray.data.read_parquet(_probe_files(paths)).map_batches(
+            partial_topk, batch_format="pyarrow"
+        ),
+        k,
     )

@@ -1,0 +1,97 @@
+"""Bucket-partitioned ANN index (VERDICT r2 item 4): recall vs the exact
+baseline, and the defining scale property — read volume proportional to the
+PROBED buckets, not the corpus."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+INDEX_DIR = "/tmp/gr_ann_index"
+
+
+def _clustered(n=400, dim=32, centers=10, seed=11):
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((centers, dim)) * 3
+    return [
+        {"vec_id": i, "embedding": (C[i % centers] + 0.3 * rng.standard_normal(dim)).tolist()}
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def index_ds(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.similarity import build_ann_index
+
+    items = _clustered()
+    ds = ray.data.from_items(items)
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    meta = build_ann_index(ds, INDEX_DIR, nbits=12, seed=3)
+    return ds, items, meta
+
+
+def test_index_layout_and_meta(index_ds):
+    ds, items, meta = index_ds
+    assert meta["rows"] == len(items)
+    assert meta["dim"] == 32
+    dirs = glob.glob(os.path.join(INDEX_DIR, "bucket=*"))
+    assert len(dirs) == meta["n_buckets"] > 1
+    assert os.path.exists(os.path.join(INDEX_DIR, "meta.json"))
+
+
+def test_indexed_recall_vs_exact(index_ds):
+    from grawler_ray.functions.similarity import ann_indexed_topk, ann_topk
+
+    ds, items, meta = index_ds
+    qids = [0, 1, 2, 3, 4]
+    Q = np.array([items[q]["embedding"] for q in qids], dtype=np.float64)
+    exact = ann_topk(ds, qids, k=10).to_pandas()
+    approx = ann_indexed_topk(INDEX_DIR, qids, Q, k=10, multiprobe=2).to_pandas()
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
+
+
+def test_read_volume_proportional_to_probes(index_ds):
+    """The point of the index: a probe reads a strict subset of the bucket
+    partitions — file count AND bytes — instead of scanning the corpus."""
+    from grawler_ray.functions.similarity import ann_index_probe_paths
+
+    ds, items, meta = index_ds
+    Q = np.array([items[0]["embedding"]], dtype=np.float64)
+    paths, probes = ann_index_probe_paths(INDEX_DIR, Q, multiprobe=1)
+    all_dirs = glob.glob(os.path.join(INDEX_DIR, "bucket=*"))
+    assert 0 < len(paths) < len(all_dirs)
+    # probe set for multiprobe=1 over nbits=12 is 13 buckets; only the ones
+    # that exist on disk are read
+    assert len(paths) <= 13
+
+    def _bytes(dirs):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert _bytes(paths) < _bytes(all_dirs)
+
+
+def test_indexed_equals_lsh_on_same_probes(index_ds):
+    """The indexed variant and the scan variant implement the SAME probe
+    math: identical (nbits, seed, multiprobe) must give identical results."""
+    from grawler_ray.functions.similarity import ann_indexed_topk, ann_lsh_topk
+
+    ds, items, meta = index_ds
+    qids = [0, 1, 2, 3, 4]
+    Q = np.array([items[q]["embedding"] for q in qids], dtype=np.float64)
+    scan = ann_lsh_topk(ds, qids, k=10, nbits=12, seed=3, multiprobe=2).to_pandas()
+    idx = ann_indexed_topk(INDEX_DIR, qids, Q, k=10, multiprobe=2).to_pandas()
+    scan = scan.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    idx = idx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert scan.equals(idx)
