@@ -243,37 +243,118 @@ def _q1_agg(sf_dir: str):
     )
 
 
-def _orders_by_nation(sf_dir: str):
-    """orders x customer x nation via BROADCAST of the small dimension side
-    (ray.put once, dict lookup per batch — no shuffle; SURVEY §2.4 J2)."""
+# broadcast guard (VERDICT r2 item 5/8): (c_custkey, c_nationkey) is ~16 B a
+# row, so 5M rows ≈ 80 MB through ray.put — comfortable on a 128 GiB worker;
+# past that the dimension side is no longer "small" and the join must shuffle
+_BCAST_MAX_ROWS = 5_000_000
+
+
+def _orders_by_nation(sf_dir: str, broadcast_max_rows: int = _BCAST_MAX_ROWS):
+    """orders x customer x nation.  customer <= ``broadcast_max_rows``:
+    BROADCAST the dimension side (ray.put once, dict lookup per batch — no
+    shuffle; SURVEY §2.4 J2).  Larger: repartition join (union both sides,
+    coarse custkey-hash groupby, run-scan attach) — the documented pattern
+    this engine uses instead of Ray 2.49's Acero Dataset.join.  nation (25
+    rows) is always broadcast.  Both paths produce identical results
+    (tests/test_functions.py cross-checks them)."""
     import ray
 
-    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
-    c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
     n2name = dict(zip(nation.n_nationkey, nation.n_name))
-    ref = ray.put((c2n, n2name))
-
-    def join_batch(t: pa.Table) -> pa.Table:
-        c2n_, n2name_ = ray.get(ref)
-        nations = [n2name_[c2n_[c]] for c in t.column("o_custkey").to_pylist()]
-        price_cents = [
-            int(np.floor(p * 100.0 + 0.5)) for p in t.column("o_totalprice").to_pylist()
-        ]
-        return pa.table(
-            {
-                "nation": pa.array(nations, pa.string()),
-                "price_cents": pa.array(price_cents, pa.int64()),
-            }
-        )
-
     from ray.data.aggregate import Count, Sum
 
-    return (
-        _read(sf_dir, "orders")
-        .map_batches(join_batch, batch_format="pyarrow")
-        .groupby("nation")
-        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents"))
+    n_cust = _read(sf_dir, "customer").count()  # parquet-footer metadata only
+    if n_cust <= broadcast_max_rows:
+        cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+        c2n = dict(zip(cust.c_custkey, cust.c_nationkey))
+        ref = ray.put((c2n, n2name))
+
+        def join_batch(t: pa.Table) -> pa.Table:
+            c2n_, n2name_ = ray.get(ref)
+            nations = [n2name_[c2n_[c]] for c in t.column("o_custkey").to_pylist()]
+            price_cents = [
+                int(np.floor(p * 100.0 + 0.5)) for p in t.column("o_totalprice").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "nation": pa.array(nations, pa.string()),
+                    "price_cents": pa.array(price_cents, pa.int64()),
+                }
+            )
+
+        joined = _read(sf_dir, "orders").map_batches(join_batch, batch_format="pyarrow")
+    else:
+        # repartition join: side 0 = customer (carries nationkey), side 1 =
+        # orders (carries price); coarse custkey-hash groups, vectorized
+        # run-scan inside (CLAUDE.md join pattern)
+        num_groups = 256
+        nref = ray.put(n2name)
+
+        def cust_rows(t: pa.Table) -> pa.Table:
+            ck = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "ck": pa.array(ck, pa.int64()),
+                    "side": pa.array(np.zeros(len(ck), dtype=np.int8), pa.int8()),
+                    "nk": t.column("c_nationkey").cast(pa.int64()),
+                    "price_cents": pa.array(np.zeros(len(ck), dtype=np.int64), pa.int64()),
+                }
+            )
+
+        def order_rows(t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            price = np.floor(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "ck": pa.array(ck, pa.int64()),
+                    "side": pa.array(np.ones(len(ck), dtype=np.int8), pa.int8()),
+                    "nk": pa.array(np.full(len(ck), -1, dtype=np.int64), pa.int64()),
+                    "price_cents": pa.array(price, pa.int64()),
+                }
+            )
+
+        def tag(t: pa.Table) -> pa.Table:
+            ck = t.column("ck").to_numpy(zero_copy_only=False).astype(np.uint64)
+            g = (ck * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+            return t.append_column("jg", pa.array(g.astype(np.int32), pa.int32()))
+
+        def attach(df: pd.DataFrame) -> pa.Table:
+            df = df.sort_values(["ck", "side"])  # customer row first in its run
+            ck = df["ck"].to_numpy()
+            nk = df["nk"].to_numpy()
+            price = df["price_cents"].to_numpy()
+            side = df["side"].to_numpy()
+            is_start = np.concatenate(([True], np.diff(ck) != 0))
+            start_idx = np.maximum.accumulate(np.where(is_start, np.arange(len(df)), 0))
+            run_nk = nk[start_idx]
+            keep = (side == 1) & (run_nk >= 0)  # orders whose customer exists
+            n2name_ = ray.get(nref)
+            names = pd.Series(run_nk[keep]).map(n2name_)
+            return pa.table(
+                {
+                    "nation": pa.array(names.tolist(), pa.string()),
+                    "price_cents": pa.array(price[keep], pa.int64()),
+                }
+            )
+
+        joined = (
+            _read(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(cust_rows, batch_format="pyarrow")
+            .union(
+                _read(sf_dir, "orders")
+                .select_columns(["o_custkey", "o_totalprice"])
+                .map_batches(order_rows, batch_format="pyarrow")
+            )
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("jg")
+            .map_groups(attach, batch_format="pandas")
+        )
+
+    return joined.groupby("nation").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents")
     )
 
 

@@ -82,3 +82,26 @@ def test_rolling_hash_deterministic_order_sensitive():
 def test_stopwords_fixed():
     # the SQL oracle embeds this list literally — it must not drift silently
     assert STOPWORDS == ("the", "a", "and", "of", "to", "in", "is", "on", "for", "by")
+
+
+def test_orders_by_nation_shuffle_equals_broadcast(ray_session):
+    """The >threshold repartition-join fallback must give identical results
+    to the broadcast path (the guard switches silently at scale)."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    bc = (
+        e._orders_by_nation(sf)
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    sh = (
+        e._orders_by_nation(sf, broadcast_max_rows=0)  # force the shuffle path
+        .to_pandas()
+        .sort_values("nation")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc, sh)
