@@ -105,6 +105,12 @@ def _fingerprint(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _token_count(sf_dir: str):
+    from grawler_ray.functions.textstats import token_count_batch
+
+    return _read(sf_dir, "documents").map_batches(token_count_batch, batch_format="pyarrow")
+
+
 def _exact_dedup(sf_dir: str):
     from grawler_ray.functions.dedup import exact_dedup_group, exact_hash_batch
 
@@ -573,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "process_text": _process_text,
         "doc_stats": _doc_stats,
         "fingerprint": _fingerprint,
+        "token_count": _token_count,
         "exact_dedup": _exact_dedup,
         "lang_count": _lang_count,
         "top_words": _top_words,
@@ -635,6 +642,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # the three patterns are RE2-compatible mirrors of
+        # textstats.BPE_TOKEN_PATTERN / _WS_RE / _PUNCT_RE ($$-quoted: the
+        # contraction alternatives contain single quotes); DuckDB string
+        # literals pass backslashes through to RE2 just as Python raw
+        # strings do to `re`, so the counts are bit-identical
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       $$'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\r\fa-zA-Z0-9]+|[ \t\n\r\f]+$$
+                   ))::BIGINT AS n_bpe_tokens,
+                   len(regexp_extract_all(text, $$[^ \t\n\r\f]+$$))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, $$[^ \t\n\r\fa-zA-Z0-9]$$))::BIGINT AS n_punct_chars
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash,

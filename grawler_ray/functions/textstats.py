@@ -135,6 +135,46 @@ def langid_batch(t: pa.Table) -> pa.Table:
 # re-export for oracle-SQL construction
 WORD_PATTERN_SQL = r"\b\w+\b"
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to a LOOKAHEAD-FREE,
+# ASCII-class-only pattern so Python `re` and DuckDB's RE2 match identically:
+# RE2 has no lookahead, RE2's \s/\w are ASCII while Python's are Unicode —
+# every class is spelled out explicitly for bit-identical counts).
+# Alternation order matters and is leftmost-first in both engines.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^ \t\n\r\fa-zA-Z0-9]+"
+    r"|[ \t\n\r\f]+"
+)
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+_WS_RE = re.compile(r"[^ \t\n\r\f]+")
+_PUNCT_RE = re.compile(r"[^ \t\n\r\fa-zA-Z0-9]")
+
+
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """Token counting for training-data budgeting: per doc, the BPE-ish
+    pre-token count (the standard proxy for LLM token cost), the
+    whitespace-token count, and the punctuation-character count (a quality
+    signal).  Pure counts => exactly mirrored by the DuckDB oracle with the
+    same RE2-compatible patterns."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n_bpe, n_ws, n_punct = [], [], []
+    for txt in texts:
+        txt = txt or ""
+        n_bpe.append(len(_BPE_RE.findall(txt)))
+        n_ws.append(len(_WS_RE.findall(txt)))
+        n_punct.append(len(_PUNCT_RE.findall(txt)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws, pa.int64()),
+            "n_punct_chars": pa.array(n_punct, pa.int64()),
+        }
+    )
+
 
 def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Polynomial rolling hash of the whole text (content-defined

@@ -105,3 +105,28 @@ def test_orders_by_nation_shuffle_equals_broadcast(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(bc, sh)
+
+
+def test_token_count_batch():
+    """BPE-ish pre-tokenizer counts: deterministic, GPT-2-flavored splits,
+    and the adversarial shapes that would diverge between Python re and RE2
+    if the pattern used lookahead or Unicode classes (it must not)."""
+    import pyarrow as pa
+
+    from grawler_ray.functions.textstats import token_count_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["don't stop", "a  b\tc", "café — résumé", ""], pa.string()),
+        }
+    )
+    out = token_count_batch(t)
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"], r["n_punct_chars"]) for r in out.to_pylist()}
+    # "don't stop" -> don | 't | " stop" = 3 bpe tokens, 2 ws tokens, 1 punct (')
+    assert got[0] == (3, 2, 1)
+    # "a  b\tc" -> a | " " | " b" | \t | c = 5 bpe (ws runs between), 3 ws, 0 punct
+    assert got[0][0] == 3 and got[1] == (5, 3, 0)
+    assert got[3] == (0, 0, 0)
+    # unicode bytes land in the punct/other class, never in [a-zA-Z]
+    assert got[2][2] > 0
