@@ -158,6 +158,12 @@ def _top_words(sf_dir: str):
     return ds
 
 
+def _top_words_per_lang(sf_dir: str):
+    from grawler_ray.functions.textstats import top_words_per_lang
+
+    return top_words_per_lang(_read(sf_dir, "documents"), k=10)
+
+
 def _events_first(sf_dir: str):
     def first_event(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
@@ -406,6 +412,18 @@ def _ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _dedup_clusters(sf_dir: str):
+    """Near-dup pairs -> connected components (keep-set materialization):
+    every doc gets component = min reachable doc_id through the n-gram
+    Jaccard pair graph.  SQL-checked via a recursive-CTE transitive closure
+    over the same pair query."""
+    from grawler_ray.functions.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_components(docs, pairs)
+
+
 def _embedding_dup_pairs(sf_dir: str):
     from grawler_ray.functions.similarity import embedding_dup_pairs
 
@@ -583,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _exact_dedup,
         "lang_count": _lang_count,
         "top_words": _top_words,
+        "top_words_per_lang": _top_words_per_lang,
         "events_first": _events_first,
         "sessionize": _sessionize,
         "rolling_sum": _rolling_sum,
@@ -594,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_join_orders": _lineitem_join_orders,
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "dedup_clusters": _dedup_clusters,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -672,6 +692,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lower(w)
             ORDER BY total DESC, word ASC
             LIMIT 100
+        """,
+        "top_words_per_lang": rf"""
+            SELECT lang, word, total, rank
+            FROM (SELECT lang, word, total,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY total DESC, word) AS rank
+                  FROM (SELECT lang, lower(w) AS word, count(*)::BIGINT AS total
+                        FROM (SELECT lang,
+                                     unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                              FROM documents)
+                        GROUP BY lang, lower(w)))
+            WHERE rank <= 10
         """,
         "events_first": """
             SELECT user_id, event_type, event_id AS first_event_id
@@ -776,6 +808,41 @@ def oracle_sql() -> dict[str, str]:
                        ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
                             NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
                   END >= 0.5
+        """,
+        # transitive closure (recursive CTE) over the SAME pair query as
+        # ngram_jaccard_pairs: component = min doc_id reachable through the
+        # near-dup graph; singleton docs are their own component
+        "dedup_clusters": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            ),
+            pairs AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b
+              FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+              WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                         ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                              NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
+                    END >= 0.5
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL
+              SELECT b, a FROM pairs
+            ),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(comp)::BIGINT AS component
+            FROM reach GROUP BY node
         """,
         "embedding_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b

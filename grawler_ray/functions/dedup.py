@@ -734,3 +734,122 @@ def exact_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
             "n_dups": [len(df)],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 64):
+    """Connected components over a near-dup pair set: every doc gets a
+    ``component`` id = the MIN doc_id reachable through pairs (singleton docs
+    are their own component).  This is the step that turns any of the pair
+    generators above (minhash / simhash / ngram / embedding) into an
+    actionable keep-set: keep doc_id == component, drop the rest.
+
+    Algorithm: iterative min-label propagation (the bounded-diameter
+    special case of Kiveris et al.'s star-contraction family, "Connected
+    Components in MapReduce", SoCC'14) — near-dup clusters have tiny
+    diameters, so convergence is a handful of rounds.  Each round is ONE
+    repartition-join shuffle (symmetric edges ∪ labels, coarse node-hash
+    groups, vectorized run-scan attach) + one (node, min label) aggregate;
+    labels only ever decrease, so the driver-side convergence check is one
+    scalar Sum aggregate per round (labels stay distributed throughout).
+
+    Returns a Dataset of (doc_id, component).
+    """
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def sym_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table({"node": ids, "label": ids})
+
+    labels = docs_ds.select_columns(["doc_id"]).map_batches(
+        init_labels, batch_format="pyarrow"
+    ).materialize()
+
+    def tag_node(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            g = (v * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+            return t.append_column("ng", pa.array(g.astype(np.int32), pa.int32()))
+        return fn
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("src"),
+                "dst": t.column("dst"),
+                "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+                "label": t.column("label"),
+            }
+        )
+
+    def propagate(t: pa.Table) -> pa.Table:
+        # coarse group: run-scan nodes; label row (label >= 0, dst == -1)
+        # sorts FIRST in its run (dst ascending puts dst=-1 first).
+        # pyarrow map_groups (not pandas): empty shuffle partitions then
+        # emit ARROW empties, keeping every block one type for the next
+        # sort's sampler (the Ray 2.49 mixed-block assertion)
+        df = t.to_pandas().sort_values(["node", "dst"])
+        nodes = df["node"].to_numpy()
+        dsts = df["dst"].to_numpy()
+        lbls = df["label"].to_numpy()
+        is_start = np.concatenate(([True], np.diff(nodes) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(len(df)), 0))
+        run_label = lbls[start_idx]  # the node's current label
+        is_edge = dsts >= 0
+        ok = is_edge & (run_label >= 0)  # edges whose src has a label row
+        return pa.table(
+            {
+                "node": pa.array(dsts[ok], pa.int64()),
+                "label": pa.array(run_label[ok], pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        # messages: each edge forwards its src's current label to dst
+        msgs = (
+            edges.map_batches(edge_rows, batch_format="pyarrow")
+            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+            .map_batches(tag_node("node"), batch_format="pyarrow")
+            .groupby("ng")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:  # labels are monotone non-increasing => fixpoint
+            break
+        prev_sum = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"), "component": t.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

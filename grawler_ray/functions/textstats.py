@@ -176,6 +176,59 @@ def token_count_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
+    """Per-group top-k (group = lang, item = word, weight = occurrences):
+    the standard vocabulary/report primitive.  Scale shape: per-batch partial
+    word counts BEFORE the shuffle (one row per distinct (lang, word) per
+    batch, never one per token), one (lang, word) hash aggregate, then a
+    per-batch partial top-k + tree-combine — truncating to k per group per
+    block is lossless for the final top-k (any final top-k row is in every
+    superset's top-k), so no stage ever holds a group's full vocabulary.
+    Output (lang, word, total, rank), rank 1..k by (total desc, word asc)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[tuple[str, str], int] = {}
+        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            for w, f in words_freq(txt or "").items():
+                acc[(lang, w)] = acc.get((lang, w), 0) + f
+        return pa.table(
+            {
+                "lang": pa.array([kk[0] for kk in acc], pa.string()),
+                "word": pa.array([kk[1] for kk in acc], pa.string()),
+                "partial": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    def head_k(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "total", "word"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(k), preserve_index=False
+        )
+
+    def rank_k(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "total", "word"], ascending=[True, False, True])
+        df = df.groupby("lang", sort=False).head(k)
+        df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs_ds.select_columns(["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("partial", alias_name="total"))
+        .map_batches(head_k, batch_format="pyarrow")     # per-block truncate
+        .repartition(combine_parts)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(rank_k, batch_size=None, batch_format="pyarrow")
+    )
+
+
 def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Polynomial rolling hash of the whole text (content-defined
     fingerprinting primitive; used by the shingling dedup ops)."""

@@ -137,3 +137,19 @@ def test_ann_lsh_recall_on_clustered_data(ray_session):
     ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.9, recall
+
+
+def test_dedup_components_planted(ray_session):
+    """Chain 0-1-2, pair 5-6, everything else singleton: labels converge to
+    the min doc_id of each component, including the transitive chain."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import dedup_components
+
+    docs = ray.data.from_items([{"doc_id": i} for i in range(10)])
+    pairs = ray.data.from_items(
+        [{"a": 1, "b": 2}, {"a": 0, "b": 1}, {"a": 5, "b": 6}]
+    )
+    out = dedup_components(docs, pairs).to_pandas().sort_values("doc_id")
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
