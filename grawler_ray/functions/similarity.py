@@ -452,3 +452,185 @@ def ann_indexed_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10, mult
         ),
         k,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index: k-means coarse quantizer + centroid-partitioned layout
+# ---------------------------------------------------------------------------
+
+def _kmeans_fit(embeddings_ds, k: int, iters: int, seed: int) -> np.ndarray:
+    """Distributed Lloyd's k-means, deterministic: init = the k vectors with
+    the smallest Knuth-hashed vec_ids (per-batch partial top-k, bounded
+    driver reduce); each iteration broadcasts the (k x dim) centroid matrix
+    and reduces per-batch partial (sum, count) — driver state is k x dim
+    floats, never a row set.  Fixed iteration count keeps the build
+    deterministic and bounded."""
+    import ray
+
+    KNUTH = np.uint64(2654435761)
+
+    def init_candidates(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        h = (vids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+        order = np.argsort(h, kind="stable")[:k]
+        return t.take(pa.array(order, pa.int64())).append_column(
+            "h", pa.array(h[order].astype(np.int64), pa.int64())
+        )
+
+    cand = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(init_candidates, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["h", "vec_id"])
+        .head(k)
+    )
+    C = np.array(cand["embedding"].tolist(), dtype=np.float64)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partials(t: pa.Table) -> pa.Table:
+            C_ = ray.get(c_ref)
+            V = _to_matrix(t.column("embedding"))
+            # nearest centroid by euclidean distance (argmin over ||v-c||²
+            # = argmin over -2 v·c + ||c||²)
+            d = -2.0 * (V @ C_.T) + (C_ * C_).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            sums = np.zeros_like(C_)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=len(C_)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(C_)), pa.int64()),
+                    "vsum": pa.array([row.tobytes() for row in sums], pa.binary()),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = embeddings_ds.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pyarrow"
+        ).to_pandas()
+        dim = C.shape[1]
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for cid, vs, n in zip(parts["cid"], parts["vsum"], parts["n"]):
+            sums[cid] += np.frombuffer(vs, dtype=np.float64)
+            counts[cid] += n
+        nonempty = counts > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+    return C
+
+
+def build_ivf_index(
+    embeddings_ds, index_dir: str, k: int = 64, iters: int = 5, seed: int = 3
+) -> dict:
+    """IVF index (the k-means alternative to the sign-LSH `build_ann_index`):
+    fit a k-centroid coarse quantizer, then write the embedding table
+    partitioned by nearest-centroid id (``{index_dir}/list={c}/part.parquet``)
+    with the centroid matrix in ``meta.json``.  A query probes only its
+    ``nprobe`` nearest centroid partitions — read ∝ probes, same layout
+    contract as the LSH index and the crawl corpus."""
+    C = _kmeans_fit(embeddings_ds, k, iters, seed)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    import ray
+
+    c_ref = ray.put(C)
+
+    def tag(t: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        V = _to_matrix(t.column("embedding"))
+        d = -2.0 * (V @ C_.T) + (C_ * C_).sum(axis=1)[None, :]
+        return t.append_column(
+            "list_id", pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64())
+        )
+
+    def write_group(t: pa.Table) -> pa.Table:
+        c = int(t.column("list_id")[0].as_py())
+        d = os.path.join(index_dir, f"list={c}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, "part.parquet"))
+        return pa.table(
+            {"list_id": pa.array([c], pa.int64()), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    manifest = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "k": k,
+        "dim": int(C.shape[1]),
+        "centroids": [row.tolist() for row in C],
+        "n_lists": int(len(manifest)),
+        "rows": int(manifest["rows"].sum()) if len(manifest) else 0,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_probe_paths(index_dir: str, Q: np.ndarray, nprobe: int = 4) -> list[str]:
+    """The `nprobe` nearest centroid partitions per query (union, existing
+    dirs only) — exposed so tests can assert read volume ∝ probes."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    C = np.array(meta["centroids"], dtype=np.float64)
+    d = -2.0 * (Q @ C.T) + (C * C).sum(axis=1)[None, :]
+    lists = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+    union = sorted(set(lists.ravel().tolist()))
+    return [
+        p
+        for c in union
+        if os.path.isdir(p := os.path.join(index_dir, f"list={c}"))
+    ]
+
+
+def ann_ivf_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10, nprobe: int = 4):
+    """IVF ANN top-k: read only the probed centroid partitions, exact cosine
+    rerank within them.  Same output schema as `ann_topk`."""
+    import ray
+    import ray.data
+
+    paths = ivf_probe_paths(index_dir, Q, nprobe)
+    if not paths:
+        return ray.data.from_pandas(
+            pd.DataFrame({"query_id": [], "rank": [], "vec_id": []}).astype(np.int64)
+        )
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, Qn))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Qn_ = ray.get(q_ref)
+        V = _to_matrix(t.column("embedding"))
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qn_ @ Vn.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids_)):
+            row = sims[qi]
+            idx = np.nonzero(vids != q_ids_[qi])[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.lexsort((vids[idx], -row[idx]))[:k]]
+            out_q.extend([q_ids_[qi]] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(row[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _reduce_partials(
+        ray.data.read_parquet(_probe_files(paths)).map_batches(
+            partial_topk, batch_format="pyarrow"
+        ),
+        k,
+    )

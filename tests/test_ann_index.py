@@ -95,3 +95,62 @@ def test_indexed_equals_lsh_on_same_probes(index_ds):
     scan = scan.sort_values(["query_id", "rank"]).reset_index(drop=True)
     idx = idx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert scan.equals(idx)
+
+
+IVF_DIR = "/tmp/gr_ivf_index"
+
+
+@pytest.fixture(scope="module")
+def ivf_index(index_ds):
+    from grawler_ray.functions.similarity import build_ivf_index
+
+    ds, items, _ = index_ds
+    meta = build_ivf_index(ds, IVF_DIR, k=16, iters=5, seed=3)
+    return ds, items, meta
+
+
+def test_ivf_layout_and_meta(ivf_index):
+    ds, items, meta = ivf_index
+    assert meta["rows"] == len(items)
+    dirs = glob.glob(os.path.join(IVF_DIR, "list=*"))
+    assert len(dirs) == meta["n_lists"] > 1
+    assert len(meta["centroids"]) == 16
+
+
+def test_ivf_recall_vs_exact(ivf_index):
+    """Clustered data, nprobe=4 of 16 lists: the true neighbors live in the
+    query's own cluster list, so recall should be near-perfect."""
+    from grawler_ray.functions.similarity import ann_ivf_topk, ann_topk
+
+    ds, items, meta = ivf_index
+    qids = [0, 1, 2, 3, 4]
+    Q = np.array([items[q]["embedding"] for q in qids], dtype=np.float64)
+    exact = ann_topk(ds, qids, k=10).to_pandas()
+    approx = ann_ivf_topk(IVF_DIR, qids, Q, k=10, nprobe=4).to_pandas()
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_read_volume_proportional_to_probes(ivf_index):
+    from grawler_ray.functions.similarity import ivf_probe_paths
+
+    ds, items, meta = ivf_index
+    Q = np.array([items[0]["embedding"]], dtype=np.float64)
+    paths = ivf_probe_paths(IVF_DIR, Q, nprobe=2)
+    all_dirs = glob.glob(os.path.join(IVF_DIR, "list=*"))
+    assert 0 < len(paths) <= 2 < len(all_dirs)
+
+
+def test_ivf_build_deterministic(ivf_index):
+    """Same input + seed => identical centroids (resumable/rebuildable)."""
+    import ray.data
+
+    from grawler_ray.functions.similarity import build_ivf_index
+
+    ds, items, meta = ivf_index
+    meta2 = build_ivf_index(
+        ray.data.from_items(items), "/tmp/gr_ivf_index2", k=16, iters=5, seed=3
+    )
+    assert meta["centroids"] == meta2["centroids"]
