@@ -32,6 +32,13 @@ class CrawlConfig:
     now_us: int = 1_722_988_800_000_000  # "wall clock" for TTL checks: 2024-08-07 UTC, the reference snapshot date (no real wall clock in the engine)
     canonicalize_seen: bool = False  # False = reference raw-URL equality (src/crawler.go:191); True = north-rule canonicalization
     frontier_cap: int | None = None  # None = unbounded (reference: 100_000 with silent child drops)
+    # frontier ordering (north rule: "priority queue"): "fifo" = reference
+    # conformance (seq = discovery order); "priority" = shallowest-path-first
+    # within each round (priority = decoded-path segment count, seq tiebreak)
+    # — the classic crawl heuristic that favors hub pages.  Priority is a
+    # pure function of the url, so deferred rows re-rank consistently.
+    # Incompatible with max_urls (the budget cutoff is seq-ordered).
+    frontier_order: str = "fifo"
 
     # termination (the reference never terminates, src/crawler.go:107-113;
     # bounded rounds are our documented improvement, SURVEY §2.9)

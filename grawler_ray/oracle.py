@@ -73,6 +73,25 @@ def run_oracle(
             compiled[host] = RobotsRules(body)
         return compiled[host].allowed(cfg.user_agent, url)
 
+    def _prio(url: str) -> int:
+        """frontier_order="priority" rank: decoded-path segment count
+        (shallow-first), mirroring _prepare_batch's prio column exactly —
+        priority is a pure function of the url, so deferred rows re-rank
+        consistently round over round."""
+        try:
+            _, _, path = extract_url_components(url)
+        except UrlError:
+            return 0
+        return path.count("/")
+
+    if cfg.frontier_order == "priority" and cfg.max_urls is not None:
+        raise ValueError("frontier_order='priority' is incompatible with max_urls")
+    sort_key = (
+        (lambda t: t[0])
+        if cfg.frontier_order == "fifo"
+        else (lambda t: (_prio(t[1]), t[0]))
+    )
+
     frontier: list[tuple[int, str, str]] = [(i, u, "") for i, u in enumerate(seeds)]
     next_seq = len(seeds)
     fetched_count = 0
@@ -81,7 +100,7 @@ def run_oracle(
         if not frontier:
             break
         res.rounds = rnd + 1
-        frontier.sort(key=lambda t: t[0])
+        frontier.sort(key=sort_key)
         deferred: list[tuple[int, str, str]] = []
         children: list[tuple[int, int, str, str]] = []  # (parent_seq, child_idx, url, parent)
         # Intra-round dedup is FIRST-WINS: later occurrences of a URL in the

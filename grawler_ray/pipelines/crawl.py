@@ -103,6 +103,7 @@ def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
         shard = np.zeros(n, dtype=np.int32)
         bucket = np.zeros(n, dtype=np.int32)
         hg = np.zeros(n, dtype=np.int32)
+        prio = np.zeros(n, dtype=np.int32)
         ghash_memo: dict[str, int] = {}
         for i, u in enumerate(urls):
             try:
@@ -134,6 +135,7 @@ def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
                 gh = xxhash64(ghost[i]) % admission_groups
                 ghash_memo[ghost[i]] = gh
             hg[i] = gh
+            prio[i] = p.count("/")  # frontier_order="priority": shallow first
         return (
             t.append_column("scheme", pa.array(scheme))
             .append_column("host", pa.array(host))
@@ -146,6 +148,7 @@ def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
             .append_column("shard", pa.array(shard))
             .append_column("bucket", pa.array(bucket))
             .append_column("hg", pa.array(hg, pa.int32()))
+            .append_column("prio", pa.array(prio, pa.int32()))
         )
 
     return fn
@@ -209,9 +212,14 @@ def _admission_group(cfg: CrawlConfig):
     allowed_schemes = list(cfg.allowed_schemes)
     blocked_paths = list(cfg.blocked_paths)
     blocked_hosts = list(cfg.blocked_hosts)
+    # processing order: discovery order (fifo) or shallowest-path-first
+    # (priority).  Order only matters WITHIN a host (quota) and WITHIN a seen
+    # key (first-wins) — both entirely inside this group — so a group-local
+    # sort realizes the global order exactly (oracle.py mirrors it).
+    order = ["seq"] if cfg.frontier_order == "fifo" else ["prio", "seq"]
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("seq")
+        df = df.sort_values(order)
         actions = df["action"].to_numpy(dtype=object, copy=True)
         pending = actions == ACTION_PENDING
         if not pending.any():
@@ -279,8 +287,10 @@ def _local_quota_batch(cfg: CrawlConfig):
     instead of its whole frontier (the straggler the north rule's
     'skew-aware repartitioning of hot domains' is about)."""
 
+    order = ["seq"] if cfg.frontier_order == "fifo" else ["prio", "seq"]
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("seq")
+        df = df.sort_values(order)
         pending = df["action"] == ACTION_PENDING
         cand = np.zeros(len(df), dtype=np.int8)
         if pending.any():
@@ -710,6 +720,12 @@ def run_crawl(
     rounds in place and every reader would silently merge them in.  Cross-run
     retention is explicit: separate out_dirs + ``read_documents([...],
     dedup="last")``."""
+    if cfg.frontier_order not in ("fifo", "priority"):
+        raise ValueError(f"unknown frontier_order {cfg.frontier_order!r}")
+    if cfg.frontier_order == "priority" and cfg.max_urls is not None:
+        # the max_urls cutoff truncates by SEQ order; priority mode fetches
+        # in (prio, seq) order, so a seq cutoff would keep the wrong rows
+        raise ValueError("frontier_order='priority' is incompatible with max_urls")
     out_dir = cfg.out_dir
     os.makedirs(out_dir, exist_ok=True)
     if not resume:
