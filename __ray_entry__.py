@@ -502,6 +502,41 @@ def _minhash_pairs(sf_dir: str):
     return minhash_dedup(_read(sf_dir, "documents"), threshold=0.5)
 
 
+_MH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _minhash_incremental(sf_dir: str):
+    """Incremental dedup: index the first half of the documents table once
+    per process, then dedup the second half against it via bucketed point
+    reads (read ∝ increment, never ∝ corpus).  Cross-pair exactness vs
+    brute force asserted in tests/test_dedup_pipelines.py."""
+    from grawler_ray.functions.dedup import build_minhash_index, minhash_dedup_incremental
+
+    def first_half(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t.column("doc_id"), 250))
+
+    def second_half(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("doc_id"), 250))
+
+    idx_dir = _MH_INDEX_CACHE.get(sf_dir)
+    if idx_dir is None:
+        idx_dir = f"/tmp/grawler_mh_index_{abs(hash(sf_dir))}"
+        build_minhash_index(
+            _read(sf_dir, "documents").map_batches(first_half, batch_format="pyarrow"),
+            idx_dir,
+        )
+        _MH_INDEX_CACHE[sf_dir] = idx_dir
+    return minhash_dedup_incremental(
+        _read(sf_dir, "documents").map_batches(second_half, batch_format="pyarrow"),
+        idx_dir,
+        threshold=0.5,
+    )
+
+
 def _simhash(sf_dir: str):
     from grawler_ray.functions.dedup import simhash_batch
 
@@ -648,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "langid": _langid,
         "minhash_pairs": _minhash_pairs,
+        "minhash_incremental": _minhash_incremental,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,

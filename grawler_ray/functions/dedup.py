@@ -853,3 +853,259 @@ def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 6
         return pa.table({"doc_id": t.column("node"), "component": t.column("label")})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: new docs vs a persisted MinHash index
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    docs_ds,
+    index_dir: str,
+    threshold_note: str = "",
+    num_perm: int = 128,
+    seed: int = 1,
+    num_bands: int = 16,
+    num_buckets: int = 64,
+) -> dict:
+    """Persist a corpus' MinHash/LSH state for INCREMENTAL dedup: new data
+    (a daily crawl increment) is deduped against the existing corpus via
+    point reads — the corpus is never reprocessed.  Layout (the crawl
+    corpus' bucketed point-join trick, sources/corpus.py):
+
+      {index_dir}/bands/bucket={k}/part.parquet   (band, band_hash, doc_id),
+          k = hash(band, band_hash) % num_buckets, sorted by (band, band_hash)
+          => a probe reads only touched buckets with a band_hash IN pushdown;
+      {index_dir}/blobs/bucket={k}/part.parquet   (doc_id, sh blob),
+          k = hash(doc_id) % num_buckets, sorted by doc_id
+          => candidate verification point-reads only candidate docs' blobs;
+      meta.json pins (num_perm, seed, num_bands, num_buckets).
+
+    Deterministic per-bucket file names => retried build tasks are
+    idempotent.  Returns the meta dict."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    a, b = _perm_params(num_perm, seed)
+    _shutil.rmtree(index_dir, ignore_errors=True)
+    _os.makedirs(index_dir, exist_ok=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        gk, bands, bhashes, ids = [], [], [], []
+        blob_ids, blob_gk, blobs = [], [], []
+        for doc_id, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            sh = shingles(txt)
+            sig = minhash_signature(sh, a, b)
+            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
+            blob_ids.append(doc_id)
+            blob_gk.append(
+                int((np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+                % num_buckets
+            )
+            blobs.append(blob)
+            rows_per_band = len(sig) // num_bands
+            for bi in range(num_bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = xxhash64(",".join(map(str, chunk)))
+                gk.append(xxhash64(f"{bi}:{h}") % num_buckets)
+                bands.append(bi)
+                bhashes.append(np.int64(h - (1 << 63)))
+                ids.append(doc_id)
+        n_band = len(bands)
+        n_blob = len(blob_ids)
+        return pa.table(
+            {
+                "kind": pa.array([0] * n_band + [1] * n_blob, pa.int8()),
+                "gk": pa.array(gk + blob_gk, pa.int32()),
+                "band": pa.array(bands + [0] * n_blob, pa.int32()),
+                "band_hash": pa.array(bhashes + [0] * n_blob, pa.int64()),
+                "doc_id": pa.array(ids + blob_ids, pa.int64()),
+                "sh": pa.array([None] * n_band + blobs, pa.binary()),
+            }
+        )
+
+    def write_group(t: pa.Table) -> pa.Table:
+        kind = int(t.column("kind")[0].as_py())
+        k = int(t.column("gk")[0].as_py())
+        if kind == 0:
+            sub = (
+                t.select(["band", "band_hash", "doc_id"])
+                .sort_by([("band", "ascending"), ("band_hash", "ascending")])
+            )
+            d = _os.path.join(index_dir, "bands", f"bucket={k}")
+        else:
+            sub = t.select(["doc_id", "sh"]).sort_by("doc_id")
+            d = _os.path.join(index_dir, "blobs", f"bucket={k}")
+        _os.makedirs(d, exist_ok=True)
+        _pq.write_table(sub, _os.path.join(d, "part.parquet"))
+        return pa.table(
+            {"kind": pa.array([kind], pa.int8()), "rows": pa.array([sub.num_rows], pa.int64())}
+        )
+
+    manifest = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["kind", "gk"])
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "num_perm": num_perm,
+        "seed": seed,
+        "num_bands": num_bands,
+        "num_buckets": num_buckets,
+        "band_rows": int(manifest[manifest["kind"] == 0]["rows"].sum()),
+        "docs": int(manifest[manifest["kind"] == 1]["rows"].sum()),
+    }
+    with open(_os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def minhash_dedup_incremental(
+    new_docs_ds, index_dir: str, threshold: float = 0.8, max_candidates_per_doc: int = 1024
+):
+    """Near-dup pairs BETWEEN new docs and an indexed corpus (new-internal
+    dups are `minhash_dedup`'s job).  Two bucketed point-join stages, read
+    volume ∝ the increment, never ∝ the corpus:
+
+      1. new docs -> band rows grouped by the index's band-bucket key; each
+         group reads ITS band bucket once with a `band_hash IN` pushdown and
+         emits candidate (new_id, old_id) pairs (hot buckets capped+logged);
+      2. candidates grouped by the index's blob-bucket key; each group reads
+         ITS blob bucket with a `doc_id IN` pushdown and Jaccard-verifies
+         in place (the new doc's blob rides the candidate row).
+
+    Returns a Dataset of (new_id, old_id, jaccard >= threshold)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.dataset as _pads
+
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    num_perm, seed = meta["num_perm"], meta["seed"]
+    num_bands, num_buckets = meta["num_bands"], meta["num_buckets"]
+    a, b = _perm_params(num_perm, seed)
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        gk, bands, bhashes, ids, blobs = [], [], [], [], []
+        for doc_id, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            sh = shingles(txt)
+            sig = minhash_signature(sh, a, b)
+            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
+            rows_per_band = len(sig) // num_bands
+            for bi in range(num_bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = xxhash64(",".join(map(str, chunk)))
+                gk.append(xxhash64(f"{bi}:{h}") % num_buckets)
+                bands.append(bi)
+                bhashes.append(np.int64(h - (1 << 63)))
+                ids.append(doc_id)
+                blobs.append(blob)
+        return pa.table(
+            {
+                "gk": pa.array(gk, pa.int32()),
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.int64()),
+                "new_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def probe_bands(t: pa.Table) -> pa.Table:
+        k = int(t.column("gk")[0].as_py())
+        path = _os.path.join(index_dir, "bands", f"bucket={k}")
+        empty = pa.table(
+            {
+                "gk2": pa.array([], pa.int32()),
+                "new_id": pa.array([], pa.int64()),
+                "old_id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.binary()),
+            }
+        )
+        if not _os.path.isdir(path):
+            return empty
+        df = t.to_pandas().sort_values(["band", "band_hash"]).drop_duplicates(
+            ["band", "band_hash", "new_id"]
+        )
+        idx = _pads.dataset(path, format="parquet").to_table(
+            filter=_pads.field("band_hash").isin(df["band_hash"].unique())
+        )
+        if idx.num_rows == 0:
+            return empty
+        it = idx.to_pandas()
+        merged = df.merge(it, on=["band", "band_hash"], how="inner")
+        if len(merged) == 0:
+            return empty
+        merged = merged.drop_duplicates(["new_id", "doc_id"])
+        counts = merged.groupby("new_id", sort=False)["doc_id"].transform("size")
+        over = counts > max_candidates_per_doc
+        if over.any():
+            logging.getLogger("grawler_ray.dedup").warning(
+                "incremental probe: %d candidate rows over the %d/doc cap dropped",
+                int(over.sum()), max_candidates_per_doc,
+            )
+            merged = merged[~over | (merged.groupby("new_id", sort=False).cumcount() < max_candidates_per_doc)]
+        old = merged["doc_id"].to_numpy().astype(np.int64)
+        g2 = ((old.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "gk2": pa.array(g2.astype(np.int32), pa.int32()),
+                "new_id": pa.array(merged["new_id"].to_numpy(), pa.int64()),
+                "old_id": pa.array(old, pa.int64()),
+                "sh": pa.array(merged["sh"].tolist(), pa.binary()),
+            }
+        )
+
+    def verify_blobs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "new_id": pa.array([], pa.int64()),
+                "old_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        k = int(t.column("gk2")[0].as_py())
+        path = _os.path.join(index_dir, "blobs", f"bucket={k}")
+        if not _os.path.isdir(path):
+            return empty
+        df = t.to_pandas().drop_duplicates(["new_id", "old_id"])
+        blobs = _pads.dataset(path, format="parquet").to_table(
+            filter=_pads.field("doc_id").isin(df["old_id"].unique())
+        )
+        lookup = dict(zip(blobs.column("doc_id").to_pylist(), blobs.column("sh").to_pylist()))
+        out_n, out_o, out_j = [], [], []
+        for new_id, old_id, sh in zip(df["new_id"], df["old_id"], df["sh"]):
+            ob = lookup.get(old_id)
+            if ob is None:
+                continue
+            j = _blob_jaccard(sh, ob)
+            if j >= threshold:
+                out_n.append(int(new_id))
+                out_o.append(int(old_id))
+                out_j.append(j)
+        return pa.table(
+            {
+                "new_id": pa.array(out_n, pa.int64()),
+                "old_id": pa.array(out_o, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return (
+        new_docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(probe_bands, batch_format="pyarrow")
+        .groupby("gk2")
+        .map_groups(verify_blobs, batch_format="pyarrow")
+        .groupby(["new_id", "old_id"])
+        .aggregate(Min("jaccard", alias_name="jaccard"))
+    )

@@ -153,3 +153,52 @@ def test_dedup_components_planted(ray_session):
     out = dedup_components(docs, pairs).to_pandas().sort_values("doc_id")
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_minhash_incremental_vs_bruteforce(docs_ds, tmp_path):
+    """Index the corpus once, dedup an increment against it via point reads:
+    found cross pairs must exactly match brute-force cross Jaccard >= t
+    (restricted to pairs LSH can see — here the planted dups band-collide
+    by construction, and the brute-force check is the superset guard)."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        build_minhash_index,
+        jaccard,
+        minhash_dedup_incremental,
+        shingles,
+    )
+
+    idx = str(tmp_path / "mh_index")
+    meta = build_minhash_index(docs_ds, idx)
+    assert meta["docs"] == len(_docs_table())
+
+    new_rows = [
+        # near-dup of the planted 100/102 family
+        {"doc_id": 1000, "text": BASE + " alpha beta gamma delta epsilon zeta"},
+        # unrelated content
+        {"doc_id": 1001, "text": "completely different content " * 10},
+        # empty doc (matches the indexed empty docs 200/201 with jaccard 1.0)
+        {"doc_id": 1002, "text": ""},
+    ]
+    got = (
+        minhash_dedup_incremental(ray.data.from_items(new_rows), idx, threshold=0.8)
+        .to_pandas()
+    )
+    pairs = set(zip(got.new_id, got.old_id))
+    # brute force: every (new, old) cross pair with true jaccard >= 0.8
+    old_sh = {r["doc_id"]: shingles(r["text"]) for r in _docs_table()}
+    new_sh = {r["doc_id"]: shingles(r["text"]) for r in new_rows}
+    exact = {
+        (n, o)
+        for n, s_n in new_sh.items()
+        for o, s_o in old_sh.items()
+        if jaccard(s_n, s_o) >= 0.8
+    }
+    # everything reported is exact-verified; the planted families are found
+    assert pairs <= exact
+    assert (1000, 100) in pairs and (1000, 102) in pairs
+    assert (1002, 200) in pairs and (1002, 201) in pairs
+    assert not any(n == 1001 for n, _ in pairs)
+    # identical text => jaccard exactly 1.0
+    assert got[(got.new_id == 1000) & (got.old_id == 100)].jaccard.iloc[0] == 1.0
