@@ -750,98 +750,119 @@ def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 6
     Algorithm: iterative min-label propagation (the bounded-diameter
     special case of Kiveris et al.'s star-contraction family, "Connected
     Components in MapReduce", SoCC'14) — near-dup clusters have tiny
-    diameters, so convergence is a handful of rounds.  Each round is ONE
+    diameters, so convergence is a handful of rounds.  The iteration runs
+    over ACTIVE nodes only (edge endpoints — a node with no edges can never
+    change label), so its width is ∝ dup pairs, never ∝ corpus; singleton
+    docs merge back in ONE final coarse-hash pass.  Each round is ONE
     repartition-join shuffle (symmetric edges ∪ labels, coarse node-hash
     groups, vectorized run-scan attach) + one (node, min label) aggregate;
     labels only ever decrease, so the driver-side convergence check is one
     scalar Sum aggregate per round (labels stay distributed throughout).
+
+    Block-type note: every stage here is pandas-format end to end.  Ray
+    2.49's sort-shuffle reducer asserts ONE block type per dataset, and the
+    hash-aggregate / empty shuffle partitions emit blocks whose type varies
+    with emptiness — mixing formats across the unions below trips
+    `BlockType.ARROW != BlockType.PANDAS` on sparse inputs, so the whole
+    subgraph commits to pandas blocks.
 
     Returns a Dataset of (doc_id, component).
     """
     import ray.data
     from ray.data.aggregate import Min, Sum
 
-    def sym_edges(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
+    def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    edges = pairs_ds.map_batches(sym_edges, batch_format="pandas").materialize()
+
+    def singleton_labels(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "component": ids})
+
+    all_self = docs_ds.select_columns(["doc_id"]).map_batches(
+        singleton_labels, batch_format="pandas"
+    )
+    if edges.count() == 0:
+        return all_self
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        # batch_size=None identity: converts EVERY block (aggregate output,
+        # empty partitions included) to a pandas block
+        return df
+
+    def init_active(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": src, "label": src})
+
+    labels = (
+        edges.map_batches(init_active, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(norm, batch_size=None, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["node"].to_numpy().astype(np.uint64)
+        g = (v * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+        df = df.copy()
+        df["ng"] = g.astype(np.int32)
+        return df
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "src": pa.array(np.concatenate([a, b]), pa.int64()),
-                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "node": df["src"].to_numpy().astype(np.int64),
+                "dst": df["dst"].to_numpy().astype(np.int64),
+                "label": np.full(len(df), -1, dtype=np.int64),
             }
         )
 
-    edges = pairs_ds.map_batches(sym_edges, batch_format="pyarrow").materialize()
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        return pa.table({"node": ids, "label": ids})
-
-    labels = docs_ds.select_columns(["doc_id"]).map_batches(
-        init_labels, batch_format="pyarrow"
-    ).materialize()
-
-    def tag_node(col: str):
-        def fn(t: pa.Table) -> pa.Table:
-            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
-            g = (v * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
-            return t.append_column("ng", pa.array(g.astype(np.int32), pa.int32()))
-        return fn
-
-    def edge_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "node": t.column("src"),
-                "dst": t.column("dst"),
-                "label": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
+                "node": df["node"].to_numpy().astype(np.int64),
+                "dst": np.full(len(df), -1, dtype=np.int64),
+                "label": df["label"].to_numpy().astype(np.int64),
             }
         )
 
-    def label_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": t.column("node"),
-                "dst": pa.array(np.full(t.num_rows, -1, dtype=np.int64), pa.int64()),
-                "label": t.column("label"),
-            }
-        )
-
-    def propagate(t: pa.Table) -> pa.Table:
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
         # coarse group: run-scan nodes; label row (label >= 0, dst == -1)
-        # sorts FIRST in its run (dst ascending puts dst=-1 first).
-        # pyarrow map_groups (not pandas): empty shuffle partitions then
-        # emit ARROW empties, keeping every block one type for the next
-        # sort's sampler (the Ray 2.49 mixed-block assertion)
-        df = t.to_pandas().sort_values(["node", "dst"])
+        # sorts FIRST in its run (dst ascending puts dst=-1 first)
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        df = df.sort_values(["node", "dst"])
         nodes = df["node"].to_numpy()
         dsts = df["dst"].to_numpy()
         lbls = df["label"].to_numpy()
         is_start = np.concatenate(([True], np.diff(nodes) != 0))
         start_idx = np.maximum.accumulate(np.where(is_start, np.arange(len(df)), 0))
         run_label = lbls[start_idx]  # the node's current label
-        is_edge = dsts >= 0
-        ok = is_edge & (run_label >= 0)  # edges whose src has a label row
-        return pa.table(
-            {
-                "node": pa.array(dsts[ok], pa.int64()),
-                "label": pa.array(run_label[ok], pa.int64()),
-            }
-        )
+        ok = (dsts >= 0) & (run_label >= 0)
+        return pd.DataFrame({"node": dsts[ok], "label": run_label[ok]})
 
     prev_sum = None
     for _ in range(max_iters):
         # messages: each edge forwards its src's current label to dst
         msgs = (
-            edges.map_batches(edge_rows, batch_format="pyarrow")
-            .union(labels.map_batches(label_rows, batch_format="pyarrow"))
-            .map_batches(tag_node("node"), batch_format="pyarrow")
+            edges.map_batches(edge_rows, batch_format="pandas")
+            .union(labels.map_batches(label_rows, batch_format="pandas"))
+            .map_batches(tag_node, batch_format="pandas")
             .groupby("ng")
-            .map_groups(propagate, batch_format="pyarrow")
+            .map_groups(propagate, batch_format="pandas")
         )
         labels = (
             labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .map_batches(norm, batch_size=None, batch_format="pandas")
             .materialize()
         )
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
@@ -849,10 +870,41 @@ def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 6
             break
         prev_sum = cur
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("node"), "component": t.column("label")})
+    # final merge: active labels override the self-labels (one coarse
+    # node-hash shuffle over docs — once, not once per iteration)
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": ids, "src": np.zeros(len(ids), dtype=np.int8), "label": ids}
+        )
 
-    return labels.map_batches(rename, batch_format="pyarrow")
+    def active_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy().astype(np.int64),
+                "src": np.ones(len(df), dtype=np.int8),
+                "label": df["label"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "component": pd.Series([], dtype="int64")})
+        df = df.sort_values(["node", "src"])  # active (src=1) last in its run
+        nodes = df["node"].to_numpy()
+        lbls = df["label"].to_numpy()
+        ends = np.concatenate((np.flatnonzero(np.diff(nodes) != 0), [len(df) - 1]))
+        return pd.DataFrame({"doc_id": nodes[ends], "component": lbls[ends]})
+
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(doc_side, batch_format="pandas")
+        .union(labels.map_batches(active_side, batch_format="pandas"))
+        .map_batches(tag_node, batch_format="pandas")
+        .groupby("ng")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
