@@ -220,6 +220,40 @@ def _events_json(sf_dir: str):
     return json_prop(_read(sf_dir, "events"), key="k")
 
 
+def _asof_join(sf_dir: str):
+    from grawler_ray.functions.joins import asof_join
+
+    return asof_join(_read(sf_dir, "events"), left_type="click", right_type="purchase")
+
+
+def _range_join_count(sf_dir: str):
+    from grawler_ray.functions.joins import range_join_count
+
+    return range_join_count(_read(sf_dir, "events"), every=100, window_minutes=30)
+
+
+def _time_window_sum(sf_dir: str):
+    from grawler_ray.functions.events import time_window_sum
+
+    return time_window_sum(_read(sf_dir, "events"))
+
+
+def _repetition_signals(sf_dir: str):
+    from grawler_ray.functions.quality import repetition_signals_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        repetition_signals_batch, batch_format="pyarrow"
+    )
+
+
+def _quality_filter(sf_dir: str):
+    from grawler_ray.functions.quality import quality_filter_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        quality_filter_batch(), batch_format="pyarrow"
+    )
+
+
 def _q1_agg(sf_dir: str):
     """TPC-H Q1-style aggregate with exact integer-scaled sums (no float
     accumulation => bit-identical to the SQL oracle)."""
@@ -666,6 +700,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _events_hourly,
         "events_json": _events_json,
         "politeness_slots": _politeness_slots,
+        "asof_join": _asof_join,
+        "range_join_count": _range_join_count,
+        "time_window_sum": _time_window_sum,
+        "repetition_signals": _repetition_signals,
+        "quality_filter": _quality_filter,
         "q1_agg": _q1_agg,
         "orders_by_nation": _orders_by_nation,
         "lineitem_join_orders": _lineitem_join_orders,
@@ -695,6 +734,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_words": _crawl_words,
         "crawl_trace": _crawl_trace,
     }
+
+
+# shared by repetition_signals and quality_filter (quality.py pins the
+# definitions: non-empty '\n' lines, \b\w+\b words over lower(text), space-
+# joined bigrams with (count desc, bigram asc) top pick — all-integer output)
+_REPETITION_SIG_SQL = r"""
+    WITH L AS (SELECT doc_id,
+                      list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ls
+               FROM documents),
+    lines AS (SELECT doc_id, unnest(ls) AS line FROM L),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+    lstats AS (SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS n_dup_lines,
+                      sum((c - 1) * length(line)) AS dup_line_chars,
+                      sum(c * length(line)) AS total_line_chars
+               FROM lc GROUP BY doc_id),
+    W AS (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w FROM documents),
+    wstats AS (SELECT doc_id,
+                      coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                        AS total_word_chars
+               FROM W),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+           FROM W),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    btop AS (SELECT doc_id, c AS top_bigram_count, c * length(b) AS top_bigram_chars
+             FROM (SELECT doc_id, b, c,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY c DESC, b) AS rn
+                   FROM bc)
+             WHERE rn = 1)
+    SELECT d.doc_id,
+           coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+           coalesce(l.n_dup_lines, 0)::BIGINT AS n_dup_lines,
+           coalesce(l.dup_line_chars, 0)::BIGINT AS dup_line_chars,
+           coalesce(l.total_line_chars, 0)::BIGINT AS total_line_chars,
+           coalesce(ws.total_word_chars, 0)::BIGINT AS total_word_chars,
+           coalesce(bt.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+           coalesce(bt.top_bigram_chars, 0)::BIGINT AS top_bigram_chars
+    FROM documents d
+    LEFT JOIN lstats l ON d.doc_id = l.doc_id
+    LEFT JOIN wstats ws ON d.doc_id = ws.doc_id
+    LEFT JOIN btop bt ON d.doc_id = bt.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -812,6 +894,61 @@ def oracle_sql() -> dict[str, str]:
                          (row_number() OVER (PARTITION BY user_id
                                              ORDER BY ts, event_id) - 1)::BIGINT AS slot
                   FROM events)
+        """,
+        # per-user as-of join (click ← latest at-or-before purchase); right
+        # side deduped to max event_id per (user, ts) — the same tie rule
+        # the engine's (user, ts, side, event_id) sort + forward-fill picks
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r0 AS (SELECT user_id, ts, event_id, value,
+                          row_number() OVER (PARTITION BY user_id, ts
+                                             ORDER BY event_id DESC) AS rn
+                   FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS matched_event_id,
+                   CAST(floor(r.value * 100.0 + 0.5) AS BIGINT) AS matched_cents
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # non-equi interval×point join: every 100th event spawns [ts, ts+30m)
+        "range_join_count": """
+            WITH iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 1800000000 AS e
+                        FROM events WHERE event_id % 100 = 0)
+            SELECT iv.interval_id,
+                   count(ev.event_id)::BIGINT AS n_events,
+                   coalesce(sum(CAST(floor(ev.value * 100.0 + 0.5) AS BIGINT)), 0)::BIGINT
+                     AS sum_cents
+            FROM iv LEFT JOIN events ev
+              ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+            GROUP BY iv.interval_id
+        """,
+        # time-RANGE window (rolling_sum is the ROWS flavor): 7-day window,
+        # peers at the current ts included per SQL RANGE semantics
+        "time_window_sum": """
+            SELECT event_id, user_id,
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)::BIGINT
+                     AS win_cents
+            FROM events
+        """,
+        # Gopher repetition signals as integer num/den pairs (quality.py
+        # pins the definitions); lines = '\n' split, empties excluded
+        "repetition_signals": _REPETITION_SIG_SQL,
+        "quality_filter": rf"""
+            WITH sig AS ({_REPETITION_SIG_SQL})
+            SELECT doc_id,
+                   CASE WHEN total_word_chars < 20 THEN 'too_short'
+                        WHEN n_dup_lines * 100 > 30 * n_lines THEN 'dup_lines'
+                        WHEN dup_line_chars * 100 > 30 * total_line_chars
+                          THEN 'dup_line_chars'
+                        WHEN top_bigram_chars * 100 > 20 * total_word_chars
+                          THEN 'top_bigram'
+                        ELSE '' END AS reason,
+                   reason = '' AS keep
+            FROM sig
         """,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,

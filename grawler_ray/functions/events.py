@@ -105,6 +105,48 @@ def rolling_sum(events_ds, window: int = 4, num_groups: int = 256):
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def time_window_sum(events_ds, window_us: int = 604_800_000_000, num_groups: int = 256):
+    """Time-based sliding-window aggregate (RANGE window, vs rolling_sum's
+    ROWS window): per user, the cents sum over events with ts in
+    [ts - window, ts] — both bounds inclusive, and ALL peer rows at the
+    current ts included, exactly matching SQL ``RANGE BETWEEN w PRECEDING
+    AND CURRENT ROW`` peer semantics.
+
+    Vectorized across every user of a coarse group with the run-offset
+    trick: each user-run's timestamps are shifted by run_index * S (S >
+    group ts span + window), making ONE globally sorted array on which two
+    ``np.searchsorted`` calls find every row's window bounds at once — the
+    offset gap guarantees a window can never reach into the previous
+    user's run.  No per-user groups, no Python loop.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, _ = _user_starts(df)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        run = np.cumsum(is_start) - 1
+        base = ts.min() if len(ts) else 0
+        span = int(ts.max() - base) if len(ts) else 0
+        stride = span + window_us + 2
+        if len(ts) and int(run[-1]) * stride >= (1 << 62):
+            raise OverflowError(
+                "time_window_sum run-offset overflow: shrink num_groups or window"
+            )
+        adj = run * stride + (ts - base)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        lo = np.searchsorted(adj, adj - window_us, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "win_cents": csum[hi] - csum[lo],
+            }
+        )
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
 def hourly_agg(events_ds):
     """Time-bucket aggregate: events per (event_type, epoch hour) with count
     and exact cents sum.  Bucket = epoch_us // 3600e6 as int64 (no timestamp

@@ -1,0 +1,233 @@
+"""Temporal join operators the Dataset API lacks: per-key as-of join and
+non-equi interval ("range") join.
+
+The reference engine has neither (it is a crawler); the brief names both as
+custom operators a large-scale pipeline needs.  Both are expressed
+Ray-Data-first with ONE partitioning assumption each, documented inline:
+
+- ``asof_join``: both sides are tagged and unioned, shuffled ONCE on a
+  coarse user-hash, and matched inside each group with a vectorized
+  run-scan (sort + ``np.maximum.accumulate`` forward-fill) — no per-user
+  pandas groups, no driver materialization.  Assumption: one key's rows fit
+  one group (keys are users; same assumption as events.py windows).
+- ``range_join_count``: intervals are replicated to every fixed-width time
+  bucket they overlap (≤ ceil(len/W)+1 replicas, ~2 for len ≤ W), points
+  are hashed to their single bucket, and the in-bucket match is two
+  ``np.searchsorted`` calls against the bucket's sorted point timestamps.
+  This is the bucketed large×large band-join pattern: no all-pairs, read
+  and shuffle ∝ input + matches.  Assumption: interval length is bounded
+  (replication factor = len/W); unbounded intervals would need a
+  segment-tree layout instead.
+
+Every aggregate is integer-scaled (cents) so the DuckDB oracle
+(``ASOF LEFT JOIN`` / inequality LEFT JOIN in ``__ray_entry__.oracle_sql``)
+compares bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+US_PER_MINUTE = 60_000_000
+
+
+def _cents(col) -> np.ndarray:
+    v = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else np.asarray(col)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _epoch_us(tab: pa.Table, col: str = "ts") -> np.ndarray:
+    # normalize the unit BEFORE the int cast (parquet carries us,
+    # from_items/pandas carries ns)
+    return (
+        tab.column(col)
+        .cast(pa.timestamp("us"))
+        .cast(pa.int64())
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+    )
+
+
+def asof_join(
+    events_ds,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    num_groups: int = 256,
+):
+    """For each left-side event, attach the most recent right-side event of
+    the same user at-or-before its timestamp (LEFT semantics: unmatched
+    left rows keep nulls).
+
+    Tie rules (mirrored exactly by the SQL oracle): at the greatest
+    eligible right timestamp the max ``event_id`` wins — the oracle dedups
+    the right side to max event_id per (user, ts) before its ``ASOF LEFT
+    JOIN``; here the (user, ts, side, event_id) sort order makes the
+    forward-fill pick that same row.  A right event at exactly the left
+    event's ts DOES match (at-or-before is inclusive).
+
+    Output: (event_id, user_id, matched_event_id, matched_cents) with
+    int64-nullable match columns.
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.or_(pc.equal(et, left_type), pc.equal(et, right_type))
+        t = t.filter(keep)
+        side = pc.cast(pc.equal(t.column("event_type"), left_type), pa.int8())
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (u * _GOLDEN >> np.uint64(33)) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(_epoch_us(t), pa.int64()),
+                "cents": pa.array(_cents(t.column("value")), pa.int64()),
+                "side": side,  # 0 = right, 1 = left (right sorts first at equal ts)
+                "ug": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "side", "event_id"])
+        n = len(df)
+        users = df["user_id"].to_numpy()
+        side = df["side"].to_numpy()
+        is_start = np.concatenate(([True], np.diff(users) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0))
+        # forward-fill the index of the latest right row seen so far; a fill
+        # from before this user's run start is invalid (different user)
+        marker = np.where(side == 0, np.arange(n), -1)
+        last_right = np.maximum.accumulate(marker)
+        valid = last_right >= start_idx
+        left = side == 1
+        m_idx = last_right[left]
+        m_ok = valid[left]
+        rid = df["event_id"].to_numpy()
+        rcents = df["cents"].to_numpy()
+        matched_id = np.where(m_ok, rid[np.maximum(m_idx, 0)], 0)
+        matched_cents = np.where(m_ok, rcents[np.maximum(m_idx, 0)], 0)
+        out = pd.DataFrame(
+            {
+                "event_id": rid[left],
+                "user_id": users[left],
+                "matched_event_id": pd.array(matched_id, dtype="Int64"),
+                "matched_cents": pd.array(matched_cents, dtype="Int64"),
+            }
+        )
+        out.loc[~m_ok, ["matched_event_id", "matched_cents"]] = pd.NA
+        return out
+
+    return (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("ug")
+        .map_groups(match, batch_format="pandas")
+    )
+
+
+def range_join_count(
+    events_ds,
+    every: int = 100,
+    window_minutes: int = 30,
+    num_groups: int = 256,
+):
+    """Non-equi interval×point join: every ``every``-th event (by id) spawns
+    the interval [ts, ts + window); for each interval, count and cents-sum
+    ALL events (any user — there is deliberately no equality key) whose ts
+    falls inside it.  Intervals with zero events still appear (LEFT
+    semantics, count 0 / sum 0).
+
+    Shape: points are hashed to their single ``ts // W`` bucket; intervals
+    are replicated to each bucket they overlap and clipped to it; buckets
+    are shuffled on a coarse bucket-hash and matched with two searchsorted
+    calls per replica against the group's globally sorted point array (a
+    point inside a replica's clipped span necessarily belongs to that
+    replica's bucket, so cross-bucket points in the same coarse group can
+    never pollute the count); per-replica partials then groupby-sum on
+    interval_id.  Cost ∝ points + interval replicas + matches.
+    """
+    from ray.data.aggregate import Sum
+
+    w_us = window_minutes * US_PER_MINUTE
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = _epoch_us(t)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("value"))
+        bucket = ts // w_us
+        rows = {
+            "bucket": [bucket],
+            "interval_id": [np.full(len(ts), -1, np.int64)],
+            "lo": [ts],  # for points: the point ts rides in lo
+            "hi": [np.zeros(len(ts), np.int64)],
+            "cents": [cents],
+            "is_interval": [np.zeros(len(ts), np.int8)],
+        }
+        iv = eid % every == 0
+        if iv.any():
+            s, e = ts[iv], ts[iv] + w_us
+            ivid = eid[iv]
+            b0, b1 = s // w_us, (e - 1) // w_us
+            for shift in range(int((b1 - b0).max()) + 1):
+                b = b0 + shift
+                live = b <= b1
+                rows["bucket"].append(b[live])
+                rows["interval_id"].append(ivid[live])
+                rows["lo"].append(np.maximum(s[live], b[live] * w_us))
+                rows["hi"].append(np.minimum(e[live], (b[live] + 1) * w_us))
+                rows["cents"].append(np.zeros(live.sum(), np.int64))
+                rows["is_interval"].append(np.ones(live.sum(), np.int8))
+        u = np.concatenate(rows["bucket"]).astype(np.uint64)
+        g = (u * _GOLDEN >> np.uint64(33)) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "bg": pa.array(g.astype(np.int32), pa.int32()),
+                "interval_id": pa.array(np.concatenate(rows["interval_id"]), pa.int64()),
+                "lo": pa.array(np.concatenate(rows["lo"]), pa.int64()),
+                "hi": pa.array(np.concatenate(rows["hi"]), pa.int64()),
+                "cents": pa.array(np.concatenate(rows["cents"]), pa.int64()),
+                "is_interval": pa.array(np.concatenate(rows["is_interval"]), pa.int8()),
+            }
+        )
+
+    def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
+        isiv = df["is_interval"].to_numpy() == 1
+        pts = np.sort(df.loc[~isiv, "lo"].to_numpy())
+        order = np.argsort(df.loc[~isiv, "lo"].to_numpy(), kind="stable")
+        pcents = df.loc[~isiv, "cents"].to_numpy()[order]
+        csum = np.concatenate(([0], np.cumsum(pcents)))
+        lo = df.loc[isiv, "lo"].to_numpy()
+        hi = df.loc[isiv, "hi"].to_numpy()
+        a = np.searchsorted(pts, lo, side="left")
+        b = np.searchsorted(pts, hi, side="left")
+        return pd.DataFrame(
+            {
+                "interval_id": df.loc[isiv, "interval_id"].to_numpy(),
+                "n_part": (b - a).astype(np.int64),
+                "cents_part": csum[b] - csum[a],
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bg")
+        .map_groups(bucket_match, batch_format="pandas")
+    )
+    out = partials.groupby("interval_id").aggregate(
+        Sum("n_part", alias_name="n_events"), Sum("cents_part", alias_name="sum_cents")
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "interval_id": t.column("interval_id"),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(norm, batch_format="pyarrow")

@@ -1,0 +1,126 @@
+"""Gopher-style repetition / quality signals over the documents table.
+
+Rahimi et al.'s Gopher rules (Rae et al. 2021, "Scaling Language Models",
+§A1.1 — public paper) filter web documents on repetition: the fraction of
+duplicate lines, the fraction of characters inside duplicate lines, and
+the fraction of characters inside the most frequent n-gram.  This module
+computes those signals exactly, as INTEGER numerator/denominator pairs so
+the DuckDB oracle hash-compares bit-exactly (no float ratio drift);
+callers divide at the edge.
+
+Definitions (mirrored by `repetition_signals` in __ray_entry__.oracle_sql):
+- lines = text split on '\\n', EMPTY LINES EXCLUDED (no trimming);
+- n_dup_lines   = occurrences beyond each line's first = n_lines - distinct;
+- dup_line_chars = sum over distinct lines of (count-1) * len(line);
+- total_line_chars = sum of count * len(line);
+- words = regex '\\b\\w+\\b' over lower(text) (same tokenizer as word_freq);
+- bigram = "w[i] w[i+1]" joined with one space; the top bigram is the max
+  count with lexicographic tiebreak; top_bigram_chars = count * len(bigram);
+- total_word_chars = sum of len(word).
+
+The per-batch kernel is a per-document scan (Counter/np.unique) like the
+rest of textstats — each document's work is independent and bounded by its
+own length, so the stage parallelizes across blocks; there is no
+cross-document state.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\b\w+\b")
+
+
+def _doc_signals(text: str) -> tuple[int, int, int, int, int, int, int]:
+    lines = [ln for ln in text.split("\n") if ln]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    n_dup_lines = n_lines - len(lc)
+    dup_line_chars = sum((c - 1) * len(ln) for ln, c in lc.items() if c > 1)
+    total_line_chars = sum(c * len(ln) for ln, c in lc.items())
+
+    words = _WORD_RE.findall(text.lower())
+    total_word_chars = sum(len(w) for w in words)
+    top_bigram_count = 0
+    top_bigram_chars = 0
+    if len(words) >= 2:
+        bc = Counter(
+            a + " " + b for a, b in zip(words, words[1:])
+        )
+        # max count, lexicographically smallest bigram on ties
+        top = min(bc.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_bigram_count = top[1]
+        top_bigram_chars = top[1] * len(top[0])
+    return (
+        n_lines,
+        n_dup_lines,
+        dup_line_chars,
+        total_line_chars,
+        total_word_chars,
+        top_bigram_count,
+        top_bigram_chars,
+    )
+
+
+def repetition_signals_batch(t: pa.Table) -> pa.Table:
+    cols = list(zip(*(_doc_signals(s or "") for s in t.column("text").to_pylist()))) or [
+        []
+    ] * 7
+    names = [
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        "total_line_chars",
+        "total_word_chars",
+        "top_bigram_count",
+        "top_bigram_chars",
+    ]
+    out = {"doc_id": t.column("doc_id")}
+    for name, vals in zip(names, cols):
+        out[name] = pa.array(list(vals), pa.int64())
+    return pa.table(out)
+
+
+def quality_filter_batch(
+    max_dup_line_pct: int = 30,
+    max_dup_line_char_pct: int = 30,
+    max_top_bigram_char_pct: int = 20,
+    min_word_chars: int = 20,
+):
+    """Pass/fail per document on the repetition signals (Gopher-shaped
+    thresholds).  Emits (doc_id, keep, reason) with reason = the FIRST
+    failing rule or ''.  Thresholds are integer PERCENTS compared by
+    cross-multiplication (``num * 100 > pct * den``) — exact, float-free,
+    and mirrored verbatim by the `quality_filter` SQL oracle.  Stateless
+    map_batches stage, composable ahead of dedup in a prep pipeline."""
+    import numpy as np
+
+    def fn(t: pa.Table) -> pa.Table:
+        sig = repetition_signals_batch(t)
+        col = {c: sig.column(c).to_numpy() for c in sig.column_names}
+        too_short = col["total_word_chars"] < min_word_chars
+        dup_lines = col["n_dup_lines"] * 100 > max_dup_line_pct * col["n_lines"]
+        dup_chars = (
+            col["dup_line_chars"] * 100 > max_dup_line_char_pct * col["total_line_chars"]
+        )
+        top_bigram = (
+            col["top_bigram_chars"] * 100
+            > max_top_bigram_char_pct * col["total_word_chars"]
+        )
+        reason = np.select(
+            [too_short, dup_lines, dup_chars, top_bigram],
+            ["too_short", "dup_lines", "dup_line_chars", "top_bigram"],
+            default="",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "keep": pa.array(reason == "", pa.bool_()),
+                "reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    return fn

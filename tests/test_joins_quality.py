@@ -1,0 +1,254 @@
+"""Temporal joins (as-of, range) and Gopher repetition/quality signals:
+hand-built edge fixtures + DuckDB cross-checks at sf0.001."""
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _min(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def _ev(ray_session, rows):
+    import ray.data
+
+    return ray.data.from_items(rows)
+
+
+def _row(eid, uid, m, etype, value=1.0):
+    return {
+        "event_id": eid,
+        "user_id": uid,
+        "ts": _min(m),
+        "event_type": etype,
+        "value": value,
+        "props": "{}",
+    }
+
+
+class TestAsofJoin:
+    def test_edges(self, ray_session):
+        from grawler_ray.functions.joins import asof_join
+
+        rows = [
+            _row(1, 1, 0, "purchase", 10.0),
+            _row(2, 1, 5, "click"),          # matches purchase 1
+            _row(3, 1, 5, "purchase", 20.0),  # same-ts as click 4 below
+            _row(4, 1, 5, "click"),          # at-or-before inclusive -> 3
+            _row(5, 1, 3, "click"),          # between 0 and 5 -> 1
+            _row(6, 2, 1, "click"),          # user 2 has no purchase -> null
+            _row(7, 3, 9, "purchase", 5.0),
+            _row(8, 3, 9, "purchase", 7.0),   # tie on (user, ts): max event_id wins
+            _row(9, 3, 10, "click"),
+            _row(10, 1, 2, "view", 99.0),     # other types ignored entirely
+        ]
+        out = asof_join(_ev(ray_session, rows)).to_pandas()
+        m = out.set_index("event_id")
+        assert m.loc[2, "matched_event_id"] == 3  # same-ts purchase 3 beats 1
+        assert m.loc[4, "matched_event_id"] == 3
+        assert m.loc[5, "matched_event_id"] == 1
+        assert m.loc[5, "matched_cents"] == 1000
+        assert pd.isna(m.loc[6, "matched_event_id"])
+        assert m.loc[9, "matched_event_id"] == 8  # tie: max event_id
+        assert m.loc[9, "matched_cents"] == 700
+        assert set(out.event_id) == {2, 4, 5, 6, 9}  # left rows only
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["asof_join"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        exp = (
+            con.execute(e.oracle_sql()["asof_join"])
+            .fetchdf()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        for c in ["event_id", "user_id", "matched_event_id", "matched_cents"]:
+            ga, ea = got[c], exp[c]
+            assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c
+
+
+class TestRangeJoin:
+    def test_bucket_straddle_and_empty(self, ray_session):
+        from grawler_ray.functions.joins import range_join_count
+
+        # every=2: events 0 and 2 spawn intervals. Interval at minute 50
+        # straddles the 30-min bucket boundary at minute 60.
+        rows = [
+            _row(0, 1, 50, "view", 1.0),    # interval [50, 80); buckets 1 and 2
+            _row(1, 1, 59, "view", 2.0),    # in [50,80), bucket 1
+            _row(2, 2, 300, "view", 4.0),   # interval [300, 330); no other events
+            _row(3, 1, 61, "view", 8.0),    # in [50,80), bucket 2
+            _row(5, 1, 80, "view", 16.0),   # AT end: excluded (half-open)
+            _row(7, 1, 49, "view", 32.0),   # before start: excluded
+        ]
+        out = range_join_count(
+            _ev(ray_session, rows), every=2, window_minutes=30
+        ).to_pandas()
+        m = out.set_index("interval_id")
+        assert m.loc[0, "n_events"] == 3  # events 0 (itself), 1, 3
+        assert m.loc[0, "sum_cents"] == 100 + 200 + 800
+        assert m.loc[2, "n_events"] == 1  # only itself
+        assert set(out.interval_id) == {0, 2}
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["range_join_count"](SF)
+            .to_pandas()
+            .sort_values("interval_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        exp = (
+            con.execute(e.oracle_sql()["range_join_count"])
+            .fetchdf()
+            .sort_values("interval_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestTimeWindowSum:
+    def test_edges(self, ray_session):
+        from grawler_ray.functions.events import time_window_sum
+
+        rows = [
+            _row(1, 1, 0, "view", 1.0),
+            _row(2, 1, 30, "view", 2.0),
+            _row(3, 1, 60, "view", 4.0),   # window [0,60]: includes ALL three
+            _row(4, 1, 61, "view", 8.0),   # window [1,61]: excludes minute 0
+            _row(5, 1, 200, "view", 16.0),  # alone
+            _row(6, 2, 60, "view", 32.0),   # other user isolated
+            # peers at the same ts are BOTH included in each other's window
+            _row(7, 3, 10, "view", 1.0),
+            _row(8, 3, 10, "view", 2.0),
+        ]
+        out = time_window_sum(
+            _ev(ray_session, rows), window_us=3_600_000_000
+        ).to_pandas()
+        w = dict(zip(out.event_id, out.win_cents))
+        assert w[1] == 100
+        assert w[2] == 300
+        assert w[3] == 700          # 1h window inclusive of both bounds
+        assert w[4] == 8 * 100 + 600  # minute 0 drops out
+        assert w[5] == 1600
+        assert w[6] == 3200
+        assert w[7] == 300 and w[8] == 300  # RANGE peers
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        got = (
+            e.queries()["time_window_sum"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+        )
+        exp = (
+            con.execute(e.oracle_sql()["time_window_sum"])
+            .fetchdf()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestQuality:
+    def test_repetition_signals_kernel(self):
+        from grawler_ray.functions.quality import _doc_signals
+
+        # 4 non-empty lines, "dup" twice; words: the cat the cat the -> top
+        # bigram "the cat" x2 (8 chars incl space -> 16 dup chars)
+        text = "dup\nunique line\n\ndup\nthe cat the cat the"
+        (
+            n_lines,
+            n_dup,
+            dup_chars,
+            total_chars,
+            word_chars,
+            top_cnt,
+            top_chars,
+        ) = _doc_signals(text)
+        assert n_lines == 4  # empty line excluded
+        assert n_dup == 1
+        assert dup_chars == 3  # one extra "dup"
+        assert total_chars == 3 + 11 + 3 + len("the cat the cat the")
+        assert top_cnt == 2 and top_chars == 2 * len("the cat")
+        # empty text
+        assert _doc_signals("") == (0, 0, 0, 0, 0, 0, 0)
+        # single word: no bigrams
+        assert _doc_signals("hello")[5] == 0
+
+    def test_quality_filter_reasons(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.quality import quality_filter_batch
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "tiny"},
+                {"doc_id": 2, "text": "spam line\n" * 10 + "unique words appear here today"},
+                {
+                    "doc_id": 3,
+                    "text": "a perfectly normal document with many distinct words in it "
+                    "covering several different topics across multiple sentences "
+                    "so that no single bigram dominates the character budget",
+                },
+                {"doc_id": 4, "text": "buy now buy now buy now buy now buy now"},
+            ]
+        )
+        out = (
+            docs.map_batches(quality_filter_batch(), batch_format="pyarrow")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "reason"] == "too_short"
+        assert out.loc[2, "reason"] == "dup_lines"
+        assert out.loc[3, "reason"] == "" and bool(out.loc[3, "keep"])
+        assert out.loc[4, "reason"] == "top_bigram"
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        for q in ["repetition_signals", "quality_filter"]:
+            got = (
+                e.queries()[q](SF)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            exp = (
+                con.execute(e.oracle_sql()[q]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+            )
+            got = got[sorted(got.columns)]
+            exp = exp[sorted(exp.columns)]
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
