@@ -571,6 +571,16 @@ def _minhash_incremental(sf_dir: str):
     )
 
 
+def _prep_corpus(sf_dir: str):
+    """Flagship webtext prep chain (quality -> exact dedup -> minhash
+    components -> tokens -> split); per-stage summary.  No SQL oracle (the
+    minhash stage is not SQL-expressible); composition equality vs a serial
+    union-find oracle is asserted in tests/test_preprocess.py."""
+    from grawler_ray.pipelines.preprocess import prep_corpus
+
+    return prep_corpus(_read(sf_dir, "documents"))
+
+
 def _simhash(sf_dir: str):
     from grawler_ray.functions.dedup import simhash_batch
 
@@ -722,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "langid": _langid,
         "minhash_pairs": _minhash_pairs,
+        "prep_corpus": _prep_corpus,
         "minhash_incremental": _minhash_incremental,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,

@@ -740,7 +740,13 @@ def exact_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
 # dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 
-def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 64):
+def dedup_components(
+    docs_ds,
+    pairs_ds,
+    max_iters: int = 30,
+    num_groups: int = 64,
+    driver_max_edges: int = 400_000,
+):
     """Connected components over a near-dup pair set: every doc gets a
     ``component`` id = the MIN doc_id reachable through pairs (singleton docs
     are their own component).  This is the step that turns any of the pair
@@ -787,8 +793,49 @@ def dedup_components(docs_ds, pairs_ds, max_iters: int = 30, num_groups: int = 6
     all_self = docs_ds.select_columns(["doc_id"]).map_batches(
         singleton_labels, batch_format="pandas"
     )
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return all_self
+    if n_edges <= driver_max_edges:
+        # Size-adaptive small path: the pair set is the SMALL side (edges ∝
+        # near-dups found, never ∝ corpus), so below the threshold a driver
+        # union-find over the edge list (memory ∝ dup pairs) replaces
+        # max_iters shuffle rounds of fixed launch cost; the label map is
+        # broadcast ONCE (ray.put) and attached in a stateless map over the
+        # docs.  Above the threshold the distributed min-label propagation
+        # below takes over — same output, asserted equal in
+        # tests/test_dedup_pipelines.py (driver_max_edges=0 forces it).
+        import ray
+
+        ep = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ep["src"].to_numpy(), ep["dst"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        label_map = {n: find(n) for n in list(parent)}
+        ref = ray.put(label_map)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(ref)
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            comp = np.fromiter(
+                (lab.get(int(i), int(i)) for i in ids), np.int64, len(ids)
+            )
+            return pd.DataFrame({"doc_id": ids, "component": comp})
+
+        return docs_ds.select_columns(["doc_id"]).map_batches(
+            attach, batch_format="pandas"
+        )
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         # batch_size=None identity: converts EVERY block (aggregate output,

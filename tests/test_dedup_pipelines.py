@@ -153,6 +153,14 @@ def test_dedup_components_planted(ray_session):
     out = dedup_components(docs, pairs).to_pandas().sort_values("doc_id")
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+    # the distributed min-label propagation (driver_max_edges=0 forces the
+    # large-pair-set path) must produce the identical labeling
+    out_d = (
+        dedup_components(docs, pairs, driver_max_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert dict(zip(out_d["doc_id"], out_d["component"])) == comp
 
 
 def test_minhash_incremental_vs_bruteforce(docs_ds, tmp_path):
