@@ -246,6 +246,25 @@ def _repetition_signals(sf_dir: str):
     )
 
 
+def _tfidf_topk(sf_dir: str):
+    from grawler_ray.functions.textstats import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents"), k=5)
+
+
+def _line_dedup(sf_dir: str):
+    """Global boilerplate strip at word granularity (sep=' ') — the
+    synthetic documents are single-line bags of words, so the word unit is
+    the one that exercises the count -> blocklist -> rewrite path; the
+    '\\n' line path is covered by tests/test_joins_quality.py.  The corpus
+    vocabulary is ~31 words each appearing ~900x, so at max_rep=100 nearly
+    every token is stripped — degenerate-looking output is a property of
+    the fixture, not the operator (the oracle agrees row-for-row)."""
+    from grawler_ray.functions.quality import line_dedup
+
+    return line_dedup(_read(sf_dir, "documents"), max_rep=100, sep=" ")
+
+
 def _quality_filter(sf_dir: str):
     from grawler_ray.functions.quality import quality_filter_batch
 
@@ -715,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_window_sum": _time_window_sum,
         "repetition_signals": _repetition_signals,
         "quality_filter": _quality_filter,
+        "line_dedup": _line_dedup,
+        "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
         "orders_by_nation": _orders_by_nation,
         "lineitem_join_orders": _lineitem_join_orders,
@@ -948,6 +969,46 @@ def oracle_sql() -> dict[str, str]:
         # Gopher repetition signals as integer num/den pairs (quality.py
         # pins the definitions); lines = '\n' split, empties excluded
         "repetition_signals": _REPETITION_SIG_SQL,
+        # integer-scaled tf-idf (score = tf * ((N*1e6) // df)): floor-div
+        # idf so rank order is bit-identical across engines (float ln would
+        # flip near-ties)
+        "tfidf_topk": rf"""
+            WITH wf AS (SELECT doc_id, lower(w) AS word, count(*)::BIGINT AS tf
+                        FROM (SELECT doc_id,
+                                     unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                              FROM documents)
+                        GROUP BY doc_id, lower(w)),
+            dfx AS (SELECT word, count(*)::BIGINT AS df FROM wf GROUP BY word),
+            nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            sc AS (SELECT wf.doc_id, wf.word, wf.tf, dfx.df,
+                          wf.tf * ((nn.n * 1000000) // dfx.df) AS score
+                   FROM wf JOIN dfx USING (word) CROSS JOIN nn)
+            SELECT doc_id, word, tf, df, score, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, word) AS rank
+                  FROM sc)
+            WHERE rank <= 5
+        """,
+        # global common-token strip (CCNet-style, word unit on this corpus):
+        # tokens with corpus-wide count > 100 removed, order preserved
+        "line_dedup": """
+            WITH L AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+            lx AS (SELECT doc_id, unnest(ls) AS line,
+                          unnest(range(1, len(ls) + 1)) AS i
+                   FROM L),
+            cnt AS (SELECT line, count(*) AS n FROM lx GROUP BY line),
+            keptl AS (SELECT lx.doc_id, lx.line, lx.i
+                      FROM lx JOIN cnt USING (line) WHERE cnt.n <= 100),
+            agg AS (SELECT doc_id,
+                           string_agg(line, ' ' ORDER BY i) AS kept_text,
+                           count(*) AS n_kept
+                    FROM keptl GROUP BY doc_id)
+            SELECT L.doc_id,
+                   coalesce(a.kept_text, '') AS kept_text,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+                   (len(L.ls) - coalesce(a.n_kept, 0))::BIGINT AS n_lines_removed
+            FROM L LEFT JOIN agg a USING (doc_id)
+        """,
         "quality_filter": rf"""
             WITH sig AS ({_REPETITION_SIG_SQL})
             SELECT doc_id,

@@ -84,6 +84,89 @@ def repetition_signals_batch(t: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
+def line_dedup(
+    docs_ds,
+    max_rep: int = 2,
+    sep: str = "\n",
+    driver_max_lines: int = 500_000,
+):
+    """CCNet/RefinedWeb-style boilerplate strip: count every line GLOBALLY
+    across the corpus, then rewrite each document keeping only lines whose
+    corpus-wide count is <= ``max_rep`` (nav bars, cookie banners and
+    footers repeat across pages; body text doesn't).  Lines are '\\n'
+    splits, EMPTY LINES INCLUDED — an empty line repeats corpus-wide, so
+    stripping it collapses blank runs by design.  Output (doc_id,
+    kept_text, n_lines_kept, n_lines_removed); kept lines are re-joined
+    with '\\n' in original order ('' when everything was boilerplate).
+
+    ``sep`` picks the unit (default line; ' ' gives word-level common-
+    token stripping — the right unit for unstructured bag-of-words text).
+
+    Shape: per-batch Counter pre-aggregation -> ONE (line, n) groupby-sum
+    shuffle -> the > max_rep survivors (∝ boilerplate vocabulary, the
+    small tail of the line distribution) are pulled to the driver under a
+    size guard and broadcast ONCE via ray.put -> stateless rewrite map.
+    If the blocklist exceeds ``driver_max_lines`` this raises rather than
+    silently materializing an unbounded set — the fallback at that scale
+    is the union + coarse-hash repartition join (minhash_dedup
+    verify="join" pattern), which this corpus never needs.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def line_partials(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update((s or "").split(sep))
+        return pa.table(
+            {
+                "line": pa.array(list(c.keys()), pa.string()),
+                "n_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("n"), max_rep))
+
+    hot = (
+        docs_ds.map_batches(line_partials, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(only_hot, batch_format="pyarrow")
+        .materialize()
+    )
+    n_hot = hot.count()
+    if n_hot > driver_max_lines:
+        raise ValueError(
+            f"line_dedup blocklist has {n_hot} lines (> {driver_max_lines}); "
+            "use a repartition-join variant at this scale"
+        )
+    block = frozenset(r["line"] for r in hot.take_all())
+    ref = ray.put(block)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        blocked = ray.get(ref)
+        kept_texts, n_kept, n_rm = [], [], []
+        for s in t.column("text").to_pylist():
+            lines = (s or "").split(sep)
+            kept = [ln for ln in lines if ln not in blocked]
+            kept_texts.append(sep.join(kept))
+            n_kept.append(len(kept))
+            n_rm.append(len(lines) - len(kept))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "kept_text": pa.array(kept_texts, pa.string()),
+                "n_lines_kept": pa.array(n_kept, pa.int64()),
+                "n_lines_removed": pa.array(n_rm, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 def quality_filter_batch(
     max_dup_line_pct: int = 30,
     max_dup_line_char_pct: int = 30,

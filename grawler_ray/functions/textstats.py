@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ..textops import _WORD_RE, words_freq
@@ -226,6 +227,90 @@ def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
         .map_batches(head_k, batch_size=None, batch_format="pyarrow")
         .repartition(1)
         .map_batches(rank_k, batch_size=None, batch_format="pyarrow")
+    )
+
+
+def tfidf_topk(docs_ds, k: int = 5, scale: int = 1_000_000, num_groups: int = 256):
+    """Per-document top-k terms by integer-scaled tf-idf:
+    ``score = tf * ((N * scale) // df)`` — the idf is an integer floor
+    division, so the DuckDB oracle ranks bit-identically (float ln-idf
+    would flip near-ties between engines).  Ranking is (score desc, word
+    asc); output (doc_id, word, tf, df, score, rank) with rank <= k.
+
+    Shape (web-scale vocab — no driver pull, no broadcast): per-batch tf
+    via the Go-parity tokenizer (doc-local, shuffle-free) -> df by word
+    through ONE coarse word-hash shuffle where each group counts its word
+    runs and attaches df in the same run-scan -> per-doc top-k through ONE
+    coarse doc-hash shuffle with a vectorized (doc, -score, word) sort +
+    in-run cumcount.  Both groupbys are ~num_groups vectorized pandas
+    groups, never per-word/per-doc groups.
+    """
+    import pandas as pd
+
+    n_docs = docs_ds.count()
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tf_rows(t: pa.Table) -> "pd.DataFrame":
+        import zlib
+
+        wf = word_freq_batch(t)
+        w = wf.column("word").to_pylist()
+        # crc32, NOT hash(): Python string hashing is salted per process,
+        # which would scatter one word across groups on different workers
+        g = np.array([zlib.crc32(x.encode()) for x in w], np.uint64)
+        wg = ((g * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return pd.DataFrame(
+            {
+                "wg": wg.astype(np.int32),
+                "word": w,
+                "doc_id": wf.column("doc_id").to_numpy(),
+                "tf": wf.column("frequency").to_numpy(),
+            }
+        )
+
+    def attach_df(df: "pd.DataFrame") -> "pd.DataFrame":
+        # every (doc, word) row of a word lives in this group; a word's df
+        # is its run length (word_freq is distinct per (doc, word))
+        df = df.sort_values(["word", "doc_id"])
+        w = df["word"].to_numpy()
+        n = len(df)
+        is_start = np.concatenate(([True], w[1:] != w[:-1])) if n else np.array([], bool)
+        run_id = np.cumsum(is_start) - 1 if n else np.array([], np.int64)
+        run_len = np.bincount(run_id) if n else np.array([], np.int64)
+        dfs = run_len[run_id] if n else np.array([], np.int64)
+        tf = df["tf"].to_numpy().astype(np.int64)
+        score = tf * ((n_docs * scale) // dfs.astype(np.int64))
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        dg = ((ids * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return pd.DataFrame(
+            {
+                "dg": dg.astype(np.int32),
+                "doc_id": df["doc_id"].to_numpy(),
+                "word": w,
+                "tf": tf,
+                "df": dfs.astype(np.int64),
+                "score": score,
+            }
+        )
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["doc_id", "score", "word"], ascending=[True, False, True])
+        ids = df["doc_id"].to_numpy()
+        n = len(df)
+        is_start = np.concatenate(([True], ids[1:] != ids[:-1])) if n else np.array([], bool)
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0)) if n else np.array([], np.int64)
+        rank = np.arange(n) - start_idx + 1
+        keep = rank <= k
+        out = df.loc[keep, ["doc_id", "word", "tf", "df", "score"]].copy()
+        out["rank"] = rank[keep].astype(np.int64)
+        return out
+
+    return (
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("wg")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dg")
+        .map_groups(topk, batch_format="pandas")
     )
 
 

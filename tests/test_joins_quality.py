@@ -178,6 +178,126 @@ class TestTimeWindowSum:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+class TestLineDedup:
+    def test_boilerplate_strip(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.quality import line_dedup
+
+        nav = "home | products | about"
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": f"{nav}\nunique body one\n\nfooter text"},
+                {"doc_id": 2, "text": f"{nav}\nanother body\n\nfooter text"},
+                {"doc_id": 3, "text": f"{nav}\nthird body here\n\nfooter text"},
+                {"doc_id": 4, "text": "standalone page with no chrome"},
+            ]
+        )
+        # nav x3, '' x3, footer x3 exceed max_rep=2; bodies survive
+        out = (
+            line_dedup(docs, max_rep=2).to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[1, "kept_text"] == "unique body one"
+        assert out.loc[2, "kept_text"] == "another body"
+        assert out.loc[1, "n_lines_removed"] == 3
+        assert out.loc[4, "kept_text"] == "standalone page with no chrome"
+        assert out.loc[4, "n_lines_removed"] == 0
+
+    def test_blocklist_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from grawler_ray.functions.quality import line_dedup
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": "common\ncommon\ncommon"} for i in range(3)]
+        )
+        with _pytest.raises(ValueError, match="blocklist"):
+            line_dedup(docs, max_rep=1, driver_max_lines=0).to_pandas()
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = (
+            e.queries()["line_dedup"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(e.oracle_sql()["line_dedup"])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+        # the word-unit entry actually strips something at this scale
+        assert got["n_lines_removed"].sum() > 0
+
+
+class TestTfidfTopk:
+    def test_planted(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.textstats import tfidf_topk
+
+        # "rare" appears in one doc, "common" in all three: with integer
+        # idf = (N*scale)//df, rare scores 3e6*tf vs common's 1e6*tf
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "common rare common"},
+                {"doc_id": 2, "text": "common alpha"},
+                {"doc_id": 3, "text": "common beta beta"},
+            ]
+        )
+        out = tfidf_topk(docs, k=1).to_pandas().set_index("doc_id").sort_index()
+        assert out.loc[1, "word"] == "rare" and out.loc[1, "score"] == 3_000_000
+        assert out.loc[3, "word"] == "beta" and out.loc[3, "score"] == 6_000_000
+        assert (out["rank"] == 1).all()
+
+    def test_rank_tiebreak_word_asc(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.textstats import tfidf_topk
+
+        # zeta and alpha tie on score (same tf, same df) -> alpha ranks first
+        docs = ray.data.from_items(
+            [{"doc_id": 1, "text": "zeta alpha"}, {"doc_id": 2, "text": "zeta alpha"}]
+        )
+        out = tfidf_topk(docs, k=2).to_pandas()
+        d1 = out[out.doc_id == 1].sort_values("rank")
+        assert list(d1["word"]) == ["alpha", "zeta"]
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = (
+            e.queries()["tfidf_topk"](SF)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(e.oracle_sql()["tfidf_topk"])
+            .fetchdf()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+
+
 class TestQuality:
     def test_repetition_signals_kernel(self):
         from grawler_ray.functions.quality import _doc_signals
