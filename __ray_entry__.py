@@ -265,6 +265,23 @@ def _line_dedup(sf_dir: str):
     return line_dedup(_read(sf_dir, "documents"), max_rep=100, sep=" ")
 
 
+def _decontaminate(sf_dir: str):
+    """Docs with source='src0' act as the benchmark/eval set; every other
+    doc is training data to be screened for 3-gram overlap."""
+    from grawler_ray.functions.quality import decontaminate
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.filter(expr="source == 'src0'")
+    train = docs.filter(expr="source != 'src0'")
+    return decontaminate(train, bench, k=3)
+
+
+def _inverted_index(sf_dir: str):
+    from grawler_ray.functions.textstats import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents"))
+
+
 def _quality_filter(sf_dir: str):
     from grawler_ray.functions.quality import quality_filter_batch
 
@@ -734,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_window_sum": _time_window_sum,
         "repetition_signals": _repetition_signals,
         "quality_filter": _quality_filter,
+        "decontaminate": _decontaminate,
+        "inverted_index": _inverted_index,
         "line_dedup": _line_dedup,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
@@ -1008,6 +1027,42 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
                    (len(L.ls) - coalesce(a.n_kept, 0))::BIGINT AS n_lines_removed
             FROM L LEFT JOIN agg a USING (doc_id)
+        """,
+        # GPT-3-style decontamination: train docs (source != src0) flagged
+        # when any lower-word 3-gram also occurs in the src0 benchmark set;
+        # n_hits counts DISTINCT overlapping 3-grams per doc
+        "decontaminate": r"""
+            WITH t AS (SELECT doc_id, source,
+                              regexp_extract_all(lower(text), '\b\w+\b') AS w
+                       FROM documents),
+            g AS (SELECT doc_id, source,
+                         unnest(list_transform(
+                             range(1, greatest(len(w) - 2, 0) + 1),
+                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+                  FROM t),
+            bench AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+            hits AS (SELECT g.doc_id, count(DISTINCT g.sh) AS n_hits
+                     FROM g JOIN bench USING (sh)
+                     WHERE g.source != 'src0'
+                     GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS is_contaminated
+            FROM t LEFT JOIN hits h USING (doc_id)
+            WHERE t.source != 'src0'
+        """,
+        # inverted index: postings as an ascending comma-joined string so
+        # the value hash is list-representation-independent
+        "inverted_index": r"""
+            WITH wf AS (SELECT doc_id, lower(w) AS word, count(*)::BIGINT AS tf
+                        FROM (SELECT doc_id,
+                                     unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                              FROM documents)
+                        GROUP BY doc_id, lower(w))
+            SELECT word, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM wf GROUP BY word
         """,
         "quality_filter": rf"""
             WITH sig AS ({_REPETITION_SIG_SQL})

@@ -167,6 +167,77 @@ def line_dedup(
     return docs_ds.map_batches(rewrite, batch_format="pyarrow")
 
 
+def decontaminate(
+    train_ds,
+    bench_ds,
+    k: int = 3,
+    driver_max_shingles: int = 5_000_000,
+):
+    """GPT-3-style training-set decontamination (Brown et al. 2020, §C —
+    public paper): flag every training document that shares at least one
+    word k-gram with a benchmark/eval document, so contaminated examples
+    can be dropped or quarantined before training.
+
+    Semantics pinned for the SQL oracle: tokens are ``\\b\\w+\\b`` over
+    ``lower(text)`` (the word_freq tokenizer); a shingle is k consecutive
+    tokens joined with one space; documents shorter than k tokens have no
+    shingles and are never contaminated.  Output one row per TRAIN doc:
+    (doc_id, n_hits = count of DISTINCT train-doc shingles that occur
+    anywhere in the benchmark set, is_contaminated = 0/1 int64).
+
+    Shape: the benchmark side is the EVAL set — orders of magnitude
+    smaller than the training corpus by construction — so it is
+    per-batch-distinct'd, reduced through ONE (shingle) groupby-count,
+    pulled to the driver under ``driver_max_shingles``, and broadcast
+    ONCE via ray.put; the training pass is then a stateless shuffle-free
+    map over batches (set intersection per doc, exact string compare so
+    the oracle gate is bit-exact — a production variant at 10^12 train
+    shingles would hash shingles to uint64 and join instead; the guard
+    names that fallback rather than silently materializing).
+    """
+    import ray
+
+    def _doc_shingles(text: str) -> set:
+        w = _WORD_RE.findall((text or "").lower())
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    def bench_partials(t: pa.Table) -> pa.Table:
+        sh = set()
+        for s in t.column("text").to_pylist():
+            sh |= _doc_shingles(s)
+        return pa.table({"shingle": pa.array(sorted(sh), pa.string())})
+
+    distinct = (
+        bench_ds.map_batches(bench_partials, batch_format="pyarrow")
+        .groupby("shingle")
+        .count()
+        .materialize()
+    )
+    n_sh = distinct.count()
+    if n_sh > driver_max_shingles:
+        raise ValueError(
+            f"benchmark shingle set has {n_sh} entries (> {driver_max_shingles}); "
+            "use a hashed repartition-join variant at this scale"
+        )
+    bench_set = frozenset(r["shingle"] for r in distinct.take_all())
+    ref = ray.put(bench_set)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        hits = [len(_doc_shingles(s) & bl) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_hits": pa.array(hits, pa.int64()),
+                "is_contaminated": pa.array(
+                    [1 if h else 0 for h in hits], pa.int64()
+                ),
+            }
+        )
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
 def quality_filter_batch(
     max_dup_line_pct: int = 30,
     max_dup_line_char_pct: int = 30,

@@ -314,6 +314,62 @@ def tfidf_topk(docs_ds, k: int = 5, scale: int = 1_000_000, num_groups: int = 25
     )
 
 
+def inverted_index(docs_ds, num_groups: int = 256):
+    """Distributed inverted index: one row per distinct word with
+    (word, df, total_tf, postings), where ``postings`` is the ascending
+    comma-joined doc_id list — a string, not a list column, so the
+    DuckDB oracle (string_agg ORDER BY doc_id) hash-compares exactly.
+
+    Shape: per-batch (doc, word, tf) via the Go-parity tokenizer (doc-
+    local, shuffle-free) -> ONE coarse word-hash shuffle (~num_groups
+    groups, never per-word groups) -> each group sorts its rows by
+    (word, doc_id) and emits one row per word run.  Posting strings are
+    built per VOCABULARY entry (bounded by group vocab, not token
+    count).  At web scale a posting list for a stopword is unbounded —
+    production layout would shard hot words by doc-range; this emits the
+    full list, which is the right semantics for the corpus-scale index
+    the oracle can check.
+    """
+    import zlib
+
+    import pandas as pd
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tf_rows(t: pa.Table) -> "pd.DataFrame":
+        wf = word_freq_batch(t)
+        w = wf.column("word").to_pylist()
+        # crc32, NOT hash(): Python string hashing is salted per process
+        g = np.array([zlib.crc32(x.encode()) for x in w], np.uint64)
+        wg = ((g * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return pd.DataFrame(
+            {
+                "wg": wg.astype(np.int32),
+                "word": w,
+                "doc_id": wf.column("doc_id").to_numpy(),
+                "tf": wf.column("frequency").to_numpy(),
+            }
+        )
+
+    def build(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["word", "doc_id"])
+        g = df.groupby("word", sort=False)
+        out = g.agg(
+            df=("doc_id", "size"),
+            total_tf=("tf", "sum"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        out["total_tf"] = out["total_tf"].astype(np.int64)
+        return out[["word", "df", "total_tf", "postings"]]
+
+    return (
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("wg")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
 def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Polynomial rolling hash of the whole text (content-defined
     fingerprinting primitive; used by the shingling dedup ops)."""

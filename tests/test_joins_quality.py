@@ -298,6 +298,113 @@ class TestTfidfTopk:
         )
 
 
+class TestDecontaminate:
+    def test_planted(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.quality import decontaminate
+
+        bench = ray.data.from_items(
+            [{"doc_id": 100, "text": "the quick brown fox jumps"}]
+        )
+        train = ray.data.from_items(
+            [
+                # shares "quick brown fox" -> contaminated
+                {"doc_id": 1, "text": "a quick brown fox ran away"},
+                # disjoint vocabulary -> clean
+                {"doc_id": 2, "text": "completely different words here"},
+                # shares words but never 3 consecutive -> clean
+                {"doc_id": 3, "text": "brown quick the fox assorted jumps"},
+                # shorter than k tokens -> never contaminated
+                {"doc_id": 4, "text": "quick brown"},
+            ]
+        )
+        out = decontaminate(train, bench, k=3).to_pandas().set_index("doc_id")
+        assert out.loc[1, "is_contaminated"] == 1 and out.loc[1, "n_hits"] == 1
+        assert out.loc[2, "is_contaminated"] == 0
+        assert out.loc[3, "is_contaminated"] == 0
+        assert out.loc[4, "is_contaminated"] == 0 and out.loc[4, "n_hits"] == 0
+
+    def test_guard(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from grawler_ray.functions.quality import decontaminate
+
+        bench = ray.data.from_items([{"doc_id": 1, "text": "a b c d e"}])
+        with _pytest.raises(ValueError, match="shingle set"):
+            decontaminate(bench, bench, k=3, driver_max_shingles=1).to_pandas()
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = (
+            e.queries()["decontaminate"](SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(e.oracle_sql()["decontaminate"])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+        # both flag values occur at this scale
+        assert set(got["is_contaminated"].unique()) == {0, 1}
+
+
+class TestInvertedIndex:
+    def test_planted(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.textstats import inverted_index
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 3, "text": "apple banana apple"},
+                {"doc_id": 1, "text": "banana cherry"},
+                {"doc_id": 2, "text": "Apple"},
+            ]
+        )
+        out = inverted_index(docs).to_pandas().set_index("word").sort_index()
+        # postings ascend by doc_id regardless of block arrival order
+        assert out.loc["apple", "postings"] == "2,3"
+        assert out.loc["apple", "df"] == 2 and out.loc["apple", "total_tf"] == 3
+        assert out.loc["banana", "postings"] == "1,3"
+        assert out.loc["cherry", "postings"] == "1" and out.loc["cherry", "df"] == 1
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = (
+            e.queries()["inverted_index"](SF)
+            .to_pandas()
+            .sort_values("word")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(e.oracle_sql()["inverted_index"])
+            .fetchdf()
+            .sort_values("word")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+
+
 class TestQuality:
     def test_repetition_signals_kernel(self):
         from grawler_ray.functions.quality import _doc_signals
