@@ -282,6 +282,12 @@ def _inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents"))
 
 
+def _length_quantiles(sf_dir: str):
+    from grawler_ray.functions.textstats import length_quantiles
+
+    return length_quantiles(_read(sf_dir, "documents"))
+
+
 def _quality_filter(sf_dir: str):
     from grawler_ray.functions.quality import quality_filter_batch
 
@@ -753,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _quality_filter,
         "decontaminate": _decontaminate,
         "inverted_index": _inverted_index,
+        "length_quantiles": _length_quantiles,
         "line_dedup": _line_dedup,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
@@ -1051,6 +1058,25 @@ def oracle_sql() -> dict[str, str]:
                        AS is_contaminated
             FROM t LEFT JOIN hits h USING (doc_id)
             WHERE t.source != 'src0'
+        """,
+        # exact discrete quantiles via the distributed histogram: p_q is
+        # the smallest value whose cumulative count reaches
+        # ceil(n*q/100) = (n*q+99)//100 — integer rank arithmetic on both
+        # sides so there is no float interpolation to diverge on
+        "length_quantiles": """
+            WITH c AS (SELECT lang, n_chars, count(*)::BIGINT AS cnt
+                       FROM documents GROUP BY 1, 2),
+            tot AS (SELECT lang, sum(cnt)::BIGINT AS nt FROM c GROUP BY 1),
+            cum AS (SELECT c.lang, c.n_chars,
+                           sum(c.cnt) OVER (PARTITION BY c.lang
+                                            ORDER BY c.n_chars) AS cn,
+                           t.nt
+                    FROM c JOIN tot t USING (lang))
+            SELECT lang, max(nt)::BIGINT AS n_docs,
+                   min(CASE WHEN cn >= (nt*50+99)//100 THEN n_chars END)::BIGINT AS p50,
+                   min(CASE WHEN cn >= (nt*90+99)//100 THEN n_chars END)::BIGINT AS p90,
+                   min(CASE WHEN cn >= (nt*99+99)//100 THEN n_chars END)::BIGINT AS p99
+            FROM cum GROUP BY lang
         """,
         # inverted index: postings as an ascending comma-joined string so
         # the value hash is list-representation-independent

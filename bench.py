@@ -114,6 +114,9 @@ def run_subqueries() -> dict[str, float]:
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
         "dedup_clusters", "token_count", "top_words_per_lang",
         "sessionize", "rolling_sum", "events_hourly",
+        "tfidf_topk", "line_dedup", "decontaminate", "inverted_index",
+        "quality_filter", "asof_join", "range_join_count",
+        "time_window_sum", "length_quantiles", "prep_corpus",
     ]
     import ray.data
 

@@ -370,6 +370,65 @@ def inverted_index(docs_ds, num_groups: int = 256):
     )
 
 
+def length_quantiles(
+    docs_ds,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    q_pcts: tuple = (50, 90, 99),
+    driver_max_bins: int = 2_000_000,
+):
+    """Exact per-group discrete quantiles of an integer column via a
+    distributed histogram — the scale-correct way to compute corpus
+    length distributions without a global sort: the shuffle moves one row
+    per DISTINCT (group, value) pair (bounded by the value domain, not
+    the corpus), and the quantile walk runs on that bounded histogram.
+
+    Quantile definition pinned for the SQL oracle (integer arithmetic on
+    BOTH sides, no float rank): p_q = the smallest value whose cumulative
+    count reaches ``ceil(n * q / 100)`` — computed as
+    ``(n * q + 99) // 100``.  Output one row per group:
+    (group_col, n_docs, p{q}...) all int64.
+
+    The histogram is pulled to the driver under ``driver_max_bins`` (the
+    ANN-style bounded final reduce); a value domain that large means the
+    column isn't histogram-shaped and needs a sort-based plan instead —
+    raising names that fallback rather than materializing unbounded.
+    """
+    import pandas as pd
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    hist = (
+        docs_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .sum("cnt")
+        .materialize()
+    )
+    n_bins = hist.count()
+    if n_bins > driver_max_bins:
+        raise ValueError(
+            f"histogram has {n_bins} bins (> {driver_max_bins}); "
+            f"{value_col} is not histogram-shaped — use a sort-based quantile"
+        )
+    df = hist.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    df = df.sort_values([group_col, value_col])
+    rows = []
+    for grp, sub in df.groupby(group_col, sort=True):
+        vals = sub[value_col].to_numpy(np.int64)
+        cum = sub["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        row = {group_col: grp, "n_docs": n}
+        for q in q_pcts:
+            rank = (n * q + 99) // 100
+            row[f"p{q}"] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
 def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     """Polynomial rolling hash of the whole text (content-defined
     fingerprinting primitive; used by the shingling dedup ops)."""

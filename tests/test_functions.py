@@ -130,3 +130,31 @@ def test_token_count_batch():
     assert got[3] == (0, 0, 0)
     # unicode bytes land in the punct/other class, never in [a-zA-Z]
     assert got[2][2] > 0
+
+
+def test_length_quantiles_rank_semantics(ray_session):
+    """p_q = smallest value with cumcount >= ceil(n*q/100): for n=4 values
+    [10,20,30,40], p50 rank = 2 -> 20; p90 rank = 4 -> 40; p99 rank = 4 ->
+    40; a singleton group returns its value for every percentile."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import length_quantiles
+
+    docs = ray.data.from_items(
+        [{"lang": "en", "n_chars": v} for v in (40, 10, 30, 20)]
+        + [{"lang": "de", "n_chars": 7}]
+    )
+    out = length_quantiles(docs).to_pandas().set_index("lang")
+    assert out.loc["en", ["n_docs", "p50", "p90", "p99"]].tolist() == [4, 20, 40, 40]
+    assert out.loc["de", ["n_docs", "p50", "p90", "p99"]].tolist() == [1, 7, 7, 7]
+
+
+def test_length_quantiles_bin_guard(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from grawler_ray.functions.textstats import length_quantiles
+
+    docs = ray.data.from_items([{"lang": "en", "n_chars": v} for v in range(5)])
+    with _pytest.raises(ValueError, match="histogram"):
+        length_quantiles(docs, driver_max_bins=2)
