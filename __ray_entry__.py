@@ -506,6 +506,19 @@ def _embedding_dup_pairs(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _pagerank(sf_dir: str):
+    """Centrality over the embedding near-dup similarity graph: nodes =
+    all vec_ids, edges = the SQL-checked embedding_dup_pairs edge set
+    (cosine >= 0.45), 5 fixed-point iterations."""
+    from grawler_ray.functions.graph import pagerank
+    from grawler_ray.functions.similarity import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    nodes = emb.select_columns(["vec_id"])
+    pairs = embedding_dup_pairs(emb, threshold=0.45)
+    return pagerank(nodes, pairs, node_col="vec_id")
+
+
 def _sample_docs(sf_dir: str):
     from grawler_ray.functions.sampling import sample_fraction
 
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "inverted_index": _inverted_index,
         "length_quantiles": _length_quantiles,
+        "pagerank": _pagerank,
         "line_dedup": _line_dedup,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
@@ -792,6 +806,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_words": _crawl_words,
         "crawl_trace": _crawl_trace,
     }
+
+
+def _pagerank_sql(iters: int = 5, d_pct: int = 85, scale: int = 10**9) -> str:
+    """Unroll graph.pagerank's pinned integer recurrence as k CTE layers
+    (integer sums are order-independent, so the hash compare is exact)."""
+    layers = []
+    for k in range(1, iters + 1):
+        layers.append(
+            f"""r{k} AS (
+              SELECT nodes.v,
+                     (((100 - {d_pct}) * ({scale} // nn.n)) // 100
+                      + ({d_pct} * coalesce(c.cs, 0)) // 100)::BIGINT AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN (SELECT e.t AS v, sum(p.r // dg.dg)::BIGINT AS cs
+                         FROM edges e
+                         JOIN r{k - 1} p ON e.s = p.v
+                         JOIN deg dg ON e.s = dg.s
+                         GROUP BY e.t) c ON nodes.v = c.v)"""
+        )
+    return f"""
+        WITH pairs AS (
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.45),
+        edges AS (SELECT a AS s, b AS t FROM pairs
+                  UNION ALL SELECT b AS s, a AS t FROM pairs),
+        deg AS (SELECT s, count(*)::BIGINT AS dg FROM edges GROUP BY s),
+        nodes AS (SELECT vec_id AS v FROM embeddings),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        r0 AS (SELECT v, ({scale} // nn.n)::BIGINT AS r FROM nodes CROSS JOIN nn),
+        {",".join(layers)}
+        SELECT v AS vec_id, r AS rank FROM r{iters}
+    """
 
 
 # shared by repetition_signals and quality_filter (quality.py pins the
@@ -1078,6 +1126,9 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN cn >= (nt*99+99)//100 THEN n_chars END)::BIGINT AS p99
             FROM cum GROUP BY lang
         """,
+        # fixed-point PageRank over the embedding near-dup graph, 5
+        # unrolled iterations (graph.py pins the integer recurrence)
+        "pagerank": _pagerank_sql(),
         # inverted index: postings as an ascending comma-joined string so
         # the value hash is list-representation-independent
         "inverted_index": r"""

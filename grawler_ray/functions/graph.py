@@ -1,0 +1,232 @@
+"""Link-graph centrality over a distributed edge table.
+
+PageRank (Page et al. 1999, public paper) re-expressed Ray-Data-first:
+every step is a coarse-hash repartition join (union + groupby, the
+pattern this repo uses everywhere `Dataset.join` would deadlock — see
+CLAUDE.md) or an Arrow hash-aggregate; no driver-side adjacency, no
+per-node groups.  Arithmetic is INTEGER FIXED-POINT (ranks scaled by
+``scale``, floor division everywhere) so the DuckDB oracle — the same
+recurrence unrolled as k CTE layers — hash-compares bit-exactly: float
+PageRank would drift across summation orders, integer sums are
+order-independent.
+
+Pinned recurrence (mirrored in __ray_entry__.oracle_sql()["pagerank"]):
+
+    n        = |nodes|
+    base     = scale // n
+    tele     = ((100 - d_pct) * base) // 100
+    r_0(v)   = base
+    r_{k+1}(v) = tele + (d_pct * sum_{(u,v) in E} (r_k(u) // deg(u))) // 100
+
+Edges are an undirected pair list (a, b), symmetrized to both directions;
+deg(u) is u's directed out-degree after symmetrization.  Nodes with no
+edges keep rank = tele + 0 after the first iteration (no dangling-mass
+redistribution — the variant is pinned, both sides implement the same
+one).  Dropped mass is the standard price of the simple variant; rank
+ORDER, which is what centrality consumers use, is unaffected.
+
+Scale shape: per iteration, ONE coarse src-hash shuffle joins ranks onto
+edges (contrib = r//deg rides the edge row), one Arrow hash-aggregate
+sums contributions per dst, and ONE coarse dst-hash shuffle left-joins
+the sums back onto the node table.  The rank table (2 ints/node) is
+materialized between iterations to keep the lazy DAG shallow (bounded:
+O(nodes), the same control-table discipline as the crawl frontier).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ghash(ids: np.ndarray, num_groups: int) -> np.ndarray:
+    u = ids.astype(np.uint64)
+    return (((u * _GOLDEN) >> np.uint64(33)) % np.uint64(num_groups)).astype(np.int32)
+
+
+def pagerank(
+    nodes_ds,
+    pairs_ds,
+    node_col: str = "v",
+    pair_cols: tuple = ("a", "b"),
+    d_pct: int = 85,
+    iters: int = 5,
+    scale: int = 10**9,
+    num_groups: int | None = None,
+):
+    """Returns a Dataset (node_col, rank) with int64 fixed-point ranks
+    after ``iters`` synchronous iterations of the pinned recurrence.
+
+    ``num_groups=None`` sizes the coarse-hash shuffle to the node count:
+    every iteration pays 2 shuffles regardless of data size, so at small
+    n the group count (per-group map_groups fixed cost × iters) dominates
+    wall time — 8 groups for <1M nodes, growing to 256 at 100M+.
+    """
+    import ray.data
+
+    a, b = pair_cols
+    n = nodes_ds.count()
+    if n == 0:
+        return nodes_ds
+    if num_groups is None:
+        num_groups = 8 if n < 1_000_000 else (64 if n < 100_000_000 else 256)
+    base = scale // n
+    tele = ((100 - d_pct) * base) // 100
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.concatenate([df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)])
+        t = np.concatenate([df[b].to_numpy(np.int64), df[a].to_numpy(np.int64)])
+        return pd.DataFrame({"sg": _ghash(s, num_groups), "s": s, "t": t})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pandas")
+
+    # deg rides each edge row: within an sg group every edge of a given s
+    # is present (sg is a function of s), so deg is the run length
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("s")
+        s = df["s"].to_numpy()
+        m = len(df)
+        if m == 0:
+            return pd.DataFrame(
+                {
+                    "sg": np.array([], np.int32),
+                    "s": np.array([], np.int64),
+                    "t": np.array([], np.int64),
+                    "deg": np.array([], np.int64),
+                }
+            )
+        start = np.concatenate(([True], s[1:] != s[:-1]))
+        run = np.cumsum(start) - 1
+        deg = np.bincount(run)[run]
+        out = df[["sg", "s", "t"]].copy()
+        out["deg"] = deg.astype(np.int64)
+        return out
+
+    edges = (
+        edges.groupby("sg").map_groups(attach_deg, batch_format="pandas").materialize()
+    )
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[node_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"vg": _ghash(v, num_groups), "v": v, "r": np.full(len(v), base, np.int64)}
+        )
+
+    ranks = nodes_ds.map_batches(node_rows, batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        # --- join ranks onto edges by src (union + coarse-hash groupby) ---
+        def tag_rank_as_src(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sg": df["vg"].to_numpy(np.int32),
+                    "s": df["v"].to_numpy(np.int64),
+                    "t": np.full(len(df), -1, np.int64),
+                    "deg": np.zeros(len(df), np.int64),
+                    "r": df["r"].to_numpy(np.int64),
+                    "is_edge": np.zeros(len(df), np.int8),
+                }
+            )
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sg": df["sg"].to_numpy(np.int32),
+                    "s": df["s"].to_numpy(np.int64),
+                    "t": df["t"].to_numpy(np.int64),
+                    "deg": df["deg"].to_numpy(np.int64),
+                    "r": np.zeros(len(df), np.int64),
+                    "is_edge": np.ones(len(df), np.int8),
+                }
+            )
+
+        def contrib_group(df: pd.DataFrame) -> pd.DataFrame:
+            ise = df["is_edge"].to_numpy() == 1
+            rv = df.loc[~ise].sort_values("s")
+            rs, rr = rv["s"].to_numpy(np.int64), rv["r"].to_numpy(np.int64)
+            es = df.loc[ise, "s"].to_numpy(np.int64)
+            if len(es) == 0 or len(rs) == 0:
+                return pd.DataFrame({"t": np.array([], np.int64), "c": np.array([], np.int64)})
+            pos = np.searchsorted(rs, es)
+            pos = np.minimum(pos, len(rs) - 1)
+            # every edge src is a node; assert-by-construction (gate tests)
+            r_src = rr[pos]
+            deg = df.loc[ise, "deg"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {"t": df.loc[ise, "t"].to_numpy(np.int64), "c": r_src // deg}
+            )
+
+        both = ranks.map_batches(tag_rank_as_src, batch_format="pandas").union(
+            edges.map_batches(tag_edge, batch_format="pandas")
+        )
+        contrib = both.groupby("sg").map_groups(contrib_group, batch_format="pandas")
+
+        # --- per-dst sums (Arrow hash-aggregate), normalized back to pandas
+        # blocks (aggregate output block type varies with partition
+        # emptiness — the dedup_components lesson) ---
+        sums = (
+            contrib.groupby("t")
+            .sum("c")
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "vg": _ghash(df["t"].to_numpy(np.int64), num_groups),
+                        "v": df["t"].to_numpy(np.int64),
+                        "csum": df["sum(c)"].to_numpy(np.int64),
+                        "is_sum": np.ones(len(df), np.int8),
+                    }
+                ),
+                batch_format="pandas",
+                batch_size=None,
+            )
+        )
+
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vg": df["vg"].to_numpy(np.int32),
+                    "v": df["v"].to_numpy(np.int64),
+                    "csum": np.zeros(len(df), np.int64),
+                    "is_sum": np.zeros(len(df), np.int8),
+                }
+            )
+
+        def apply_group(df: pd.DataFrame) -> pd.DataFrame:
+            iss = df["is_sum"].to_numpy() == 1
+            sv = df.loc[iss].sort_values("v")
+            ss, sc = sv["v"].to_numpy(np.int64), sv["csum"].to_numpy(np.int64)
+            nv = df.loc[~iss, "v"].to_numpy(np.int64)
+            csum = np.zeros(len(nv), np.int64)
+            if len(ss):
+                pos = np.searchsorted(ss, nv)
+                ok = (pos < len(ss)) & (ss[np.minimum(pos, len(ss) - 1)] == nv)
+                csum[ok] = sc[np.minimum(pos, len(ss) - 1)][ok]
+            r = tele + (d_pct * csum) // 100
+            return pd.DataFrame(
+                {"vg": _ghash(nv, num_groups), "v": nv, "r": r.astype(np.int64)}
+            )
+
+        # re-bound the control table's block count every iteration: the
+        # union + aggregate chain otherwise DOUBLES blocks per iteration
+        # (output partitions track input blocks through the shuffle), and
+        # per-block fixed cost turns 5 iterations into 2^5 overhead —
+        # same discipline as the crawl frontier's per-round repartition
+        ranks = (
+            ranks.map_batches(tag_node, batch_format="pandas")
+            .union(sums)
+            .groupby("vg")
+            .map_groups(apply_group, batch_format="pandas")
+            .repartition(num_groups)
+            .materialize()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {node_col: df["v"].to_numpy(np.int64), "rank": df["r"].to_numpy(np.int64)}
+        )
+        return out
+
+    return ranks.map_batches(finalize, batch_format="pandas")
