@@ -905,11 +905,16 @@ def dedup_components(
             .groupby("ng")
             .map_groups(propagate, batch_format="pandas")
         )
+        # repartition re-bounds the label table's block count: the union +
+        # aggregate chain otherwise compounds blocks per round (shuffle
+        # output partitions track input blocks), turning k rounds into
+        # 2^k per-block fixed cost — measured on pagerank's identical loop
         labels = (
             labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .map_batches(norm, batch_size=None, batch_format="pandas")
+            .repartition(num_groups)
             .materialize()
         )
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
