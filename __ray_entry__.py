@@ -288,6 +288,25 @@ def _length_quantiles(sf_dir: str):
     return length_quantiles(_read(sf_dir, "documents"))
 
 
+def _dup_spans(sf_dir: str):
+    """Exact-substring duplication stats (Lee et al. 2022 window-hash
+    approximation): 40-char windows, stride 10, duplicated when the exact
+    window text occurs at >= 2 (doc, pos) sites corpus-wide."""
+    from grawler_ray.functions.dedup import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents"), window=40, stride=10)
+
+
+def _semdedup(sf_dir: str):
+    """SemDedup (Abbas et al. 2023): k-means the embedding space, mark
+    within-cluster cosine >= 0.93 duplicates (keep the smallest vec_id).
+    Rows-only for the driver gate (k-means isn't SQL-expressible);
+    tests/test_semdedup.py holds the serial-numpy oracle equality."""
+    from grawler_ray.functions.similarity import semdedup
+
+    return semdedup(_read(sf_dir, "embeddings"), k=16, threshold=0.93)
+
+
 def _quality_filter(sf_dir: str):
     from grawler_ray.functions.quality import quality_filter_batch
 
@@ -774,6 +793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "length_quantiles": _length_quantiles,
         "pagerank": _pagerank,
+        "dup_spans": _dup_spans,
+        "semdedup": _semdedup,
         "line_dedup": _line_dedup,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
@@ -1129,6 +1150,28 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank over the embedding near-dup graph, 5
         # unrolled iterations (graph.py pins the integer recurrence)
         "pagerank": _pagerank_sql(),
+        # exact-substring duplication (Lee et al. window approximation):
+        # 40-char windows at stride 10; a window position is duplicated
+        # when its exact text occurs at >= 2 (doc, pos) sites corpus-wide.
+        # generate_series returns [] when length(text) < 40, so short docs
+        # fall out of w and come back with 0s via the LEFT JOIN — matching
+        # the engine's recount over every doc
+        "dup_spans": """
+            WITH w AS (
+              SELECT doc_id, substr(text, p, 40) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 39, 10)) AS p
+                    FROM documents)
+            ),
+            c AS (SELECT s, count(*) AS n FROM w GROUP BY s),
+            agg AS (SELECT w.doc_id, count(*) AS n_windows,
+                           sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS n_dup
+                    FROM w JOIN c USING (s) GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_windows, 0)::BIGINT AS n_windows,
+                   coalesce(a.n_dup, 0)::BIGINT AS n_dup_windows
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # inverted index: postings as an ascending comma-joined string so
         # the value hash is list-representation-independent
         "inverted_index": r"""

@@ -116,7 +116,8 @@ def run_subqueries() -> dict[str, float]:
         "sessionize", "rolling_sum", "events_hourly",
         "tfidf_topk", "line_dedup", "decontaminate", "inverted_index",
         "quality_filter", "asof_join", "range_join_count",
-        "time_window_sum", "length_quantiles", "pagerank", "prep_corpus",
+        "time_window_sum", "length_quantiles", "pagerank", "dup_spans",
+        "semdedup", "prep_corpus",
     ]
     import ray.data
 

@@ -1213,3 +1213,92 @@ def minhash_dedup_incremental(
         .groupby(["new_id", "old_id"])
         .aggregate(Min("jaccard", alias_name="jaccard"))
     )
+
+
+def dup_span_stats(
+    docs_ds,
+    window: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+    driver_max_spans: int = 2_000_000,
+):
+    """Exact-substring duplication stats (the window-hash approximation of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — the paper's ExactSubstr uses suffix arrays; at cluster scale
+    the standard approximation is fixed-length windows, e.g. the
+    text-dedup/RedPajama pipelines).  A document's span is duplicated when
+    its exact window text occurs at >= ``min_count`` (doc, position) sites
+    corpus-wide — boilerplate paragraphs, license blocks and mirrored
+    articles light up even when whole-doc hashes differ.
+
+    Semantics pinned for the `dup_spans` SQL oracle: windows are CHARACTER
+    substrings of length ``window`` starting at 0, stride, 2*stride, ...
+    while start + window <= len(text); a doc shorter than ``window`` has 0
+    windows.  Output one row per doc: (doc_id, n_windows, n_dup_windows)
+    where n_dup_windows counts window POSITIONS whose text is globally
+    duplicated (within-doc repeats count at both sites, matching the SQL).
+
+    Shape: per-batch Counter pre-aggregation -> ONE (span-text) groupby-sum
+    shuffle -> survivors (the duplicated-span vocabulary, the small tail of
+    the distribution) pulled under ``driver_max_spans`` and broadcast ONCE
+    via ray.put -> stateless per-doc recount map.  Exact strings ride the
+    shuffle so the DuckDB gate is bit-exact; the 100-TB variant ships
+    xxhash64(window) (8 B/span) through the same shape and resolves the
+    survivor set with the union + coarse-hash repartition join
+    (minhash_dedup verify="join") instead of a broadcast.
+    """
+    import ray
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    def _windows(text: str) -> list[str]:
+        n = len(text)
+        return [text[p : p + window] for p in range(0, n - window + 1, stride)]
+
+    def span_partials(t: pa.Table) -> pa.Table:
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(_windows(s or ""))
+        return pa.table(
+            {
+                "s": pa.array(list(c.keys()), pa.string()),
+                "n_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"), min_count))
+
+    hot = (
+        docs_ds.map_batches(span_partials, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .map_batches(only_dup, batch_format="pyarrow")
+        .materialize()
+    )
+    n_hot = hot.count()
+    if n_hot > driver_max_spans:
+        raise ValueError(
+            f"duplicated-span vocabulary has {n_hot} entries "
+            f"(> {driver_max_spans}); use the hashed repartition-join "
+            "variant at this scale"
+        )
+    dup_set = frozenset(r["s"] for r in hot.take_all())
+    ref = ray.put(dup_set)
+
+    def recount(t: pa.Table) -> pa.Table:
+        dup = ray.get(ref)
+        n_w, n_d = [], []
+        for s in t.column("text").to_pylist():
+            ws = _windows(s or "")
+            n_w.append(len(ws))
+            n_d.append(sum(1 for w in ws if w in dup))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_windows": pa.array(n_w, pa.int64()),
+                "n_dup_windows": pa.array(n_d, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(recount, batch_format="pyarrow")

@@ -11,6 +11,7 @@ as the corpus fetch join.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
@@ -633,4 +634,92 @@ def ann_ivf_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10, nprobe: 
             partial_topk, batch_format="pyarrow"
         ),
         k,
+    )
+
+
+def semdedup(
+    embeddings_ds,
+    k: int = 16,
+    threshold: float = 0.95,
+    iters: int = 5,
+    seed: int = 3,
+    max_cluster: int = 50_000,
+):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic near-duplicate removal for training corpora.  K-means cluster
+    the embedding space, then mark within-cluster duplicates by pairwise
+    cosine similarity — cross-cluster pairs are never compared, which is
+    the paper's point: the quadratic compare is confined to clusters, so
+    total work is O(n * cluster_size) instead of O(n^2).
+
+    Deterministic rule pinned for the serial-numpy oracle test
+    (tests/test_semdedup.py): within a cluster, a vector is a duplicate
+    iff some SMALLER vec_id in the same cluster has cosine >= threshold;
+    ``dup_of`` is the smallest such vec_id, or -1 when kept.  Output one
+    row per vector: (vec_id, cluster, keep, dup_of).
+
+    Shape: the k-means fit is `_kmeans_fit` (broadcast centroids, partial
+    (sum,count) reduces — driver state is k x dim floats); tagging is a
+    stateless broadcast map; the per-cluster compare is ONE groupby
+    shuffle on the cluster id followed by a vectorized in-group cosine
+    matrix.  At the paper's scale the cluster count is chosen so clusters
+    hold ~1e4 vectors (k ≈ n / 1e4); ``max_cluster`` caps the in-group
+    reference set (each vector compares against at most the max_cluster
+    smallest vec_ids) with a logged warning rather than an O(m^2) blowup
+    on a degenerate cluster.
+    """
+    import ray
+
+    C = _kmeans_fit(embeddings_ds, k, iters, seed)
+    c_ref = ray.put(C)
+
+    def tag(t: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        V = _to_matrix(t.column("embedding"))
+        d = -2.0 * (V @ C_.T) + (C_ * C_).sum(axis=1)[None, :]
+        return t.append_column(
+            "cluster", pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64())
+        )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        V = _to_matrix(t.column("embedding"))[order].astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        V = V / norms[:, None]
+        m = len(vids)
+        ref_m = m
+        if m > max_cluster:
+            logging.getLogger(__name__).warning(
+                "semdedup cluster size %d exceeds cap %d; comparing against "
+                "the %d smallest vec_ids only", m, max_cluster, max_cluster
+            )
+            ref_m = max_cluster
+        dup_of = np.full(m, -1, dtype=np.int64)
+        # S[i, j] for refs i < j: compare every vector against the (capped)
+        # prefix of smaller vec_ids; first hit (smallest vec_id) wins
+        S = V[:ref_m] @ V.T
+        hit = S >= threshold
+        iu = np.arange(ref_m)[:, None] < np.arange(m)[None, :]
+        hit &= iu
+        any_hit = hit.any(axis=0)
+        first = hit.argmax(axis=0)
+        dup_of[any_hit] = vids[first[any_hit]]
+        cluster = int(t.column("cluster")[0].as_py())
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "cluster": pa.array(np.full(m, cluster), pa.int64()),
+                "keep": pa.array(dup_of == -1, pa.bool_()),
+                "dup_of": pa.array(dup_of, pa.int64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
     )
