@@ -297,6 +297,32 @@ def _dup_spans(sf_dir: str):
     return dup_span_stats(_read(sf_dir, "documents"), window=40, stride=10)
 
 
+def _topk_words_sketch(sf_dir: str):
+    """Misra-Gries top-k. capacity=4096 >= this corpus's vocabulary, so the
+    summaries never decrement and est_count is exact — SQL-checked against
+    the top_words aggregation; tests/test_sketch.py proves the
+    approximation guarantee in the capacity < vocabulary regime."""
+    from grawler_ray.functions.sketch import topk_words_sketch
+
+    return topk_words_sketch(_read(sf_dir, "documents"), k=100, capacity=4096)
+
+
+def _approx_distinct_words(sf_dir: str):
+    """HyperLogLog distinct-word estimate (rows-only: the estimate is
+    implementation-defined; tests/test_sketch.py bounds the error vs the
+    exact count at 20k-distinct scale)."""
+    from grawler_ray.functions.sketch import hll_distinct
+    from grawler_ray.textops import _WORD_RE
+
+    def words(t):
+        out = []
+        for s in t.column("text").to_pylist():
+            out.extend(_WORD_RE.findall((s or "").lower()))
+        return out
+
+    return hll_distinct(_read(sf_dir, "documents"), words, p=12)
+
+
 def _semdedup(sf_dir: str):
     """SemDedup (Abbas et al. 2023): k-means the embedding space, mark
     within-cluster cosine >= 0.93 duplicates (keep the smallest vec_id).
@@ -795,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank,
         "dup_spans": _dup_spans,
         "semdedup": _semdedup,
+        "topk_words_sketch": _topk_words_sketch,
+        "approx_distinct_words": _approx_distinct_words,
         "line_dedup": _line_dedup,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
@@ -1171,6 +1199,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_windows, 0)::BIGINT AS n_windows,
                    coalesce(a.n_dup, 0)::BIGINT AS n_dup_windows
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # Misra-Gries top-k: exact in the capacity >= vocabulary regime
+        # (sketch.py pins it), so the oracle is the plain aggregation with
+        # the sketch's (est_count desc, word) rank
+        "topk_words_sketch": rf"""
+            WITH c AS (SELECT w AS word, count(*)::BIGINT AS est_count
+                       FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                              '\b\w+\b')) AS w
+                             FROM documents)
+                       GROUP BY w)
+            SELECT word, est_count, rank
+            FROM (SELECT word, est_count,
+                         row_number() OVER (ORDER BY est_count DESC, word) AS rank
+                  FROM c)
+            WHERE rank <= 100
         """,
         # inverted index: postings as an ascending comma-joined string so
         # the value hash is list-representation-independent

@@ -117,7 +117,8 @@ def run_subqueries() -> dict[str, float]:
         "tfidf_topk", "line_dedup", "decontaminate", "inverted_index",
         "quality_filter", "asof_join", "range_join_count",
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",
-        "semdedup", "prep_corpus",
+        "semdedup", "topk_words_sketch", "approx_distinct_words",
+        "prep_corpus",
     ]
     import ray.data
 

@@ -1,0 +1,170 @@
+"""Mergeable-summary sketches: HyperLogLog distinct counting and
+Misra-Gries heavy hitters.
+
+These are the 100-TB paths for `unique()`-style and top-k questions: the
+exact operators (`top_words`, `inverted_index`) ship the full vocabulary
+through a groupby shuffle; a sketch ships a FIXED-size summary per block
+(4 KiB HLL registers / <= ``capacity`` counter pairs), merges
+associatively, and answers from a bounded reduce.  Standard public
+constructions:
+- HyperLogLog: Flajolet et al. 2007 (AOFA), with the linear-counting
+  small-range correction from the paper.
+- Misra-Gries: Misra & Gries 1982; mergeability per Agarwal et al.
+  PODS'12 ("Mergeable Summaries").
+
+Both are driven per-batch inside ``map_batches`` (no Python-row hot loop:
+the HLL register update is a vectorized np.maximum.at over the batch's
+hashes; MG is one Counter pass per batch, bounded by ``capacity``).
+
+Reference parity note: the Grawler reference has no sketches — its word
+counts are exact maps (src/utils/text.go TextWordsFreq); these extend the
+engine for corpus-scale cardinality/top-k questions the reference cannot
+answer without a full shuffle.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..textops import _WORD_RE
+from ..urlops import xxhash64
+
+# fixed odd multiplier decorrelates Python's str hash; we use xxhash64 so
+# the sketch is stable across processes/runs (PYTHONHASHSEED-free)
+
+
+def _hll_partial(values: list[str], p: int) -> np.ndarray:
+    """One batch's HLL registers: m = 2^p uint8 registers, register j =
+    max over hashes with index j of (leading-zero run of the remaining
+    64-p bits) + 1."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not values:
+        return regs
+    h = np.array([xxhash64(v) for v in values], dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | ((np.uint64(1) << np.uint64(p)) - np.uint64(1))
+    # rho = position of the first 1 bit from the MSB of the remaining bits
+    # (+1); the OR above guarantees a 1 within 64-p bits
+    rho = np.zeros(len(h), dtype=np.uint8)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rho[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    rho = rho + 1
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    E = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if E <= 2.5 * m and zeros > 0:  # small-range linear counting
+        E = m * np.log(m / zeros)
+    return float(E)
+
+
+def hll_distinct(ds, value_fn, p: int = 12):
+    """Approximate distinct count of the values ``value_fn(batch) ->
+    list[str]`` yields, via a 2^p-register HyperLogLog.
+
+    Shape: one stateless map emits ONE fixed-size binary register row per
+    block (4 KiB at p=12); the np.maximum merge happens on the driver over
+    a row set bounded by the BLOCK COUNT, not the data (at 100 TB /
+    128 MiB blocks that is ~800k rows x 4 KiB = 3 GB worst case; the
+    documented fix at that scale is one groupby((block_hash % 256)) tree
+    level first — this corpus never needs it).  Returns a 1-row pandas
+    DataFrame (estimate, n_registers) — a bounded reduce, like the ANN
+    top-k reduces.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        regs = _hll_partial(value_fn(t), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    import ray.data
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in parts:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"estimate": [int(round(_hll_estimate(merged)))], "n_registers": [1 << p]}
+        )
+    )
+
+
+def _mg_update(c: Counter, items, capacity: int) -> None:
+    """Misra-Gries: admit freely below capacity; above it, decrement all
+    (implemented as the standard batched variant: subtract the minimum
+    surviving count when the table overflows)."""
+    c.update(items)
+    if len(c) > capacity:
+        # remove the smallest counts until <= capacity, subtracting the
+        # threshold from survivors (the classic decrement-all step, done
+        # in one pass over the bounded table)
+        counts = np.array(sorted(c.values()))
+        thresh = int(counts[len(c) - capacity - 1])
+        for k in [k for k, v in c.items() if v <= thresh]:
+            del c[k]
+        for k in c:
+            c[k] -= thresh
+
+
+def topk_words_sketch(docs_ds, k: int = 100, capacity: int = 4096):
+    """Top-k words by Misra-Gries summaries: each batch builds a
+    <= ``capacity``-entry MG table (error <= n_batch/capacity per batch,
+    additive across the merge per Agarwal et al.); the merge is ONE
+    groupby-sum over <= capacity keys per block — shuffle volume is
+    bounded by blocks x capacity regardless of vocabulary size.  Output
+    (word, est_count, rank), rank by (est_count desc, word).
+
+    When ``capacity`` >= the true vocabulary the MG tables never
+    decrement and est_count is EXACT — which is how the sf-corpus driver
+    gate SQL-checks this operator against the same SQL as `top_words`
+    (tests/test_sketch.py proves the approximation guarantee in the
+    capacity < vocabulary regime instead).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            _mg_update(c, _WORD_RE.findall((s or "").lower()), capacity)
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "n_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="est_count"))
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["est_count", "word"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # per-block partial top-k, then one bounded driver sort (<= blocks x k)
+    parts = merged.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+    import ray.data
+
+    out = parts.sort_values(
+        ["est_count", "word"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return ray.data.from_pandas(out)

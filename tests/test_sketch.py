@@ -1,0 +1,111 @@
+"""HyperLogLog + Misra-Gries sketches: error-bound guarantees in the
+approximate regime, exactness in the degenerate regime, merge correctness
+across many blocks."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+
+def _docs_ds(ray_session, texts, parallelism=8):
+    import ray.data
+
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(parallelism)
+
+
+class TestHll:
+    def test_large_cardinality_error_bound(self, ray_session):
+        from grawler_ray.functions.sketch import hll_distinct
+
+        # 20k distinct tokens, each appearing 1-3x, spread over 16 blocks
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(20_000)]
+        stream = vocab * 2 + list(rng.choice(vocab, 10_000))
+        rng.shuffle(stream)
+        texts = [" ".join(stream[i::64]) for i in range(64)]
+
+        def words(t):
+            out = []
+            for s in t.column("text").to_pylist():
+                out.extend(s.split())
+            return out
+
+        est = hll_distinct(
+            _docs_ds(ray_session, texts, 16), words, p=12
+        ).to_pandas().estimate[0]
+        # p=12 -> relative std err ~1.04/sqrt(4096) = 1.6%; allow 4 sigma
+        assert abs(est - 20_000) / 20_000 < 0.065
+
+    def test_small_range_linear_counting(self, ray_session):
+        from grawler_ray.functions.sketch import hll_distinct
+
+        texts = [f"a{i % 31}" for i in range(500)]
+
+        def words(t):
+            return [s for s in t.column("text").to_pylist()]
+
+        est = hll_distinct(
+            _docs_ds(ray_session, texts), words, p=12
+        ).to_pandas().estimate[0]
+        assert est == 31  # linear counting is exact this far below m
+
+    def test_merge_equals_single_pass(self):
+        from grawler_ray.functions.sketch import _hll_partial
+
+        vals = [f"v{i}" for i in range(5_000)]
+        whole = _hll_partial(vals, 12)
+        merged = np.maximum(_hll_partial(vals[:2_000], 12),
+                            _hll_partial(vals[2_000:], 12))
+        assert (whole == merged).all()
+
+
+class TestMisraGries:
+    def test_exact_when_capacity_covers_vocab(self, ray_session):
+        from grawler_ray.functions.sketch import topk_words_sketch
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(vocab, 50)) for _ in range(100)]
+        got = topk_words_sketch(
+            _docs_ds(ray_session, texts), k=50, capacity=4096
+        ).to_pandas()
+        exact = Counter(" ".join(texts).split())
+        exp = (
+            pd.DataFrame(exact.items(), columns=["word", "est_count"])
+            .sort_values(["est_count", "word"], ascending=[False, True])
+            .head(50)
+            .reset_index(drop=True)
+        )
+        exp["rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False
+        )
+
+    def test_heavy_hitters_survive_small_capacity(self, ray_session):
+        from grawler_ray.functions.sketch import topk_words_sketch
+
+        rng = np.random.default_rng(9)
+        # 5k-word noise vocabulary + 10 planted heavy hitters
+        noise = [f"n{i}" for i in range(5_000)]
+        stream = list(rng.choice(noise, 40_000))
+        for j in range(10):
+            stream += [f"hot{j}"] * 2_000
+        rng.shuffle(stream)
+        texts = [" ".join(stream[i::32]) for i in range(32)]
+        got = topk_words_sketch(
+            _docs_ds(ray_session, texts, 8), k=20, capacity=512
+        ).to_pandas()
+        n = len(stream)
+        exact = Counter(stream)
+        # every word with true count >= 2N/capacity must surface, with
+        # est_count a lower bound within the additive MG error
+        hot = set(got.word)
+        for j in range(10):
+            w = f"hot{j}"
+            assert w in hot, f"{w} missing from sketch top-k"
+            est = int(got.set_index("word").loc[w, "est_count"])
+            assert est <= exact[w]
+            assert exact[w] - est <= 2 * n / 512
