@@ -792,6 +792,52 @@ def _crawl_trace(sf_dir: str):
     return read_trace(_ensure_crawl())
 
 
+def _event_deltas(sf_dir: str):
+    from grawler_ray.functions.events import event_deltas
+
+    return event_deltas(_read(sf_dir, "events"))
+
+
+def _source_cap(sf_dir: str):
+    from grawler_ray.functions.sampling import cap_per_group
+
+    return cap_per_group(_read(sf_dir, "documents"), cap=10)
+
+
+def _bigram_counts(sf_dir: str):
+    from grawler_ray.functions.textstats import bigram_counts
+
+    return bigram_counts(_read(sf_dir, "documents"), k=100)
+
+
+def _source_lang_pivot(sf_dir: str):
+    from grawler_ray.functions.textstats import source_lang_pivot
+
+    return source_lang_pivot(_read(sf_dir, "documents"))
+
+
+def _degree_stats(sf_dir: str):
+    """Degree of every embedding-table node in the near-dup similarity
+    graph (zero-degree nodes included) — the SQL-checked graph primitive
+    under pagerank/triangles."""
+    from grawler_ray.functions.graph import degree_stats
+    from grawler_ray.functions.similarity import embedding_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    return degree_stats(
+        emb.select_columns(["vec_id"]),
+        embedding_dup_pairs(emb, threshold=0.45),
+        node_col="vec_id",
+    )
+
+
+def _triangle_count(sf_dir: str):
+    from grawler_ray.functions.graph import triangle_count
+    from grawler_ray.functions.similarity import embedding_dup_pairs
+
+    return triangle_count(embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -838,6 +884,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _multimodal_meta,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frames": _multimodal_frames,
+        "event_deltas": _event_deltas,
+        "source_cap": _source_cap,
+        "bigram_counts": _bigram_counts,
+        "source_lang_pivot": _source_lang_pivot,
+        "degree_stats": _degree_stats,
+        "triangle_count": _triangle_count,
         # rows-only
         "multimodal_features": _multimodal_features,
         "langid": _langid,
@@ -1336,6 +1388,75 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                          CAST(e2.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # per-user LAG delta (the third window flavor: rolling_sum = ROWS,
+        # time_window_sum = RANGE, this = LAG); cents-scaled like both
+        "event_deltas": """
+            SELECT event_id, user_id,
+                   (CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                    - lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+                     AS delta_cents
+            FROM events
+        """,
+        # C4-style per-domain cap: first 10 doc_ids per source
+        "source_cap": """
+            SELECT doc_id, source, rn AS rank
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id)::BIGINT AS rn
+                  FROM documents)
+            WHERE rn <= 10
+        """,
+        # top-100 space-joined bigrams over the repetition_signals tokenizer
+        "bigram_counts": r"""
+            WITH W AS (SELECT regexp_extract_all(lower(text), '\b\w+\b') AS w
+                       FROM documents),
+            bg AS (SELECT unnest(list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])) AS bigram
+                   FROM W)
+            SELECT bigram, count(*)::BIGINT AS total
+            FROM bg GROUP BY bigram
+            ORDER BY total DESC, bigram ASC
+            LIMIT 100
+        """,
+        # wide-format corpus composition: conditional aggregation pivot
+        "source_lang_pivot": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+            FROM documents GROUP BY source
+        """,
+        # degree (zero-degree nodes included) over the same similarity-graph
+        # edge set as pagerank
+        "degree_stats": """
+            WITH pairs AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+              WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                           CAST(e2.embedding AS DOUBLE[])) >= 0.45),
+            ep AS (SELECT a AS s FROM pairs UNION ALL SELECT b FROM pairs),
+            d AS (SELECT s, count(*)::BIGINT AS n FROM ep GROUP BY s)
+            SELECT v.vec_id, coalesce(d.n, 0)::BIGINT AS degree
+            FROM embeddings v LEFT JOIN d ON v.vec_id = d.s
+        """,
+        # exact triangle count: each {a<b<c} via its two lowest-vertex edges
+        # joined against the closing edge
+        "triangle_count": """
+            WITH pairs AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+              WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                           CAST(e2.embedding AS DOUBLE[])) >= 0.45)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM pairs p1
+            JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
         """,
         "multimodal_meta": """
             SELECT doc_id,

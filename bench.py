@@ -118,6 +118,8 @@ def run_subqueries() -> dict[str, float]:
         "quality_filter", "asof_join", "range_join_count",
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",
         "semdedup", "topk_words_sketch", "approx_distinct_words",
+        "event_deltas", "source_cap", "bigram_counts", "source_lang_pivot",
+        "degree_stats", "triangle_count",
         "prep_corpus",
     ]
     import ray.data

@@ -147,6 +147,35 @@ def time_window_sum(events_ds, window_us: int = 604_800_000_000, num_groups: int
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def event_deltas(events_ds, num_groups: int = 256):
+    """LAG window op (the third window flavor next to rolling_sum's ROWS and
+    time_window_sum's RANGE): per user in (ts, event_id) order, the cents
+    delta vs the previous event — null for each user's first event, exactly
+    matching SQL ``value - LAG(value) OVER (PARTITION BY user ORDER BY ts)``.
+    Output (event_id, user_id, delta_cents nullable int64).  Vectorized
+    across all users of a coarse group: one np.diff, run starts masked."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, _ = _user_starts(df)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        delta = np.empty(len(cents), dtype=np.float64)
+        delta[0:1] = np.nan
+        if len(cents) > 1:
+            delta[1:] = np.diff(cents)
+        delta[is_start] = np.nan
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "delta_cents": delta,
+            }
+        )
+        out["delta_cents"] = out["delta_cents"].astype("Int64")
+        return out
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
 def hourly_agg(events_ds):
     """Time-bucket aggregate: events per (event_type, epoch hour) with count
     and exact cents sum.  Bucket = epoch_us // 3600e6 as int64 (no timestamp

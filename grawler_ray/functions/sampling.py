@@ -62,6 +62,59 @@ def stratified_sample(ds, strata_col: str = "lang", id_col: str = "doc_id", perm
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def cap_per_group(
+    ds,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    cap: int = 50,
+    num_groups: int = 256,
+):
+    """C4-style domain balancing: keep at most ``cap`` rows per group,
+    ranked by ``order_col`` ascending (deterministic, so the SQL mirror is
+    ``row_number() OVER (PARTITION BY group ORDER BY order) <= cap``).
+    Output (order_col, group_col, rank:int64 1-based).
+
+    Scale shape: groups are string domains (10^6-10^8 of them at corpus
+    scale), so the shuffle key is a COARSE hash of the group (~num_groups
+    vectorized kernels), never one pandas group per domain — the same
+    pattern as crawl admission (pipelines/crawl.py) and _coarse_user_groupby
+    (events.py).  Inside a coarse group: one sort by (group, order) + a
+    run-rebased cumcount."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.util.hash_array(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        ) % np.uint64(num_groups)
+        return t.append_column("gk", pa.array(g.astype(np.int32), pa.int32()))
+
+    def rank_groups(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values([group_col, order_col])
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0)) if len(df) else np.array([], bool)
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0)) if len(df) else idx
+        rank = idx - start_idx + 1
+        keep = rank <= cap
+        return pa.table(
+            {
+                order_col: pa.array(df[order_col].to_numpy()[keep]),
+                group_col: pa.array(df[group_col].to_numpy()[keep].tolist(), pa.string()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([order_col, group_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )
+
+
 def split_train_holdout(ds, id_col: str = "doc_id", holdout_permille: int = 100):
     """Deterministic train/holdout tagging (single pass, no shuffle):
     adds ``split`` = 'holdout' for the hash bucket below the rate, else

@@ -230,6 +230,93 @@ def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
     )
 
 
+def bigram_counts(docs_ds, k: int = 100, combine_parts: int = 8):
+    """Global top-k bigrams (the 2-gram LM-count primitive): tokens are
+    ``\\b\\w+\\b`` over lower(text) — the repetition_signals tokenizer —
+    joined with one space; ranked (total desc, bigram asc).
+
+    Scale shape mirrors top_words: per-batch partial Counter (one row per
+    distinct bigram per batch, never per occurrence) -> one bigram hash
+    aggregate -> per-block lossless top-k truncation -> tree combine.
+    Output (bigram, total) with exactly the SQL LIMIT-k set (deterministic
+    tiebreak both sides)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for txt in t.column("text").to_pylist():
+            ws = _WORD_RE.findall((txt or "").lower())
+            for a, b in zip(ws, ws[1:]):
+                bg = a + " " + b
+                acc[bg] = acc.get(bg, 0) + 1
+        return pa.table(
+            {
+                "bigram": pa.array(list(acc.keys()), pa.string()),
+                "partial": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    def head_k(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["total", "bigram"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial", alias_name="total"))
+        .map_batches(head_k, batch_format="pyarrow")     # per-block truncate
+        .repartition(combine_parts)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+    )
+
+
+def source_lang_pivot(docs_ds):
+    """Pivot / conditional aggregation: per source, total docs + one count
+    column per language (fixed column set = the corpus's language codes),
+    plus the chars sum — the wide-format corpus-composition report.
+    Scale shape: per-batch partial pivot (vectorized pandas crosstab) ->
+    groupby(source).sum over ~n_sources rows; the shuffle carries one row
+    per (source, batch), never per doc."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    langs = ("de", "en", "es", "fr", "zh")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pylist(),
+                "lang": t.column("lang").to_pylist(),
+                "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("source", sort=False)
+        out = pd.DataFrame({"n_docs": g.size(), "sum_chars": g["n_chars"].sum()})
+        for lg in langs:
+            out[f"n_{lg}"] = (
+                df[df["lang"] == lg].groupby("source", sort=False).size()
+            )
+        out = out.fillna(0).astype(np.int64).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars")]
+    aggs += [Sum(f"n_{lg}", alias_name=f"n_{lg}") for lg in langs]
+    return (
+        docs_ds.select_columns(["source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*aggs)
+    )
+
+
 def tfidf_topk(docs_ds, k: int = 5, scale: int = 1_000_000, num_groups: int = 256):
     """Per-document top-k terms by integer-scaled tf-idf:
     ``score = tf * ((N * scale) // df)`` — the idf is an integer floor

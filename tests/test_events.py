@@ -64,3 +64,21 @@ def test_json_prop(ray_session):
     import pandas as pd
 
     assert pd.isna(k[3]) and pd.isna(k[4]) and pd.isna(k[5])
+
+
+def test_event_deltas(ray_session):
+    from grawler_ray.functions.events import event_deltas
+
+    out = event_deltas(_events(None)).to_pandas()
+    d = dict(zip(out.event_id, out.delta_cents))
+    assert pd_isna(d[1])               # user 1 first event
+    assert d[2] == 201 - 100           # 2.005 -> 201 cents
+    assert d[3] == 300 - 201
+    assert d[5] == 400 - 300
+    assert pd_isna(d[4])               # user 2 first event
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)

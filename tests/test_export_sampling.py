@@ -79,3 +79,24 @@ def test_export_documents_from_crawl(ray_session, tmp_path):
     back = read_export(dest, format="json").to_pandas()
     docs = read_documents(out).to_pandas()
     assert sorted(back.url) == sorted(docs.url) and len(docs) > 0
+
+
+def test_cap_per_group_rank_and_cap(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.sampling import cap_per_group
+
+    rows = [
+        {"doc_id": i, "source": f"src{i % 3}"} for i in range(30)
+    ]
+    out = cap_per_group(
+        ray.data.from_items(rows), group_col="source", order_col="doc_id", cap=4
+    ).to_pandas()
+    # 3 groups x cap 4
+    assert len(out) == 12
+    for src, grp in out.groupby("source"):
+        got = grp.sort_values("rank")
+        # ranks are 1..4 over the 4 smallest doc_ids of the group
+        assert list(got["rank"]) == [1, 2, 3, 4]
+        want_ids = sorted(d for d in range(30) if f"src{d % 3}" == src)[:4]
+        assert list(got["doc_id"]) == want_ids

@@ -158,3 +158,40 @@ def test_length_quantiles_bin_guard(ray_session):
     docs = ray.data.from_items([{"lang": "en", "n_chars": v} for v in range(5)])
     with _pytest.raises(ValueError, match="histogram"):
         length_quantiles(docs, driver_max_bins=2)
+
+
+def test_bigram_counts_topk(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.textstats import bigram_counts
+
+    docs = ray.data.from_items(
+        [
+            {"text": "a b a b c"},     # bigrams: "a b" x2, "b a", "b c"
+            {"text": "A b"},           # lowercased -> "a b"
+            {"text": "solo"},          # no bigrams
+        ]
+    )
+    out = bigram_counts(docs, k=2).to_pandas()
+    got = dict(zip(out["bigram"], out["total"]))
+    assert got == {"a b": 3, "b a": 1}  # tiebreak (total desc, bigram asc)
+
+
+def test_source_lang_pivot(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.textstats import source_lang_pivot
+
+    docs = ray.data.from_items(
+        [
+            {"source": "s1", "lang": "en", "n_chars": 10},
+            {"source": "s1", "lang": "de", "n_chars": 5},
+            {"source": "s2", "lang": "en", "n_chars": 7},
+        ]
+    )
+    out = source_lang_pivot(docs).to_pandas().set_index("source")
+    assert out.loc["s1", "n_docs"] == 2
+    assert out.loc["s1", "sum_chars"] == 15
+    assert out.loc["s1", "n_en"] == 1 and out.loc["s1", "n_de"] == 1
+    assert out.loc["s1", "n_zh"] == 0
+    assert out.loc["s2", "n_docs"] == 1 and out.loc["s2", "n_en"] == 1

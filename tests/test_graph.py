@@ -88,3 +88,65 @@ class TestPagerank:
         )
         # connected nodes must outrank isolated ones for the test to mean much
         assert got["rank"].nunique() > 1
+
+
+class TestDegreeTriangles:
+    def _ds(self, pairs):
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"a": [a for a, _ in pairs], "b": [b for _, b in pairs]}
+            ).astype(np.int64)
+        )
+
+    def _nodes(self, nodes):
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({"v": np.array(nodes, np.int64)}))
+
+    def test_degree_includes_isolated(self, ray_session):
+        from grawler_ray.functions.graph import degree_stats
+
+        pairs = [(0, 1), (0, 2), (1, 2), (2, 3)]
+        out = degree_stats(self._nodes(range(6)), self._ds(pairs)).to_pandas()
+        deg = dict(zip(out["v"], out["degree"]))
+        assert deg == {0: 2, 1: 2, 2: 3, 3: 1, 4: 0, 5: 0}
+
+    def test_triangles_planted(self, ray_session):
+        from grawler_ray.functions.graph import triangle_count
+
+        # K4 on {0..3} has 4 triangles; the pendant (3,9) adds none
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        out = triangle_count(self._ds(k4 + [(3, 9)])).to_pandas()
+        assert out["n_triangles"].iloc[0] == 4
+
+    def test_triangles_none(self, ray_session):
+        from grawler_ray.functions.graph import triangle_count
+
+        out = triangle_count(self._ds([(0, 1), (2, 3), (4, 5)])).to_pandas()
+        assert out["n_triangles"].iloc[0] == 0
+
+    def test_triangles_vs_duckdb_sf(self, ray_session):
+        """Full-pipeline check at sf0.001 against the SQL triple-self-join."""
+        import ray.data
+
+        from grawler_ray.functions.graph import triangle_count
+        from grawler_ray.functions.similarity import embedding_dup_pairs
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        got = triangle_count(embedding_dup_pairs(emb, threshold=0.45)).to_pandas()
+        want = duckdb.sql(
+            f"""
+            WITH pairs AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM read_parquet('{SF}/embeddings.parquet') e1
+              JOIN read_parquet('{SF}/embeddings.parquet') e2 ON e1.vec_id < e2.vec_id
+              WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                           CAST(e2.embedding AS DOUBLE[])) >= 0.45)
+            SELECT count(*) FROM pairs p1
+            JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+            JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
+            """
+        ).fetchone()[0]
+        assert int(got["n_triangles"].iloc[0]) == int(want)
