@@ -101,6 +101,11 @@ def triangle_count(pairs_ds, pair_cols: tuple = ("a", "b"), num_groups: int = 64
     import ray.data
 
     a, b = pair_cols
+    # the edge table is consumed twice (wedge generation + the closing-edge
+    # match); materialize it once so an expensive upstream pair producer
+    # (e.g. the cosine all-pairs) doesn't execute twice — same bounded
+    # control-table discipline as pagerank's edges
+    pairs_ds = pairs_ds.materialize()
 
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
         s = df[a].to_numpy(np.int64)
