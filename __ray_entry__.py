@@ -838,6 +838,41 @@ def _triangle_count(sf_dir: str):
     return triangle_count(embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45))
 
 
+def _distinct_words_per_lang(sf_dir: str):
+    from grawler_ray.functions.textstats import distinct_words_per_lang
+
+    return distinct_words_per_lang(_read(sf_dir, "documents"))
+
+
+def _funnel_counts(sf_dir: str):
+    from grawler_ray.functions.events import funnel_counts
+
+    return funnel_counts(_read(sf_dir, "events"))
+
+
+def _countmin_words(sf_dir: str):
+    """Point-frequency estimates for a fixed probe list; rows-only (CMS
+    is an overestimate by construction) — tests/test_sketch.py asserts the
+    est >= true and bounded-error guarantees against exact counts."""
+    from grawler_ray.functions.sketch import countmin_words
+
+    return countmin_words(
+        _read(sf_dir, "documents"), query_words=("data", "spark", "the", "window", "merge")
+    )
+
+
+def _decontaminate_bloom(sf_dir: str):
+    """Bloom-filter scale path of `decontaminate` (bounded broadcast);
+    rows-only — one-sided error makes it a superset of the exact flags,
+    asserted in tests/test_dedup_pipelines.py."""
+    from grawler_ray.functions.quality import decontaminate_bloom
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.filter(expr="source == 'src0'")
+    train = docs.filter(expr="source != 'src0'")
+    return decontaminate_bloom(train, bench, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -890,7 +925,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pivot": _source_lang_pivot,
         "degree_stats": _degree_stats,
         "triangle_count": _triangle_count,
+        "distinct_words_per_lang": _distinct_words_per_lang,
+        "funnel_counts": _funnel_counts,
         # rows-only
+        "countmin_words": _countmin_words,
+        "decontaminate_bloom": _decontaminate_bloom,
         "multimodal_features": _multimodal_features,
         "langid": _langid,
         "minhash_pairs": _minhash_pairs,
@@ -1388,6 +1427,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                          CAST(e2.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # exact per-language vocabulary size (two cascaded aggregates)
+        "distinct_words_per_lang": r"""
+            SELECT lang, count(DISTINCT w)::BIGINT AS n_words
+            FROM (SELECT lang,
+                         unnest(regexp_extract_all(lower(text), '\b\w+\b')) AS w
+                  FROM documents)
+            GROUP BY lang
+        """,
+        # 3-step ordered funnel: each step's first occurrence STRICTLY after
+        # the previous step's anchor time (pinned: ties on ts don't advance)
+        "funnel_counts": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM v)::BIGINT AS n_step1,
+                   (SELECT count(*) FROM c)::BIGINT AS n_step2,
+                   (SELECT count(*) FROM p)::BIGINT AS n_step3
         """,
         # per-user LAG delta (the third window flavor: rolling_sum = ROWS,
         # time_window_sum = RANGE, this = LAG); cents-scaled like both

@@ -119,7 +119,8 @@ def run_subqueries() -> dict[str, float]:
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",
         "semdedup", "topk_words_sketch", "approx_distinct_words",
         "event_deltas", "source_cap", "bigram_counts", "source_lang_pivot",
-        "degree_stats", "triangle_count",
+        "degree_stats", "triangle_count", "distinct_words_per_lang",
+        "funnel_counts", "countmin_words", "decontaminate_bloom",
         "prep_corpus",
     ]
     import ray.data

@@ -176,6 +176,73 @@ def event_deltas(events_ds, num_groups: int = 256):
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def funnel_counts(events_ds, steps: tuple = ("view", "click", "purchase"), num_groups: int = 256):
+    """Ordered-funnel analysis: how many users completed step 1, steps 1-2
+    in order, steps 1-2-3 in order — "in order" meaning each step's FIRST
+    occurrence STRICTLY after the previous step's anchor time (ties on ts
+    don't advance the funnel; the rule is pinned on both engine and SQL
+    side so no event_id tiebreak is needed).  Output is one row
+    (n_step1, n_step2, n_step3 : int64).
+
+    Scale shape: the per-user scan is vectorized inside coarse user-hash
+    groups (searchsorted per step over each user run's sorted timestamps);
+    each group emits ONE partial row, and a 1-row tree sum finishes — the
+    driver never sees per-user data."""
+    if len(steps) != 3:
+        raise ValueError("funnel_counts is pinned to 3 steps (matches the SQL oracle)")
+    s1, s2, s3 = steps
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, _ = _user_starts(df)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        run = np.cumsum(is_start) - 1
+        n_users = int(run[-1]) + 1 if len(df) else 0
+        c1 = c2 = c3 = 0
+        INF = np.iinfo(np.int64).max
+        t_anchor = np.full(n_users, INF)
+        for step_i, step in enumerate((s1, s2, s3)):
+            m = et == step
+            # first ts of `step` strictly after the user's current anchor
+            # (anchor = previous step's first-match time; INF = not reached)
+            nxt = np.full(n_users, INF)
+            sel_run, sel_ts = run[m], ts[m]
+            # anchor == INF (step not reached) makes the > test False, so
+            # unreached users never advance
+            ok = sel_ts > t_anchor[sel_run] if step_i else np.ones(len(sel_ts), bool)
+            np.minimum.at(nxt, sel_run[ok], sel_ts[ok])
+            t_anchor = nxt
+            n = int((nxt != INF).sum())
+            if step_i == 0:
+                c1 = n
+            elif step_i == 1:
+                c2 = n
+            else:
+                c3 = n
+        return pd.DataFrame(
+            {
+                "n_step1": np.array([c1], np.int64),
+                "n_step2": np.array([c2], np.int64),
+                "n_step3": np.array([c3], np.int64),
+            }
+        )
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_step1": np.array([df["n_step1"].sum()], np.int64),
+                "n_step2": np.array([df["n_step2"].sum()], np.int64),
+                "n_step3": np.array([df["n_step3"].sum()], np.int64),
+            }
+        )
+
+    return (
+        _coarse_user_groupby(events_ds, fn, num_groups)
+        .repartition(1)
+        .map_batches(total, batch_format="pandas", batch_size=None)
+    )
+
+
 def hourly_agg(events_ds):
     """Time-bucket aggregate: events per (event_type, epoch hour) with count
     and exact cents sum.  Bucket = epoch_us // 3600e6 as int64 (no timestamp

@@ -238,6 +238,96 @@ def decontaminate(
     return train_ds.map_batches(flag, batch_format="pyarrow")
 
 
+def decontaminate_bloom(
+    train_ds,
+    bench_ds,
+    k: int = 3,
+    m_bits: int = 1 << 22,
+    n_hashes: int = 5,
+):
+    """The named scale fallback for `decontaminate`: when the benchmark
+    shingle SET is too big to broadcast, broadcast a fixed-size BLOOM
+    FILTER of it instead (Bloom 1970) — ``m_bits`` bits regardless of
+    shingle count (512 KiB at the default), so the broadcast stays
+    bounded at any eval-suite size.
+
+    One-sided error, pinned semantics: is_contaminated is 1 for EVERY doc
+    the exact operator flags (no false negatives — a Bloom filter never
+    misses a member), and spuriously 1 with per-shingle probability
+    ~(1-e^(-kn/m))^k (callers route flagged docs to the exact checker or
+    accept the over-drop; tests/test_dedup_pipelines.py asserts both the
+    superset property and an FP bound).  n_hits counts distinct
+    FILTER-POSITIVE shingles per doc, so it upper-bounds the exact n_hits.
+
+    Shape: bench side builds per-batch partial BIT ARRAYS (fixed size,
+    like the HLL/CMS partials) OR-merged on the driver over a
+    block-count-bounded row set, ray.put ONCE; the train pass stays a
+    stateless shuffle-free map probing the filter with vectorized uint64
+    hashing."""
+    import numpy as np
+    import ray
+
+    from ..urlops import xxhash64
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    words = m_bits // 64
+
+    def _doc_shingles(text: str) -> list:
+        w = _WORD_RE.findall((text or "").lower())
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+    def _positions(shingles: list) -> np.ndarray:
+        """(n, n_hashes) bit positions via double hashing h1 + i*h2
+        (Kirsch & Mitzenmacher 2006) — two xxhash64 calls per shingle."""
+        if not shingles:
+            return np.zeros((0, n_hashes), dtype=np.uint64)
+        h1 = np.array([xxhash64(s) for s in shingles], dtype=np.uint64)
+        h2 = np.array([xxhash64("\x1f" + s) for s in shingles], dtype=np.uint64) | np.uint64(1)
+        i = np.arange(n_hashes, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+    def bench_bits(t: pa.Table) -> pa.Table:
+        sh = set()
+        for s in t.column("text").to_pylist():
+            sh.update(_doc_shingles(s))
+        bits = np.zeros(words, dtype=np.uint64)
+        pos = _positions(sorted(sh)).ravel()
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = bench_ds.map_batches(bench_bits, batch_format="pyarrow").take_all()
+    merged = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        merged |= np.frombuffer(r["bits"], dtype=np.uint64)
+    ref = ray.put(merged)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        hits = []
+        for s in t.column("text").to_pylist():
+            sh = sorted(set(_doc_shingles(s)))
+            if not sh:
+                hits.append(0)
+                continue
+            pos = _positions(sh)
+            present = (
+                (bits[(pos >> np.uint64(6)).astype(np.int64)]
+                 >> (pos & np.uint64(63))) & np.uint64(1)
+            ).astype(bool).all(axis=1)
+            hits.append(int(present.sum()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_hits": pa.array(hits, pa.int64()),
+                "is_contaminated": pa.array([1 if h else 0 for h in hits], pa.int64()),
+            }
+        )
+
+    return train_ds.map_batches(flag, batch_format="pyarrow")
+
+
 def quality_filter_batch(
     max_dup_line_pct: int = 30,
     max_dup_line_char_pct: int = 30,

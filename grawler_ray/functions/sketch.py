@@ -101,6 +101,53 @@ def hll_distinct(ds, value_fn, p: int = 12):
     )
 
 
+def _cms_partial(values: list[str], width: int, depth: int) -> np.ndarray:
+    """One batch's CountMin table: depth x width int64 counters; row d uses
+    the (seeded) xxhash64 of the value with salt d.  Vectorized per row:
+    one np.add.at over the batch's hash column."""
+    tab = np.zeros((depth, width), dtype=np.int64)
+    if not values:
+        return tab
+    for d in range(depth):
+        h = np.array([xxhash64(f"{d}\x1f{v}") for v in values], dtype=np.uint64)
+        np.add.at(tab[d], (h % np.uint64(width)).astype(np.int64), 1)
+    return tab
+
+
+def countmin_words(docs_ds, query_words: tuple, width: int = 8192, depth: int = 4):
+    """CountMin point-frequency estimates (Cormode & Muthukrishnan 2005)
+    for ``query_words`` over the corpus token stream — the third mergeable
+    sketch next to HLL (distinct) and Misra-Gries (top-k): answers "how
+    often does word w occur" from a fixed depth x width counter table.
+    Guarantee: est >= true always; est <= true + 2N/width with prob
+    >= 1 - 2^-depth (N = total tokens).
+
+    Shape: one fixed-size (depth*width*8 B) partial table per block, summed
+    coordinate-wise on the driver over a block-count-bounded row set (the
+    HLL reduce shape; same documented tree-level fix at extreme block
+    counts).  Output (word, est_count) for the queried words."""
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t.column("text").to_pylist():
+            toks.extend(_WORD_RE.findall((s or "").lower()))
+        tab = _cms_partial(toks, width, depth)
+        return pa.table({"tab": pa.array([tab.tobytes()], pa.binary())})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for r in parts:
+        merged += np.frombuffer(r["tab"], dtype=np.int64).reshape(depth, width)
+    ests = []
+    for w in query_words:
+        idx = [int(xxhash64(f"{d}\x1f{w}") % width) for d in range(depth)]
+        ests.append(int(min(merged[d, i] for d, i in zip(range(depth), idx))))
+    return ray.data.from_pandas(
+        pd.DataFrame({"word": list(query_words), "est_count": np.array(ests, np.int64)})
+    )
+
+
 def _mg_update(c: Counter, items, capacity: int) -> None:
     """Misra-Gries: admit freely below capacity; above it, decrement all
     (implemented as the standard batched variant: subtract the minimum

@@ -230,6 +230,46 @@ def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
     )
 
 
+def distinct_words_per_lang(docs_ds):
+    """Exact per-language vocabulary size: count(DISTINCT word) GROUP BY
+    lang, as two cascaded hash-aggregates.  Scale shape: per-batch distinct
+    (lang, word) pairs first (bounded by the batch vocabulary, not token
+    count), one (lang, word) shuffle to global-dedup, then a per-batch
+    partial count -> tiny lang aggregate — the distinct-count shuffle
+    carries one row per distinct pair, and nothing ever holds a language's
+    whole vocabulary in one place.  Output (lang, n_words:int64)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+            for w in set(_WORD_RE.findall((txt or "").lower())):
+                seen.add((lang, w))
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in seen], pa.string()),
+                "word": pa.array([p[1] for p in seen], pa.string()),
+            }
+        )
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().groupby("lang", sort=False).size().reset_index(name="partial")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs_ds.select_columns(["lang", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c", "word"])
+        .map_batches(partial_count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("partial", alias_name="n_words"))
+    )
+
+
 def bigram_counts(docs_ds, k: int = 100, combine_parts: int = 8):
     """Global top-k bigrams (the 2-gram LM-count primitive): tokens are
     ``\\b\\w+\\b`` over lower(text) — the repetition_signals tokenizer —

@@ -82,3 +82,32 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_funnel_counts(ray_session):
+    import datetime as dtm
+
+    import ray.data
+
+    from grawler_ray.functions.events import funnel_counts
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins, typ):
+        return {"event_id": eid, "user_id": uid, "ts": t0 + dtm.timedelta(minutes=mins),
+                "event_type": typ, "value": 1.0, "props": "{}"}
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 9, "purchase"),
+        # user 2: click BEFORE view -> funnel stops after step 1
+        ev(4, 2, 0, "click"), ev(5, 2, 5, "view"),
+        # user 3: view + click at the SAME ts -> tie does not advance
+        ev(6, 3, 0, "view"), ev(7, 3, 0, "click"),
+        # user 4: purchase only -> no step 1
+        ev(8, 4, 0, "purchase"),
+    ]
+    out = funnel_counts(ray.data.from_items(rows)).to_pandas()
+    assert out.n_step1.iloc[0] == 3      # users 1, 2, 3 viewed
+    assert out.n_step2.iloc[0] == 1      # only user 1 clicked after viewing
+    assert out.n_step3.iloc[0] == 1

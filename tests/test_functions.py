@@ -195,3 +195,20 @@ def test_source_lang_pivot(ray_session):
     assert out.loc["s1", "n_en"] == 1 and out.loc["s1", "n_de"] == 1
     assert out.loc["s1", "n_zh"] == 0
     assert out.loc["s2", "n_docs"] == 1 and out.loc["s2", "n_en"] == 1
+
+
+def test_distinct_words_per_lang(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.textstats import distinct_words_per_lang
+
+    docs = ray.data.from_items(
+        [
+            {"lang": "en", "text": "a b a"},
+            {"lang": "en", "text": "b c"},
+            {"lang": "de", "text": "x x"},
+        ]
+    )
+    out = distinct_words_per_lang(docs).to_pandas()
+    got = dict(zip(out.lang, out.n_words))
+    assert got == {"en": 3, "de": 1}

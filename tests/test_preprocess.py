@@ -138,3 +138,47 @@ def test_all_filtered_graceful(ray_session):
     s = prep_corpus(docs).to_pandas().set_index("stage")["n_docs"]
     assert s["input"] == 4 and s["quality"] == 0 and s["near_dedup"] == 0
     assert "train" not in s.index
+
+
+class TestDecontaminateBloom:
+    def _split(self, ray_session):
+        import ray.data
+
+        SF = "/root/testdata/sf0.001"
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+        bench = docs.filter(expr="source == 'src0'")
+        train = docs.filter(expr="source != 'src0'")
+        return train, bench
+
+    def test_superset_of_exact_and_tight(self, ray_session):
+        """Bloom flags every exactly-contaminated doc (no false negatives),
+        n_hits upper-bounds the exact hits, and at the default 4M-bit
+        filter over this tiny shingle set there are no false positives."""
+        from grawler_ray.functions.quality import decontaminate, decontaminate_bloom
+
+        train, bench = self._split(ray_session)
+        exact = decontaminate(train, bench, k=3).to_pandas().set_index("doc_id")
+        bloom = decontaminate_bloom(train, bench, k=3).to_pandas().set_index("doc_id")
+        assert set(exact.index) == set(bloom.index)
+        ex = exact.sort_index()
+        bl = bloom.sort_index()
+        # one-sided: bloom >= exact everywhere
+        assert (bl.n_hits >= ex.n_hits).all()
+        assert (bl.is_contaminated >= ex.is_contaminated).all()
+        # with m=2^22 bits vs a tiny benchmark set, FP mass is ~0:
+        # the flag sets coincide on this fixture (deterministic hashes)
+        assert (bl.is_contaminated == ex.is_contaminated).all()
+
+    def test_narrow_filter_still_no_false_negatives(self, ray_session):
+        from grawler_ray.functions.quality import decontaminate, decontaminate_bloom
+
+        train, bench = self._split(ray_session)
+        exact = decontaminate(train, bench, k=3).to_pandas().set_index("doc_id")
+        tiny = (
+            decontaminate_bloom(train, bench, k=3, m_bits=1 << 10, n_hashes=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        ex, bl = exact.sort_index(), tiny.sort_index()
+        assert (bl.n_hits >= ex.n_hits).all()
+        assert (bl.is_contaminated >= ex.is_contaminated).all()

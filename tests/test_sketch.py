@@ -109,3 +109,39 @@ class TestMisraGries:
             est = int(got.set_index("word").loc[w, "est_count"])
             assert est <= exact[w]
             assert exact[w] - est <= 2 * n / 512
+
+
+class TestCountMin:
+    def _docs(self):
+        import ray.data
+
+        # known exact counts: a=7, b=4, c=1  (across 3 docs/batches)
+        return ray.data.from_items(
+            [
+                {"text": "a a a b"},
+                {"text": "a b b c"},
+                {"text": "a a a b"},
+            ]
+        )
+
+    def test_exact_in_wide_regime(self, ray_session):
+        from grawler_ray.functions.sketch import countmin_words
+
+        out = countmin_words(
+            self._docs(), query_words=("a", "b", "c", "zzz"), width=1 << 16
+        ).to_pandas()
+        got = dict(zip(out.word, out.est_count))
+        # width >> distinct values: no collisions, estimates are exact
+        assert got == {"a": 7, "b": 4, "c": 1, "zzz": 0}
+
+    def test_overestimate_only_when_narrow(self, ray_session):
+        from grawler_ray.functions.sketch import countmin_words
+
+        # width 4 forces collisions: estimates may inflate, never deflate
+        out = countmin_words(
+            self._docs(), query_words=("a", "b", "c"), width=64, depth=2
+        ).to_pandas()
+        got = dict(zip(out.word, out.est_count))
+        true = {"a": 7, "b": 4, "c": 1}
+        for w, t in true.items():
+            assert got[w] >= t
