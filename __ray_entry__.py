@@ -873,6 +873,86 @@ def _decontaminate_bloom(sf_dir: str):
     return decontaminate_bloom(train, bench, k=3)
 
 
+_WARC_CACHE: dict[str, str] = {}
+
+
+def _warc_fixture(sf_dir: str) -> str:
+    """Deterministic WARC segments synthesized from the documents table
+    (one gzip member per record, 4 segment files) — the differential-oracle
+    trick: the Ray path parses REAL WARC bytes, the SQL oracle predicts the
+    same rows straight from `documents`, so the whole format round-trip is
+    SQL-checked."""
+    import hashlib
+    import os
+
+    if sf_dir in _WARC_CACHE:
+        return _WARC_CACHE[sf_dir]
+    import duckdb
+
+    from grawler_ray.sources.warc import write_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/grawler_warc_{tag}"
+    if not os.path.exists(os.path.join(d, "seg-3.warc.gz")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        for seg in range(4):
+            write_warc(
+                os.path.join(d, f"seg-{seg}.warc.gz"),
+                [
+                    {
+                        "url": f"http://warc.test/{doc_id}",
+                        "warc_ts": doc_id * 1_000_000,
+                        "html": (text or "").encode(),
+                        "status_code": 200,
+                        "content_type": "text/html",
+                    }
+                    for doc_id, text in rows
+                    if doc_id % 4 == seg
+                ],
+            )
+    _WARC_CACHE[sf_dir] = d
+    return d
+
+
+def _warc_ingest(sf_dir: str):
+    """Parse the synthesized WARC segments back to the pages schema; the
+    SQL oracle predicts every column from `documents` directly."""
+    import pyarrow as pa
+
+    from grawler_ray.sources.warc import read_warc
+
+    d = _warc_fixture(sf_dir)
+    ds = read_warc([f"{d}/seg-{i}.warc.gz" for i in range(4)])
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "status_code": pc.cast(t.column("status_code"), pa.int64()),
+                "content_type": t.column("content_type"),
+                "n_html_bytes": pc.cast(
+                    pc.binary_length(t.column("html")), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _compression_signals(sf_dir: str):
+    from grawler_ray.functions.quality import compression_signals_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        compression_signals_batch, batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -927,7 +1007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _triangle_count,
         "distinct_words_per_lang": _distinct_words_per_lang,
         "funnel_counts": _funnel_counts,
+        "warc_ingest": _warc_ingest,
         # rows-only
+        "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,
         "multimodal_features": _multimodal_features,
@@ -1427,6 +1509,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                          CAST(e2.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # differential oracle for the WARC reader: the Ray side parses real
+        # (gzip-membered) WARC bytes synthesized from `documents`; this
+        # predicts every parsed column straight from the table
+        "warc_ingest": """
+            SELECT 'http://warc.test/' || doc_id AS url,
+                   (doc_id * 1000000)::BIGINT AS warc_ts,
+                   200::BIGINT AS status_code,
+                   'text/html' AS content_type,
+                   octet_length(encode(text))::BIGINT AS n_html_bytes
+            FROM documents
         """,
         # exact per-language vocabulary size (two cascaded aggregates)
         "distinct_words_per_lang": r"""

@@ -121,6 +121,7 @@ def run_subqueries() -> dict[str, float]:
         "event_deltas", "source_cap", "bigram_counts", "source_lang_pivot",
         "degree_stats", "triangle_count", "distinct_words_per_lang",
         "funnel_counts", "countmin_words", "decontaminate_bloom",
+        "warc_ingest", "compression_signals",
         "prep_corpus",
     ]
     import ray.data

@@ -238,6 +238,35 @@ def decontaminate(
     return train_ds.map_batches(flag, batch_format="pyarrow")
 
 
+def compression_signals_batch(t: pa.Table) -> pa.Table:
+    """Compression-ratio quality signal (the zlib heuristic used by web
+    pipelines — e.g. CCNet / RefinedWeb-style filters treat a very high
+    compression ratio as boilerplate/repetition and a very low one as
+    noise/binary junk).  Emits integer num/den so thresholds compare by
+    cross-multiplication, float-free: (doc_id, n_bytes, n_compressed,
+    ratio_permille = n_compressed*1000 // n_bytes; 0-byte docs -> 0).
+    Stateless map_batches stage; zlib level pinned at 6 so results are
+    deterministic across runs."""
+    import zlib
+
+    ids = t.column("doc_id")
+    nb, nc, rp = [], [], []
+    for s in t.column("text").to_pylist():
+        raw = (s or "").encode()
+        comp = len(zlib.compress(raw, 6))
+        nb.append(len(raw))
+        nc.append(comp)
+        rp.append(comp * 1000 // len(raw) if raw else 0)
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "ratio_permille": pa.array(rp, pa.int64()),
+        }
+    )
+
+
 def decontaminate_bloom(
     train_ds,
     bench_ds,
