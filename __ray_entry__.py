@@ -953,6 +953,35 @@ def _compression_signals(sf_dir: str):
     )
 
 
+def _redact_pii(sf_dir: str):
+    """Rule-based PII scrubbing (Dolma/ROOTS-style) over documents.
+
+    The synthetic corpus contains no natural PII, so every row is salted
+    with a deterministic doc_id-derived email + phone + IPv4 suffix BEFORE
+    redaction — the DuckDB oracle mirrors the exact same concatenation, so
+    the scrub itself (3 sequential RE2 replace stages + per-stage counts)
+    is what the hash compare verifies."""
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.quality import redact_pii_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        salted = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            " contact user",
+            pc.cast(ids, pa.string()),
+            "@example.com call 555-123-4567 from 10.",
+            # doc_id % 256 via bit mask (doc_id >= 0)
+            pc.cast(pc.bit_wise_and(ids, 255), pa.string()),
+            ".0.1",
+            "",
+        )
+        return redact_pii_batch(pa.table({"doc_id": ids, "text": salted}))
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -1008,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_per_lang": _distinct_words_per_lang,
         "funnel_counts": _funnel_counts,
         "warc_ingest": _warc_ingest,
+        "redact_pii": _redact_pii,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -1520,6 +1550,39 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # PII scrub: same RE2 patterns (both engines run RE2), same 3-stage
+        # sequential order (emails -> phones on the email-redacted string ->
+        # IPv4), same deterministic doc_id-derived salt as _redact_pii
+        "redact_pii": r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com call 555-123-4567 from 10.'
+                            || (doc_id % 256) || '.0.1' AS t0
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                           ))::BIGINT AS n_emails,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM salted),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1,
+                           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phones,
+                       regexp_replace(t1, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                                      '<PHONE>', 'g') AS t2
+                FROM s1)
+            SELECT doc_id, n_emails, n_phones,
+                   len(regexp_extract_all(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                   regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                  '<IP>', 'g') AS text
+            FROM s2
         """,
         # exact per-language vocabulary size (two cascaded aggregates)
         "distinct_words_per_lang": r"""

@@ -397,3 +397,47 @@ def quality_filter_batch(
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (Dolma / BigScience-style rule-based scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround, ASCII classes) so the SAME regex
+# runs in pyarrow.compute (RE2) here and in the DuckDB oracle (also RE2) —
+# the engine and the SQL gate share one semantics by construction.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Rule-based PII scrubbing as public web pipelines do it (Dolma
+    §2.3 / BigScience ROOTS: regex rules for emails, phone numbers and IP
+    addresses replaced with placeholder tokens).  Counts are taken at each
+    sequential stage (emails first, then phones on the email-redacted
+    string, then IPv4) so the definition is order-complete and exactly
+    mirrored by the nested regexp_replace oracle.
+
+    Fully vectorized: three pc.count_substring_regex + three
+    pc.replace_substring_regex RE2 kernels per batch, no Python loop.
+    Stateless map_batches stage — scale-safe at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    s0 = pc.cast(t.column(text_col), pa.string())
+    n_emails = pc.count_substring_regex(s0, pattern=PII_EMAIL_RE)
+    s1 = pc.replace_substring_regex(s0, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+    n_phones = pc.count_substring_regex(s1, pattern=PII_PHONE_RE)
+    s2 = pc.replace_substring_regex(s1, pattern=PII_PHONE_RE, replacement="<PHONE>")
+    n_ips = pc.count_substring_regex(s2, pattern=PII_IPV4_RE)
+    s3 = pc.replace_substring_regex(s2, pattern=PII_IPV4_RE, replacement="<IP>")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "text": s3,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+            "n_ips": pc.cast(n_ips, pa.int64()),
+        }
+    )

@@ -479,3 +479,53 @@ class TestQuality:
             got = got[sorted(got.columns)]
             exp = exp[sorted(exp.columns)]
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestRedactPii:
+    def test_planted(self, ray_session):
+        """Crafted PII strings: sequential order matters (the phone pass runs
+        on the email-redacted string), placeholders are never re-matched."""
+        import pyarrow as pa
+
+        from grawler_ray.functions.quality import redact_pii_batch
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail a.b+c@sub.example.org or x@y.io now",
+                    "call 555-123-4567 or 555.987.6543 today",
+                    "host 192.168.0.1 and 10.0.0.255 up",
+                    "none here: foo at bar dot com, 12-34, 1.2.3",
+                ],
+            }
+        )
+        out = redact_pii_batch(t).to_pydict()
+        assert out["text"][0] == "mail <EMAIL> or <EMAIL> now"
+        assert out["n_emails"] == [2, 0, 0, 0]
+        assert out["text"][1] == "call <PHONE> or <PHONE> today"
+        assert out["n_phones"] == [0, 2, 0, 0]
+        assert out["text"][2] == "host <IP> and <IP> up"
+        assert out["n_ips"] == [0, 0, 2, 0]
+        assert out["text"][3] == "none here: foo at bar dot com, 12-34, 1.2.3"
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        got = e.queries()["redact_pii"](SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = (
+            con.execute(e.oracle_sql()["redact_pii"])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # the salt guarantees the scrub actually fires on every row
+        assert (got["n_emails"] >= 1).all() and (got["n_phones"] >= 1).all()
+        assert (got["n_ips"] >= 1).all()
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
