@@ -288,6 +288,62 @@ def _length_quantiles(sf_dir: str):
     return length_quantiles(_read(sf_dir, "documents"))
 
 
+def _normalize_text(sf_dir: str):
+    from grawler_ray.functions.textstats import normalize_text_batch
+
+    return _read(sf_dir, "documents").map_batches(
+        normalize_text_batch, batch_format="pyarrow"
+    )
+
+
+def _rare_word_ratio(sf_dir: str):
+    from grawler_ray.functions.textstats import rare_word_ratio
+
+    return rare_word_ratio(_read(sf_dir, "documents"), max_df=2)
+
+
+def _customers_without_orders(sf_dir: str):
+    """Customers with no high-value (>= 400k) order: the large x large
+    anti-join path (both sides shuffle; nothing broadcasts)."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.joins import hash_anti_join
+
+    def big_orders(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.greater_equal(t.column("o_totalprice"), 400_000.0))
+
+    right = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(big_orders, batch_format="pyarrow")
+        .select_columns(["o_custkey"])
+    )
+    return hash_anti_join(
+        _read(sf_dir, "customer"), right, on_left="c_custkey", on_right="o_custkey"
+    )
+
+
+def _docs_by_length(sf_dir: str):
+    # global range-partitioned sort (Ray's all-to-all sort operator) with a
+    # deterministic (n_chars desc, doc_id asc) tiebreak, then limit
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .sort(key=["n_chars", "doc_id"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _quantile_sketch(sf_dir: str):
+    from grawler_ray.functions.sketch import quantile_sketch
+
+    # k >= n: compression never fires, answers are the exact lower
+    # quantiles and the SQL gate checks them (same convention as
+    # topk_words_sketch); the error-bounded compressed regime is proven in
+    # tests/test_sketch.py
+    return quantile_sketch(_read(sf_dir, "documents"), "n_chars", k=1_000_000)
+
+
 def _dup_spans(sf_dir: str):
     """Exact-substring duplication stats (Lee et al. 2022 window-hash
     approximation): 40-char windows, stride 10, duplicated when the exact
@@ -1038,6 +1094,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _funnel_counts,
         "warc_ingest": _warc_ingest,
         "redact_pii": _redact_pii,
+        "normalize_text": _normalize_text,
+        "rare_word_ratio": _rare_word_ratio,
+        "customers_without_orders": _customers_without_orders,
+        "docs_by_length": _docs_by_length,
+        "quantile_sketch": _quantile_sketch,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -1583,6 +1644,65 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                                   '<IP>', 'g') AS text
             FROM s2
+        """,
+        # NFC + ASCII-whitespace collapse + space trim; the regex class is
+        # RE2's ASCII \s (pinned in textstats._ASCII_WS_RUN_RE — Python's
+        # Unicode \s would diverge on NBSP); a plain '...' literal passes
+        # the backslashes through to RE2 uninterpreted
+        "normalize_text": r"""
+            SELECT doc_id,
+                   length(norm)::BIGINT AS n_chars_norm,
+                   md5(norm) AS norm_md5
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(nfc_normalize(text),
+                                             '[ \t\n\r\f\v]+', ' ', 'g'),
+                              ' ') AS norm
+                  FROM documents)
+        """,
+        # CCNet-style rarity signal: all-integer sums, docs with zero
+        # tokens emit no row (inner join on the exploded token CTE)
+        "rare_word_ratio": r"""
+            WITH tf AS (
+                SELECT doc_id, lower(w) AS word, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                      FROM documents)
+                GROUP BY doc_id, lower(w)),
+            dfx AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word)
+            SELECT tf.doc_id,
+                   sum(tf.tf)::BIGINT AS n_tokens,
+                   sum(CASE WHEN dfx.df <= 2 THEN tf.tf ELSE 0 END)::BIGINT
+                     AS n_rare_tokens,
+                   count(*)::BIGINT AS n_types,
+                   sum(CASE WHEN dfx.df <= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_rare_types
+            FROM tf JOIN dfx USING (word)
+            GROUP BY tf.doc_id
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+        """,
+        "docs_by_length": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        # exact in the entry's k >= n regime: lower quantile
+        # min{v : rank(v) >= ceil(n*q/100)} — same convention as
+        # length_quantiles
+        "quantile_sketch": """
+            WITH h AS (SELECT n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents GROUP BY n_chars),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+            cum AS (SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS cum FROM h)
+            SELECT q.q_pct::BIGINT AS q_pct,
+                   (SELECT min(v) FROM cum, tot
+                    WHERE cum >= (tot.n * q.q_pct + 99) // 100)::BIGINT
+                     AS est_value,
+                   (SELECT n FROM tot)::BIGINT AS n
+            FROM (VALUES (1), (25), (50), (75), (99)) q(q_pct)
         """,
         # exact per-language vocabulary size (two cascaded aggregates)
         "distinct_words_per_lang": r"""

@@ -231,3 +231,77 @@ def range_join_count(
         )
 
     return out.map_batches(norm, batch_format="pyarrow")
+
+
+def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: int = 64):
+    """Distributed anti-join (``left WHERE key NOT IN right``) for two
+    LARGE sides — when the right side is small the broadcast-membership
+    pattern (decontaminate's guarded ``ray.put`` set) is cheaper; this is
+    the shuffle path for when it is not.
+
+    Ray 2.49's native ``Dataset.join`` is avoided for the documented Acero
+    defects (empty hash partitions, list-column payloads, chained-join
+    deadlocks — see CLAUDE.md); this is the same union + coarse-key-hash
+    groupby "repartition join" the dedup/graph operators use: both sides
+    tagged and unioned (right side ships ONLY its 8-byte key column,
+    null-padded to the left schema so the union is one block type), ONE
+    shuffle on hash(key) % num_groups, and the in-group anti filter is a
+    vectorized ``np.isin``.  Left payload columns move through the shuffle
+    exactly once; output is the left schema.
+
+    Assumption (documented per the brief): join keys are int64.
+    """
+    sch = left_ds.schema()
+
+    # pandas-block datasets report numpy dtypes; normalize to a pa.Schema
+    # (object dtype = string column in a pandas block)
+    def _to_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
+
+    left_schema = pa.schema(
+        [pa.field(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)]
+    )
+    cols = list(left_schema.names)
+    assert on_left in cols, on_left
+
+    def _gk(keys: np.ndarray) -> np.ndarray:
+        return (((keys.astype(np.uint64) * _GOLDEN) >> np.uint64(33))
+                % np.uint64(num_groups)).astype(np.int32)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        keys = t.column(on_left).to_numpy(zero_copy_only=False)
+        t = t.select(cols)
+        t = t.append_column("gk", pa.array(_gk(keys), pa.int32()))
+        return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8), pa.int8()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = np.unique(t.column(on_right).to_numpy(zero_copy_only=False))
+        arrays = []
+        for name in cols:
+            typ = left_schema.field(name).type
+            if name == on_left:
+                arrays.append(pa.array(keys, pa.int64()).cast(typ))
+            else:
+                arrays.append(pa.nulls(len(keys), typ))
+        out = pa.table(dict(zip(cols, arrays)))
+        out = out.append_column("gk", pa.array(_gk(keys), pa.int32()))
+        return out.append_column("side", pa.array(np.ones(len(keys), np.int8), pa.int8()))
+
+    def anti(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return t.select(cols)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        keys = t.column(on_left).to_numpy(zero_copy_only=False)
+        right_keys = keys[side == 1]
+        keep = (side == 0) & ~np.isin(keys, right_keys)
+        return t.filter(pa.array(keep)).select(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return both.groupby("gk").map_groups(anti, batch_format="pyarrow")

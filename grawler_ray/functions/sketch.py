@@ -215,3 +215,132 @@ def topk_words_sketch(docs_ds, k: int = 100, capacity: int = 4096):
     ).head(k).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# q-digest: mergeable quantiles (Shrivastava et al., SenSys'04)
+# ---------------------------------------------------------------------------
+
+def _qdigest_compress(nodes: dict[int, int], n: int, k: int, log_u: int) -> dict[int, int]:
+    """Bottom-up q-digest compression: merge (v, sibling) into the parent
+    while count(v)+count(sibling)+count(parent) <= floor(n/k).  Nodes are
+    heap-indexed over the complete binary tree of the [0, 2^log_u) value
+    universe (root=1, leaf for value x = 2^log_u + x).  Deterministic —
+    no randomness, so runs and merges are exactly reproducible."""
+    cap = n // k
+    if cap <= 0:
+        return dict(nodes)
+    out = dict(nodes)
+    for level in range(log_u, 0, -1):
+        lo, hi = 1 << level, 1 << (level + 1)
+        # candidate left-children: derived from EVERY present node at this
+        # level (an odd-only node still merges via its absent even sibling)
+        for v in sorted({x & ~1 for x in out if lo <= x < hi}):
+            cv = out.get(v, 0)
+            cs = out.get(v + 1, 0)
+            p = v >> 1
+            cp = out.get(p, 0)
+            if cv + cs + cp <= cap:
+                if cv + cs:
+                    out[p] = cp + cv + cs
+                out.pop(v, None)
+                out.pop(v + 1, None)
+    return out
+
+
+def _qdigest_partial(values: np.ndarray, k: int, log_u: int) -> dict[int, int]:
+    """One batch's q-digest: exact leaf histogram (np.unique — vectorized),
+    then one compression pass.  Values are clipped into [0, 2^log_u)."""
+    u = 1 << log_u
+    vals = np.clip(values.astype(np.int64), 0, u - 1)
+    uniq, cnt = np.unique(vals, return_counts=True)
+    nodes = {int(u + v): int(c) for v, c in zip(uniq, cnt)}
+    return _qdigest_compress(nodes, int(len(vals)), k, log_u)
+
+
+def _qdigest_serialize(nodes: dict[int, int]) -> bytes:
+    ks = np.fromiter(nodes.keys(), np.int64, len(nodes))
+    vs = np.fromiter(nodes.values(), np.int64, len(nodes))
+    order = np.argsort(ks)
+    return np.concatenate([ks[order], vs[order]]).tobytes()
+
+
+def _qdigest_deserialize(buf: bytes) -> dict[int, int]:
+    arr = np.frombuffer(buf, np.int64)
+    h = len(arr) // 2
+    return {int(a): int(b) for a, b in zip(arr[:h], arr[h:])}
+
+
+def _qdigest_query(nodes: dict[int, int], n: int, log_u: int, q_pct: int) -> int:
+    """Rank query: scan nodes in increasing order of (range max, range
+    size) — the paper's postorder — accumulating counts until the target
+    rank ceil(n * q / 100); report that node's range max.  Integer
+    arithmetic throughout (SQL-mirrorable in the uncompressed regime)."""
+    u = 1 << log_u
+
+    def node_range(v: int) -> tuple[int, int]:
+        depth = v.bit_length() - 1
+        span = u >> depth
+        lo = (v - (1 << depth)) * span
+        return lo, lo + span - 1
+
+    target = (n * q_pct + 99) // 100
+    acc = 0
+    ordered = sorted(nodes, key=lambda v: (node_range(v)[1], node_range(v)[1] - node_range(v)[0]))
+    for v in ordered:
+        acc += nodes[v]
+        if acc >= target:
+            return node_range(v)[1]
+    return u - 1
+
+
+def quantile_sketch(ds, value_col: str, q_pcts: tuple = (1, 25, 50, 75, 99),
+                    k: int = 256, log_u: int = 20):
+    """Mergeable approximate quantiles over an integer column via q-digest
+    — the fourth mergeable sketch (HLL distinct / Misra-Gries top-k /
+    CountMin point counts / q-digest quantiles).  Unlike the exact
+    `length_quantiles` histogram (one shuffle keyed by the value domain),
+    the sketch ships a FIXED <= 3k-node summary per block and answers from
+    a bounded driver merge — the 100 TB path when the value universe is
+    too large to histogram exactly.
+
+    Guarantees (Shrivastava et al. '04): digest size <= 3k nodes; rank
+    error of any quantile <= log2(U)/k * n per compression, additive over
+    the merge tree (tests/test_sketch.py asserts the measured bound).
+    With k >= n compression never fires, the digest IS the exact
+    histogram, and answers equal the exact lower quantile
+    ``min{x : rank(x) >= ceil(n*q/100)}`` — the regime the driver gate
+    SQL-checks (same convention as length_quantiles).
+
+    Output: one row per q in ``q_pcts`` — (q_pct, est_value, n).
+    """
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        nodes = _qdigest_partial(vals, k, log_u)
+        return pa.table(
+            {
+                "digest": pa.array([_qdigest_serialize(nodes)], pa.binary()),
+                "n_part": pa.array([len(vals)], pa.int64()),
+            }
+        )
+
+    # one fixed-size digest per block; driver merge is block-count-bounded
+    # (same reduce shape and same documented tree-level fix as hll_distinct)
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[int, int] = {}
+    n = 0
+    for r in parts:
+        for node, c in _qdigest_deserialize(r["digest"]).items():
+            merged[node] = merged.get(node, 0) + c
+        n += int(r["n_part"])
+    merged = _qdigest_compress(merged, n, k, log_u)
+    rows = {
+        "q_pct": pa.array(list(q_pcts), pa.int64()),
+        "est_value": pa.array(
+            [_qdigest_query(merged, n, log_u, q) for q in q_pcts], pa.int64()
+        ),
+        "n": pa.array([n] * len(q_pcts), pa.int64()),
+    }
+    return ray.data.from_arrow(pa.table(rows))

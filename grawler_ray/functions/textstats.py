@@ -563,3 +563,122 @@ def rolling_hash(text: str, mod: int = (1 << 61) - 1, base: int = 257) -> int:
     for b in text.encode("utf-8"):
         h = (h * base + b) % mod
     return h
+
+
+# ASCII whitespace only (RE2 \s semantics), NOT Python's Unicode \s: the
+# DuckDB oracle collapses with RE2 '[ \t\n\r\f\v]+', so NBSP/ideographic
+# spaces survive normalization in BOTH engines identically
+_ASCII_WS_RUN_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text_batch(t: pa.Table) -> pa.Table:
+    """Unicode NFC normalization + ASCII-whitespace-run collapse + space
+    trim — the canonicalization pass a multi-source 100 TB corpus needs
+    before any exact/near dedup (differently-encoded accents defeat
+    exact-hash dedup otherwise).
+
+    Output is (doc_id, n_chars_norm, norm_md5): the md5 of the normalized
+    UTF-8 bytes hash-compares against DuckDB's
+    ``md5(trim(regexp_replace(nfc_normalize(text), '[ \\t\\n\\r\\f\\v]+',
+    ' ', 'g'), ' '))`` exactly (both NFC implementations follow the same
+    stable Unicode normalization spec; whitespace class pinned ASCII).
+    Stateless one-pass map — shuffle-free at any scale."""
+    import unicodedata
+
+    ids = t.column("doc_id")
+    lens, md5s = [], []
+    for s in t.column("text").to_pylist():
+        s = unicodedata.normalize("NFC", s or "")
+        s = _ASCII_WS_RUN_RE.sub(" ", s).strip(" ")
+        lens.append(len(s))
+        md5s.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_chars_norm": pa.array(lens, pa.int64()),
+            "norm_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
+    """CCNet-style rarity signal: per document, how much of its mass is
+    words that almost no other document uses (document frequency <=
+    ``max_df``).  All-integer output (doc_id, n_tokens, n_rare_tokens,
+    n_types, n_rare_types) so the DuckDB oracle hash-compares exactly;
+    the caller divides for the ratio.  Documents with zero tokens emit no
+    row (mirrors the SQL inner join on the exploded token CTE).
+
+    Shape (the tfidf_topk layout): doc-local (doc, word, tf) rows ->
+    ONE coarse word-hash shuffle (~num_groups vectorized groups, never
+    per-word groups) where each word run attaches its df and flags
+    rarity -> ONE per-doc hash aggregate of four integer sums (Ray's
+    vectorized Sum aggregate, not per-doc Python groups).
+    """
+    import zlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tf_rows(t: pa.Table) -> "pd.DataFrame":
+        wf = word_freq_batch(t)
+        w = wf.column("word").to_pylist()
+        # crc32, NOT hash(): Python string hashing is salted per process
+        g = np.array([zlib.crc32(x.encode()) for x in w], np.uint64)
+        wg = ((g * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return pd.DataFrame(
+            {
+                "wg": wg.astype(np.int32),
+                "word": w,
+                "doc_id": wf.column("doc_id").to_numpy(),
+                "tf": wf.column("frequency").to_numpy(),
+            }
+        )
+
+    def flag_rare(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse wg key
+        # space then emit ARROW blocks (see CLAUDE.md block-type rule).
+        # Every (doc, word) row of a word lands in this group; df(word) is
+        # its run length (word_freq rows are distinct per (doc, word))
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "rare_tf": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                    "rare_type": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select(["word", "doc_id", "tf"]).to_pandas().sort_values(["word", "doc_id"])
+        w = df["word"].to_numpy()
+        is_start = np.concatenate(([True], w[1:] != w[:-1]))
+        run_id = np.cumsum(is_start) - 1
+        run_len = np.bincount(run_id)
+        rare = (run_len[run_id] <= max_df)
+        tf = df["tf"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+                "rare_tf": pa.array(np.where(rare, tf, 0), pa.int64()),
+                "one": pa.array(np.ones(n, np.int64), pa.int64()),
+                "rare_type": pa.array(rare.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("wg")
+        .map_groups(flag_rare, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tf", alias_name="n_tokens"),
+            Sum("rare_tf", alias_name="n_rare_tokens"),
+            Sum("one", alias_name="n_types"),
+            Sum("rare_type", alias_name="n_rare_types"),
+        )
+    )

@@ -4,6 +4,7 @@ hand-built edge fixtures + DuckDB cross-checks at sf0.001."""
 import datetime as dt
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF = "/root/testdata/sf0.001"
@@ -529,3 +530,53 @@ class TestRedactPii:
         got = got[sorted(got.columns)]
         exp = exp[sorted(exp.columns)]
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestHashAntiJoin:
+    def test_matches_set_difference(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import hash_anti_join
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame(
+            {
+                "k": np.arange(500, dtype=np.int64),
+                "name": [f"cust{i}" for i in range(500)],
+                "bal": rng.integers(0, 10_000, 500).astype(np.int64),
+            }
+        )
+        right_keys = rng.choice(500, 300, replace=True).astype(np.int64)
+        right = pd.DataFrame({"fk": right_keys})
+        got = (
+            hash_anti_join(
+                ray.data.from_pandas(left).repartition(8),
+                ray.data.from_pandas(right).repartition(8),
+                on_left="k",
+                on_right="fk",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = (
+            left[~left.k.isin(set(right_keys.tolist()))]
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "name", "bal"]], want)
+
+    def test_empty_right_keeps_all(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import hash_anti_join
+
+        left = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+        right = pd.DataFrame({"fk": np.array([], dtype=np.int64)})
+        got = hash_anti_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on_left="k",
+            on_right="fk",
+        ).to_pandas()
+        assert sorted(got.k.tolist()) == list(range(20))

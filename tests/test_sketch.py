@@ -145,3 +145,54 @@ class TestCountMin:
         true = {"a": 7, "b": 4, "c": 1}
         for w, t in true.items():
             assert got[w] >= t
+
+
+class TestQDigest:
+    def test_exact_regime_matches_lower_quantile(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.sketch import quantile_sketch
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 50_000, 3000)
+        ds = ray.data.from_items(
+            [{"n": int(v)} for v in vals]
+        ).repartition(8)
+        got = quantile_sketch(ds, "n", k=10**9).to_pandas()
+        sv = np.sort(vals)
+        for _, r in got.iterrows():
+            rank = (len(sv) * r.q_pct + 99) // 100
+            assert r.est_value == sv[max(rank - 1, 0)]
+            assert r.n == len(sv)
+
+    def test_compressed_error_bound_and_merge(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.sketch import quantile_sketch
+
+        # skewed data over many blocks: rank error of every answered
+        # quantile must stay within the q-digest bound (log2(U)/k per
+        # compression; we allow 3x for the merge-tree additivity)
+        rng = np.random.default_rng(17)
+        vals = np.concatenate(
+            [rng.integers(0, 200, 20_000), rng.integers(0, 800_000, 20_000)]
+        )
+        rng.shuffle(vals)
+        k, log_u = 256, 20
+        ds = ray.data.from_items([{"n": int(v)} for v in vals]).repartition(16)
+        got = quantile_sketch(ds, "n", q_pcts=(1, 25, 50, 75, 99), k=k, log_u=log_u).to_pandas()
+        sv = np.sort(vals)
+        n = len(sv)
+        for _, r in got.iterrows():
+            rank_est = np.searchsorted(sv, r.est_value, side="right")
+            rank_true = (n * r.q_pct + 99) // 100
+            assert abs(rank_est - rank_true) / n <= 3 * log_u / k, (
+                r.q_pct, rank_est, rank_true)
+
+    def test_digest_size_bounded(self):
+        from grawler_ray.functions.sketch import _qdigest_partial
+
+        rng = np.random.default_rng(23)
+        vals = rng.integers(0, 1 << 20, 100_000)
+        d = _qdigest_partial(vals, 128, 20)
+        assert len(d) <= 3 * 128
