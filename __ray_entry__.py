@@ -344,6 +344,67 @@ def _quantile_sketch(sf_dir: str):
     return quantile_sketch(_read(sf_dir, "documents"), "n_chars", k=1_000_000)
 
 
+def _revenue_by_region(sf_dir: str):
+    """TPC-H-Q5-style multi-join chain: lineitem |X| orders |X| customer
+    |X| nation |X| region -> revenue per region.  The two big joins
+    (lineitem x orders, orders x customer) go through the repartition
+    join; the two dimension tables (nation 25 rows, region 5 rows — fixed
+    size at ANY scale factor) collapse to one broadcast nationkey ->
+    region-name map.  Revenue is integer cents (floor(px*(1-disc)*100+.5),
+    same expression in the SQL oracle) so sums are order-independent."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    from grawler_ray.functions.joins import repartition_join
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    reg_name = dict(zip(region.r_regionkey, region.r_name))
+    nat2reg = {
+        int(k): reg_name[v] for k, v in zip(nation.n_nationkey, nation.n_regionkey)
+    }
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        keys = t.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "r_name": pa.array([nat2reg[k] for k in keys], pa.string()),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_nationkey"])
+        .map_batches(attach_region, batch_format="pyarrow")
+    )
+    ord_r = repartition_join(
+        _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
+        cust,
+        on_left="o_custkey",
+        on_right="c_custkey",
+    ).select_columns(["o_orderkey", "r_name"])
+
+    def line_cents(t: pa.Table) -> pa.Table:
+        px = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(px * (1 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "cents": pa.array(cents, pa.int64())}
+        )
+
+    line = (
+        _read(sf_dir, "lineitem")
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(line_cents, batch_format="pyarrow")
+    )
+    joined = repartition_join(line, ord_r, on_left="l_orderkey", on_right="o_orderkey")
+    return joined.groupby("r_name").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Count("cents", alias_name="n_items"),
+    )
+
+
 def _dup_spans(sf_dir: str):
     """Exact-substring duplication stats (Lee et al. 2022 window-hash
     approximation): 40-char windows, stride 10, duplicated when the exact
@@ -1099,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _customers_without_orders,
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
+        "revenue_by_region": _revenue_by_region,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -1688,6 +1750,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_length": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         # exact in the entry's k >= n regime: lower quantile
         # min{v : rank(v) >= ceil(n*q/100)} — same convention as

@@ -305,3 +305,85 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
     return both.groupby("gk").map_groups(anti, batch_format="pyarrow")
+
+
+def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
+                     num_groups: int = 64):
+    """Distributed inner equi-join for two LARGE sides — the general-join
+    companion to ``hash_anti_join`` (same union + coarse-key-hash groupby
+    "repartition join"; same Acero-avoidance rationale, see CLAUDE.md).
+
+    Both sides are null-padded to the UNION of their schemas, tagged, and
+    shuffled ONCE on hash(key) % num_groups; each group splits by side and
+    matches with ``pandas.merge`` (C hash join) — never per-key Python
+    groups.  Output columns: left columns + right payload columns (the
+    right key column is dropped; names must not collide).  Full inner-join
+    semantics (duplicate keys on either side multiply); a single hot key's
+    matches must fit one group — salt the key upstream if not.  Join keys
+    are int64.
+    """
+    def _pa_schema(ds):
+        sch = ds.schema()
+
+        def _to_pa(t):
+            if isinstance(t, pa.DataType):
+                return t
+            t = np.dtype(t)
+            return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
+
+        return pa.schema([pa.field(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)])
+
+    lsch, rsch = _pa_schema(left_ds), _pa_schema(right_ds)
+    lcols = list(lsch.names)
+    rpay = [n for n in rsch.names if n != on_right]
+    assert on_left in lcols, on_left
+    assert not set(rpay) & set(lcols), "column name collision"
+    all_cols = lcols + rpay
+    all_types = {n: lsch.field(n).type for n in lcols}
+    all_types.update({n: rsch.field(n).type for n in rpay})
+
+    def _gk(keys: np.ndarray) -> np.ndarray:
+        return (((keys.astype(np.uint64) * _GOLDEN) >> np.uint64(33))
+                % np.uint64(num_groups)).astype(np.int32)
+
+    def _pad(t: pa.Table, present: list, key_from: str, side: int) -> pa.Table:
+        keys = t.column(key_from).to_numpy(zero_copy_only=False)
+        arrays = []
+        for name in all_cols:
+            if name == on_left:
+                arrays.append(pa.array(keys, pa.int64()).cast(all_types[name]))
+            elif name in present:
+                arrays.append(t.column(name))
+            else:
+                arrays.append(pa.nulls(t.num_rows, all_types[name]))
+        out = pa.table(dict(zip(all_cols, arrays)))
+        out = out.append_column("gk", pa.array(_gk(keys), pa.int32()))
+        return out.append_column(
+            "side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+        )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return _pad(t, lcols, on_left, 0)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        return _pad(t, rpay, on_right, 1)
+
+    empty_schema = pa.schema([pa.field(n, all_types[n]) for n in all_cols])
+
+    def join_group(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions emit ARROW blocks
+        if t.num_rows == 0:
+            return empty_schema.empty_table()
+        df = t.to_pandas()
+        side = df.pop("side").to_numpy()
+        df.pop("gk")
+        l = df.loc[side == 0, lcols]
+        r = df.loc[side == 1, [on_left] + rpay]
+        out = l.merge(r, on=on_left, how="inner", sort=False)
+        return pa.Table.from_pandas(out[all_cols], schema=empty_schema,
+                                    preserve_index=False)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return both.groupby("gk").map_groups(join_group, batch_format="pyarrow")

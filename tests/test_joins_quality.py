@@ -580,3 +580,59 @@ class TestHashAntiJoin:
             on_right="fk",
         ).to_pandas()
         assert sorted(got.k.tolist()) == list(range(20))
+
+
+class TestRepartitionJoin:
+    def test_matches_pandas_merge_with_dup_keys(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import repartition_join
+
+        rng = np.random.default_rng(37)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 60, 400).astype(np.int64),
+                "lv": np.arange(400, dtype=np.int64),
+            }
+        )
+        # duplicate keys on BOTH sides: full inner-join multiplicity
+        right = pd.DataFrame(
+            {
+                "rk": rng.integers(0, 80, 150).astype(np.int64),
+                "rv": [f"r{i}" for i in range(150)],
+            }
+        )
+        got = (
+            repartition_join(
+                ray.data.from_pandas(left).repartition(8),
+                ray.data.from_pandas(right).repartition(8),
+                on_left="k",
+                on_right="rk",
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+    def test_no_matches_yields_empty_with_schema(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import repartition_join
+
+        left = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+        right = pd.DataFrame({"rk": np.arange(100, 110, dtype=np.int64),
+                              "rv": np.arange(10, dtype=np.int64)})
+        got = repartition_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on_left="k",
+            on_right="rk",
+        )
+        df = got.to_pandas()
+        assert len(df) == 0
