@@ -344,6 +344,16 @@ def _quantile_sketch(sf_dir: str):
     return quantile_sketch(_read(sf_dir, "documents"), "n_chars", k=1_000_000)
 
 
+def _grouped_quantile_sketch(sf_dir: str):
+    from grawler_ray.functions.sketch import grouped_quantile_sketch
+
+    # k >= max group size: exact per-group lower quantiles (SQL-checked);
+    # the compressed regime is proven in tests/test_sketch.py
+    return grouped_quantile_sketch(
+        _read(sf_dir, "documents"), "lang", "n_chars", k=1_000_000
+    )
+
+
 def _revenue_by_region(sf_dir: str):
     """TPC-H-Q5-style multi-join chain: lineitem |X| orders |X| customer
     |X| nation |X| region -> revenue per region.  The two big joins
@@ -909,6 +919,15 @@ def _crawl_trace(sf_dir: str):
     return read_trace(_ensure_crawl())
 
 
+def _crawl_host_graph(sf_dir: str):
+    """Host-level link graph aggregated from the crawl trace (rows-only:
+    trace equality is pinned by the e2e suite; the aggregation is pinned
+    by tests/test_crawl_e2e.py::test_host_graph_matches_oracle_trace)."""
+    from grawler_ray.pipelines.crawl import host_graph
+
+    return host_graph(_ensure_crawl())
+
+
 def _event_deltas(sf_dir: str):
     from grawler_ray.functions.events import event_deltas
 
@@ -1161,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
         "revenue_by_region": _revenue_by_region,
+        "grouped_quantile_sketch": _grouped_quantile_sketch,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -1180,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents_upsert": _crawl_documents_upsert,
         "crawl_words": _crawl_words,
         "crawl_trace": _crawl_trace,
+        "crawl_host_graph": _crawl_host_graph,
     }
 
 
@@ -1750,6 +1771,24 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_length": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 100
+        """,
+        # exact per-group lower quantiles in the entry's k >= group-size
+        # regime (the quantile_sketch convention, PARTITIONed by lang)
+        "grouped_quantile_sketch": """
+            WITH h AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+                       FROM documents GROUP BY lang, n_chars),
+            tot AS (SELECT lang, sum(c)::BIGINT AS n FROM h GROUP BY lang),
+            cum AS (SELECT lang, v,
+                           sum(c) OVER (PARTITION BY lang ORDER BY v)::BIGINT
+                             AS cum
+                    FROM h)
+            SELECT t.lang, q.q_pct::BIGINT AS q_pct,
+                   (SELECT min(v) FROM cum
+                    WHERE cum.lang = t.lang
+                      AND cum.cum >= (t.n * q.q_pct + 99) // 100)::BIGINT
+                     AS est_value,
+                   t.n::BIGINT AS n
+            FROM tot t CROSS JOIN (VALUES (25), (50), (75)) q(q_pct)
         """,
         "revenue_by_region": """
             SELECT r.r_name,

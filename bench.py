@@ -123,7 +123,8 @@ def run_subqueries() -> dict[str, float]:
         "funnel_counts", "countmin_words", "decontaminate_bloom",
         "warc_ingest", "compression_signals", "redact_pii",
         "normalize_text", "rare_word_ratio", "customers_without_orders",
-        "docs_by_length", "quantile_sketch", "revenue_by_region",
+        "docs_by_length", "quantile_sketch", "grouped_quantile_sketch",
+        "revenue_by_region",
         "prep_corpus",
     ]
     import ray.data

@@ -1559,3 +1559,61 @@ def read_trace(out_dir: str) -> "ray.data.Dataset":
             )
         )
     return ray.data.read_parquet(files)
+
+
+def host_graph(out_dir: str) -> "ray.data.Dataset":
+    """Host-level web graph from the crawl trace: one row per
+    (src_host, dst_host) pair with the count of discovered links — the
+    link-analysis view a crawler feeds into PageRank/host reputation
+    (graph.pagerank consumes exactly this edge shape).
+
+    Every trace row with a parent is a discovered link (whatever its
+    admission outcome — dedup'd, robots-dropped and deferred children are
+    still edges of the web graph the crawl observed).  Hosts come from the
+    Go-parity url parser (urlops.extract_url_components); unparseable URLs
+    — impossible for engine-emitted trace rows — would fall back to ''.
+
+    Shape: stateless Arrow map (host extraction) -> ONE (src,dst)-hash
+    groupby count.  Read is column-pruned to (url, parent_url).
+    """
+    from ray.data.aggregate import Count
+
+    from ..urlops import UrlError, extract_url_components
+
+    files = _round_files(out_dir, "trace") + _round_files(out_dir, "trace_parse")
+    if not files:
+        return _empty_ds(
+            pa.schema(
+                [("src_host", pa.string()), ("dst_host", pa.string()),
+                 ("n_links", pa.int64())]
+            )
+        )
+
+    def _host(u: str) -> str:
+        try:
+            return extract_url_components(u)[1]
+        except UrlError:
+            return ""
+
+    def edges(t: pa.Table) -> pa.Table:
+        parents = t.column("parent_url").to_pylist()
+        urls = t.column("url").to_pylist()
+        src, dst = [], []
+        for p, u in zip(parents, urls):
+            if not p:  # seed rows have no parent: not an edge
+                continue
+            src.append(_host(p))
+            dst.append(_host(u))
+        return pa.table(
+            {
+                "src_host": pa.array(src, pa.string()),
+                "dst_host": pa.array(dst, pa.string()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(files, columns=["url", "parent_url"])
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Count(alias_name="n_links"))
+    )

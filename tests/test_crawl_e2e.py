@@ -167,3 +167,39 @@ def test_robots_snapshot_written(ray_session, cfg, pipeline_out):
     t = pq.read_table(f"{OUT}/robots_final.parquet")
     assert t.num_rows > 0
     assert t.column_names == ["host", "robots", "ts"]
+
+
+def test_host_graph_matches_oracle_trace(ray_session, cfg, pipeline_out, oracle_result):
+    """host_graph = (src_host, dst_host, n_links) over every traced row
+    with a parent; must equal the same aggregation of the oracle trace
+    (which test_trace_equal pins row-for-row)."""
+    from grawler_ray.pipelines.crawl import host_graph
+    from grawler_ray.urlops import extract_url_components
+
+    got = (
+        host_graph(OUT)
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    agg = {}
+    for t in oracle_result.trace:
+        if not t["parent_url"]:
+            continue
+        key = (
+            extract_url_components(t["parent_url"])[1],
+            extract_url_components(t["url"])[1],
+        )
+        agg[key] = agg.get(key, 0) + 1
+    want = (
+        pd.DataFrame(
+            [
+                {"src_host": s, "dst_host": d, "n_links": n}
+                for (s, d), n in agg.items()
+            ]
+        )
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    assert got.astype({"n_links": "int64"}).equals(want)

@@ -196,3 +196,48 @@ class TestQDigest:
         vals = rng.integers(0, 1 << 20, 100_000)
         d = _qdigest_partial(vals, 128, 20)
         assert len(d) <= 3 * 128
+
+
+class TestGroupedQDigest:
+    def test_exact_regime_per_group(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.sketch import grouped_quantile_sketch
+
+        rng = np.random.default_rng(7)
+        rows = []
+        sizes = {"a": 900, "b": 300, "c": 17}
+        for g, sz in sizes.items():
+            for v in rng.integers(0, 10_000, sz):
+                rows.append({"g": g, "n": int(v)})
+        rng.shuffle(rows)
+        ds = ray.data.from_items(rows).repartition(8)
+        got = grouped_quantile_sketch(ds, "g", "n", k=10**9).to_pandas()
+        assert len(got) == 3 * 3
+        by_g = {g: np.sort([r["n"] for r in rows if r["g"] == g]) for g in sizes}
+        for _, r in got.iterrows():
+            sv = by_g[r.g]
+            rank = (len(sv) * r.q_pct + 99) // 100
+            assert r.est_value == sv[max(rank - 1, 0)], (r.g, r.q_pct)
+            assert r.n == len(sv)
+
+    def test_compressed_error_bound_per_group(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.sketch import grouped_quantile_sketch
+
+        rng = np.random.default_rng(19)
+        k, log_u = 128, 20
+        vals = {"x": rng.integers(0, 700_000, 30_000),
+                "y": rng.integers(0, 5_000, 8_000)}
+        rows = [{"g": g, "n": int(v)} for g, arr in vals.items() for v in arr]
+        rng.shuffle(rows)
+        ds = ray.data.from_items(rows).repartition(16)
+        got = grouped_quantile_sketch(ds, "g", "n", k=k, log_u=log_u).to_pandas()
+        for _, r in got.iterrows():
+            sv = np.sort(vals[r.g])
+            n = len(sv)
+            rank_est = np.searchsorted(sv, r.est_value, side="right")
+            rank_true = (n * r.q_pct + 99) // 100
+            assert abs(rank_est - rank_true) / n <= 3 * log_u / k, (
+                r.g, r.q_pct, rank_est, rank_true)
