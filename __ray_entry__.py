@@ -374,12 +374,18 @@ def _revenue_by_region(sf_dir: str):
         int(k): reg_name[v] for k, v in zip(nation.n_nationkey, nation.n_regionkey)
     }
 
+    # dense nationkey -> region-name lookup array (25 entries): the batch
+    # map is one numpy take, not per-row dict lookups
+    lut = np.empty(max(nat2reg) + 1, dtype=object)
+    for nk, rn in nat2reg.items():
+        lut[nk] = rn
+
     def attach_region(t: pa.Table) -> pa.Table:
-        keys = t.column("c_nationkey").to_pylist()
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "c_custkey": t.column("c_custkey"),
-                "r_name": pa.array([nat2reg[k] for k in keys], pa.string()),
+                "r_name": pa.array(lut[keys], pa.string()),
             }
         )
 

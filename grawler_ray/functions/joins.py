@@ -308,19 +308,26 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
 
 
 def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
-                     num_groups: int = 64):
+                     num_groups: int = 64, salt: int = 1, hot_keys=None):
     """Distributed inner equi-join for two LARGE sides — the general-join
     companion to ``hash_anti_join`` (same union + coarse-key-hash groupby
     "repartition join"; same Acero-avoidance rationale, see CLAUDE.md).
 
     Both sides are null-padded to the UNION of their schemas, tagged, and
-    shuffled ONCE on hash(key) % num_groups; each group splits by side and
-    matches with ``pandas.merge`` (C hash join) — never per-key Python
-    groups.  Output columns: left columns + right payload columns (the
-    right key column is dropped; names must not collide).  Full inner-join
-    semantics (duplicate keys on either side multiply); a single hot key's
-    matches must fit one group — salt the key upstream if not.  Join keys
-    are int64.
+    shuffled ONCE on hash(key, salt_r) % num_groups; each group splits by
+    side and matches with ``pandas.merge`` (C hash join) — never per-key
+    Python groups.  Output columns: left columns + right payload columns
+    (the right key column is dropped; names must not collide).  Full
+    inner-join semantics (duplicate keys on either side multiply).  Join
+    keys are int64.
+
+    Skew: a hot key's matches must fit one group.  Pass ``salt`` > 1 with
+    the ``hot_keys`` (int64 iterable) to shard each hot key's LEFT rows
+    across ``salt`` subgroups and replicate ONLY the hot RIGHT rows
+    ``salt``-fold (the standard salted-join pattern): shuffle overhead is
+    (salt - 1) x the hot right rows, and the biggest group shrinks by
+    ~1/salt.  The salt id rides both sides and joins as part of the key,
+    so colliding coarse groups can never double-match.
     """
     def _pa_schema(ds):
         sch = ds.schema()
@@ -342,12 +349,19 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     all_types = {n: lsch.field(n).type for n in lcols}
     all_types.update({n: rsch.field(n).type for n in rpay})
 
-    def _gk(keys: np.ndarray) -> np.ndarray:
-        return (((keys.astype(np.uint64) * _GOLDEN) >> np.uint64(33))
-                % np.uint64(num_groups)).astype(np.int32)
+    hot_arr = (
+        np.asarray(sorted(set(map(int, hot_keys))), np.int64)
+        if (salt > 1 and hot_keys is not None)
+        else None
+    )
+    _SALT_C = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    def _pad(t: pa.Table, present: list, key_from: str, side: int) -> pa.Table:
-        keys = t.column(key_from).to_numpy(zero_copy_only=False)
+    def _gk(keys: np.ndarray, r: np.ndarray) -> np.ndarray:
+        mix = keys.astype(np.uint64) * _GOLDEN + r.astype(np.uint64) * _SALT_C
+        return ((mix >> np.uint64(33)) % np.uint64(num_groups)).astype(np.int32)
+
+    def _pad(t: pa.Table, present: list, keys: np.ndarray,
+             r: np.ndarray, side: int) -> pa.Table:
         arrays = []
         for name in all_cols:
             if name == on_left:
@@ -357,16 +371,35 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
             else:
                 arrays.append(pa.nulls(t.num_rows, all_types[name]))
         out = pa.table(dict(zip(all_cols, arrays)))
-        out = out.append_column("gk", pa.array(_gk(keys), pa.int32()))
+        out = out.append_column("_salt_r", pa.array(r.astype(np.int32), pa.int32()))
+        out = out.append_column("gk", pa.array(_gk(keys, r), pa.int32()))
         return out.append_column(
             "side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
         )
 
     def tag_left(t: pa.Table) -> pa.Table:
-        return _pad(t, lcols, on_left, 0)
+        keys = t.column(on_left).to_numpy(zero_copy_only=False)
+        r = np.zeros(len(keys), np.int64)
+        if hot_arr is not None:
+            hot = np.isin(keys, hot_arr)
+            # deterministic round-robin shard of a hot key's left rows
+            r[hot] = np.arange(int(hot.sum())) % salt
+        return _pad(t, lcols, keys, r, 0)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        return _pad(t, rpay, on_right, 1)
+        keys = t.column(on_right).to_numpy(zero_copy_only=False)
+        if hot_arr is None:
+            return _pad(t, rpay, keys, np.zeros(len(keys), np.int64), 1)
+        hot = np.isin(keys, hot_arr)
+        parts = [_pad(t, rpay, keys, np.zeros(len(keys), np.int64), 1)]
+        if hot.any():
+            t_hot = t.filter(pa.array(hot))
+            k_hot = keys[hot]
+            for rr in range(1, salt):  # replicas for the extra subgroups
+                parts.append(
+                    _pad(t_hot, rpay, k_hot, np.full(len(k_hot), rr, np.int64), 1)
+                )
+        return pa.concat_tables(parts)
 
     empty_schema = pa.schema([pa.field(n, all_types[n]) for n in all_cols])
 
@@ -377,9 +410,12 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         df = t.to_pandas()
         side = df.pop("side").to_numpy()
         df.pop("gk")
-        l = df.loc[side == 0, lcols]
-        r = df.loc[side == 1, [on_left] + rpay]
-        out = l.merge(r, on=on_left, how="inner", sort=False)
+        # the salt id is part of the join key: a hot right replica only
+        # matches the left shard it was made for, so colliding coarse
+        # groups can never double-match
+        l = df.loc[side == 0, lcols + ["_salt_r"]]
+        r = df.loc[side == 1, [on_left, "_salt_r"] + rpay]
+        out = l.merge(r, on=[on_left, "_salt_r"], how="inner", sort=False)
         return pa.Table.from_pandas(out[all_cols], schema=empty_schema,
                                     preserve_index=False)
 

@@ -612,13 +612,13 @@ def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
     Shape (the tfidf_topk layout): doc-local (doc, word, tf) rows ->
     ONE coarse word-hash shuffle (~num_groups vectorized groups, never
     per-word groups) where each word run attaches its df and flags
-    rarity -> ONE per-doc hash aggregate of four integer sums (Ray's
-    vectorized Sum aggregate, not per-doc Python groups).
+    rarity -> ONE coarse doc-hash shuffle where each group sums its doc
+    runs with np.add.reduceat (measured ~3x faster than a per-doc-key
+    Ray Sum aggregate at sf0.1: millions of keys vs ~num_groups groups).
     """
     import zlib
 
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     golden = np.uint64(0x9E3779B97F4A7C15)
 
@@ -646,10 +646,10 @@ def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
         if n == 0:
             return pa.table(
                 {
+                    "dg": pa.array([], pa.int32()),
                     "doc_id": pa.array([], pa.int64()),
                     "tf": pa.array([], pa.int64()),
                     "rare_tf": pa.array([], pa.int64()),
-                    "one": pa.array([], pa.int64()),
                     "rare_type": pa.array([], pa.int64()),
                 }
             )
@@ -660,13 +660,53 @@ def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
         run_len = np.bincount(run_id)
         rare = (run_len[run_id] <= max_df)
         tf = df["tf"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        dg = ((ids * golden) >> np.uint64(33)) % np.uint64(num_groups)
         return pa.table(
             {
+                "dg": pa.array(dg.astype(np.int32), pa.int32()),
                 "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
                 "tf": pa.array(tf, pa.int64()),
                 "rare_tf": pa.array(np.where(rare, tf, 0), pa.int64()),
-                "one": pa.array(np.ones(n, np.int64), pa.int64()),
                 "rare_type": pa.array(rare.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_rare_tokens", pa.int64()),
+            pa.field("n_types", pa.int64()),
+            pa.field("n_rare_types", pa.int64()),
+        ]
+    )
+
+    def doc_sums(t: pa.Table) -> pa.Table:
+        # every (doc, word) row of a doc lands in this group; sum the doc's
+        # runs with reduceat (each type count is the run length)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["doc_id", "tf", "rare_tf", "rare_type"]).to_pandas()
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        n = len(ids)
+        is_start = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(is_start)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_tokens": pa.array(
+                    np.add.reduceat(df["tf"].to_numpy(), starts), pa.int64()
+                ),
+                "n_rare_tokens": pa.array(
+                    np.add.reduceat(df["rare_tf"].to_numpy(), starts), pa.int64()
+                ),
+                "n_types": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_rare_types": pa.array(
+                    np.add.reduceat(df["rare_type"].to_numpy(), starts), pa.int64()
+                ),
             }
         )
 
@@ -674,11 +714,6 @@ def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
         docs_ds.map_batches(tf_rows, batch_format="pyarrow")
         .groupby("wg")
         .map_groups(flag_rare, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("tf", alias_name="n_tokens"),
-            Sum("rare_tf", alias_name="n_rare_tokens"),
-            Sum("one", alias_name="n_types"),
-            Sum("rare_type", alias_name="n_rare_types"),
-        )
+        .groupby("dg")
+        .map_groups(doc_sums, batch_format="pyarrow")
     )

@@ -636,3 +636,42 @@ class TestRepartitionJoin:
         )
         df = got.to_pandas()
         assert len(df) == 0
+
+
+class TestSaltedJoin:
+    def test_salted_equals_unsalted_on_skewed_keys(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import repartition_join
+
+        rng = np.random.default_rng(43)
+        # key 7 is hot: half of all left rows
+        keys = np.where(rng.random(600) < 0.5, 7, rng.integers(0, 40, 600)).astype(np.int64)
+        left = pd.DataFrame({"k": keys, "lv": np.arange(600, dtype=np.int64)})
+        right = pd.DataFrame(
+            {
+                "rk": rng.integers(0, 40, 120).astype(np.int64),
+                "rv": np.arange(120, dtype=np.int64),
+            }
+        )
+        lds = ray.data.from_pandas(left).repartition(8)
+        rds = ray.data.from_pandas(right).repartition(8)
+        plain = (
+            repartition_join(lds, rds, "k", "rk")
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            repartition_join(lds, rds, "k", "rk", salt=4, hot_keys=[7])
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(salted, plain[salted.columns])
+        want = (
+            left.merge(right.rename(columns={"rk": "k"}), on="k")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(salted[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
