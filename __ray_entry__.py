@@ -832,6 +832,13 @@ def _ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+def _ann_pq_topk(sf_dir: str):
+    from grawler_ray.functions.similarity import ann_pq_topk
+
+    # dim 64 -> m=8 x 4-float subspaces, 16 centroids each: 8-byte codes
+    return ann_pq_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, m=8, ks=16)
+
+
 _ANN_INDEX_CACHE: dict[str, str] = {}
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
@@ -932,6 +939,15 @@ def _crawl_host_graph(sf_dir: str):
     from grawler_ray.pipelines.crawl import host_graph
 
     return host_graph(_ensure_crawl())
+
+
+def _crawl_host_components(sf_dir: str):
+    """Connected components of the host link graph (rows-only: equality
+    with a serial union-find over the oracle trace is pinned by
+    tests/test_crawl_e2e.py::test_host_components_matches_serial_union_find)."""
+    from grawler_ray.pipelines.crawl import host_components
+
+    return host_components(_ensure_crawl())
 
 
 def _event_deltas(sf_dir: str):
@@ -1199,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "ann_indexed_topk": _ann_indexed_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "lsh_buckets": _lsh_buckets,
@@ -1207,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_words": _crawl_words,
         "crawl_trace": _crawl_trace,
         "crawl_host_graph": _crawl_host_graph,
+        "crawl_host_components": _crawl_host_components,
     }
 
 

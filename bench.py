@@ -110,6 +110,7 @@ def run_subqueries() -> dict[str, float]:
         "word_freq", "doc_stats", "exact_dedup", "top_words", "q1_agg",
         "orders_by_nation", "lineitem_join_orders", "politeness_slots",
         "ann_topk", "ann_lsh_topk", "ann_indexed_topk", "ann_ivf_topk",
+        "ann_pq_topk",
         "minhash_pairs", "minhash_incremental", "simhash",
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
         "dedup_clusters", "token_count", "top_words_per_lang",

@@ -407,7 +407,12 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         # pyarrow-format map_groups: empty partitions emit ARROW blocks
         if t.num_rows == 0:
             return empty_schema.empty_table()
-        df = t.to_pandas()
+        # nullable Int64, NOT numpy int64: the null-padded union would
+        # otherwise coerce int columns to float64 and corrupt int64 values
+        # above 2^53 (observed on xxhash64-derived ids)
+        df = t.to_pandas(
+            types_mapper=lambda typ: pd.Int64Dtype() if typ == pa.int64() else None
+        )
         side = df.pop("side").to_numpy()
         df.pop("gk")
         # the salt id is part of the join key: a hot right replica only
@@ -416,8 +421,11 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         l = df.loc[side == 0, lcols + ["_salt_r"]]
         r = df.loc[side == 1, [on_left, "_salt_r"] + rpay]
         out = l.merge(r, on=[on_left, "_salt_r"], how="inner", sort=False)
-        return pa.Table.from_pandas(out[all_cols], schema=empty_schema,
-                                    preserve_index=False)
+        # strip the pandas-dtype metadata from_pandas attaches, or the
+        # nullable Int64 frame dtypes leak into downstream to_pandas calls
+        return pa.Table.from_pandas(
+            out[all_cols], schema=empty_schema, preserve_index=False
+        ).replace_schema_metadata(None)
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")

@@ -723,3 +723,148 @@ def semdedup(
         .groupby("cluster")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al., TPAMI 2011): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def _pq_fit(embeddings_ds, m: int, ks: int, iters: int) -> np.ndarray:
+    """Deterministic distributed PQ codebook: split the (NORMALIZED) vector
+    into ``m`` subvectors and run Lloyd's k-means with ``ks`` centroids in
+    EVERY subspace simultaneously — one data pass per iteration (not per
+    subspace).  Init = the ks smallest-Knuth-hash vec_ids (the _kmeans_fit
+    rule).  Driver state is the (m, ks, d/m) codebook, never a row set.
+    Returns the codebook C with C[j, c] the c-th centroid of subspace j."""
+    import ray
+
+    KNUTH = np.uint64(2654435761)
+
+    def init_candidates(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        h = (vids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+        order = np.argsort(h, kind="stable")[:ks]
+        return t.take(pa.array(order, pa.int64())).append_column(
+            "h", pa.array(h[order].astype(np.int64), pa.int64())
+        )
+
+    cand = (
+        embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(init_candidates, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["h", "vec_id"])
+        .head(ks)
+    )
+    V0 = np.array(cand["embedding"].tolist(), dtype=np.float64)
+    V0 = V0 / np.linalg.norm(V0, axis=1, keepdims=True)
+    dim = V0.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    C = V0.reshape(ks, m, dsub).transpose(1, 0, 2).copy()  # (m, ks, dsub)
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partials(t: pa.Table) -> pa.Table:
+            C_ = ray.get(c_ref)
+            V = _to_matrix(t.column("embedding"))
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = V.reshape(len(V), m, dsub)
+            sums = np.zeros_like(C_)
+            counts = np.zeros((m, ks), np.int64)
+            for j in range(m):
+                d = -2.0 * (S[:, j] @ C_[j].T) + (C_[j] * C_[j]).sum(axis=1)[None, :]
+                a = np.argmin(d, axis=1)
+                np.add.at(sums[j], a, S[:, j])
+                counts[j] += np.bincount(a, minlength=ks)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                }
+            )
+
+        parts = embeddings_ds.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pyarrow"
+        ).take_all()
+        sums = np.zeros_like(C)
+        counts = np.zeros((m, ks), np.int64)
+        for r in parts:
+            sums += np.frombuffer(r["sums"], np.float64).reshape(m, ks, dsub)
+            counts += np.frombuffer(r["counts"], np.int64).reshape(m, ks)
+        nonempty = counts > 0
+        C = np.where(nonempty[..., None], sums / np.maximum(counts, 1)[..., None], C)
+    return C
+
+
+def ann_pq_topk(embeddings_ds, query_ids: list[int], k: int = 10,
+                m: int = 8, ks: int = 16, iters: int = 4, shortlist: int = 4):
+    """ANN top-k in the COMPRESSED domain via product quantization (Jegou
+    et al. 2011) with exact re-ranking — the memory-scale path: each
+    vector's scan footprint is ``m`` uint8 codes (8 B at m=8) instead of
+    dim x 8 B (512 B at dim 64), a 64x compression of the scanned index.
+
+    Per batch: encode vectors to codes (in production the codes ARE the
+    stored index; re-encoding here keeps the operator self-contained),
+    score every query against the codes with one (m x ks) inner-product
+    look-up table — an O(n·m) table gather, no full matmul — take a
+    ``shortlist`` x k candidate set per query, then re-rank ONLY the
+    shortlist exactly and emit per-batch exact-scored partials into the
+    bounded `_reduce_partials` tree.  Output (query_id, rank, vec_id),
+    same contract as ann_topk; recall >= 0.9 vs the exact baseline is
+    asserted in tests/test_dedup_pipelines.py.
+    """
+    import ray
+
+    C = _pq_fit(embeddings_ds, m, ks, iters)
+    dsub = C.shape[2]
+    qset = set(query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v in qset]
+        return t.take(pa.array(keep, pa.int64()))
+
+    q_tab = embeddings_ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    q_tab = q_tab.sort_values("vec_id")
+    Q = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = q_tab["vec_id"].to_numpy()
+    # (nq, m, ks) inner-product LUT: approx cosine = sum_j LUT[q, j, code_j]
+    LUT = np.einsum("qjd,jkd->qjk", Qn.reshape(len(Qn), m, dsub), C)
+    q_ref = ray.put((q_ids, Qn, C, LUT))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        q_ids_, Qn_, C_, LUT_ = ray.get(q_ref)
+        V = _to_matrix(t.column("embedding"))
+        vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn.reshape(len(Vn), m, dsub)
+        codes = np.empty((len(Vn), m), np.int64)
+        for j in range(m):
+            d = -2.0 * (S[:, j] @ C_[j].T) + (C_[j] * C_[j]).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        out_q, out_v, out_s = [], [], []
+        nshort = shortlist * k
+        for qi in range(len(q_ids_)):
+            approx = LUT_[qi, np.arange(m)[None, :], codes].sum(axis=1)
+            mask = vids != q_ids_[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            cand = idx[np.argsort(-approx[idx], kind="stable")[:nshort]]
+            exact = Vn[cand] @ Qn_[qi]
+            top = cand[np.lexsort((vids[cand], -exact))[:k]]
+            out_q.extend([q_ids_[qi]] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend((Vn[top] @ Qn_[qi]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return _reduce_partials(
+        embeddings_ds.map_batches(partial_topk, batch_format="pyarrow"), k
+    )

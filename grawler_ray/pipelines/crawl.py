@@ -1617,3 +1617,60 @@ def host_graph(out_dir: str) -> "ray.data.Dataset":
         .groupby(["src_host", "dst_host"])
         .aggregate(Count(alias_name="n_links"))
     )
+
+
+def host_components(out_dir: str) -> "ray.data.Dataset":
+    """Weakly-connected components of the host link graph — "which host
+    clusters does the crawl actually interlink" (mirror detection, seed-set
+    auditing).  Composes existing operators: host_graph edges -> stable
+    int64 host ids (xxhash64 >> 1; a collision needs ~2^31.5 hosts, noted)
+    -> functions.dedup.dedup_components label propagation -> one
+    repartition_join to put the host strings back.  Output (host,
+    component) with component = the min host-id of the cluster."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import dedup_components
+    from ..functions.joins import repartition_join
+    from ..urlops import xxhash64
+
+    hg = host_graph(out_dir).materialize()  # consumed by nodes AND pairs
+
+    def _hid(hosts: list[str]) -> list[int]:
+        return [xxhash64(h) >> 1 for h in hosts]
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t.column("src_host").to_pylist()
+        dst = t.column("dst_host").to_pylist()
+        return pa.table(
+            {
+                "a": pa.array(_hid(src), pa.int64()),
+                "b": pa.array(_hid(dst), pa.int64()),
+            }
+        )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        hosts = t.column("src_host").to_pylist() + t.column("dst_host").to_pylist()
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    nodes = (
+        hg.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+    def with_id(t: pa.Table) -> pa.Table:
+        hosts = t.column("host").to_pylist()
+        return pa.table(
+            {
+                "host": t.column("host"),
+                "doc_id": pa.array(_hid(hosts), pa.int64()),
+            }
+        )
+
+    nodes = nodes.map_batches(with_id, batch_format="pyarrow").materialize()
+    pairs = hg.map_batches(edge_rows, batch_format="pyarrow")
+    comp = dedup_components(nodes.select_columns(["doc_id"]), pairs)
+    return repartition_join(
+        comp, nodes, on_left="doc_id", on_right="doc_id"
+    ).select_columns(["host", "component"])

@@ -203,3 +203,43 @@ def test_host_graph_matches_oracle_trace(ray_session, cfg, pipeline_out, oracle_
     )
     assert len(want) > 0
     assert got.astype({"n_links": "int64"}).equals(want)
+
+
+def test_host_components_matches_serial_union_find(
+    ray_session, cfg, pipeline_out, oracle_result
+):
+    from grawler_ray.pipelines.crawl import host_components
+    from grawler_ray.urlops import extract_url_components, xxhash64
+
+    got = host_components(OUT).to_pandas().sort_values("host").reset_index(drop=True)
+
+    # serial union-find over the oracle trace's host edges
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    hosts = set()
+    for t in oracle_result.trace:
+        if not t["parent_url"]:
+            continue
+        s = extract_url_components(t["parent_url"])[1]
+        d = extract_url_components(t["url"])[1]
+        hosts |= {s, d}
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_of = {}
+    for h in hosts:
+        root = find(h)
+        comp_of.setdefault(root, []).append(h)
+    want = {}
+    for members in comp_of.values():
+        label = min(xxhash64(m) >> 1 for m in members)
+        for m in members:
+            want[m] = label
+    assert len(got) == len(want) > 0
+    assert dict(zip(got.host, got.component)) == want

@@ -210,3 +210,26 @@ def test_minhash_incremental_vs_bruteforce(docs_ds, tmp_path):
     assert not any(n == 1001 for n, _ in pairs)
     # identical text => jaccard exactly 1.0
     assert got[(got.new_id == 1000) & (got.old_id == 100)].jaccard.iloc[0] == 1.0
+
+
+def test_ann_pq_recall_on_clustered_data(ray_session):
+    """PQ + exact re-rank must reach >= 0.9 recall vs the exact baseline on
+    the same clustered regime the LSH test uses."""
+    import ray.data
+
+    from grawler_ray.functions.similarity import ann_pq_topk, ann_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 3
+    items = []
+    for i in range(400):
+        v = centers[i % 10] + 0.3 * rng.standard_normal(32)
+        items.append({"vec_id": i, "embedding": v.tolist()})
+    ds = ray.data.from_items(items)
+    qids = [0, 1, 2, 3, 4]
+    exact = ann_topk(ds, qids, k=10).to_pandas()
+    approx = ann_pq_topk(ds, qids, k=10, m=8, ks=16, iters=4).to_pandas()
+    ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, recall
