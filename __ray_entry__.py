@@ -678,6 +678,17 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _dedup_keep_longest(sf_dir: str):
+    """Keep-longest representative per near-dup component (the policy
+    variant of dedup_clusters); SQL-checked via the same recursive-CTE
+    closure + a first_value window ordered by (n_chars desc, doc_id)."""
+    from grawler_ray.functions.dedup import dedup_keep_longest, ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_keep_longest(docs, pairs)
+
+
 def _embedding_dup_pairs(sf_dir: str):
     from grawler_ray.functions.similarity import embedding_dup_pairs
 
@@ -1179,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep_longest": _dedup_keep_longest,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1226,6 +1238,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_graph": _crawl_host_graph,
         "crawl_host_components": _crawl_host_components,
     }
+
+
+# shared by dedup_clusters / dedup_keep_longest: 3-gram shingles -> Jaccard
+# >= 0.5 pair graph -> recursive-CTE transitive closure (reach(node, comp))
+_NGRAM_COMPONENTS_CTE = r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            ),
+            pairs AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b
+              FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+              WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                         ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                              NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
+                    END >= 0.5
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION ALL
+              SELECT b, a FROM pairs
+            ),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+            )
+"""
 
 
 def _pagerank_sql(iters: int = 5, d_pct: int = 85, scale: int = 10**9) -> str:
@@ -1670,37 +1716,22 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure (recursive CTE) over the SAME pair query as
         # ngram_jaccard_pairs: component = min doc_id reachable through the
         # near-dup graph; singleton docs are their own component
-        "dedup_clusters": r"""
-            WITH RECURSIVE sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) >= 3 THEN
-                            list_distinct(list_transform(range(1, len(w) - 1),
-                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
-                          ELSE [] END AS s
-              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
-                    FROM documents)
-            ),
-            pairs AS (
-              SELECT s1.doc_id AS a, s2.doc_id AS b
-              FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
-              WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
-                         ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
-                              NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
-                    END >= 0.5
-            ),
-            edges AS (
-              SELECT a AS src, b AS dst FROM pairs
-              UNION ALL
-              SELECT b, a FROM pairs
-            ),
-            reach(node, comp) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
-            )
+        "dedup_clusters": rf"""
+            {_NGRAM_COMPONENTS_CTE}
             SELECT node AS doc_id, min(comp)::BIGINT AS component
             FROM reach GROUP BY node
+        """,
+        # the same transitive closure, then keep-LONGEST per component
+        # (first_value window ordered by n_chars desc, doc_id)
+        "dedup_keep_longest": rf"""
+            {_NGRAM_COMPONENTS_CTE},
+            comp AS (SELECT node AS doc_id, min(comp)::BIGINT AS component
+                     FROM reach GROUP BY node)
+            SELECT c.doc_id, c.component,
+                   first_value(c.doc_id) OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id)::BIGINT AS keep_doc_id
+            FROM comp c JOIN documents d USING (doc_id)
         """,
         "embedding_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b

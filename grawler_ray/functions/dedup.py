@@ -1302,3 +1302,74 @@ def dup_span_stats(
         )
 
     return docs_ds.map_batches(recount, batch_format="pyarrow")
+
+
+def dedup_keep_longest(docs_ds, pairs_ds, length_col: str = "n_chars",
+                       num_groups: int = 256, driver_max_edges: int = 2_000_000):
+    """Representative selection over near-dup components with the
+    keep-LONGEST policy (the common alternative to prep_corpus's
+    keep-min-doc_id): every doc gets (component, keep_doc_id) where
+    keep_doc_id is the component member with the greatest ``length_col``
+    (doc_id ascending breaks ties).
+
+    Shape: dedup_components labels (its documented scale path), ONE
+    repartition_join to attach lengths, then ONE coarse component-hash
+    shuffle where each group picks representatives with a vectorized
+    (component, -length, doc_id) sort + run-scan — never per-component
+    Python groups (CLAUDE.md coarse-key rule).
+    """
+    from .joins import repartition_join
+
+    comp = dedup_components(
+        docs_ds, pairs_ds, driver_max_edges=driver_max_edges
+    )
+    joined = repartition_join(
+        comp,
+        docs_ds.select_columns(["doc_id", length_col]).rename_columns(
+            {"doc_id": "rj_doc_id"}
+        ),
+        on_left="doc_id",
+        on_right="rj_doc_id",
+    )
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = t.column("component").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cg = ((c * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return t.append_column("cg", pa.array(cg.astype(np.int32), pa.int32()))
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("component", pa.int64()),
+            pa.field("keep_doc_id", pa.int64()),
+        ]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["doc_id", "component", length_col]).to_pandas()
+        df = df.sort_values(
+            ["component", length_col, "doc_id"], ascending=[True, False, True]
+        )
+        comp_arr = df["component"].to_numpy()
+        n = len(df)
+        is_start = np.concatenate(([True], comp_arr[1:] != comp_arr[:-1]))
+        run_id = np.cumsum(is_start) - 1
+        ids = df["doc_id"].to_numpy()
+        keep = ids[np.flatnonzero(is_start)][run_id]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "component": pa.array(comp_arr, pa.int64()),
+                "keep_doc_id": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(tag, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(pick, batch_format="pyarrow")
+    )

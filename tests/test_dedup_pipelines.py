@@ -233,3 +233,24 @@ def test_ann_pq_recall_on_clustered_data(ray_session):
     ap = set(map(tuple, approx[["query_id", "vec_id"]].values))
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.9, recall
+
+
+def test_dedup_keep_longest_policy(ray_session):
+    """Chain 0-1-2 and pair 5-6: keep_doc_id must be the component member
+    with the greatest length (doc_id tiebreak), for every member."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import dedup_keep_longest
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "n_chars": [10, 30, 30, 5, 5, 7, 9, 1, 1, 1][i]} for i in range(10)]
+    )
+    pairs = ray.data.from_items([{"a": 1, "b": 2}, {"a": 0, "b": 1}, {"a": 5, "b": 6}])
+    out = dedup_keep_longest(docs, pairs).to_pandas().sort_values("doc_id")
+    keep = dict(zip(out.doc_id, out.keep_doc_id))
+    # component {0,1,2}: lengths 10,30,30 -> doc 1 wins the tiebreak
+    assert keep[0] == keep[1] == keep[2] == 1
+    # component {5,6}: 7 vs 9 -> doc 6
+    assert keep[5] == keep[6] == 6
+    for i in (3, 4, 7, 8, 9):
+        assert keep[i] == i
