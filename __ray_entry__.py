@@ -1086,6 +1086,71 @@ def _warc_fixture(sf_dir: str) -> str:
     return d
 
 
+_JSONL_CACHE: dict[str, str] = {}
+
+
+def _jsonl_fixture(sf_dir: str) -> str:
+    """Deterministic JSONL shards synthesized from the documents table —
+    the warc_ingest differential-oracle trick for the native
+    ray.data.read_json source: Ray parses REAL JSONL bytes, the SQL oracle
+    predicts the same rows straight from `documents`."""
+    import hashlib
+    import json as _json
+    import os
+
+    if sf_dir in _JSONL_CACHE:
+        return _JSONL_CACHE[sf_dir]
+    import duckdb
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/grawler_jsonl_{tag}"
+    if not os.path.exists(os.path.join(d, "shard-3.jsonl")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards = [[] for _ in range(4)]
+        for doc_id, text, lang, source in rows:
+            shards[doc_id % 4].append(
+                _json.dumps(
+                    {"doc_id": doc_id, "text": text, "lang": lang, "source": source},
+                    ensure_ascii=False,
+                )
+            )
+        for i, lines in enumerate(shards):
+            with open(os.path.join(d, f"shard-{i}.jsonl"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+    _JSONL_CACHE[sf_dir] = d
+    return d
+
+
+def _jsonl_ingest(sf_dir: str):
+    """Native ray.data.read_json over synthesized JSONL shards; the SQL
+    oracle predicts every column from `documents` directly (round-trip
+    through real JSON bytes is what's being checked)."""
+    import ray.data
+
+    d = _jsonl_fixture(sf_dir)
+    ds = ray.data.read_json([f"{d}/shard-{i}.jsonl" for i in range(4)])
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": _pc.cast(t.column("doc_id"), pa.int64()),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars_json": _pc.cast(
+                    _pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _warc_ingest(sf_dir: str):
     """Parse the synthesized WARC segments back to the pages schema; the
     SQL oracle predicts every column from `documents` directly."""
@@ -1207,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_per_lang": _distinct_words_per_lang,
         "funnel_counts": _funnel_counts,
         "warc_ingest": _warc_ingest,
+        "jsonl_ingest": _jsonl_ingest,
         "redact_pii": _redact_pii,
         "normalize_text": _normalize_text,
         "rare_word_ratio": _rare_word_ratio,
@@ -1748,6 +1814,10 @@ def oracle_sql() -> dict[str, str]:
                    200::BIGINT AS status_code,
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
+            FROM documents
+        """,
+        "jsonl_ingest": """
+            SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_json
             FROM documents
         """,
         # PII scrub: same RE2 patterns (both engines run RE2), same 3-stage

@@ -123,7 +123,7 @@ def run_subqueries() -> dict[str, float]:
         "event_deltas", "source_cap", "bigram_counts", "source_lang_pivot",
         "degree_stats", "triangle_count", "distinct_words_per_lang",
         "funnel_counts", "countmin_words", "decontaminate_bloom",
-        "warc_ingest", "compression_signals", "redact_pii",
+        "warc_ingest", "jsonl_ingest", "compression_signals", "redact_pii",
         "normalize_text", "rare_word_ratio", "customers_without_orders",
         "docs_by_length", "quantile_sketch", "grouped_quantile_sketch",
         "revenue_by_region",
