@@ -678,6 +678,38 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _snapshot_diff(sf_dir: str):
+    """Recrawl reconciliation, fully SQL-checked: snapshot B is derived
+    from `documents` deterministically (doc_id%11 removed, doc_id%7 text-
+    modified, doc_id%13 spawns a new doc at doc_id+1000000) in BOTH
+    engines, so the diff classification compares exactly."""
+    from grawler_ray.functions.dedup import snapshot_diff
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        keep = ids % 11 != 0
+        out_ids = list(ids[keep])
+        out_txt = [
+            (tx or "") + " v2" if i % 7 == 0 else tx
+            for i, tx in zip(ids[keep], [texts[j] for j in np.flatnonzero(keep)])
+        ]
+        new = ids % 13 == 0
+        out_ids += list(ids[new] + 1_000_000)
+        out_txt += [f"new page {i}" for i in ids[new]]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    snap_b = docs.map_batches(derive_b, batch_format="pyarrow")
+    return snapshot_diff(docs, snap_b)
+
+
 def _dedup_keep_longest(sf_dir: str):
     """Keep-longest representative per near-dup component (the policy
     variant of dedup_clusters); SQL-checked via the same recursive-CTE
@@ -1256,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_longest": _dedup_keep_longest,
+        "snapshot_diff": _snapshot_diff,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1815,6 +1848,27 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # derived snapshot B mirrors _snapshot_diff.derive_b exactly; the
+        # FULL OUTER JOIN classification is the diff semantics
+        "snapshot_diff": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       'new page ' || doc_id AS text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            a AS (SELECT doc_id, text FROM documents)
+            SELECT coalesce(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         """,
         "jsonl_ingest": """
             SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_json

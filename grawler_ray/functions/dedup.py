@@ -1373,3 +1373,85 @@ def dedup_keep_longest(docs_ds, pairs_ds, length_col: str = "n_chars",
         .groupby("cg")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id", payload_col: str = "text",
+                  num_groups: int = 256):
+    """Recrawl/set reconciliation between two corpus snapshots: for every
+    key in either side, classify it as 'added' (B only), 'removed' (A
+    only), 'changed' (both, payload md5 differs) or 'unchanged'.  The op a
+    refresh crawl runs to decide what to re-process downstream.
+
+    Shape: each side maps to (key, md5(payload), side) — payloads never
+    move, 16-byte digests do — then ONE coarse key-hash shuffle (int64 or
+    string keys) classifies each group with vectorized run-scans.
+    Assumption: keys are unique within each snapshot (crawl outputs are;
+    feed read_documents(dedup='last') otherwise).
+    """
+    import hashlib as _hashlib
+
+    from .joins import _key_hash64
+
+    def tagger(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            hs = [
+                _hashlib.md5((x or "").encode()).hexdigest()
+                for x in t.column(payload_col).to_pylist()
+            ]
+            gk = ((_key_hash64(keys) * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(33)) % np.uint64(num_groups)
+            return pa.table(
+                {
+                    "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                    key_col: t.column(key_col),
+                    "h": pa.array(hs, pa.string()),
+                    "side": pa.array(np.full(t.num_rows, side, np.int8), pa.int8()),
+                }
+            )
+
+        return tag
+
+    key_type = pa.int64()
+    sch = ds_a.schema()
+    for n, typ in zip(sch.names, sch.types):
+        if n == key_col and isinstance(typ, pa.DataType):
+            key_type = typ
+    out_schema = pa.schema(
+        [pa.field(key_col, key_type), pa.field("change", pa.string())]
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select([key_col, "h", "side"]).to_pandas()
+        df = df.sort_values([key_col, "side"])
+        keys = df[key_col].to_numpy()
+        side = df["side"].to_numpy()
+        h = df["h"].to_numpy()
+        n = len(df)
+        is_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(is_start)
+        counts = np.diff(np.append(starts, n))
+        # run length 1: the side decides added/removed; run length 2:
+        # digest equality decides changed/unchanged (sides sort A first) —
+        # all run-scans, no per-key Python loop
+        only = counts == 1
+        nxt = np.minimum(starts + 1, n - 1)
+        same = h[starts] == h[nxt]
+        change = np.where(
+            only,
+            np.where(side[starts] == 1, "added", "removed"),
+            np.where(same, "unchanged", "changed"),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts]).cast(key_type),
+                "change": pa.array(change.tolist(), pa.string()),
+            }
+        )
+
+    both = ds_a.map_batches(tagger(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tagger(1), batch_format="pyarrow")
+    )
+    return both.groupby("gk").map_groups(classify, batch_format="pyarrow")

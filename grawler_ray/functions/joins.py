@@ -36,6 +36,18 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 US_PER_MINUTE = 60_000_000
 
 
+def _key_hash64(keys: np.ndarray) -> np.ndarray:
+    """uint64 key hashes for int64 OR string join keys (crc32 for strings
+    — process-stable, unlike Python's salted str hash)."""
+    import zlib
+
+    if keys.dtype == object or keys.dtype.kind in ("U", "S"):
+        return np.fromiter(
+            (zlib.crc32(str(x).encode()) for x in keys), np.uint64, len(keys)
+        )
+    return keys.astype(np.uint64)
+
+
 def _cents(col) -> np.ndarray:
     v = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else np.asarray(col)
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
@@ -249,7 +261,7 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
     vectorized ``np.isin``.  Left payload columns move through the shuffle
     exactly once; output is the left schema.
 
-    Assumption (documented per the brief): join keys are int64.
+    Assumption (documented per the brief): join keys are int64 or string.
     """
     sch = left_ds.schema()
 
@@ -268,7 +280,7 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
     assert on_left in cols, on_left
 
     def _gk(keys: np.ndarray) -> np.ndarray:
-        return (((keys.astype(np.uint64) * _GOLDEN) >> np.uint64(33))
+        return (((_key_hash64(keys) * _GOLDEN) >> np.uint64(33))
                 % np.uint64(num_groups)).astype(np.int32)
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -283,7 +295,7 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
         for name in cols:
             typ = left_schema.field(name).type
             if name == on_left:
-                arrays.append(pa.array(keys, pa.int64()).cast(typ))
+                arrays.append(pa.array(keys).cast(typ))
             else:
                 arrays.append(pa.nulls(len(keys), typ))
         out = pa.table(dict(zip(cols, arrays)))
@@ -319,7 +331,7 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     Python groups.  Output columns: left columns + right payload columns
     (the right key column is dropped; names must not collide).  Full
     inner-join semantics (duplicate keys on either side multiply).  Join
-    keys are int64.
+    keys are int64 or string (URL-keyed joins).
 
     Skew: a hot key's matches must fit one group.  Pass ``salt`` > 1 with
     the ``hot_keys`` (int64 iterable) to shard each hot key's LEFT rows
@@ -349,15 +361,17 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     all_types = {n: lsch.field(n).type for n in lcols}
     all_types.update({n: rsch.field(n).type for n in rpay})
 
-    hot_arr = (
-        np.asarray(sorted(set(map(int, hot_keys))), np.int64)
-        if (salt > 1 and hot_keys is not None)
-        else None
-    )
+    hot_arr = None
+    if salt > 1 and hot_keys is not None:
+        hk = sorted(set(hot_keys))
+        try:
+            hot_arr = np.asarray(hk, np.int64)
+        except (TypeError, ValueError):  # string keys
+            hot_arr = np.asarray([str(x) for x in hk], object)
     _SALT_C = np.uint64(0xC2B2AE3D27D4EB4F)
 
     def _gk(keys: np.ndarray, r: np.ndarray) -> np.ndarray:
-        mix = keys.astype(np.uint64) * _GOLDEN + r.astype(np.uint64) * _SALT_C
+        mix = _key_hash64(keys) * _GOLDEN + r.astype(np.uint64) * _SALT_C
         return ((mix >> np.uint64(33)) % np.uint64(num_groups)).astype(np.int32)
 
     def _pad(t: pa.Table, present: list, keys: np.ndarray,
@@ -365,7 +379,7 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         arrays = []
         for name in all_cols:
             if name == on_left:
-                arrays.append(pa.array(keys, pa.int64()).cast(all_types[name]))
+                arrays.append(pa.array(keys).cast(all_types[name]))
             elif name in present:
                 arrays.append(t.column(name))
             else:

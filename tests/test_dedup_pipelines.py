@@ -254,3 +254,31 @@ def test_dedup_keep_longest_policy(ray_session):
     assert keep[5] == keep[6] == 6
     for i in (3, 4, 7, 8, 9):
         assert keep[i] == i
+
+
+def test_snapshot_diff_classification(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.dedup import snapshot_diff
+
+    a = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(20)]
+    ).repartition(4)
+    b_rows = [
+        {"doc_id": i, "text": f"doc {i}" if i % 3 else f"doc {i} edited"}
+        for i in range(20)
+        if i % 5 != 0  # removed: multiples of 5
+    ] + [{"doc_id": 100, "text": "brand new"}]
+    b = ray.data.from_items(b_rows).repartition(4)
+    got = dict(
+        zip(*(lambda d: (d.doc_id, d.change))(snapshot_diff(a, b).to_pandas()))
+    )
+    for i in range(20):
+        if i % 5 == 0:
+            assert got[i] == "removed", i
+        elif i % 3 == 0:
+            assert got[i] == "changed", i
+        else:
+            assert got[i] == "unchanged", i
+    assert got[100] == "added"
+    assert len(got) == 21

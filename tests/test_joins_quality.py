@@ -675,3 +675,55 @@ class TestSaltedJoin:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(salted[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+
+
+class TestStringKeyJoins:
+    def test_repartition_join_on_url_keys(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import repartition_join
+
+        left = pd.DataFrame(
+            {
+                "url": [f"http://site{i % 5}.test/p{i}" for i in range(100)],
+                "lv": np.arange(100, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "u2": [f"http://site{i % 5}.test/p{i}" for i in range(0, 100, 3)],
+                "rv": np.arange(0, 100, 3).astype(np.int64),
+            }
+        )
+        got = (
+            repartition_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(4),
+                on_left="url",
+                on_right="u2",
+            )
+            .to_pandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right.rename(columns={"u2": "url"}), on="url")
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["url", "lv", "rv"]], want)
+
+    def test_anti_join_on_string_keys(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.joins import hash_anti_join
+
+        left = pd.DataFrame({"url": [f"u{i}" for i in range(30)]})
+        right = pd.DataFrame({"seen": [f"u{i}" for i in range(0, 30, 2)]})
+        got = hash_anti_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on_left="url",
+            on_right="seen",
+        ).to_pandas()
+        assert set(got.url) == {f"u{i}" for i in range(1, 30, 2)}
