@@ -963,6 +963,20 @@ def _crawl_documents_upsert(sf_dir: str):
     return read_documents([out, out], dedup="last")
 
 
+def _crawl_compacted(sf_dir: str):
+    """Offline compaction of a run sequence to one bucketed parquet table
+    (rows-only: equality with the last-wins read is pinned by
+    tests/test_last_wins.py::test_compact_runs_roundtrip)."""
+    import ray.data
+
+    from grawler_ray.pipelines.crawl import compact_runs
+
+    out = _ensure_crawl()
+    dest = f"{out}_compacted"
+    compact_runs([out, out], dest, num_buckets=8)
+    return ray.data.read_parquet(dest)
+
+
 def _crawl_words(sf_dir: str):
     from grawler_ray.pipelines.crawl import read_words
 
@@ -1336,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trace": _crawl_trace,
         "crawl_host_graph": _crawl_host_graph,
         "crawl_host_components": _crawl_host_components,
+        "crawl_compacted": _crawl_compacted,
     }
 
 

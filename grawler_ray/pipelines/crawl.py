@@ -1674,3 +1674,31 @@ def host_components(out_dir: str) -> "ray.data.Dataset":
     return repartition_join(
         comp, nodes, on_left="doc_id", on_right="doc_id"
     ).select_columns(["host", "component"])
+
+
+def compact_runs(out_dirs: list[str] | str, dest: str, num_buckets: int = 64) -> dict:
+    """Offline compaction: materialize the last-wins view of a crawl-run
+    sequence into ONE url-hash-bucketed parquet dataset — the maintenance
+    pass that keeps read amplification bounded after many incremental
+    recrawls (N runs' round files collapse to one partitioned table; the
+    bucket layout is the same one the fetch point-join and ANN indexes
+    use, so compacted output is directly joinable).
+
+    Bucket partitioning (``bucket=K/`` directories) keeps the write
+    streaming AND resumable-by-partition; readers prune to buckets.
+    Returns {dest, rows, buckets}.  Read back with
+    ``ray.data.read_parquet(dest)``.
+    """
+    from ..urlops import xxhash64
+
+    docs = read_documents(out_dirs, dedup="last")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = [xxhash64(u) % num_buckets for u in t.column("url").to_pylist()]
+        return t.append_column("bucket", pa.array(b, pa.int32()))
+
+    shutil.rmtree(dest, ignore_errors=True)
+    ds = docs.map_batches(add_bucket, batch_format="pyarrow")
+    ds.write_parquet(dest, partition_cols=["bucket"])
+    written = ray.data.read_parquet(dest)
+    return {"dest": dest, "rows": written.count(), "buckets": num_buckets}

@@ -81,3 +81,34 @@ def test_unknown_dedup_rejected(runs):
 
     with pytest.raises(ValueError):
         read_documents(runs[0], dedup="first")
+
+
+def test_compact_runs_roundtrip(ray_session, runs):
+    """Compacted output must equal the last-wins read of the run sequence,
+    and be bucket-partitioned on disk."""
+    import glob
+
+    import ray.data
+
+    from grawler_ray.pipelines.crawl import compact_runs, read_documents
+
+    run_a, run_b = runs
+    dest = "/tmp/gr_compact_dest"
+    info = compact_runs([run_a, run_b], dest, num_buckets=8)
+    assert info["rows"] > 0
+    assert len(glob.glob(f"{dest}/bucket=*")) >= 1
+    got = (
+        ray.data.read_parquet(dest)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        read_documents([run_a, run_b], dedup="last")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in want.columns:
+        assert (got[col].values == want[col].values).all(), col
