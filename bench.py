@@ -142,6 +142,29 @@ def run_subqueries() -> dict[str, float]:
     return out
 
 
+def host_calibration() -> dict:
+    """Fixed single-process probes so a reading of absolute timings can be
+    normalized for shared-host contention (this VM's documented ±20-40%+
+    variance): a cache-resident matmul (compute) and a 400 MB array sum
+    (memory bandwidth — the resource co-tenants actually contend on).
+    Absolute values are hardware-specific; compare the SAME probe across
+    rounds/runs — larger = more contended host for that run."""
+    import numpy as _np
+
+    a = _np.random.default_rng(0).standard_normal((1024, 1024))
+    t0 = time.monotonic()
+    for _ in range(5):
+        a = a @ a * 1e-3
+    matmul = time.monotonic() - t0
+    big = _np.ones(50_000_000)  # 400 MB
+    t0 = time.monotonic()
+    s = 0.0
+    for _ in range(3):
+        s += float(big.sum())
+    membw = time.monotonic() - t0
+    return {"matmul_sec": round(matmul, 3), "membw_sec": round(membw, 3)}
+
+
 def single_run() -> dict:
     import ray
 
@@ -171,6 +194,7 @@ def single_run() -> dict:
         "crawl_rounds": crawl["rounds"],
         "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
         "bench_corpus": f"{N_HOSTS}x{PAGES}",
+        "host_calib": host_calibration(),
     }
 
 
