@@ -678,6 +678,12 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _pack_manifest(sf_dir: str):
+    from grawler_ray.functions.textstats import pack_manifest
+
+    return pack_manifest(_read(sf_dir, "documents"), seq_len=256, num_shards=64)
+
+
 def _snapshot_diff(sf_dir: str):
     """Recrawl reconciliation, fully SQL-checked: snapshot B is derived
     from `documents` deterministically (doc_id%11 removed, doc_id%7 text-
@@ -1303,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_longest": _dedup_keep_longest,
         "snapshot_diff": _snapshot_diff,
+        "pack_manifest": _pack_manifest,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1863,6 +1870,30 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # GPT-style sequence packing manifest: shard = the sampling.py
+        # Knuth rule (UBIGINT cast per ADVICE r2), concatenation offsets
+        # via window cumsum, per-doc sequence spans via range() unnest —
+        # all-integer, so the overlap arithmetic compares exactly
+        "pack_manifest": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\b\w+\b'))::BIGINT AS n,
+                       (((doc_id::UBIGINT * 2654435761) % 4294967296)
+                        % 64)::BIGINT AS shard
+                FROM documents),
+            pos AS (
+                SELECT shard, doc_id, n,
+                       coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)::BIGINT
+                         AS strt
+                FROM tok WHERE n > 0)
+            SELECT shard, doc_id, s.seq_id::BIGINT AS seq_id,
+                   (least(strt + n, (s.seq_id + 1) * 256)
+                    - greatest(strt, s.seq_id * 256))::BIGINT AS n_tok
+            FROM pos, unnest(range(strt // 256, (strt + n - 1) // 256 + 1))
+                        AS s(seq_id)
         """,
         # derived snapshot B mirrors _snapshot_diff.derive_b exactly; the
         # FULL OUTER JOIN classification is the diff semantics

@@ -717,3 +717,88 @@ def rare_word_ratio(docs_ds, max_df: int = 2, num_groups: int = 256):
         .groupby("dg")
         .map_groups(doc_sums, batch_format="pyarrow")
     )
+
+
+def pack_manifest(docs_ds, seq_len: int = 256, num_shards: int = 64):
+    """Sequence-packing manifest for LLM training: concatenate each
+    shard's documents (doc_id order) into fixed-``seq_len`` token
+    sequences and emit one row per (doc, sequence) overlap —
+    (shard, doc_id, seq_id, n_tok).  The manifest IS the packing layout:
+    a writer materializes sequence k of a shard by concatenating its rows
+    in doc_id order (docs split across a boundary continue in the next
+    sequence — GPT-style packing, no padding between docs).
+
+    Deterministic at ANY parallelism: the shard assignment is the Knuth
+    multiplicative hash ``((doc_id * 2654435761) % 2^32) % num_shards``
+    (sampling.py's SQL-mirrorable rule, NOT Ray block boundaries), and
+    packing order within a shard is doc_id order.  Zero-token docs emit
+    no row (mirrors the SQL inner token CTE).
+
+    Shape: one stateless map (token counts), ONE shard groupby
+    (num_shards vectorized groups); in-group work is a cumsum + np.repeat
+    explode over per-doc sequence spans.  All-integer output — the DuckDB
+    oracle (window cumsum + range() unnest) hash-compares exactly.
+    """
+    KNUTH = np.uint64(2654435761)
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        n = np.array(
+            [len(_WORD_RE.findall((x or ""))) for x in t.column("text").to_pylist()],
+            np.int64,
+        )
+        shard = ((ids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)) % np.uint64(
+            num_shards
+        )
+        keep = n > 0
+        return pa.table(
+            {
+                "shard": pa.array(shard[keep].astype(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("shard", pa.int64()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("seq_id", pa.int64()),
+            pa.field("n_tok", pa.int64()),
+        ]
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["shard", "doc_id", "n"]).to_pandas().sort_values("doc_id")
+        shard = int(df["shard"].iloc[0])
+        n = df["n"].to_numpy()
+        end = np.cumsum(n)
+        start = end - n
+        first_seq = start // seq_len
+        last_seq = (end - 1) // seq_len
+        spans = (last_seq - first_seq + 1).astype(np.int64)
+        doc_rep = np.repeat(df["doc_id"].to_numpy(), spans)
+        # seq index within each doc's span: global position - span start
+        pos = np.arange(spans.sum()) - np.repeat(
+            np.cumsum(np.concatenate(([0], spans[:-1]))), spans
+        )
+        seq = np.repeat(first_seq, spans) + pos
+        s_rep = np.repeat(start, spans)
+        e_rep = np.repeat(end, spans)
+        n_tok = np.minimum(e_rep, (seq + 1) * seq_len) - np.maximum(s_rep, seq * seq_len)
+        return pa.table(
+            {
+                "shard": pa.array(np.full(len(seq), shard, np.int64), pa.int64()),
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "seq_id": pa.array(seq.astype(np.int64), pa.int64()),
+                "n_tok": pa.array(n_tok.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pyarrow")
+    )

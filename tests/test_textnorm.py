@@ -104,3 +104,63 @@ def test_rare_word_ratio_matches_serial(ray_session):
         ),
         want.astype(np.int64),
     )
+
+
+def test_pack_manifest_serial_equality(ray_session):
+    """Greedy concatenation packing: per-shard serial replay must produce
+    identical (shard, doc_id, seq_id, n_tok) rows, and each full sequence
+    must account for exactly seq_len tokens."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import pack_manifest
+    from grawler_ray.textops import words_freq
+
+    rng = np.random.default_rng(53)
+    texts = ["word " * int(rng.integers(0, 40)) for _ in range(300)]
+    ds = ray.data.from_items(
+        [{"doc_id": i * 17, "text": t} for i, t in enumerate(texts)]
+    ).repartition(8)
+    L, S = 16, 8
+    got = (
+        pack_manifest(ds, seq_len=L, num_shards=S)
+        .to_pandas()
+        .sort_values(["shard", "doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+
+    KNUTH = 2654435761
+    rows = []
+    per_shard = {}
+    for i, t in enumerate(texts):
+        doc_id = i * 17
+        n = sum(words_freq(t).values())
+        if n == 0:
+            continue
+        shard = ((doc_id * KNUTH) % (1 << 32)) % S
+        per_shard.setdefault(shard, []).append((doc_id, n))
+    for shard, docs in per_shard.items():
+        pos = 0
+        for doc_id, n in sorted(docs):
+            start, end = pos, pos + n
+            for seq in range(start // L, (end - 1) // L + 1):
+                rows.append(
+                    {
+                        "shard": shard,
+                        "doc_id": doc_id,
+                        "seq_id": seq,
+                        "n_tok": min(end, (seq + 1) * L) - max(start, seq * L),
+                    }
+                )
+            pos = end
+    want = (
+        pd.DataFrame(rows)
+        .sort_values(["shard", "doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    # every non-final sequence of each shard accounts for exactly L tokens
+    sums = got.groupby(["shard", "seq_id"]).n_tok.sum()
+    last = got.groupby("shard").seq_id.max()
+    for (shard, seq), s in sums.items():
+        if seq < last[shard]:
+            assert s == L, (shard, seq, s)
