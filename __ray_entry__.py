@@ -678,6 +678,12 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _label_centroids(sf_dir: str):
+    from grawler_ray.functions.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings"))
+
+
 def _pack_manifest(sf_dir: str):
     from grawler_ray.functions.textstats import pack_manifest
 
@@ -1310,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": _dedup_keep_longest,
         "snapshot_diff": _snapshot_diff,
         "pack_manifest": _pack_manifest,
+        "label_centroids": _label_centroids,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1870,6 +1877,19 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # zipped unnest (value + index) of the float32 vector; both engines
+        # promote float32 -> double exactly before the floor, and integer
+        # sums are order-independent
+        "label_centroids": """
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   sum(CAST(floor(x * 1000000) AS BIGINT))::BIGINT AS sum_scaled,
+                   count(*)::BIGINT AS n
+            FROM (SELECT label,
+                         unnest(CAST(embedding AS DOUBLE[])) AS x,
+                         unnest(range(len(embedding))) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
         # GPT-style sequence packing manifest: shard = the sampling.py
         # Knuth rule (UBIGINT cast per ADVICE r2), concatenation offsets

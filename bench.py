@@ -110,7 +110,7 @@ def run_subqueries() -> dict[str, float]:
         "word_freq", "doc_stats", "exact_dedup", "top_words", "q1_agg",
         "orders_by_nation", "lineitem_join_orders", "politeness_slots",
         "ann_topk", "ann_lsh_topk", "ann_indexed_topk", "ann_ivf_topk",
-        "ann_pq_topk",
+        "ann_pq_topk", "label_centroids",
         "minhash_pairs", "minhash_incremental", "simhash",
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
         "dedup_clusters", "dedup_keep_longest", "snapshot_diff", "token_count",

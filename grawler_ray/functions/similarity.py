@@ -868,3 +868,44 @@ def ann_pq_topk(embeddings_ds, query_ids: list[int], k: int = 10,
     return _reduce_partials(
         embeddings_ds.map_batches(partial_topk, batch_format="pyarrow"), k
     )
+
+
+def label_centroids(embeddings_ds, scale: int = 1_000_000):
+    """Per-label embedding centroid statistics: for every (label, dim),
+    the integer-scaled coordinate sum ``sum(floor(x * scale))`` and member
+    count — the caller divides for the centroid.  Integer sums are
+    order-independent, so the DuckDB oracle (zipped unnest of the vector
+    with its index) hash-compares exactly — the float mean never would.
+
+    The k-means-style aggregation primitive (cluster centroids, per-class
+    mean vectors for probing classifiers).  Shape: per-batch partial sums
+    via one np.add.at per batch (rows out = labels-in-batch x dim, never
+    one per element), then ONE (label, dim) hash aggregate whose key
+    cardinality is labels x dim — independent of corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = _to_matrix(t.column("embedding"))
+        S = np.floor(V * float(scale)).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = V.shape[1]
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, S)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq.astype(np.int64), d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()),
+                "psum": pa.array(sums.reshape(-1), pa.int64()),
+                "pn": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    return (
+        embeddings_ds.select_columns(["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("psum", alias_name="sum_scaled"), Sum("pn", alias_name="n"))
+    )
