@@ -975,6 +975,15 @@ def _crawl_documents_upsert(sf_dir: str):
     return read_documents([out, out], dedup="last")
 
 
+def _crawl_host_rank(sf_dir: str):
+    """Pinned fixed-point PageRank over the crawl's host link graph
+    (rows-only: serial-recurrence equality is pinned by
+    tests/test_crawl_e2e.py::test_host_rank_matches_serial_recurrence)."""
+    from grawler_ray.pipelines.crawl import host_rank
+
+    return host_rank(_ensure_crawl())
+
+
 def _crawl_compacted(sf_dir: str):
     """Offline compaction of a run sequence to one bucketed parquet table
     (rows-only: equality with the last-wins read is pinned by
@@ -1365,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_graph": _crawl_host_graph,
         "crawl_host_components": _crawl_host_components,
         "crawl_compacted": _crawl_compacted,
+        "crawl_host_rank": _crawl_host_rank,
     }
 
 

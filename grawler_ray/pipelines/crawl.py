@@ -1619,18 +1619,13 @@ def host_graph(out_dir: str) -> "ray.data.Dataset":
     )
 
 
-def host_components(out_dir: str) -> "ray.data.Dataset":
-    """Weakly-connected components of the host link graph — "which host
-    clusters does the crawl actually interlink" (mirror detection, seed-set
-    auditing).  Composes existing operators: host_graph edges -> stable
-    int64 host ids (xxhash64 >> 1; a collision needs ~2^31.5 hosts, noted)
-    -> functions.dedup.dedup_components label propagation -> one
-    repartition_join to put the host strings back.  Output (host,
-    component) with component = the min host-id of the cluster."""
+def _host_nodes_pairs(out_dir: str):
+    """Shared host-graph prep for the graph analytics: distinct hosts with
+    stable int64 ids (xxhash64 >> 1; a collision needs ~2^31.5 hosts) and
+    the hashed (a, b) edge pairs.  Both datasets are materialized — each
+    is consumed by more than one downstream stage."""
     from ray.data.aggregate import Count
 
-    from ..functions.dedup import dedup_components
-    from ..functions.joins import repartition_join
     from ..urlops import xxhash64
 
     hg = host_graph(out_dir).materialize()  # consumed by nodes AND pairs
@@ -1669,11 +1664,55 @@ def host_components(out_dir: str) -> "ray.data.Dataset":
         )
 
     nodes = nodes.map_batches(with_id, batch_format="pyarrow").materialize()
-    pairs = hg.map_batches(edge_rows, batch_format="pyarrow")
+    pairs = hg.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    return nodes, pairs
+
+
+def host_components(out_dir: str) -> "ray.data.Dataset":
+    """Weakly-connected components of the host link graph — "which host
+    clusters does the crawl actually interlink" (mirror detection, seed-set
+    auditing).  Composes existing operators: _host_nodes_pairs ->
+    functions.dedup.dedup_components label propagation -> one
+    repartition_join to put the host strings back.  Output (host,
+    component) with component = the min host-id of the cluster."""
+    from ..functions.dedup import dedup_components
+    from ..functions.joins import repartition_join
+
+    nodes, pairs = _host_nodes_pairs(out_dir)
     comp = dedup_components(nodes.select_columns(["doc_id"]), pairs)
     return repartition_join(
         comp, nodes, on_left="doc_id", on_right="doc_id"
     ).select_columns(["host", "component"])
+
+
+def host_rank(out_dir: str, iters: int = 5) -> "ray.data.Dataset":
+    """Host reputation: the pinned fixed-point PageRank recurrence
+    (functions.graph.pagerank — symmetrized edges, integer ranks) over the
+    crawl's host link graph, host strings joined back on.  Output (host,
+    rank) with rank the int64 fixed-point score."""
+    from ..functions.graph import pagerank
+    from ..functions.joins import repartition_join
+
+    # explicit arrow renames: Ray 2.49 Dataset.rename_columns delegates to
+    # DataFrame.rename_columns on pandas blocks, which doesn't exist
+    def _rn(old: str, new: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([new if c == old else c for c in t.column_names])
+
+        return fn
+
+    nodes, pairs = _host_nodes_pairs(out_dir)
+    ranks = pagerank(
+        nodes.select_columns(["doc_id"]).map_batches(
+            _rn("doc_id", "v"), batch_format="pyarrow"
+        ),
+        pairs,
+        iters=iters,
+    )
+    return repartition_join(
+        ranks.map_batches(_rn("v", "doc_id"), batch_format="pyarrow"), nodes,
+        on_left="doc_id", on_right="doc_id",
+    ).select_columns(["host", "rank"])
 
 
 def compact_runs(out_dirs: list[str] | str, dest: str, num_buckets: int = 64) -> dict:

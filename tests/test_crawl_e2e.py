@@ -243,3 +243,44 @@ def test_host_components_matches_serial_union_find(
             want[m] = label
     assert len(got) == len(want) > 0
     assert dict(zip(got.host, got.component)) == want
+
+
+def test_host_rank_matches_serial_recurrence(
+    ray_session, cfg, pipeline_out, oracle_result
+):
+    """host_rank must equal a serial replay of the pinned integer PageRank
+    recurrence (graph.pagerank semantics: symmetrized distinct edges,
+    floor-division rank flow) over the oracle trace's host graph."""
+    from grawler_ray.pipelines.crawl import host_rank
+    from grawler_ray.urlops import extract_url_components, xxhash64
+
+    got = host_rank(OUT, iters=5).to_pandas()
+    got_map = dict(zip(got.host, got["rank"]))
+
+    edges = set()
+    hosts = set()
+    for t in oracle_result.trace:
+        if not t["parent_url"]:
+            continue
+        s = extract_url_components(t["parent_url"])[1]
+        d = extract_url_components(t["url"])[1]
+        hosts |= {s, d}
+        edges.add((s, d))
+    hid = {h: xxhash64(h) >> 1 for h in hosts}
+    sym = [(hid[a], hid[b]) for a, b in edges] + [(hid[b], hid[a]) for a, b in edges]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(hosts)
+    scale, d_pct = 10**9, 85
+    base = scale // n
+    tele = ((100 - d_pct) * base) // 100
+    r = {hid[h]: base for h in hosts}
+    for _ in range(5):
+        inflow = {v: 0 for v in r}
+        for s, t_ in sym:
+            inflow[t_] += r[s] // deg[s]
+        r = {v: tele + (d_pct * inflow[v]) // 100 for v in r}
+    want = {h: r[hid[h]] for h in hosts}
+    assert len(got_map) == len(want) > 0
+    assert got_map == want
