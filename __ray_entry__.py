@@ -678,6 +678,12 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _user_retention(sf_dir: str):
+    from grawler_ray.functions.events import user_retention
+
+    return user_retention(_read(sf_dir, "events"))
+
+
 def _label_centroids(sf_dir: str):
     from grawler_ray.functions.similarity import label_centroids
 
@@ -1326,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _snapshot_diff,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
+        "user_retention": _user_retention,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1887,6 +1894,20 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # epoch-hour floor division both sides; count(*) over the distinct
+        # (user, hour) CTE = distinct active users
+        "user_retention": """
+            WITH uh AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 3600000000 AS hour
+                        FROM events),
+            f AS (SELECT user_id, min(hour) AS cohort_hour
+                  FROM uh GROUP BY user_id)
+            SELECT f.cohort_hour::BIGINT AS cohort_hour,
+                   (uh.hour - f.cohort_hour)::BIGINT AS offset_hours,
+                   count(*)::BIGINT AS n_users
+            FROM uh JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # zipped unnest (value + index) of the float32 vector; both engines
         # promote float32 -> double exactly before the floor, and integer

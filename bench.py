@@ -115,7 +115,7 @@ def run_subqueries() -> dict[str, float]:
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs",
         "dedup_clusters", "dedup_keep_longest", "snapshot_diff", "token_count",
         "top_words_per_lang",
-        "sessionize", "rolling_sum", "events_hourly",
+        "sessionize", "rolling_sum", "events_hourly", "user_retention",
         "tfidf_topk", "line_dedup", "decontaminate", "inverted_index", "pack_manifest",
         "quality_filter", "asof_join", "range_join_count",
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",

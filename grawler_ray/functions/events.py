@@ -302,3 +302,52 @@ def json_prop(events_ds, key: str = "k"):
         )
 
     return events_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def user_retention(events_ds, num_groups: int = 256):
+    """Cohort retention: users are cohorted by the hour of their FIRST
+    event; for every (cohort_hour, offset_hours) the count of cohort users
+    active in that later hour (offset 0 = the cohort size).  The classic
+    growth-analytics matrix, all-integer (epoch-hour floor division) so
+    the DuckDB oracle compares exactly.
+
+    Shape: ONE coarse user-hash shuffle (every event of a user lands in
+    one group); inside, a (user, hour) drop-duplicates + user-run scan
+    computes each user's cohort and offsets and pre-aggregates partial
+    (cohort, offset) counts, then one tiny (cohort, offset) groupby-sum
+    merges groups — shuffle volume after the first exchange is bounded by
+    cohorts x offsets per group, not users.
+    """
+    from ray.data.aggregate import Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        hours = np.floor_divide(ts, US_PER_HOUR)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "hour": hours})
+        d = d.drop_duplicates().sort_values(["user_id", "hour"])
+        users = d["user_id"].to_numpy()
+        h = d["hour"].to_numpy()
+        n = len(d)
+        if n == 0:
+            return pd.DataFrame(
+                {"cohort_hour": [], "offset_hours": [], "pn": []}
+            ).astype(np.int64)
+        is_start = np.concatenate(([True], users[1:] != users[:-1]))
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0))
+        cohort = h[start_idx]  # first (min) hour of the user's sorted run
+        offset = h - cohort
+        out = (
+            pd.DataFrame({"cohort_hour": cohort, "offset_hours": offset})
+            .groupby(["cohort_hour", "offset_hours"], sort=False)
+            .size()
+            .reset_index(name="pn")
+        )
+        return out.astype(np.int64)
+
+    partials = _coarse_user_groupby(events_ds, fn, num_groups)
+    return (
+        partials.groupby(["cohort_hour", "offset_hours"])
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
