@@ -678,6 +678,12 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _dup_ratio_by_source(sf_dir: str):
+    from grawler_ray.functions.dedup import dup_ratio_by_source
+
+    return dup_ratio_by_source(_read(sf_dir, "documents"))
+
+
 def _user_retention(sf_dir: str):
     from grawler_ray.functions.events import user_retention
 
@@ -1333,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
+        "dup_ratio_by_source": _dup_ratio_by_source,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1894,6 +1901,14 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        "dup_ratio_by_source": """
+            WITH d AS (SELECT source, md5(text) AS h FROM documents),
+            m AS (SELECT h, count(*) AS c FROM d GROUP BY h)
+            SELECT d.source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN m.c > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dup_docs
+            FROM d JOIN m USING (h) GROUP BY d.source
         """,
         # epoch-hour floor division both sides; count(*) over the distinct
         # (user, hour) CTE = distinct active users

@@ -1455,3 +1455,79 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id", payload_col: str = "text"
         ds_b.map_batches(tagger(1), batch_format="pyarrow")
     )
     return both.groupby("gk").map_groups(classify, batch_format="pyarrow")
+
+
+def dup_ratio_by_source(docs_ds, num_groups: int = 256):
+    """Per-source duplication report: for every ``source``, the doc count
+    and how many of its docs are exact duplicates (md5 appearing more than
+    once CORPUS-wide) — the triage view that tells a pipeline operator
+    which feeds are redundant before spending near-dup compute.
+
+    Shape: stateless md5 map -> ONE coarse digest-hash shuffle where each
+    md5's run length is its global multiplicity (run-scan, no per-hash
+    groups) -> per-source integer sums (sources are low-cardinality; the
+    final aggregate is tiny).  All-integer output (source, n_docs,
+    n_dup_docs)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import hashlib as _hashlib
+
+        hs = [
+            _hashlib.md5((x or "").encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        g = np.array([zlib.crc32(h.encode()) for h in hs], np.uint64)
+        gk = ((g * golden) >> np.uint64(33)) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                "h": pa.array(hs, pa.string()),
+                "source": t.column("source"),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("source", pa.string()),
+            pa.field("pn", pa.int64()),
+            pa.field("pdup", pa.int64()),
+        ]
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["h", "source"]).to_pandas().sort_values("h")
+        h = df["h"].to_numpy()
+        n = len(df)
+        is_start = np.concatenate(([True], h[1:] != h[:-1]))
+        run_id = np.cumsum(is_start) - 1
+        run_len = np.bincount(run_id)
+        dup = (run_len[run_id] > 1).astype(np.int64)
+        out = (
+            pd.DataFrame({"source": df["source"].to_numpy(), "dup": dup})
+            .groupby("source", sort=False)
+            .agg(pn=("dup", "size"), pdup=("dup", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"].tolist(), pa.string()),
+                "pn": pa.array(out["pn"].to_numpy(np.int64), pa.int64()),
+                "pdup": pa.array(out["pdup"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["text", "source"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pn", alias_name="n_docs"), Sum("pdup", alias_name="n_dup_docs"))
+    )
