@@ -678,6 +678,12 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _ngram_containment_pairs(sf_dir: str):
+    from grawler_ray.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_read(sf_dir, "documents"), threshold=0.8)
+
+
 def _dup_ratio_by_source(sf_dir: str):
     from grawler_ray.functions.dedup import dup_ratio_by_source
 
@@ -1340,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
         "dup_ratio_by_source": _dup_ratio_by_source,
+        "ngram_containment_pairs": _ngram_containment_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -1901,6 +1908,26 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # same shingle CTE as dedup_clusters; containment = inter/min sizes,
+        # NULLIF excludes one-empty pairs exactly like the engine
+        "ngram_containment_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            )
+            SELECT s1.doc_id AS a, s2.doc_id AS b
+            FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+            WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                       ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                            NULLIF(least(len(s1.s), len(s2.s)), 0)
+                  END >= 0.8
         """,
         "dup_ratio_by_source": """
             WITH d AS (SELECT source, md5(text) AS h FROM documents),

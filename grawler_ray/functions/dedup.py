@@ -460,7 +460,8 @@ def minhash_dedup(
     )
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3, num_blocks: int = 4):
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3, num_blocks: int = 4,
+                        metric: str = "jaccard"):
     """Word-k-gram Jaccard near-dup pairs — EXACT all-pairs, distributed as a
     block-replicated theta-join (same shape as
     `similarity.embedding_dup_pairs`): shingle sets are computed once per
@@ -532,8 +533,11 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3, num_blocks:
                 ai, bi = keys // n, keys % n
                 keep = _valid(ai, bi)
                 ai, bi, inter = ai[keep], bi[keep], inter[keep]
-                u = sizes[ai] + sizes[bi] - inter
-                jac_keep = inter.astype(np.float64) / np.maximum(u, 1) >= threshold
+                if metric == "jaccard":
+                    denom = sizes[ai] + sizes[bi] - inter
+                else:  # "containment": inter / min(|A|, |B|) — quote/subset
+                    denom = np.minimum(sizes[ai], sizes[bi])
+                jac_keep = inter.astype(np.float64) / np.maximum(denom, 1) >= threshold
                 ai, bi = ai[jac_keep], bi[jac_keep]
             else:
                 ai = bi = np.array([], dtype=np.int64)
@@ -558,6 +562,20 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 3, num_blocks:
         .map_batches(explode, batch_format="pyarrow")
         .groupby("g")
         .map_groups(pair_group, batch_format="pandas")
+    )
+
+
+def ngram_containment_pairs(docs_ds, threshold: float = 0.8, k: int = 3,
+                            num_blocks: int = 4):
+    """Asymmetric near-containment pairs: inter / min(|A|, |B|) >=
+    threshold — catches quotes/subsets that Jaccard misses (a short doc
+    fully contained in a long one has low Jaccard but containment 1.0).
+    Same exact block-replicated theta-join machinery as
+    ngram_jaccard_pairs; both-empty docs pair at 1.0, one-empty pairs
+    never qualify (mirrors the SQL NULLIF oracle)."""
+    return ngram_jaccard_pairs(
+        docs_ds, threshold=threshold, k=k, num_blocks=num_blocks,
+        metric="containment",
     )
 
 

@@ -282,3 +282,34 @@ def test_snapshot_diff_classification(ray_session):
             assert got[i] == "unchanged", i
     assert got[100] == "added"
     assert len(got) == 21
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    """A short doc fully contained in a long one: containment 1.0, Jaccard
+    far below 0.5 — the containment operator must report it, the Jaccard
+    operator must not."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": long_doc},
+            {"doc_id": 2, "text": quote},
+            {"doc_id": 3, "text": "completely unrelated content here"},
+        ]
+    )
+    def pairs_of(out):
+        df = out.to_pandas()
+        return set() if df.empty else set(map(tuple, df[["a", "b"]].values))
+
+    cont = pairs_of(ngram_containment_pairs(ds, threshold=0.9))
+    jac = pairs_of(ngram_jaccard_pairs(ds, threshold=0.5))
+    assert (1, 2) in cont
+    assert (1, 2) not in jac
+    assert (1, 3) not in cont and (2, 3) not in cont
