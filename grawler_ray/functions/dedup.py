@@ -1430,11 +1430,20 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id", payload_col: str = "text"
 
         return tag
 
+    # pandas-block datasets report numpy dtypes here, not pa.DataType —
+    # normalize like joins._to_pa so string keys don't silently fall back
+    # to int64 and blow up the final cast (ADVICE r3)
+    def _to_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        t = np.dtype(t)
+        return pa.string() if t == np.dtype("O") else pa.from_numpy_dtype(t)
+
     key_type = pa.int64()
     sch = ds_a.schema()
     for n, typ in zip(sch.names, sch.types):
-        if n == key_col and isinstance(typ, pa.DataType):
-            key_type = typ
+        if n == key_col:
+            key_type = _to_pa(typ)
     out_schema = pa.schema(
         [pa.field(key_col, key_type), pa.field("change", pa.string())]
     )
@@ -1529,13 +1538,16 @@ def dup_ratio_by_source(docs_ds, num_groups: int = 256):
         dup = (run_len[run_id] > 1).astype(np.int64)
         out = (
             pd.DataFrame({"source": df["source"].to_numpy(), "dup": dup})
-            .groupby("source", sort=False)
+            # dropna=False: SQL GROUP BY keeps a NULL group; pandas would
+            # silently drop null-source rows and diverge (ADVICE r3)
+            .groupby("source", sort=False, dropna=False)
             .agg(pn=("dup", "size"), pdup=("dup", "sum"))
             .reset_index()
         )
+        src = [None if pd.isna(x) else x for x in out["source"].tolist()]
         return pa.table(
             {
-                "source": pa.array(out["source"].tolist(), pa.string()),
+                "source": pa.array(src, pa.string()),
                 "pn": pa.array(out["pn"].to_numpy(np.int64), pa.int64()),
                 "pdup": pa.array(out["pdup"].to_numpy(np.int64), pa.int64()),
             }

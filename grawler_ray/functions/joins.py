@@ -38,7 +38,13 @@ US_PER_MINUTE = 60_000_000
 
 def _key_hash64(keys: np.ndarray) -> np.ndarray:
     """uint64 key hashes for int64 OR string join keys (crc32 for strings
-    — process-stable, unlike Python's salted str hash)."""
+    — process-stable, unlike Python's salted str hash).
+
+    crc32 maps strings into a 32-bit space: fine as a PARTITIONING hash
+    (collisions just co-locate two keys in one coarse group, where the
+    in-group match still compares real key values) — it must never be
+    used as a key IDENTITY, and nothing here does.
+    """
     import zlib
 
     if keys.dtype == object or keys.dtype.kind in ("U", "S"):
@@ -104,11 +110,31 @@ def asof_join(
             }
         )
 
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts_us", "side", "event_id"])
-        n = len(df)
-        users = df["user_id"].to_numpy()
-        side = df["side"].to_numpy()
+    out_schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("user_id", pa.int64()),
+            pa.field("matched_event_id", pa.int64()),
+            pa.field("matched_cents", pa.int64()),
+        ]
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        # pyarrow in/out: empty partitions of the sparse ug key space emit
+        # ARROW blocks, and the nullable match columns are Arrow
+        # int64-with-nulls (NOT pandas Int64 — pandas-native nullable blocks
+        # reach the driver as `<NA>` where the oracle has NaN and fail its
+        # value hash even when every value matches)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, side, ts, users))
+        eid, users, side, cents = eid[order], users[order], side[order], cents[order]
+        n = len(eid)
         is_start = np.concatenate(([True], np.diff(users) != 0))
         start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0))
         # forward-fill the index of the latest right row seen so far; a fill
@@ -119,25 +145,21 @@ def asof_join(
         left = side == 1
         m_idx = last_right[left]
         m_ok = valid[left]
-        rid = df["event_id"].to_numpy()
-        rcents = df["cents"].to_numpy()
-        matched_id = np.where(m_ok, rid[np.maximum(m_idx, 0)], 0)
-        matched_cents = np.where(m_ok, rcents[np.maximum(m_idx, 0)], 0)
-        out = pd.DataFrame(
+        matched_id = np.where(m_ok, eid[np.maximum(m_idx, 0)], 0)
+        matched_cents = np.where(m_ok, cents[np.maximum(m_idx, 0)], 0)
+        return pa.table(
             {
-                "event_id": rid[left],
-                "user_id": users[left],
-                "matched_event_id": pd.array(matched_id, dtype="Int64"),
-                "matched_cents": pd.array(matched_cents, dtype="Int64"),
+                "event_id": pa.array(eid[left], pa.int64()),
+                "user_id": pa.array(users[left], pa.int64()),
+                "matched_event_id": pa.array(matched_id, pa.int64(), mask=~m_ok),
+                "matched_cents": pa.array(matched_cents, pa.int64(), mask=~m_ok),
             }
         )
-        out.loc[~m_ok, ["matched_event_id", "matched_cents"]] = pd.NA
-        return out
 
     return (
         events_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("ug")
-        .map_groups(match, batch_format="pandas")
+        .map_groups(match, batch_format="pyarrow")
     )
 
 
@@ -278,6 +300,8 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
     )
     cols = list(left_schema.names)
     assert on_left in cols, on_left
+    reserved = {"gk", "side"} & set(cols)
+    assert not reserved, f"input columns collide with internal names: {reserved}"
 
     def _gk(keys: np.ndarray) -> np.ndarray:
         return (((_key_hash64(keys) * _GOLDEN) >> np.uint64(33))
@@ -357,6 +381,8 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     rpay = [n for n in rsch.names if n != on_right]
     assert on_left in lcols, on_left
     assert not set(rpay) & set(lcols), "column name collision"
+    reserved = {"gk", "side", "_salt_r"} & (set(lcols) | set(rsch.names))
+    assert not reserved, f"input columns collide with internal names: {reserved}"
     all_cols = lcols + rpay
     all_types = {n: lsch.field(n).type for n in lcols}
     all_types.update({n: rsch.field(n).type for n in rpay})

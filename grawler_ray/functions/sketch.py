@@ -250,9 +250,22 @@ def _qdigest_compress(nodes: dict[int, int], n: int, k: int, log_u: int) -> dict
 
 def _qdigest_partial(values: np.ndarray, k: int, log_u: int) -> dict[int, int]:
     """One batch's q-digest: exact leaf histogram (np.unique — vectorized),
-    then one compression pass.  Values are clipped into [0, 2^log_u)."""
+    then one compression pass.  Values are clipped into [0, 2^log_u) — with
+    a warning when that actually distorts anything, because the SQL oracle
+    does NOT clip and the exact-regime guarantee would silently break."""
     u = 1 << log_u
-    vals = np.clip(values.astype(np.int64), 0, u - 1)
+    v64 = values.astype(np.int64)
+    oob = int(((v64 < 0) | (v64 >= u)).sum())
+    if oob:
+        import warnings
+
+        warnings.warn(
+            f"q-digest: {oob} value(s) outside [0, 2^{log_u}) clipped — "
+            "quantiles near the clipped tail are distorted and the SQL "
+            "oracle will diverge; raise log_u to cover the observed range",
+            stacklevel=2,
+        )
+    vals = np.clip(v64, 0, u - 1)
     uniq, cnt = np.unique(vals, return_counts=True)
     nodes = {int(u + v): int(c) for v, c in zip(uniq, cnt)}
     return _qdigest_compress(nodes, int(len(vals)), k, log_u)

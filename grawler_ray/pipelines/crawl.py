@@ -1727,8 +1727,23 @@ def compact_runs(out_dirs: list[str] | str, dest: str, num_buckets: int = 64) ->
     streaming AND resumable-by-partition; readers prune to buckets.
     Returns {dest, rows, buckets}.  Read back with
     ``ray.data.read_parquet(dest)``.
+
+    ``dest`` is OVERWRITTEN: an existing dest is deleted and rebuilt — but
+    only if it is absent, empty, or looks like a prior compaction output
+    (``bucket=*`` partition dirs only); anything else raises rather than
+    recursively deleting an unrelated directory on a mistyped path.
     """
     from ..urlops import xxhash64
+
+    if os.path.isdir(dest):
+        entries = os.listdir(dest)
+        if entries and not all(e.startswith("bucket=") for e in entries):
+            raise ValueError(
+                f"compact_runs: refusing to overwrite {dest!r} — it exists and "
+                "does not look like a prior compaction output (expected only "
+                "bucket=*/ partition dirs); remove it yourself or pick an "
+                "absent dest"
+            )
 
     docs = read_documents(out_dirs, dedup="last")
 

@@ -313,3 +313,53 @@ def test_containment_catches_subset_jaccard_misses(ray_session):
     assert (1, 2) in cont
     assert (1, 2) not in jac
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_snapshot_diff_string_keys_pandas_blocks(ray_session):
+    """pandas-block datasets report numpy dtypes in .schema(); string keys
+    must resolve to pa.string(), not the int64 fallback (ADVICE r3)."""
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.dedup import snapshot_diff
+
+    a = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"u{i}" for i in range(8)],
+                      "text": [f"doc {i}" for i in range(8)]})
+    )
+    b = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [f"u{i}" for i in range(1, 9)],
+                      "text": [f"doc {i}" if i != 3 else "edited" for i in range(1, 9)]})
+    )
+    got = dict(
+        zip(*(lambda d: (d.doc_id, d.change))(
+            snapshot_diff(a, b, key_col="doc_id").to_pandas()))
+    )
+    assert got["u0"] == "removed"
+    assert got["u8"] == "added"
+    assert got["u3"] == "changed"
+    assert got["u1"] == "unchanged"
+    assert len(got) == 9
+
+
+def test_dup_ratio_null_source_kept(ray_session):
+    """SQL GROUP BY keeps a NULL group; the pandas groupby inside must not
+    silently drop null-source rows (ADVICE r3)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.dedup import dup_ratio_by_source
+
+    t = pa.table(
+        {
+            "text": ["dup", "dup", "uniq a", "uniq b", "dup"],
+            "source": ["s1", "s1", None, None, None],
+        }
+    )
+    out = dup_ratio_by_source(ray.data.from_arrow(t)).to_pandas()
+    bysrc = {("<null>" if pd.isna(s) else s): (n, d)
+             for s, n, d in zip(out.source, out.n_docs, out.n_dup_docs)}
+    assert bysrc["s1"] == (2, 2)
+    # the three null-source docs survive as their own group; one of them is
+    # part of the corpus-wide "dup" run
+    assert bysrc["<null>"] == (3, 1)

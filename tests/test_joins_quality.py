@@ -83,6 +83,15 @@ class TestAsofJoin:
         for c in ["event_id", "user_id", "matched_event_id", "matched_cents"]:
             ga, ea = got[c], exp[c]
             assert ((ga == ea) | (ga.isna() & ea.isna())).all(), c
+        # representation parity, not just value parity: the match columns
+        # must land as Arrow int64-with-nulls -> float64/NaN after
+        # to_pandas, exactly like DuckDB's fetchdf — a pandas-native Int64
+        # `<NA>` block fails the driver's value hash (round-3 escape)
+        for c in ["matched_event_id", "matched_cents"]:
+            assert got[c].dtype.kind == exp[c].dtype.kind, (
+                c, got[c].dtype, exp[c].dtype
+            )
+            assert (got[c].isna().to_numpy() == exp[c].isna().to_numpy()).all(), c
 
 
 class TestRangeJoin:

@@ -112,3 +112,28 @@ def test_compact_runs_roundtrip(ray_session, runs):
     assert len(got) == len(want)
     for col in want.columns:
         assert (got[col].values == want[col].values).all(), col
+
+
+def test_compact_runs_refuses_unrelated_dest(ray_session, runs):
+    """compact_runs overwrites dest — but must refuse when dest exists and
+    is not a prior compaction output (only bucket=*/ dirs), instead of
+    recursively deleting an unrelated directory (ADVICE r3)."""
+    import os
+
+    import pytest
+
+    from grawler_ray.pipelines.crawl import compact_runs
+
+    run_a, run_b = runs
+    dest = "/tmp/gr_compact_guard"
+    os.makedirs(dest, exist_ok=True)
+    with open(os.path.join(dest, "precious.txt"), "w") as f:
+        f.write("do not delete")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        compact_runs([run_a, run_b], dest, num_buckets=4)
+    assert os.path.exists(os.path.join(dest, "precious.txt"))
+    # a prior compaction output (bucket=* dirs only) IS overwritable
+    os.remove(os.path.join(dest, "precious.txt"))
+    os.makedirs(os.path.join(dest, "bucket=0"), exist_ok=True)
+    info = compact_runs([run_a, run_b], dest, num_buckets=4)
+    assert info["rows"] > 0

@@ -241,3 +241,23 @@ class TestGroupedQDigest:
             rank_true = (n * r.q_pct + 99) // 100
             assert abs(rank_est - rank_true) / n <= 3 * log_u / k, (
                 r.g, r.q_pct, rank_est, rank_true)
+
+
+def test_qdigest_warns_on_out_of_universe_values():
+    """Values outside [0, 2^log_u) are clipped; that must WARN (the SQL
+    oracle does not clip, so silent clipping breaks the exact-regime
+    guarantee — ADVICE r3)."""
+    import warnings
+
+    import numpy as np
+
+    from grawler_ray.functions.sketch import _qdigest_partial
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _qdigest_partial(np.array([1, 5, 1 << 21], np.int64), k=64, log_u=20)
+    assert any("q-digest" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _qdigest_partial(np.array([1, 5, 100], np.int64), k=64, log_u=20)
+    assert not w

@@ -29,7 +29,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+# numpy dtype-kind families treated as equal: signed/unsigned ints produce the
+# same value strings, so the driver's value hash cannot tell them apart either
+_KIND_FAMILY = {"u": "i"}
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    """Driver-faithful compare: rowcount, column set, then per column the
+    post-to_pandas dtype KIND, the null mask, and the UNCAST string repr of
+    every non-null value.  No float-casting, no dtype coercion — the driver
+    hashes the values as they land, so a pandas-nullable ``<NA>`` vs a float
+    ``NaN``, or ``947`` vs ``947.0``, must FAIL here exactly like it fails
+    there (the round-3 asof_join escape: semantics equal, representation
+    not — the old float-cast compare masked it)."""
     problems = []
     if len(ray_df) != len(sql_df):
         problems.append(f"rowcount {len(ray_df)} vs {len(sql_df)}")
@@ -40,16 +52,21 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                av = av.astype(float).round(9)
-                bv = bv.astype(float).round(9)
-                eq = ((av == bv) | (av.isna() & bv.isna())).all()
-            else:
-                try:
-                    eq = (av.values == bv.astype(av.dtype).values).all()
-                except (TypeError, ValueError):
-                    eq = (av.astype(str).values == bv.astype(str).values).all()
-            if not eq:
+            ak = _KIND_FAMILY.get(av.dtype.kind, av.dtype.kind)
+            bk = _KIND_FAMILY.get(bv.dtype.kind, bv.dtype.kind)
+            if ak != bk:
+                problems.append(
+                    f"dtype kind differs in column {c}: {av.dtype} vs {bv.dtype}"
+                )
+                continue
+            am = av.isna().to_numpy()
+            bm = bv.isna().to_numpy()
+            if not (am == bm).all():
+                problems.append(f"null masks differ in column {c}")
+                continue
+            avs = av[~am].astype(str).to_numpy()
+            bvs = bv[~bm].astype(str).to_numpy()
+            if not (avs == bvs).all():
                 problems.append(f"values differ in column {c}")
     return problems
 
