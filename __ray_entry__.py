@@ -265,6 +265,16 @@ def _line_dedup(sf_dir: str):
     return line_dedup(_read(sf_dir, "documents"), max_rep=100, sep=" ")
 
 
+def _line_dedup_join(sf_dir: str):
+    """line_dedup strategy="join" — the no-driver-state shuffle plan
+    (SCALE.md round-4); same semantics and SQL oracle as line_dedup."""
+    from grawler_ray.functions.quality import line_dedup
+
+    return line_dedup(
+        _read(sf_dir, "documents"), max_rep=100, sep=" ", strategy="join"
+    )
+
+
 def _decontaminate(sf_dir: str):
     """Docs with source='src0' act as the benchmark/eval set; every other
     doc is training data to be screened for 3-gram overlap."""
@@ -428,6 +438,18 @@ def _dup_spans(sf_dir: str):
     from grawler_ray.functions.dedup import dup_span_stats
 
     return dup_span_stats(_read(sf_dir, "documents"), window=40, stride=10)
+
+
+def _dup_spans_join(sf_dir: str):
+    """dup_span_stats strategy="join" — the 100-TB plan (one coarse
+    span-hash shuffle, run-length-is-multiplicity, NO driver state; SCALE.md
+    round-4).  Same semantics and same SQL oracle as dup_spans, so the
+    driver gate proves the scale path, not just the broadcast one."""
+    from grawler_ray.functions.dedup import dup_span_stats
+
+    return dup_span_stats(
+        _read(sf_dir, "documents"), window=40, stride=10, strategy="join"
+    )
 
 
 def _topk_words_sketch(sf_dir: str):
@@ -1329,10 +1351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _length_quantiles,
         "pagerank": _pagerank,
         "dup_spans": _dup_spans,
+        "dup_spans_join": _dup_spans_join,
         "semdedup": _semdedup,
         "topk_words_sketch": _topk_words_sketch,
         "approx_distinct_words": _approx_distinct_words,
         "line_dedup": _line_dedup,
+        "line_dedup_join": _line_dedup_join,
         "tfidf_topk": _tfidf_topk,
         "q1_agg": _q1_agg,
         "orders_by_nation": _orders_by_nation,
@@ -1511,7 +1535,7 @@ _REPETITION_SIG_SQL = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "word_freq": rf"""
             SELECT doc_id, lower(w) AS word, count(*)::BIGINT AS frequency
             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\b\w+\b')) AS w
@@ -2275,3 +2299,8 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # the strategy="join" scale plans have identical semantics to their
+    # broadcast counterparts — same oracle, separately gated
+    sql["dup_spans_join"] = sql["dup_spans"]
+    sql["line_dedup_join"] = sql["line_dedup"]
+    return sql

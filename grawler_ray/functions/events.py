@@ -152,8 +152,11 @@ def event_deltas(events_ds, num_groups: int = 256):
     time_window_sum's RANGE): per user in (ts, event_id) order, the cents
     delta vs the previous event — null for each user's first event, exactly
     matching SQL ``value - LAG(value) OVER (PARTITION BY user ORDER BY ts)``.
-    Output (event_id, user_id, delta_cents nullable int64).  Vectorized
-    across all users of a coarse group: one np.diff, run starts masked."""
+    Output (event_id, user_id, delta_cents float64/NaN — the exact
+    representation DuckDB's fetchdf gives an int-with-nulls column, so the
+    driver's value hash matches; a pandas-nullable Int64 here fails it, the
+    round-3/4 repr lesson).  Vectorized across all users of a coarse group:
+    one np.diff, run starts masked."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df, is_start, _ = _user_starts(df)
@@ -163,15 +166,13 @@ def event_deltas(events_ds, num_groups: int = 256):
         if len(cents) > 1:
             delta[1:] = np.diff(cents)
         delta[is_start] = np.nan
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy(),
                 "user_id": df["user_id"].to_numpy(),
                 "delta_cents": delta,
             }
         )
-        out["delta_cents"] = out["delta_cents"].astype("Int64")
-        return out
 
     return _coarse_user_groupby(events_ds, fn, num_groups)
 

@@ -27,9 +27,28 @@ Tokenizer parity notes (vs x/net/html, which follows the HTML5 spec):
 - Adjacent text chunks are coalesced into one logical text node (Go's
   ``addText`` appends to the previous text sibling), flushed at every tag /
   comment / doctype boundary — required because TrimSpace applies per NODE.
-- Known divergence (documented): table foster-parenting reorders stray text
-  in Go's DOM; our flat scan keeps it in place.  Conformance fixtures do not
-  place bare text directly inside <table>.
+
+WHATWG tree-construction cases reproduced without a tree (hand-derived from
+the HTML5 spec "in table"/"in row"/"in cell" insertion modes; pinned by
+tests/test_htmlparse.py::TestWhatwgTreeConstruction):
+- Implied end tags (``<p>a<p>b``, ``<li>a<li>b``): the tree re-parents but
+  text/hrefs keep document order — the flat scan is already equivalent.
+- Adoption agency text (``<b>bold<i>both</b>italic</i>``): formatting
+  elements are cloned/re-parented but text nodes keep document order —
+  flat scan equivalent.
+- Table FOSTER PARENTING: non-whitespace text (and flow content such as
+  ``<a href>``) hit while inside ``<table>`` but NOT inside a cell/caption
+  is re-parented immediately BEFORE the table, so Go's HtmlText emits it
+  before any cell text.  Reproduced by recording an insert point per open
+  table and inserting fostered text parts / hrefs there (in order) instead
+  of appending.  Whitespace-only text is left in place by the spec ("in
+  table text": all-whitespace inserts in place) — TrimSpace drops it on
+  both sides, so it never matters.
+- Known remaining divergence (documented, out of conformance scope): the
+  adoption agency CLONES formatting elements across block boundaries —
+  ``<a href="1">x<div>y</a>z</div>`` yields TWO <a> elements (href "1"
+  twice) in Go's DOM; the flat scan reports the href once.  Text order is
+  identical.  The synthetic corpus never emits block-crossing <a> tags.
 """
 
 from __future__ import annotations
@@ -75,6 +94,34 @@ class _Extractor(HTMLParser):
         self._svg_depth = 0
         self._in_title = False
         self._title_buf: list[str] = []
+        # foster-parenting state: one frame per open <table> — the insert
+        # positions recorded at table start (fostered content lands there,
+        # i.e. immediately BEFORE the table) and whether we are inside a
+        # cell/caption (normal insertion) vs table/row context (foster)
+        self._tables: list[dict] = []
+
+    def _foster(self):
+        """The innermost table frame if content hit now would be
+        foster-parented (in table/row context, not in a cell), else None."""
+        if self._tables and self._tables[-1]["cell"] == 0:
+            return self._tables[-1]
+        return None
+
+    def _emit_text(self, part: str) -> None:
+        f = self._foster()
+        if f is None:
+            self.text_parts.append(part)
+        else:
+            self.text_parts.insert(f["t_idx"], part)
+            f["t_idx"] += 1
+
+    def _emit_href(self, href: str) -> None:
+        f = self._foster()
+        if f is None:
+            self.hrefs.append(href)
+        else:
+            self.hrefs.insert(f["h_idx"], href)
+            f["h_idx"] += 1
 
     # -- text node handling -------------------------------------------------
     def _flush_text(self) -> None:
@@ -97,7 +144,7 @@ class _Extractor(HTMLParser):
         # contributes raw (entities undecoded), matching Go's DOM text node.
         trimmed = go_trim_space(data)
         if trimmed:
-            self.text_parts.append(trimmed)
+            self._emit_text(trimmed)
 
     def handle_data(self, data: str) -> None:
         if self._buf and self._buf_ctx != self.cdata_elem:
@@ -108,12 +155,26 @@ class _Extractor(HTMLParser):
     # -- structure ----------------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         self._flush_text()
+        if tag == "table":
+            # record the foster insert point: content re-parented out of
+            # this table lands immediately before it, in arrival order
+            self._tables.append(
+                {"t_idx": len(self.text_parts), "h_idx": len(self.hrefs), "cell": 0}
+            )
+        elif self._tables:
+            if tag in ("td", "th", "caption"):
+                # cells don't nest: a new cell implies closing any open one
+                self._tables[-1]["cell"] = 1
+            elif tag in ("tr", "tbody", "thead", "tfoot"):
+                # row/section start implies the end of any open cell —
+                # content after it (outside a new cell) fosters again
+                self._tables[-1]["cell"] = 0
         if tag == "svg":
             self._svg_depth += 1
         elif tag == "a":
             for k, v in attrs:
                 if k == "href":
-                    self.hrefs.append(v if v is not None else "")
+                    self._emit_href(v if v is not None else "")
         elif tag == "link":
             # src/parsers/html.go:21-34 — rel must precede href in attr order
             rel = ""
@@ -145,6 +206,10 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         self._flush_text()
+        if tag == "table" and self._tables:
+            self._tables.pop()
+        elif tag in ("td", "th", "caption") and self._tables:
+            self._tables[-1]["cell"] = 0
         if tag == "svg" and self._svg_depth > 0:
             self._svg_depth -= 1
         elif tag == "title" and self._in_title:
@@ -162,7 +227,7 @@ class _Extractor(HTMLParser):
         if tag == "a":
             for k, v in attrs:
                 if k == "href":
-                    self.hrefs.append(v if v is not None else "")
+                    self._emit_href(v if v is not None else "")
         elif tag in ("link", "meta"):
             self.handle_starttag(tag, attrs)
 

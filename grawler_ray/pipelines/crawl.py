@@ -56,7 +56,14 @@ from ..config import CrawlConfig
 from ..htmlparse import parse_page
 from ..state.robots_store import RobotsShard
 from ..state.seen import SeenShard
-from ..urlops import UrlError, canonical_url, extract_url_components, url_allowed, xxhash64
+from ..urlops import (
+    UrlError,
+    canonical_url,
+    extract_url_components,
+    url_allowed,
+    xxhash64,
+    xxhash64_batch,
+)
 
 ACTION_PENDING = "pending"
 
@@ -99,24 +106,23 @@ def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
         ghost = [""] * n
         action = [ACTION_PENDING] * n
         key = [""] * n
-        key_hash = np.zeros(n, dtype=np.uint64)
-        shard = np.zeros(n, dtype=np.int32)
-        bucket = np.zeros(n, dtype=np.int32)
-        hg = np.zeros(n, dtype=np.int32)
         prio = np.zeros(n, dtype=np.int32)
-        ghash_memo: dict[str, int] = {}
+        ok = np.ones(n, dtype=bool)
+        # the Python loop does ONLY per-row string work (url split /
+        # canonicalize); every XXH64 lands in the three vectorized batch
+        # calls below (VERDICT r3 item 8 — per-URL Python hashing is real
+        # cost at 10^8-row rounds)
         for i, u in enumerate(urls):
             try:
                 s, h, p = extract_url_components(u)
             except UrlError:
                 action[i] = "parse-url-drop"
+                ok[i] = False
                 continue
             scheme[i], host[i], path[i] = s, h, p
             base[i] = f"{s}://{h}"
             if cfg.canonicalize_seen:
-                k = canonical_url(u)
-                key[i] = k
-                hh = xxhash64(k)
+                key[i] = canonical_url(u)
                 ch = h.lower()
                 if s == "http" and ch.endswith(":80"):
                     ch = ch[:-3]
@@ -125,17 +131,19 @@ def _prepare_batch(cfg: CrawlConfig, admission_groups: int = 256):
                 ghost[i] = ch
             else:
                 key[i] = u
-                hh = xxhash64(u)
                 ghost[i] = h
-            key_hash[i] = hh
-            shard[i] = hh % cfg.seen_shards
-            bucket[i] = (hh if not cfg.canonicalize_seen else xxhash64(u)) % cfg.num_fetch_buckets
-            gh = ghash_memo.get(ghost[i])
-            if gh is None:
-                gh = xxhash64(ghost[i]) % admission_groups
-                ghash_memo[ghost[i]] = gh
-            hg[i] = gh
             prio[i] = p.count("/")  # frontier_order="priority": shallow first
+        key_hash = np.where(ok, xxhash64_batch(key), np.uint64(0))
+        shard = np.where(ok, key_hash % np.uint64(cfg.seen_shards), 0).astype(np.int32)
+        # fetch buckets are keyed by the RAW url hash (the corpus layout key)
+        bucket_hash = key_hash if not cfg.canonicalize_seen else xxhash64_batch(urls)
+        bucket = np.where(
+            ok, bucket_hash % np.uint64(cfg.num_fetch_buckets), 0
+        ).astype(np.int32)
+        # hosts repeat heavily within a block: hash the distinct ones only
+        uniq, inv = np.unique(np.asarray(ghost, dtype=object), return_inverse=True)
+        hg_uniq = (xxhash64_batch(list(uniq)) % np.uint64(admission_groups)).astype(np.int32)
+        hg = np.where(ok, hg_uniq[inv], 0).astype(np.int32)
         return (
             t.append_column("scheme", pa.array(scheme))
             .append_column("host", pa.array(host))

@@ -295,3 +295,95 @@ def _xxhash64_py(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M64
     h ^= h >> 32
     return h
+
+
+# --- vectorized batch XXH64 -------------------------------------------------
+# The seen-set keys every frontier URL per round; at 10^8-row rounds the
+# pure-Python per-URL loop above is the bottleneck (VERDICT r3 item 8).
+# This batch variant runs the same public XXH64 algorithm across a whole
+# batch with masked numpy uint64 ops: cost ~ (max_stripes*4 + 13) vector ops
+# per batch instead of ~200 Python bytecodes per URL.  Bit-identical to
+# xxhash64() (tests/test_urlops.py::TestXxhashBatch).
+
+def xxhash64_batch(items, seed: int = 0):
+    """XXH64 of every str/bytes in ``items`` -> np.ndarray[uint64]."""
+    import sys
+
+    import numpy as np
+
+    bs = [x.encode("utf-8") if isinstance(x, str) else x for x in items]
+    N = len(bs)
+    if N == 0:
+        return np.zeros(0, np.uint64)
+    if _xxh64_c is not None:  # pragma: no cover - wheel absent here
+        return np.fromiter((_xxh64_c(b, seed) for b in bs), np.uint64, N)
+    if sys.byteorder != "little":  # pragma: no cover
+        return np.fromiter((_xxhash64_py(b, seed) for b in bs), np.uint64, N)
+
+    P1, P2, P3, P4, P5 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4, _P5))
+    u64 = np.uint64
+    lens = np.fromiter((len(b) for b in bs), np.int64, N)
+    maxlen = int(lens.max())
+    # width: multiple of 8 with >=7 spare bytes so every masked read below
+    # (q-word at i, dword at i, bytes at i..i+6) stays in bounds
+    W = ((maxlen + 8) + 7) // 8 * 8
+    # zero-pad every string to W in C (bytes.ljust + join), view as a row
+    # matrix — read-only is fine, the kernel never writes the buffer
+    buf = np.frombuffer(
+        b"".join(b.ljust(W, b"\0") for b in bs), np.uint8
+    ).reshape(N, W)
+    q = buf.view(np.uint64)   # (N, W//8) little-endian q-words
+    d = buf.view(np.uint32)   # (N, W//4) dwords
+    rows = np.arange(N)
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def rnd(acc, inp):
+        return rotl(acc + inp * P2, 31) * P1
+
+    sd = u64(seed)
+    nstripes = lens // 32
+    maxs = int(nstripes.max())
+    v1 = np.full(N, u64((seed + _P1 + _P2) & _M64), u64)
+    v2 = np.full(N, u64((seed + _P2) & _M64), u64)
+    v3 = np.full(N, sd, u64)
+    v4 = np.full(N, u64((seed - _P1) & _M64), u64)
+    for j in range(maxs):
+        m = nstripes > j
+        c = 4 * j
+        v1[m] = rnd(v1[m], q[m, c])
+        v2[m] = rnd(v2[m], q[m, c + 1])
+        v3[m] = rnd(v3[m], q[m, c + 2])
+        v4[m] = rnd(v4[m], q[m, c + 3])
+    h_big = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+    for v in (v1, v2, v3, v4):
+        h_big = (h_big ^ rnd(np.zeros(N, u64), v)) * P1 + P4
+    h = np.where(nstripes > 0, h_big, np.full(N, sd + P5, u64))
+    h = h + lens.astype(u64)
+    i = nstripes * 32
+    for _ in range(3):  # tail q-words: at most 3 in a <32-byte tail
+        m = i + 8 <= lens
+        if not m.any():
+            break
+        val = q[rows[m], (i[m] >> 3)]
+        h[m] = (rotl(h[m] ^ rnd(np.zeros(int(m.sum()), u64), val), 27) * P1) + P4
+        i[m] += 8
+    m = i + 4 <= lens
+    if m.any():
+        val32 = d[rows[m], (i[m] >> 2)].astype(u64)
+        h[m] = (rotl(h[m] ^ (val32 * P1), 23) * P2) + P3
+        i[m] += 4
+    for _ in range(7):  # tail bytes
+        m = i < lens
+        if not m.any():
+            break
+        byte = buf[rows[m], i[m]].astype(u64)
+        h[m] = rotl(h[m] ^ (byte * P5), 11) * P1
+        i[m] += 1
+    h ^= h >> u64(33)
+    h *= P2
+    h ^= h >> u64(29)
+    h *= P3
+    h ^= h >> u64(32)
+    return h

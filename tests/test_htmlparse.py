@@ -150,3 +150,96 @@ class TestParsePage:
         # plain branch has NO ToValidUTF8; bytes reach the JSON sink raw
         d = pp(b"ab\xe2\x82", "text/plain")
         assert d["content"] == "ab��"
+
+
+class TestWhatwgTreeConstruction:
+    """Hand-derived WHATWG HTML5 tree-construction expectations (VERDICT r3
+    item 5) — the cases where Go's html.Parse builds a tree the flat
+    tokenizer scan must still match on extracted text/links.  Each expected
+    value is worked out from the spec's insertion modes (cited inline), NOT
+    from the code under test.  html5lib is not installable here."""
+
+    # --- implied end tags: tree re-parents, text order unchanged ---------
+    def test_implied_p_end_tags(self):
+        # spec "in body": a <p> start tag closes an open p element in
+        # button scope -> tree body>p(a),p(b); HtmlText DFS = "a b"
+        t, _, _ = extract_html("<p>a<p>b")
+        assert t == "a b"
+
+    def test_implied_li_end_tags(self):
+        # spec "in body" <li>: pops open li -> ul>li(a),li(b) -> "a b"
+        t, _, _ = extract_html("<ul><li>a<li>b</ul>")
+        assert t == "a b"
+
+    # --- adoption agency: elements cloned, text order unchanged ----------
+    def test_adoption_agency_text_order(self):
+        # spec 13.2.6.4.7 "in body" </b> with <i> open: AAA re-parents to
+        # b(bold, i(both)), i(italic) -> DFS text "bold both italic"
+        t, _, _ = extract_html("<b>bold<i>both</b>italic</i>")
+        assert t == "bold both italic"
+
+    def test_adoption_agency_href_clone_pinned_delta(self):
+        # DOCUMENTED DELTA: Go's AAA clones the <a> across the block
+        # boundary -> DOM has TWO <a href="1"> elements (hrefs ["1","1"]);
+        # the flat scan reports it once.  Text order is identical on both
+        # sides: body a("x"), div(a("y"), "z") -> "x y z".
+        t, hrefs, _ = extract_html('<a href="1">x<div>y</a>z</div>')
+        assert t == "x y z"
+        assert hrefs == ["1"]  # Go: ["1", "1"] — pinned divergence
+
+    # --- table foster parenting: content re-parented BEFORE the table ----
+    def test_foster_div_only_content(self):
+        # spec "in table" anything-else -> foster parent: div moves before
+        # the table -> body div(x), table -> "x"
+        t, _, _ = extract_html("<table><div>x</div></table>")
+        assert t == "x"
+
+    def test_foster_text_after_row(self):
+        # spec "in table text": non-whitespace pending text -> foster.
+        # "x" re-parents before the table -> body "x", table(c) -> "x c"
+        t, _, _ = extract_html("<table><tr><td>c</td></tr>x</table>")
+        assert t == "x c"
+
+    def test_foster_div_after_row(self):
+        t, _, _ = extract_html("<table><tr><td>c</td></tr><div>y</div></table>")
+        assert t == "y c"
+
+    def test_foster_text_before_rows_and_surroundings(self):
+        # "b" fosters before the table; it already precedes the cells in
+        # document order, so the join order is a b c d on both sides
+        t, _, _ = extract_html("a<table>b<tr><td>c</td></tr></table>d")
+        assert t == "a b c d"
+
+    def test_foster_whitespace_left_in_place(self):
+        # spec "in table text": ALL-whitespace token inserts in place (no
+        # foster); TrimSpace then drops it on both sides
+        t, _, _ = extract_html("<table> <tr> <td>c</td> </tr> </table>")
+        assert t == "c"
+
+    def test_foster_anchor_href_order(self):
+        # the fostered <a> moves before the table with its text; its href
+        # must precede the in-cell one in HtmlUrls document order
+        t, hrefs, _ = extract_html(
+            '<table><a href="u">x</a><tr><td><a href="v">c</a></td></tr></table>'
+        )
+        assert t == "x c"
+        assert hrefs == ["u", "v"]
+
+    def test_foster_nested_table_in_cell(self):
+        # inner "z" fosters before the INNER table (inside the outer td);
+        # outer "q" (after </tr>, "in table body" mode) fosters before the
+        # OUTER table -> DFS: q, z, w
+        t, _, _ = extract_html(
+            "<table><tr><td><table>z<tr><td>w</td></tr></table></td></tr>q</table>"
+        )
+        assert t == "q z w"
+
+    def test_cell_content_not_fostered(self):
+        t, _, _ = extract_html("<table><caption>cap</caption><tr><td>c</td></tr></table>")
+        assert t == "cap c"
+
+    def test_text_between_cells_fostered(self):
+        # after </td> the mode is "in row": non-ws text fosters -> "y" and
+        # "x" both move before the table, arrival order kept: "x y a b"
+        t, _, _ = extract_html("<table><tr>x<td>a</td>y<td>b</td></tr></table>")
+        assert t == "x y a b"

@@ -213,7 +213,7 @@ class TestLineDedup:
         assert out.loc[4, "kept_text"] == "standalone page with no chrome"
         assert out.loc[4, "n_lines_removed"] == 0
 
-    def test_blocklist_guard(self, ray_session):
+    def test_blocklist_guard_broadcast_raises(self, ray_session):
         import pytest as _pytest
         import ray.data
 
@@ -223,7 +223,62 @@ class TestLineDedup:
             [{"doc_id": i, "text": "common\ncommon\ncommon"} for i in range(3)]
         )
         with _pytest.raises(ValueError, match="blocklist"):
-            line_dedup(docs, max_rep=1, driver_max_lines=0).to_pandas()
+            line_dedup(
+                docs, max_rep=1, driver_max_lines=0, strategy="broadcast"
+            ).to_pandas()
+
+    def test_guard_auto_falls_back_to_join(self, ray_session):
+        """VERDICT r3 item 6: above the driver guard, auto must FALL BACK
+        to the shuffle-join plan (and match it), not raise."""
+        import ray.data
+
+        from grawler_ray.functions.quality import line_dedup
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": i, "text": f"common header\nbody {i}\ncommon footer"}
+                for i in range(6)
+            ]
+        )
+        crossed = (
+            line_dedup(docs, max_rep=2, driver_max_lines=0)  # auto, guard crossed
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exact = (
+            line_dedup(docs, max_rep=2, strategy="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(crossed, exact)
+        assert crossed.loc[0, "kept_text"] == "body 0"
+
+    def test_join_strategy_equals_broadcast(self, ray_session):
+        """The hashed no-driver-state plan must reproduce the exact-string
+        broadcast plan byte-for-byte (empty lines, blank-only docs,
+        0-boilerplate docs, word-level sep)."""
+        import ray.data
+
+        from grawler_ray.functions.quality import line_dedup
+
+        nav = "home | products | about"
+        rows = [
+            {"doc_id": 1, "text": f"{nav}\nunique body one\n\nfooter text"},
+            {"doc_id": 2, "text": f"{nav}\nanother body\n\nfooter text"},
+            {"doc_id": 3, "text": f"{nav}\nthird body here\n\nfooter text"},
+            {"doc_id": 4, "text": "standalone page with no chrome"},
+            {"doc_id": 5, "text": ""},
+            {"doc_id": 6, "text": "\n\n"},
+        ]
+        docs = ray.data.from_items(rows).repartition(3)
+        for kw in ({"max_rep": 2}, {"max_rep": 1, "sep": " "}):
+            a = (
+                line_dedup(docs, strategy="join", **kw)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            b = (
+                line_dedup(docs, strategy="broadcast", **kw)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
 
     def test_vs_duckdb_sf(self, ray_session):
         import __ray_entry__ as e

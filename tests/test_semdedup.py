@@ -193,3 +193,52 @@ class TestDupSpans:
             """
         ).fetchdf()
         pd.testing.assert_frame_equal(got, exp)
+
+    def test_join_strategy_equals_broadcast(self, ray_session):
+        """strategy="join" (one coarse span-hash shuffle, no driver state)
+        must reproduce the broadcast plan on real sf data, including
+        0-window docs and within-doc repeats."""
+        import ray.data
+
+        from grawler_ray.functions.dedup import dup_span_stats
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+        a = (
+            dup_span_stats(docs, window=40, stride=10, strategy="join")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            dup_span_stats(docs, window=40, stride=10, strategy="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_guard_auto_falls_back_broadcast_raises(self, ray_session):
+        """VERDICT r3 item 6: crossing driver_max_spans must fall back to
+        the join plan under auto (equal output), and still raise under
+        strategy="broadcast"."""
+        import pytest as _pytest
+        import ray.data
+
+        from grawler_ray.functions.dedup import dup_span_stats
+
+        boiler = "SHARED LICENSE BLOCK " * 5
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": boiler + f" tail {i}"} for i in range(4)]
+            + [{"doc_id": 99, "text": "short"}]
+        )
+        with _pytest.raises(ValueError, match="strategy='join'"):
+            dup_span_stats(
+                docs, window=40, stride=10, driver_max_spans=0,
+                strategy="broadcast",
+            ).to_pandas()
+        crossed = (
+            dup_span_stats(docs, window=40, stride=10, driver_max_spans=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exact = (
+            dup_span_stats(docs, window=40, stride=10, strategy="broadcast")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(crossed, exact)
+        assert crossed.loc[4, "n_windows"] == 0

@@ -112,3 +112,38 @@ def test_xxhash64_published_vectors():
 
     assert xxhash64(fill(222)) == 0xB641AE8CB691C174  # exercises the 32B main loop
     assert xxhash64("abc") == xxhash64(b"abc")
+
+
+class TestXxhashBatch:
+    """xxhash64_batch must be bit-identical to the scalar xxhash64 for
+    every XXH64 length regime (stripes, tail q-words, dword, bytes)."""
+
+    def test_all_length_classes(self):
+        import random
+
+        import numpy as np
+
+        from grawler_ray.urlops import xxhash64, xxhash64_batch
+
+        random.seed(7)
+        cases = [bytes(random.randrange(256) for _ in range(L))
+                 for L in list(range(0, 101)) + [127, 128, 129, 255, 256, 1000]]
+        got = xxhash64_batch(cases)
+        exp = np.array([xxhash64(c) for c in cases], np.uint64)
+        assert (got == exp).all()
+
+    def test_strings_and_seed(self):
+        import numpy as np
+
+        from grawler_ray.urlops import xxhash64, xxhash64_batch
+
+        urls = [f"https://sité{i}.test/päge/{i}?q={i*31}" for i in range(64)] + ["", "a"]
+        for seed in (0, 1, 12345):
+            got = xxhash64_batch(urls, seed=seed)
+            exp = np.array([xxhash64(u, seed) for u in urls], np.uint64)
+            assert (got == exp).all(), seed
+
+    def test_empty_batch(self):
+        from grawler_ray.urlops import xxhash64_batch
+
+        assert len(xxhash64_batch([])) == 0
