@@ -283,45 +283,49 @@ def pagerank(
             )
 
         def contrib_group(df: pd.DataFrame) -> pd.DataFrame:
+            """Rank-onto-edges lookup + per-destination PARTIAL sums in one
+            kernel (round 4, VERDICT r3): contributions leave the group
+            pre-summed per dst and already keyed/tagged for the node-side
+            shuffle, which eliminates the separate groupby(t).sum exchange —
+            pagerank now pays 2 all-to-alls per iteration instead of 3."""
             ise = df["is_edge"].to_numpy() == 1
             rv = df.loc[~ise].sort_values("s")
             rs, rr = rv["s"].to_numpy(np.int64), rv["r"].to_numpy(np.int64)
             es = df.loc[ise, "s"].to_numpy(np.int64)
             if len(es) == 0 or len(rs) == 0:
-                return pd.DataFrame({"t": np.array([], np.int64), "c": np.array([], np.int64)})
+                return pd.DataFrame(
+                    {
+                        "vg": np.array([], np.int32),
+                        "v": np.array([], np.int64),
+                        "csum": np.array([], np.int64),
+                        "is_sum": np.array([], np.int8),
+                    }
+                )
             pos = np.searchsorted(rs, es)
             pos = np.minimum(pos, len(rs) - 1)
             # every edge src is a node; assert-by-construction (gate tests)
             r_src = rr[pos]
             deg = df.loc[ise, "deg"].to_numpy(np.int64)
+            c = r_src // deg
+            t = df.loc[ise, "t"].to_numpy(np.int64)
+            order = np.argsort(t, kind="stable")
+            ts, cs = t[order], c[order]
+            starts = np.concatenate(([True], ts[1:] != ts[:-1]))
+            uniq_t = ts[starts]
+            part = np.add.reduceat(cs, np.flatnonzero(starts))  # int64-exact
             return pd.DataFrame(
-                {"t": df.loc[ise, "t"].to_numpy(np.int64), "c": r_src // deg}
+                {
+                    "vg": _ghash(uniq_t, num_groups),
+                    "v": uniq_t,
+                    "csum": part.astype(np.int64),
+                    "is_sum": np.ones(len(uniq_t), np.int8),
+                }
             )
 
         both = ranks.map_batches(tag_rank_as_src, batch_format="pandas").union(
             edges.map_batches(tag_edge, batch_format="pandas")
         )
-        contrib = both.groupby("sg").map_groups(contrib_group, batch_format="pandas")
-
-        # --- per-dst sums (Arrow hash-aggregate), normalized back to pandas
-        # blocks (aggregate output block type varies with partition
-        # emptiness — the dedup_components lesson) ---
-        sums = (
-            contrib.groupby("t")
-            .sum("c")
-            .map_batches(
-                lambda df: pd.DataFrame(
-                    {
-                        "vg": _ghash(df["t"].to_numpy(np.int64), num_groups),
-                        "v": df["t"].to_numpy(np.int64),
-                        "csum": df["sum(c)"].to_numpy(np.int64),
-                        "is_sum": np.ones(len(df), np.int8),
-                    }
-                ),
-                batch_format="pandas",
-                batch_size=None,
-            )
-        )
+        sums = both.groupby("sg").map_groups(contrib_group, batch_format="pandas")
 
         def tag_node(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
@@ -334,9 +338,19 @@ def pagerank(
             )
 
         def apply_group(df: pd.DataFrame) -> pd.DataFrame:
+            # contributions arrive as PARTIAL per-dst sums (one row per
+            # (src-group, dst)); finish the sum with a run-scan here —
+            # the work the dropped groupby(t).sum exchange used to do
             iss = df["is_sum"].to_numpy() == 1
-            sv = df.loc[iss].sort_values("v")
-            ss, sc = sv["v"].to_numpy(np.int64), sv["csum"].to_numpy(np.int64)
+            sv = df.loc[iss]
+            ss = sv["v"].to_numpy(np.int64)
+            sc = sv["csum"].to_numpy(np.int64)
+            order = np.argsort(ss, kind="stable")
+            ss, sc = ss[order], sc[order]
+            if len(ss):
+                starts = np.concatenate(([True], ss[1:] != ss[:-1]))
+                ss = ss[starts]
+                sc = np.add.reduceat(sc, np.flatnonzero(starts))
             nv = df.loc[~iss, "v"].to_numpy(np.int64)
             csum = np.zeros(len(nv), np.int64)
             if len(ss):

@@ -112,11 +112,16 @@ def prep_corpus(
     holdout_permille: int = 100,
     quality_kwargs: dict | None = None,
     num_groups: int = 256,
+    collect_timings: dict | None = None,
 ):
     """Run the full prep chain; see module docstring.  ``docs_ds`` needs
     (doc_id, text).  Returns the summary Dataset; when ``out_dir`` is set,
     also writes ``{out_dir}/split=train|holdout/*.parquet`` with
-    (doc_id, text, n_bpe_tokens, split)."""
+    (doc_id, text, n_bpe_tokens, split).  Pass a dict as
+    ``collect_timings`` to receive per-stage wall seconds (each stage
+    boundary is a materialize, so the splits are real)."""
+    import time as _time
+
     import ray.data
 
     from grawler_ray.functions.dedup import (
@@ -127,6 +132,15 @@ def prep_corpus(
     from grawler_ray.functions.sampling import _bucket1000
     from grawler_ray.functions.textstats import token_count_batch
 
+    _t = _time.monotonic
+
+    def _mark(d: dict | None, stage: str, t0: float) -> float:
+        now = _t()
+        if d is not None:
+            d[stage] = round(now - t0, 3)
+        return now
+
+    t0 = _t()
     n_input = docs_ds.count()
 
     # 1. quality filter (stateless)
@@ -134,6 +148,7 @@ def prep_corpus(
         _keep_quality_batch(quality_kwargs or {}), batch_format="pyarrow"
     ).materialize()
     n_quality = docs_q.count()
+    t0 = _mark(collect_timings, "quality", t0)
 
     # 2. exact dedup: coarse-hash the md5 prefix, keep min doc_id per hash
     def tag_hash(t: pa.Table) -> pa.Table:
@@ -158,6 +173,7 @@ def prep_corpus(
         .materialize()
     )
     n_exact = docs_e.count()
+    t0 = _mark(collect_timings, "exact_dedup", t0)
 
     # 3. near-dup: pairs -> components -> keep doc_id == component
     pairs = minhash_dedup(docs_e, threshold=minhash_threshold)
@@ -169,6 +185,7 @@ def prep_corpus(
     keep_ids = comps.map_batches(keep_only, batch_format="pandas")
     docs_n = _semi_join_text(docs_e, keep_ids, num_groups).materialize()
     n_near = docs_n.count()
+    t0 = _mark(collect_timings, "near_dedup", t0)
 
     # 4. tokens + split (stateless)
     def tokens_split(df: pd.DataFrame) -> pd.DataFrame:
@@ -186,9 +203,11 @@ def prep_corpus(
         )
 
     final = docs_n.map_batches(tokens_split, batch_format="pandas").materialize()
+    t0 = _mark(collect_timings, "tokens_split", t0)
 
     if out_dir is not None:
         final.write_parquet(out_dir, partition_cols=["split"])
+        t0 = _mark(collect_timings, "write", t0)
 
     from ray.data.aggregate import Count, Sum
 
