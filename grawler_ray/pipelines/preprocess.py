@@ -13,14 +13,21 @@ module only composes them, plus ONE repartition semi-join (union + coarse
 doc-hash groupby — Ray 2.49's native Dataset.join is avoided for the
 documented Acero defects) to carry text past the component keep-set.
 
-Scale shape: text moves through exactly three shuffles (exact-dedup
-groupby, the minhash band shuffle inside minhash_dedup, and the semi-join);
-all other stages are stateless map_batches.  Stage survivors are
-materialized in the object store (narrow id columns ride along, text
-spills if needed) because each feeds TWO consumers (the next stage + the
-summary count); at the 100-TB target you would write each stage boundary
-to partitioned parquet instead and make the counts free — the
-``out_dir``-per-stage hook below is where that plugs in.
+Scale shape (round 4): the TEXT PAYLOAD never rides a shuffle in the
+common low-dup-rate case — only ids and hashes do.  Both dedup stages
+compute a DROP-ID list over narrow columns (exact: one (hg, text_hash,
+doc_id) shuffle at ~50 B/row; near: minhash band shuffles over
+signatures), then remove the drops from the materialized survivor set
+with a broadcast ``ray.put`` filter (drops are the DUPLICATES — the
+small side by construction).  Above ``driver_max_drop_ids`` the filter
+falls back to a hashed repartition anti-join that moves the payload
+once; the old shape (groupby carrying ``text``) sorted the whole corpus
+payload and spilled 33 GB on a 4 GB input — never do that.  Stage
+survivors are materialized in the object store because each feeds TWO
+consumers (the next stage + the summary count); at the 100-TB target you
+would write each stage boundary to partitioned parquet instead and make
+the counts free — the ``out_dir``-per-stage hook below is where that
+plugs in.
 
 Returns a summary Dataset (stage, n_docs, n_tokens); n_tokens is 0 for
 pre-token stages, and the train/holdout rows carry exact BPE token sums.
@@ -49,18 +56,72 @@ def _keep_quality_batch(quality_kwargs: dict):
     return fn
 
 
-def _exact_keep_first(df: pd.DataFrame) -> pd.DataFrame:
-    """Coarse group: keep the min-doc_id row of every text_hash run."""
-    df = df.sort_values(["text_hash", "doc_id"])
-    h = df["text_hash"].to_numpy()
-    first = np.concatenate(([True], h[1:] != h[:-1])) if len(h) else np.array([], bool)
-    out = df.loc[first, ["doc_id", "text"]]
-    return out
+def _exact_drop_ids(t: pa.Table) -> pa.Table:
+    """Coarse group over NARROW columns (hg, text_hash, doc_id): emit the
+    doc_ids that are NOT the min-doc_id of their text_hash run — i.e. the
+    exact duplicates to drop.  pyarrow format per the empty-partition rule
+    (CLAUDE.md): sparse hg spaces at small scale emit empty blocks of the
+    declared format."""
+    h = np.asarray(t.column("text_hash").to_pylist(), dtype=object)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(h) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    order = np.lexsort((ids, h))
+    hs, is_ = h[order], ids[order]
+    first = np.concatenate(([True], hs[1:] != hs[:-1]))
+    return pa.table({"doc_id": pa.array(is_[~first], pa.int64())})
+
+
+def _broadcast_drop_filter(docs_ds, drop_ids: np.ndarray):
+    """Remove ``drop_ids`` (sorted int64, broadcast once via ray.put) from
+    docs (doc_id, text) with a stateless searchsorted filter — ZERO payload
+    movement; the drop set rides the object store, not the shuffle."""
+    import ray
+
+    ref = ray.put(np.sort(drop_ids.astype(np.int64)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        drops = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(drops) == 0 or len(ids) == 0:
+            return t
+        pos = np.searchsorted(drops, ids)
+        bad = (pos < len(drops)) & (drops[np.minimum(pos, len(drops) - 1)] == ids)
+        return t.filter(pa.array(~bad))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _drop_docs(docs_ds, drop_ids_ds, num_groups: int, driver_max_drop_ids: int):
+    """Remove drop_ids (doc_id) from docs (doc_id, text).
+
+    Three-way by drop volume: 0 drops -> the input Dataset unchanged (no
+    copy); <= ``driver_max_drop_ids`` -> guarded driver pull + broadcast
+    filter (the common path — drops are the duplicates, the small side);
+    else -> hashed repartition ANTI-join (``_filter_join_text`` keep=False)
+    that moves the payload exactly once.  Paths are asserted equal in
+    tests/test_preprocess.py."""
+    drops = drop_ids_ds.materialize()
+    n_drop = drops.count()
+    if n_drop == 0:
+        return docs_ds
+    if n_drop <= driver_max_drop_ids:
+        arr = np.fromiter(
+            (r["doc_id"] for r in drops.take_all()), np.int64, count=n_drop
+        )
+        return _broadcast_drop_filter(docs_ds, arr)
+    return _filter_join_text(docs_ds, drops, num_groups, keep=False)
 
 
 def _semi_join_text(docs_ds, keep_ids_ds, num_groups: int):
-    """docs (doc_id, text) ⋉ keep_ids (doc_id) via union + coarse-hash
-    groupby (the repartition-join pattern; both sides pandas blocks)."""
+    return _filter_join_text(docs_ds, keep_ids_ds, num_groups, keep=True)
+
+
+def _filter_join_text(docs_ds, ids_ds, num_groups: int, keep: bool):
+    """docs (doc_id, text) ⋉ / ▷ ids (doc_id) via union + coarse-hash
+    groupby (the repartition-join pattern; both sides pandas blocks).
+    ``keep=True`` is a semi-join (keep members), ``keep=False`` an
+    anti-join (drop members)."""
 
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
         u = df["doc_id"].to_numpy().astype(np.uint64)
@@ -87,18 +148,22 @@ def _semi_join_text(docs_ds, keep_ids_ds, num_groups: int):
         )
 
     both = docs_ds.map_batches(tag_docs, batch_format="pandas").union(
-        keep_ids_ds.map_batches(tag_keep, batch_format="pandas")
+        ids_ds.map_batches(tag_keep, batch_format="pandas")
     )
 
     def keep_group(df: pd.DataFrame) -> pd.DataFrame:
         isdoc = df["is_doc"].to_numpy() == 1
-        keep = np.sort(df.loc[~isdoc, "doc_id"].to_numpy())
+        members = np.sort(df.loc[~isdoc, "doc_id"].to_numpy())
         ids = df.loc[isdoc, "doc_id"].to_numpy()
-        if len(keep) == 0:
+        if len(members) == 0:
             ok = np.zeros(len(ids), bool)
         else:
-            pos = np.searchsorted(keep, ids)
-            ok = (pos < len(keep)) & (keep[np.minimum(pos, len(keep) - 1)] == ids)
+            pos = np.searchsorted(members, ids)
+            ok = (pos < len(members)) & (
+                members[np.minimum(pos, len(members) - 1)] == ids
+            )
+        if not keep:
+            ok = ~ok
         return df.loc[isdoc].loc[ok, ["doc_id", "text"]]
 
     return both.groupby("dg").map_groups(keep_group, batch_format="pandas")
@@ -113,13 +178,17 @@ def prep_corpus(
     quality_kwargs: dict | None = None,
     num_groups: int = 256,
     collect_timings: dict | None = None,
+    driver_max_drop_ids: int = 2_000_000,
 ):
     """Run the full prep chain; see module docstring.  ``docs_ds`` needs
     (doc_id, text).  Returns the summary Dataset; when ``out_dir`` is set,
     also writes ``{out_dir}/split=train|holdout/*.parquet`` with
     (doc_id, text, n_bpe_tokens, split).  Pass a dict as
     ``collect_timings`` to receive per-stage wall seconds (each stage
-    boundary is a materialize, so the splits are real)."""
+    boundary is a materialize, so the splits are real).
+    ``driver_max_drop_ids`` caps the broadcast drop-set per dedup stage
+    (8 B/id; the default 2M ≈ 16 MB); above it the payload anti-join
+    path takes over — no raise, tested equal."""
     import time as _time
 
     import ray.data
@@ -150,40 +219,48 @@ def prep_corpus(
     n_quality = docs_q.count()
     t0 = _mark(collect_timings, "quality", t0)
 
-    # 2. exact dedup: coarse-hash the md5 prefix, keep min doc_id per hash
+    # 2. exact dedup: NARROW (hg, text_hash, doc_id) shuffle -> drop-id
+    # list -> broadcast filter (payload never rides the exchange; the old
+    # full-payload groupby sort spilled 33 GB on a 4 GB corpus)
+    from grawler_ray.urlops import xxhash64_batch
+
     def tag_hash(t: pa.Table) -> pa.Table:
         ht = exact_hash_batch(t)
-        g = np.array(
-            [int(h[:8], 16) % num_groups for h in ht.column("text_hash").to_pylist()],
-            np.int32,
-        )
+        hashes = ht.column("text_hash").to_pylist()
+        g = (xxhash64_batch(hashes) % np.uint64(num_groups)).astype(np.int32)
         return pa.table(
             {
                 "hg": pa.array(g, pa.int32()),
                 "text_hash": ht.column("text_hash"),
                 "doc_id": t.column("doc_id"),
-                "text": t.column("text"),
             }
         )
 
-    docs_e = (
+    exact_drops = (
         docs_q.map_batches(tag_hash, batch_format="pyarrow")
         .groupby("hg")
-        .map_groups(_exact_keep_first, batch_format="pandas")
-        .materialize()
+        .map_groups(_exact_drop_ids, batch_format="pyarrow")
     )
+    docs_e = _drop_docs(
+        docs_q, exact_drops, num_groups, driver_max_drop_ids
+    ).materialize()
     n_exact = docs_e.count()
     t0 = _mark(collect_timings, "exact_dedup", t0)
 
-    # 3. near-dup: pairs -> components -> keep doc_id == component
+    # 3. near-dup: pairs -> components -> drop doc_id != component (the
+    # dup-component members — again the small side, broadcast-filtered)
     pairs = minhash_dedup(docs_e, threshold=minhash_threshold)
     comps = dedup_components(docs_e, pairs)
 
-    def keep_only(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["doc_id"].to_numpy() == df["component"].to_numpy(), ["doc_id"]]
+    def drop_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[
+            df["doc_id"].to_numpy() != df["component"].to_numpy(), ["doc_id"]
+        ]
 
-    keep_ids = comps.map_batches(keep_only, batch_format="pandas")
-    docs_n = _semi_join_text(docs_e, keep_ids, num_groups).materialize()
+    near_drops = comps.map_batches(drop_only, batch_format="pandas")
+    docs_n = _drop_docs(
+        docs_e, near_drops, num_groups, driver_max_drop_ids
+    ).materialize()
     n_near = docs_n.count()
     t0 = _mark(collect_timings, "near_dedup", t0)
 

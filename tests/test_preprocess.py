@@ -129,6 +129,53 @@ def test_tokens_and_split_match_serial(ray_session, prep_result):
         assert tok[split] == out.loc[out["split_dir"] == split, "n_bpe_tokens"].sum()
 
 
+def test_join_fallback_equals_broadcast(ray_session, prep_result):
+    """driver_max_drop_ids=0 forces the hashed anti-join payload path for
+    BOTH dedup stages; the final doc set, tokens, and splits must equal the
+    broadcast path's (prep_result)."""
+    import ray.data
+
+    from grawler_ray.pipelines.preprocess import prep_corpus
+
+    _, out_bcast = prep_result
+    shutil.rmtree("/tmp/prep_test_out_join", ignore_errors=True)
+    docs = ray.data.from_items(_docs_rows())
+    summary = prep_corpus(
+        docs,
+        out_dir="/tmp/prep_test_out_join",
+        minhash_threshold=0.5,
+        driver_max_drop_ids=0,
+    ).to_pandas()
+    files = glob.glob("/tmp/prep_test_out_join/**/*.parquet", recursive=True)
+    out = pd.concat(
+        [pq.read_table(f).to_pandas().assign(_f=f) for f in files],
+        ignore_index=True,
+    )
+    out["split_dir"] = out["_f"].str.extract(r"split=(\w+)")
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out_bcast.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["text"]) == list(b["text"])
+    assert list(a["n_bpe_tokens"]) == list(b["n_bpe_tokens"])
+    assert list(a["split_dir"]) == list(b["split_dir"])
+    s = summary.set_index("stage")["n_docs"]
+    assert s["exact_dedup"] == len(b) + 1 and s["near_dedup"] == len(b)
+
+
+def test_zero_drop_short_circuit(ray_session):
+    """With no duplicates at all, _drop_docs returns the input Dataset
+    unchanged (no filter stage, no copy)."""
+    import ray.data
+
+    from grawler_ray.pipelines.preprocess import _drop_docs
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(6)]
+    ).materialize()
+    empty = ray.data.from_items([{"doc_id": 1}]).filter(lambda r: False)
+    assert _drop_docs(docs, empty, 16, 10) is docs
+
+
 def test_all_filtered_graceful(ray_session):
     import ray.data
 
