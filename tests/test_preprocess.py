@@ -176,6 +176,66 @@ def test_zero_drop_short_circuit(ray_session):
     assert _drop_docs(docs, empty, 16, 10) is docs
 
 
+class TestCheckpointing:
+    """checkpoint_dir resumability: a finished stage is READ (proven by
+    tampering its files and seeing the tamper flow through), and a param
+    change invalidates the fingerprint (tamper ignored, recomputed)."""
+
+    CK = "/tmp/prep_test_ckpt"
+
+    def _run(self, threshold=0.5):
+        import ray.data
+
+        from grawler_ray.pipelines.preprocess import prep_corpus
+
+        docs = ray.data.from_items(_docs_rows())
+        out = f"/tmp/prep_test_ckpt_out"
+        shutil.rmtree(out, ignore_errors=True)
+        summary = prep_corpus(
+            docs,
+            out_dir=out,
+            minhash_threshold=threshold,
+            checkpoint_dir=self.CK,
+        ).to_pandas()
+        files = glob.glob(f"{out}/**/*.parquet", recursive=True)
+        res = pd.concat(
+            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+        )
+        return summary, res
+
+    def test_checkpoint_skip_and_invalidation(self, ray_session):
+        import os
+
+        import pyarrow as pa
+
+        shutil.rmtree(self.CK, ignore_errors=True)
+        _, base = self._run()
+        base_ids = set(base["doc_id"])
+        for st in ("quality", "exact_dedup", "near_dedup"):
+            assert os.path.exists(f"{self.CK}/stage={st}.manifest.json")
+
+        # tamper the near_dedup checkpoint: remove one surviving doc
+        nd = glob.glob(f"{self.CK}/stage=near_dedup/*.parquet")
+        t = pa.concat_tables([pq.read_table(f) for f in nd])
+        victim = int(t.column("doc_id").to_pylist()[0])
+        keep = t.filter(
+            pa.compute.not_equal(t.column("doc_id"), pa.scalar(victim))
+        )
+        shutil.rmtree(f"{self.CK}/stage=near_dedup")
+        os.makedirs(f"{self.CK}/stage=near_dedup")
+        pq.write_table(keep, f"{self.CK}/stage=near_dedup/tampered.parquet")
+
+        _, tampered = self._run()
+        assert set(tampered["doc_id"]) == base_ids - {victim}  # stage was read
+
+        # param change -> fingerprint mismatch -> recompute (tamper gone)
+        _, recomputed = self._run(threshold=0.9)
+        assert victim in set(recomputed["doc_id"])
+        # at threshold=0.9 the 30/31 pair no longer joins, so the result
+        # is a strict superset of the 0.5 baseline
+        assert set(recomputed["doc_id"]) >= base_ids
+
+
 def test_all_filtered_graceful(ray_session):
     import ray.data
 
