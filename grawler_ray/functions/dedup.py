@@ -348,6 +348,14 @@ def minhash_dedup(
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_nb"))
         .select_columns(["a", "b"])
+        # MATERIALIZED on purpose (round 4): lazily, the doc_rows payload
+        # branch below races ahead of candidate discovery, pins its output
+        # in the object store, and the executor backpressures the
+        # signature stage to ~2 tasks while the union waits on this very
+        # branch — observed live at 900k docs (32 cpus crawling at 2
+        # wide).  The candidate set is small (∝ near-dups), so pinning it
+        # sequences discovery at full width before any payload moves.
+        .materialize()
     )
 
     # repartition join 1: docs ∪ pair-side requests, grouped by doc id hash.
