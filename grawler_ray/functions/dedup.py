@@ -133,21 +133,28 @@ def minhash_batch(num_perm: int = 128, seed: int = 1):
     return fn
 
 
-def lsh_band_explode(num_bands: int = 16):
-    """Signature -> (band, band_hash, doc_id) rows; the groupby key."""
+def lsh_band_explode(num_bands: int = 16, num_groups: int = 256):
+    """Signature -> (gkey, band, band_hash, doc_id) rows.  gkey is a
+    COARSE group key (hash(band, band_hash) % num_groups): grouping by it
+    gives a bounded number of big groups for one vectorized run-scan
+    (``bucket_pairs``) — NEVER one pandas group per (mostly singleton)
+    LSH bucket, which at 900k docs × 16 bands meant ~14M map_groups
+    invocations and minutes of pure Python dispatch (round 4)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        bands, bhashes, ids = [], [], []
+        gkeys, bands, bhashes, ids = [], [], [], []
         for doc_id, sig in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
             rows_per_band = len(sig) // num_bands
             for bi in range(num_bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 h = xxhash64(",".join(map(str, chunk)))
+                gkeys.append(xxhash64(f"{bi}:{h}") % num_groups)
                 bands.append(bi)
                 bhashes.append(np.int64(h - (1 << 63)))  # signed for arrow
                 ids.append(doc_id)
         return pa.table(
             {
+                "gkey": pa.array(gkeys, pa.int32()),
                 "band": pa.array(bands, pa.int32()),
                 "band_hash": pa.array(bhashes, pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
@@ -215,7 +222,9 @@ _EMPTY_PAIRS = {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int
 
 
 def bucket_pairs(max_bucket: int = 256):
-    """groupby(band, band_hash): emit candidate pairs (a < b).
+    """groupby(gkey) run-scan: rows arrive coarse-grouped; sort by
+    (band, band_hash, doc_id) and each run is one true LSH bucket — emit
+    its candidate pairs (a < b) via triu indices.
 
     ``max_bucket`` caps all-pairs blowup on hot buckets (boilerplate docs
     hashing one band identically): a bucket larger than the cap keeps its
@@ -223,18 +232,40 @@ def bucket_pairs(max_bucket: int = 256):
     an O(n²) bucket would otherwise dominate the whole job."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) > max_bucket:
-            logging.getLogger("grawler_ray.dedup").warning(
-                "LSH bucket (band=%s) of %d docs truncated to %d — near-dups "
-                "among the dropped tail are missed",
-                df["band"].iloc[0], len(ids), max_bucket,
-            )
-            ids = ids[:max_bucket]
-        if len(ids) < 2:
+        df = df.sort_values(["band", "band_hash", "doc_id"]).drop_duplicates(
+            ["band", "band_hash", "doc_id"]
+        )
+        bd = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        if len(ids) == 0:
             return pd.DataFrame(_EMPTY_PAIRS)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        change = (np.diff(bd) != 0) | (np.diff(bh) != 0)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1, [len(df)]))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket:
+                logging.getLogger("grawler_ray.dedup").warning(
+                    "LSH bucket (band=%s) of %d docs truncated to %d — "
+                    "near-dups among the dropped tail are missed",
+                    bd[s], n, max_bucket,
+                )
+                e, n = s + max_bucket, max_bucket
+            ai, bi = np.triu_indices(n, k=1)
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[s:e][bi])
+        if not out_a:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "b": pd.Series(np.concatenate(out_b), dtype="int64"),
+            }
+        )
 
     return fn
 
@@ -301,6 +332,7 @@ def minhash_dedup(
     num_partitions: int = 16,
     num_groups: int = 256,
     verify: str = "local",
+    driver_max_members: int = 2_000_000,
 ):
     """Full MinHash+LSH near-dup pipeline over a documents Dataset.
     Returns a Dataset of (a, b, jaccard) verified pairs (a < b).  Every
@@ -324,6 +356,18 @@ def minhash_dedup(
     on Ray's native sort shuffle: Ray 2.49's Acero-based Dataset.join breaks
     on empty hash partitions and its per-join aggregator actor pools can
     deadlock each other, so no Dataset.join here.
+
+    Join-path sizing (round 4): only docs that appear in a candidate pair
+    need their shingle blob, so when the distinct member count fits
+    ``driver_max_members`` (8 B/id broadcast) the doc side is first
+    broadcast-FILTERED to members — the payload join then moves text ∝
+    candidates, not ∝ corpus, and in the common low-dup case it is
+    near-free.  Above the guard, the full corpus rides the join once, and
+    BOTH union sides are materialized first: a lazy union of two
+    task-produced sides livelocks Ray 2.49's streaming executor at scale
+    (each side's pinned outputs exhaust the memory budget the union's
+    consumer Sort needs to start — observed stuck at 0 tasks for minutes
+    at 900k docs).
     """
     from ray.data.aggregate import Count, Min
 
@@ -342,8 +386,8 @@ def minhash_dedup(
 
     sigs = docs_ds.map_batches(minhash_batch(num_perm), batch_format="pyarrow")
     pairs = (
-        sigs.map_batches(lsh_band_explode(num_bands), batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        sigs.map_batches(lsh_band_explode(num_bands, num_groups), batch_format="pyarrow")
+        .groupby("gkey")
         .map_groups(bucket_pairs(max_bucket), batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_nb"))
@@ -454,9 +498,48 @@ def minhash_dedup(
             }
         )
 
+    import ray
+    import ray.data
+
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    doc_side = docs_ds.select_columns(["doc_id", "text"])
+    if 2 * n_pairs <= driver_max_members:
+        pdf = pairs.to_pandas()
+        members = np.unique(
+            np.concatenate(
+                [pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]
+            )
+        )
+        mref = ray.put(members)
+
+        def member_filter(t: pa.Table) -> pa.Table:
+            mem = ray.get(mref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(mem, ids)
+            ok = (pos < len(mem)) & (mem[np.minimum(pos, len(mem) - 1)] == ids)
+            return t.filter(pa.array(ok))
+
+        doc_side = doc_side.map_batches(member_filter, batch_format="pyarrow")
+        req_side = pairs.map_batches(requests, batch_format="pyarrow")
+    else:
+        # full-corpus join: pin both sides first (livelock note above)
+        doc_side = doc_side.materialize()
+        req_side = pairs.map_batches(requests, batch_format="pyarrow").materialize()
+
     sides = (
-        pairs.map_batches(requests, batch_format="pyarrow")
-        .union(docs_ds.select_columns(["doc_id", "text"]).map_batches(doc_rows, batch_format="pyarrow"))
+        req_side
+        .union(doc_side.map_batches(doc_rows, batch_format="pyarrow"))
         .map_batches(did_hash, batch_format="pyarrow")
         .groupby("dg")
         .map_groups(attach_blobs, batch_format="pandas")

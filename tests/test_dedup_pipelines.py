@@ -73,6 +73,13 @@ def test_minhash_verify_modes_agree(docs_ds):
     sl = {(a, b): round(j, 12) for a, b, j in zip(loc.a, loc.b, loc.jaccard)}
     sj = {(a, b): round(j, 12) for a, b, j in zip(jn.a, jn.b, jn.jaccard)}
     assert sl == sj and len(sl) > 0
+    # driver_max_members=0 forces the full-corpus (materialized-sides)
+    # join fallback; must agree with the member-filter fast path
+    fb = minhash_dedup(
+        docs_ds, threshold=0.5, verify="join", driver_max_members=0
+    ).to_pandas()
+    sf = {(a, b): round(j, 12) for a, b, j in zip(fb.a, fb.b, fb.jaccard)}
+    assert sf == sj
 
 
 def test_ngram_jaccard_exact_baseline(docs_ds):
