@@ -95,6 +95,58 @@ def shingles(text: str, k: int = 3) -> set[int]:
     return set(acc.tolist())
 
 
+def _avalanche64(x: np.ndarray) -> np.ndarray:
+    """murmur3-style finalizer over a uint64 array (in place on a copy)."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(29)
+    return x
+
+
+def band_hash_matrix(
+    sigs: np.ndarray, num_bands: int, num_groups: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_docs, num_perm) signature matrix -> per-band hashes, fully
+    vectorized: each band combines its rows with position-multiplied xors
+    + an avalanche finalizer (the same construction as ``shingles``).
+
+    Replaces the historic ``xxhash64(",".join(chunk))`` per band per doc —
+    10.4M pure-Python hash calls at 650k docs × 16 bands (minutes of wall
+    time on wheel-less images; round 4).  Band-hash EQUALITY is identical
+    either way: two docs share a band hash iff their signature chunks are
+    equal (modulo 2^-64 collisions), so LSH bucket contents — and every
+    candidate pair — are unchanged by the definition switch.  Persisted
+    band indexes from before round 4 are incompatible (rebuild them).
+
+    Returns ``(band_hash int64 (n, num_bands), gkey int32 (n, num_bands))``
+    where gkey is the coarse group key in [0, num_groups)."""
+    n, p = sigs.shape
+    r = p // num_bands
+    chunks = sigs[:, : num_bands * r].reshape(n, num_bands, r)
+    acc = np.zeros((n, num_bands), np.uint64)
+    for j in range(r):
+        acc ^= chunks[:, :, j] * np.uint64(_pos_mult(j))
+    acc = _avalanche64(acc)
+    # fold the band index in so equal chunks in DIFFERENT bands don't share
+    # buckets, mirroring the old f"{band}:{hash}" gkey
+    bi = np.arange(num_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    gkey = (_avalanche64(acc ^ bi[None, :]) % np.uint64(num_groups)).astype(np.int32)
+    bh = (acc ^ np.uint64(1 << 63)).view(np.int64)  # signed for arrow
+    return bh, gkey
+
+
+def _sig_matrix(t: pa.Table) -> np.ndarray:
+    """Zero-copy-ish (doc_id, sig list<uint64>) -> (n, num_perm) matrix."""
+    col = t.column("sig")
+    la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(la)
+    if n == 0:
+        return np.zeros((0, 0), np.uint64)
+    values = la.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return values.reshape(n, -1)
+
+
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -142,22 +194,26 @@ def lsh_band_explode(num_bands: int = 16, num_groups: int = 256):
     invocations and minutes of pure Python dispatch (round 4)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        gkeys, bands, bhashes, ids = [], [], [], []
-        for doc_id, sig in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
-            rows_per_band = len(sig) // num_bands
-            for bi in range(num_bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = xxhash64(",".join(map(str, chunk)))
-                gkeys.append(xxhash64(f"{bi}:{h}") % num_groups)
-                bands.append(bi)
-                bhashes.append(np.int64(h - (1 << 63)))  # signed for arrow
-                ids.append(doc_id)
+        sigs = _sig_matrix(t)
+        n = sigs.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "gkey": pa.array([], pa.int32()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        bh, gkey = band_hash_matrix(sigs, num_bands, num_groups)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = np.tile(np.arange(num_bands, dtype=np.int32), n)
         return pa.table(
             {
-                "gkey": pa.array(gkeys, pa.int32()),
+                "gkey": pa.array(gkey.ravel(), pa.int32()),
                 "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "band_hash": pa.array(bh.ravel(), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
             }
         )
 
@@ -189,28 +245,33 @@ def minhash_blob_batch(num_perm: int = 128, seed: int = 1, num_bands: int = 16, 
     a, b = _perm_params(num_perm, seed)
 
     def fn(t: pa.Table) -> pa.Table:
-        gkeys, bands, bhashes, ids, blobs = [], [], [], [], []
-        for doc_id, txt in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
+        doc_ids = t.column("doc_id").to_pylist()
+        sig_rows, doc_blobs = [], []
+        for txt in t.column("text").to_pylist():
             sh = shingles(txt)
-            sig = minhash_signature(sh, a, b)
-            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
-            rows_per_band = len(sig) // num_bands
-            for bi in range(num_bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = xxhash64(",".join(map(str, chunk)))
-                gkeys.append(xxhash64(f"{bi}:{h}") % num_groups)
-                bands.append(bi)
-                bhashes.append(np.int64(h - (1 << 63)))  # signed for arrow
-                ids.append(doc_id)
-                blobs.append(blob)
+            sig_rows.append(minhash_signature(sh, a, b))
+            doc_blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "gkey": pa.array([], pa.int32()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.binary()),
+                }
+            )
+        bh, gkey = band_hash_matrix(np.vstack(sig_rows), num_bands, num_groups)
+        blobs = [blob for blob in doc_blobs for _ in range(num_bands)]
         return pa.table(
             {
-                "gkey": pa.array(gkeys, pa.int32()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "gkey": pa.array(gkey.ravel(), pa.int32()),
+                "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bh.ravel(), pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(np.asarray(doc_ids, np.int64), num_bands), pa.int64()
+                ),
                 "sh": pa.array(blobs, pa.binary()),
             }
         )
@@ -1107,35 +1168,51 @@ def build_minhash_index(
     _os.makedirs(index_dir, exist_ok=True)
 
     def explode(t: pa.Table) -> pa.Table:
-        gk, bands, bhashes, ids = [], [], [], []
-        blob_ids, blob_gk, blobs = [], [], []
-        for doc_id, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        doc_ids = t.column("doc_id").to_pylist()
+        sig_rows, blobs = [], []
+        for txt in t.column("text").to_pylist():
             sh = shingles(txt)
-            sig = minhash_signature(sh, a, b)
-            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
-            blob_ids.append(doc_id)
-            blob_gk.append(
-                int((np.uint64(doc_id) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
-                % num_buckets
+            sig_rows.append(minhash_signature(sh, a, b))
+            blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "gk": pa.array([], pa.int32()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.binary()),
+                }
             )
-            blobs.append(blob)
-            rows_per_band = len(sig) // num_bands
-            for bi in range(num_bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = xxhash64(",".join(map(str, chunk)))
-                gk.append(xxhash64(f"{bi}:{h}") % num_buckets)
-                bands.append(bi)
-                bhashes.append(np.int64(h - (1 << 63)))
-                ids.append(doc_id)
-        n_band = len(bands)
-        n_blob = len(blob_ids)
+        ids = np.asarray(doc_ids, np.int64)
+        bh, gk = band_hash_matrix(np.vstack(sig_rows), num_bands, num_buckets)
+        blob_gk = (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % np.uint64(num_buckets)
+        n_band = n * num_bands
         return pa.table(
             {
-                "kind": pa.array([0] * n_band + [1] * n_blob, pa.int8()),
-                "gk": pa.array(gk + blob_gk, pa.int32()),
-                "band": pa.array(bands + [0] * n_blob, pa.int32()),
-                "band_hash": pa.array(bhashes + [0] * n_blob, pa.int64()),
-                "doc_id": pa.array(ids + blob_ids, pa.int64()),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n_band, np.int8), np.ones(n, np.int8)]),
+                    pa.int8(),
+                ),
+                "gk": pa.array(
+                    np.concatenate([gk.ravel(), blob_gk.astype(np.int32)]), pa.int32()
+                ),
+                "band": pa.array(
+                    np.concatenate(
+                        [np.tile(np.arange(num_bands, dtype=np.int32), n), np.zeros(n, np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(
+                    np.concatenate([bh.ravel(), np.zeros(n, np.int64)]), pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([np.repeat(ids, num_bands), ids]), pa.int64()
+                ),
                 "sh": pa.array([None] * n_band + blobs, pa.binary()),
             }
         )
@@ -1206,27 +1283,34 @@ def minhash_dedup_incremental(
     from ray.data.aggregate import Min
 
     def explode(t: pa.Table) -> pa.Table:
-        gk, bands, bhashes, ids, blobs = [], [], [], [], []
-        for doc_id, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        doc_ids = t.column("doc_id").to_pylist()
+        sig_rows, doc_blobs = [], []
+        for txt in t.column("text").to_pylist():
             sh = shingles(txt)
-            sig = minhash_signature(sh, a, b)
-            blob = np.fromiter(sorted(sh), dtype=np.uint64).tobytes()
-            rows_per_band = len(sig) // num_bands
-            for bi in range(num_bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = xxhash64(",".join(map(str, chunk)))
-                gk.append(xxhash64(f"{bi}:{h}") % num_buckets)
-                bands.append(bi)
-                bhashes.append(np.int64(h - (1 << 63)))
-                ids.append(doc_id)
-                blobs.append(blob)
+            sig_rows.append(minhash_signature(sh, a, b))
+            doc_blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+        n = len(doc_ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "gk": pa.array([], pa.int32()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "new_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.binary()),
+                }
+            )
+        ids = np.asarray(doc_ids, np.int64)
+        bh, gk = band_hash_matrix(np.vstack(sig_rows), num_bands, num_buckets)
         return pa.table(
             {
-                "gk": pa.array(gk, pa.int32()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-                "new_id": pa.array(ids, pa.int64()),
-                "sh": pa.array(blobs, pa.binary()),
+                "gk": pa.array(gk.ravel(), pa.int32()),
+                "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bh.ravel(), pa.int64()),
+                "new_id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "sh": pa.array(
+                    [blob for blob in doc_blobs for _ in range(num_bands)], pa.binary()
+                ),
             }
         )
 
