@@ -170,17 +170,22 @@ def minhash_batch(num_perm: int = 128, seed: int = 1):
     a, b = _perm_params(num_perm, seed)
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        sigs = [
-            minhash_signature(shingles(txt), a, b).tolist()
-            for txt in t.column("text").to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
-            }
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        # flat uint64 buffer + offsets instead of n x num_perm boxed ints
+        sigs = np.vstack([minhash_signature(shingles(txt), a, b) for txt in texts])
+        la = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * np.int32(sigs.shape[1])),
+            pa.array(sigs.ravel(), pa.uint64()),
         )
+        return pa.table({"doc_id": t.column("doc_id"), "sig": la})
 
     return fn
 
