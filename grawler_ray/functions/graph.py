@@ -195,6 +195,8 @@ def pagerank(
     iters: int = 5,
     scale: int = 10**9,
     num_groups: int | None = None,
+    driver_max_nodes: int = 5_000_000,
+    driver_max_edges: int = 2_000_000,
 ):
     """Returns a Dataset (node_col, rank) with int64 fixed-point ranks
     after ``iters`` synchronous iterations of the pinned recurrence.
@@ -203,6 +205,15 @@ def pagerank(
     every iteration pays 2 shuffles regardless of data size, so at small
     n the group count (per-group map_groups fixed cost × iters) dominates
     wall time — 8 groups for <1M nodes, growing to 256 at 100M+.
+
+    Size-adaptive small path (the dedup_components pattern, round 4):
+    below (``driver_max_nodes``, ``driver_max_edges``) the whole
+    recurrence runs as driver numpy over the pulled (s, t, deg) edge list
+    — identical integer arithmetic, asserted equal to the distributed
+    path in tests — because even 8-group exchanges cost ~2 s of launch
+    latency each and 2 × iters of them dominate small graphs (a 2000-node
+    sf0.1 graph spent 25 s orchestrating ~1 ms of arithmetic).  Above the
+    guards, the 2-exchange-per-iteration distributed loop takes over.
     """
     import ray.data
 
@@ -247,6 +258,34 @@ def pagerank(
     edges = (
         edges.groupby("sg").map_groups(attach_deg, batch_format="pandas").materialize()
     )
+
+    n_edges = edges.count()
+    if n <= driver_max_nodes and n_edges <= driver_max_edges:
+        if n_edges:
+            ep = edges.to_pandas()
+            s = ep["s"].to_numpy(np.int64)
+            t = ep["t"].to_numpy(np.int64)
+            deg = ep["deg"].to_numpy(np.int64)
+        else:  # empty blocks lose their schema on to_pandas
+            s = t = deg = np.array([], np.int64)
+        nv = np.sort(
+            nodes_ds.select_columns([node_col]).to_pandas()[node_col].to_numpy(np.int64)
+        )
+        si = np.searchsorted(nv, s)
+        ti = np.searchsorted(nv, t)
+        r = np.full(len(nv), base, np.int64)
+        for _ in range(iters):
+            csum = np.zeros(len(nv), np.int64)
+            if len(s):
+                # np.add.at, not bincount(weights=...): weights go through
+                # float64 and corrupt int64 sums beyond 2^53
+                np.add.at(csum, ti, r[si] // deg)
+            r = tele + (d_pct * csum) // 100
+        # pandas block on purpose: matches the distributed path's block
+        # type for downstream unions (the dedup_components lesson)
+        return ray.data.from_pandas(
+            pd.DataFrame({node_col: nv, "rank": r})
+        )
 
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
         v = df[node_col].to_numpy(np.int64)

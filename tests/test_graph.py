@@ -64,6 +64,16 @@ class TestPagerank:
         exp = serial_pagerank(nodes, [])
         assert got == exp
 
+    def test_distributed_path_equals_driver_path(self, ray_session):
+        """driver_max_edges=0 forces the 2-exchange distributed loop; it
+        must agree exactly with the default (driver numpy) small path."""
+        nodes = list(range(12))
+        pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (6, 7), (1, 8)]
+        fast = self._run(ray_session, nodes, pairs)
+        dist = self._run(ray_session, nodes, pairs, driver_max_edges=0)
+        assert fast == dist
+        assert fast == serial_pagerank(nodes, pairs)
+
     def test_vs_duckdb_sf(self, ray_session):
         import __ray_entry__ as e
 
