@@ -446,6 +446,9 @@ def minhash_dedup(
             )
             .groupby("gkey")
             .map_groups(_bucket_local_verify(threshold, max_bucket), batch_format="pandas")
+            # arrow blocks: pandas-block multi-key aggregates are a ~20x
+            # Ray 2.49 slow path (user_retention measurement, round 4)
+            .map_batches(lambda t: t, batch_format="pyarrow")
             .groupby(["a", "b"])
             .aggregate(Min("jaccard", alias_name="jaccard"))
         )
@@ -455,6 +458,9 @@ def minhash_dedup(
         sigs.map_batches(lsh_band_explode(num_bands, num_groups), batch_format="pyarrow")
         .groupby("gkey")
         .map_groups(bucket_pairs(max_bucket), batch_format="pandas")
+        # arrow blocks: pandas-block multi-key aggregates are a ~20x Ray
+        # 2.49 slow path (user_retention measurement, round 4)
+        .map_batches(lambda t: t, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_nb"))
         .select_columns(["a", "b"])
@@ -878,6 +884,9 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1024, num_gro
         sigs.map_batches(explode, batch_format="pyarrow")
         .groupby("gkey")
         .map_groups(bucket_verify, batch_format="pandas")
+        # arrow blocks: pandas-block multi-key aggregates are a ~20x Ray
+        # 2.49 slow path (user_retention measurement, round 4)
+        .map_batches(lambda t: t, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )

@@ -250,6 +250,9 @@ def range_join_count(
         events_ds.map_batches(tag, batch_format="pyarrow")
         .groupby("bg")
         .map_groups(bucket_match, batch_format="pandas")
+        # arrow blocks: pandas-block sort-aggregates are a Ray 2.49 slow
+        # path (user_retention measurement, round 4)
+        .map_batches(lambda t: t, batch_format="pyarrow")
     )
     out = partials.groupby("interval_id").aggregate(
         Sum("n_part", alias_name="n_events"), Sum("cents_part", alias_name="sum_cents")

@@ -392,7 +392,13 @@ def prep_corpus(
     from ray.data.aggregate import Count, Sum
 
     split_rows = (
-        final.groupby("split")
+        # narrow + arrow BEFORE the exchange: the summary only needs
+        # (split, n_bpe_tokens) — grouping `final` directly would sort the
+        # whole corpus text through the aggregate; pandas-block aggregates
+        # are additionally a Ray 2.49 slow path (round 4)
+        final.select_columns(["split", "n_bpe_tokens"])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby("split")
         .aggregate(Count(alias_name="n_docs"), Sum("n_bpe_tokens", alias_name="n_tokens"))
         .to_pandas()
     )
