@@ -223,6 +223,13 @@ def prep_corpus(
         return now
 
     t0 = _t()
+    # materialize the input ONCE: it has two consumers (this count + the
+    # quality map), and counting a lazy source executes the whole
+    # read+transform pipeline a second time — the count was half the
+    # quality stage's wall at 653k docs (round 4).  The copy is
+    # object-store-backed and spills; at 100 TB the checkpoint_dir path
+    # amortizes it across retries.
+    docs_ds = docs_ds.materialize()
     n_input = docs_ds.count()
 
     # --- stage-boundary checkpointing (see docstring) ---
