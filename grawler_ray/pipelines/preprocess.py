@@ -223,13 +223,12 @@ def prep_corpus(
         return now
 
     t0 = _t()
-    # materialize the input ONCE: it has two consumers (this count + the
-    # quality map), and counting a lazy source executes the whole
-    # read+transform pipeline a second time — the count was half the
-    # quality stage's wall at 653k docs (round 4).  The copy is
-    # object-store-backed and spills; at 100 TB the checkpoint_dir path
-    # amortizes it across retries.
-    docs_ds = docs_ds.materialize()
+    # NOTE: this count scans the lazy source once and the quality map
+    # scans it again.  Materializing the input instead was MEASURED WORSE
+    # at 653k docs (583 -> 782 s end-to-end): the pinned corpus copy sat
+    # in the object store through every later stage and pushed the
+    # near-dup shuffles from zero spill to 8.5 GB of spill.  Re-reading
+    # parquet is cheaper than holding a copy you only need twice.
     n_input = docs_ds.count()
 
     # --- stage-boundary checkpointing (see docstring) ---
