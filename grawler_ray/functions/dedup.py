@@ -147,6 +147,49 @@ def _sig_matrix(t: pa.Table) -> np.ndarray:
     return values.reshape(n, -1)
 
 
+def shingles_batch(texts, k: int = 3) -> list[np.ndarray]:
+    """``shingles`` for a whole batch: returns one SORTED-UNIQUE uint64
+    array per text, bit-identical values to the scalar path (same token
+    xxhash64, same position-multiplied combine, same avalanche).
+
+    The win is token hashing: the batch's tokens are factorized once
+    (pandas C path) and only the UNIQUE tokens are hashed — with
+    ``xxhash64_batch`` (bit-identical to ``xxhash64``) — instead of one
+    memoized Python dict probe per token occurrence.  At ~3k tokens/doc
+    web pages this roughly halves shingling cost (round 4)."""
+    from ..urlops import xxhash64_batch
+
+    toks_per = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    lens = np.fromiter((len(x) for x in toks_per), np.int64, count=len(toks_per))
+    flat = [tok for toks in toks_per for tok in toks]
+    out: list[np.ndarray] = []
+    if not flat:
+        return [np.array([], np.uint64) for _ in texts]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    hs_flat = xxhash64_batch(list(uniq))[codes]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    for i in range(len(texts)):
+        hs = hs_flat[offs[i] : offs[i + 1]]
+        n = len(hs)
+        if n == 0:
+            out.append(np.array([], np.uint64))
+            continue
+        if n < k:
+            acc_i = 0x165667B19E3779F9
+            for j, h in enumerate(hs.tolist()):
+                acc_i ^= (h * _pos_mult(j)) & _M64
+            out.append(np.array([acc_i], np.uint64))
+            continue
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for p in range(k):
+            acc ^= hs[p : n - k + 1 + p] * np.uint64(_pos_mult(p))
+        acc ^= acc >> np.uint64(33)
+        acc *= np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(29)
+        out.append(np.unique(acc))
+    return out
+
+
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -154,16 +197,31 @@ def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(sh, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm-wide MinHash signature via (a*x+b) mod Mersenne61, vectorized
-    over the shingle set."""
-    if not sh:
+    over the shingle set (a set of ints or a uint64 ndarray)."""
+    if isinstance(sh, np.ndarray):
+        x = sh.astype(np.uint64, copy=False)
+    elif sh:
+        x = np.fromiter(sh, dtype=np.uint64)
+    else:
+        x = np.array([], np.uint64)
+    if len(x) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(sh, dtype=np.uint64)
     # (a[:,None]*x + b[:,None]) % M  — uint64 wrap-around is fine for hashing
-    # but we mod a Mersenne prime for uniformity using object-free arithmetic:
-    prod = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-    return prod.min(axis=1)
+    # but we mod a Mersenne prime for uniformity.  CACHE-BLOCKED over the
+    # permutation axis: the full num_perm x n_shingles temp blows L2 on
+    # web-page shingle counts and the kernel goes memory-bound — 16-perm
+    # chunks keep temps ~384 KB and run 2.2x faster, bit-identically
+    # (measured round 4; a Mersenne shift-fold was SLOWER than `% M`
+    # here — more passes over the temps loses to division on this
+    # bandwidth budget).
+    m = np.uint64(_MERSENNE)
+    out = np.empty(len(a), np.uint64)
+    for i in range(0, len(a), 16):
+        prod = (a[i : i + 16, None] * x[None, :] + b[i : i + 16, None]) % m
+        out[i : i + 16] = prod.min(axis=1)
+    return out
 
 
 def minhash_batch(num_perm: int = 128, seed: int = 1):
@@ -180,7 +238,9 @@ def minhash_batch(num_perm: int = 128, seed: int = 1):
                 }
             )
         # flat uint64 buffer + offsets instead of n x num_perm boxed ints
-        sigs = np.vstack([minhash_signature(shingles(txt), a, b) for txt in texts])
+        sigs = np.vstack(
+            [minhash_signature(sh, a, b) for sh in shingles_batch(texts)]
+        )
         la = pa.ListArray.from_arrays(
             pa.array(np.arange(n + 1, dtype=np.int32) * np.int32(sigs.shape[1])),
             pa.array(sigs.ravel(), pa.uint64()),
@@ -252,10 +312,9 @@ def minhash_blob_batch(num_perm: int = 128, seed: int = 1, num_bands: int = 16, 
     def fn(t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_pylist()
         sig_rows, doc_blobs = [], []
-        for txt in t.column("text").to_pylist():
-            sh = shingles(txt)
+        for sh in shingles_batch(t.column("text").to_pylist()):
             sig_rows.append(minhash_signature(sh, a, b))
-            doc_blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+            doc_blobs.append(sh.tobytes())  # sorted-unique already
         n = len(doc_ids)
         if n == 0:
             return pa.table(
@@ -1184,10 +1243,9 @@ def build_minhash_index(
     def explode(t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_pylist()
         sig_rows, blobs = [], []
-        for txt in t.column("text").to_pylist():
-            sh = shingles(txt)
+        for sh in shingles_batch(t.column("text").to_pylist()):
             sig_rows.append(minhash_signature(sh, a, b))
-            blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+            blobs.append(sh.tobytes())  # sorted-unique already
         n = len(doc_ids)
         if n == 0:
             return pa.table(
@@ -1299,10 +1357,9 @@ def minhash_dedup_incremental(
     def explode(t: pa.Table) -> pa.Table:
         doc_ids = t.column("doc_id").to_pylist()
         sig_rows, doc_blobs = [], []
-        for txt in t.column("text").to_pylist():
-            sh = shingles(txt)
+        for sh in shingles_batch(t.column("text").to_pylist()):
             sig_rows.append(minhash_signature(sh, a, b))
-            doc_blobs.append(np.fromiter(sorted(sh), dtype=np.uint64).tobytes())
+            doc_blobs.append(sh.tobytes())  # sorted-unique already
         n = len(doc_ids)
         if n == 0:
             return pa.table(

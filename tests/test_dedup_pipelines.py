@@ -370,3 +370,39 @@ def test_dup_ratio_null_source_kept(ray_session):
     # the three null-source docs survive as their own group; one of them is
     # part of the corpus-wide "dup" run
     assert bysrc["<null>"] == (3, 1)
+
+
+def test_shingles_batch_bit_identical_to_scalar():
+    """shingles_batch must produce exactly the scalar shingles() values
+    (sorted-unique array vs set) across the edge regimes: empty, <k
+    tokens, repeated tokens, punctuation-only, unicode, long docs."""
+    from grawler_ray.functions.dedup import shingles, shingles_batch
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "one two three four five",
+        "dup dup dup dup dup",
+        "...!!!???",
+        "Ünïcode wörds ünïcode wörds here",
+        " ".join(f"tok{i % 37}" for i in range(500)),
+        None,
+    ]
+    got = shingles_batch(texts)
+    for txt, arr in zip(texts, got):
+        exp = shingles(txt or "")
+        assert sorted(exp) == arr.tolist(), txt
+        assert arr.dtype == np.uint64
+
+
+def test_minhash_signature_fold_matches_modulo():
+    """The Mersenne fold in minhash_signature must equal plain % M."""
+    from grawler_ray.functions.dedup import _MERSENNE, _perm_params, minhash_signature
+
+    a, b = _perm_params(16, seed=1)
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, np.iinfo(np.int64).max, size=200, dtype=np.int64).astype(np.uint64)
+    got = minhash_signature(x, a, b)
+    prod = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    assert (got == prod.min(axis=1)).all()
