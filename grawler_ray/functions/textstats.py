@@ -158,21 +158,31 @@ def token_count_batch(t: pa.Table) -> pa.Table:
     pre-token count (the standard proxy for LLM token cost), the
     whitespace-token count, and the punctuation-character count (a quality
     signal).  Pure counts => exactly mirrored by the DuckDB oracle with the
-    same RE2-compatible patterns."""
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    n_bpe, n_ws, n_punct = [], [], []
-    for txt in texts:
-        txt = txt or ""
-        n_bpe.append(len(_BPE_RE.findall(txt)))
-        n_ws.append(len(_WS_RE.findall(txt)))
-        n_punct.append(len(_PUNCT_RE.findall(txt)))
+    same RE2-compatible patterns.
+
+    Counts run as Arrow ``count_substring_regex`` (RE2, vectorized C++, no
+    Python string materialization) — verified count-identical to the
+    Python ``re`` path over sf0.01/sf0.1 documents AND 10k real crawled
+    pages (these patterns are the RE2-compatible subset by design; both
+    engines are leftmost-first and the alternation tiles the string, so
+    non-overlapping match counts coincide)."""
+    import pyarrow.compute as pc
+
+    col = t.column("text")
+    if col.null_count:
+        col = pc.fill_null(col, "")
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
-            "n_ws_tokens": pa.array(n_ws, pa.int64()),
-            "n_punct_chars": pa.array(n_punct, pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(col, BPE_TOKEN_PATTERN), pa.int64()
+            ),
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(col, r"[^ \t\n\r\f]+"), pa.int64()
+            ),
+            "n_punct_chars": pc.cast(
+                pc.count_substring_regex(col, r"[^ \t\n\r\fa-zA-Z0-9]"), pa.int64()
+            ),
         }
     )
 
