@@ -567,11 +567,17 @@ def minhash_dedup(
         pbs = df["pb"].to_numpy()
         texts = df["text"].tolist()
         starts = np.concatenate(([0], np.flatnonzero(np.diff(dids) != 0) + 1, [len(df)]))
+        # batch the shingle/blob computation across the group's docs
+        # (shingles_batch, round 4) instead of per-doc _pack_shingles
+        blob_runs = [
+            (s, e)
+            for s, e in zip(starts[:-1], starts[1:])
+            if pas[s] == -1 and e - s >= 2
+        ]
+        blobs_arr = shingles_batch([texts[s] or "" for s, _ in blob_runs])
         out = {"pa": [], "pb": [], "side_did": [], "sh": []}
-        for s, e in zip(starts[:-1], starts[1:]):
-            if pas[s] != -1 or e - s < 2:
-                continue  # no doc text present, or no requests for this doc
-            blob = _pack_shingles(texts[s] or "")
+        for (s, e), sh in zip(blob_runs, blobs_arr):
+            blob = sh.tobytes()  # sorted-unique already
             for i in range(s + 1, e):
                 out["pa"].append(int(pas[i]))
                 out["pb"].append(int(pbs[i]))
