@@ -1086,6 +1086,13 @@ def _bigram_counts(sf_dir: str):
     return bigram_counts(_read(sf_dir, "documents"), k=100)
 
 
+def _cooccurrence_topk(sf_dir: str):
+    """Windowed skip-gram pair counts (word2vec/PMI primitive)."""
+    from grawler_ray.functions.textstats import cooccurrence_topk
+
+    return cooccurrence_topk(_read(sf_dir, "documents"), window=5, k=100)
+
+
 def _source_lang_pivot(sf_dir: str):
     from grawler_ray.functions.textstats import source_lang_pivot
 
@@ -1381,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": _event_deltas,
         "source_cap": _source_cap,
         "bigram_counts": _bigram_counts,
+        "cooccurrence_topk": _cooccurrence_topk,
         "source_lang_pivot": _source_lang_pivot,
         "degree_stats": _degree_stats,
         "triangle_count": _triangle_count,
@@ -2214,6 +2222,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*)::BIGINT AS total
             FROM bg GROUP BY bigram
             ORDER BY total DESC, bigram ASC
+            LIMIT 100
+        """,
+        # windowed skip-gram co-occurrence (word2vec/PMI primitive):
+        # ordered pairs (w_i, w_{i+d}), 1 <= d <= 5, within one document
+        "cooccurrence_topk": r"""
+            WITH W AS (SELECT regexp_extract_all(lower(text), '\b\w+\b') AS w
+                       FROM documents),
+            pairs AS (
+              SELECT unnest(flatten(list_transform(range(1, 6),
+                  d -> list_transform(range(1, len(w) - d + 1),
+                                      i -> w[i] || ' ' || w[i + d])))) AS pair
+              FROM W)
+            SELECT pair, count(*)::BIGINT AS total
+            FROM pairs GROUP BY pair
+            ORDER BY total DESC, pair ASC
             LIMIT 100
         """,
         # wide-format corpus composition: conditional aggregation pivot

@@ -327,6 +327,71 @@ def bigram_counts(docs_ds, k: int = 100, combine_parts: int = 8):
     )
 
 
+def cooccurrence_topk(docs_ds, window: int = 5, k: int = 100, combine_parts: int = 8):
+    """Global top-k windowed co-occurrence pairs — the skip-gram statistic
+    under word2vec/GloVe/PMI vocabulary analysis: every ORDERED token pair
+    ``(w_i, w_{i+d})`` with ``1 <= d <= window`` inside one document, tokens
+    ``\\b\\w+\\b`` over lower(text) (the bigram_counts tokenizer; window=1
+    degenerates to bigram_counts).  Ranked (total desc, pair asc).
+
+    Scale shape: per-batch the token stream is FACTORIZED once (pandas
+    factorize), docs separated by ``window`` sentinel codes so no pair can
+    straddle documents; the ``window`` shifted-pair code arrays are counted
+    with one ``np.unique`` — strings are built only for the batch's DISTINCT
+    pairs, so the shuffle carries one row per distinct pair per batch, never
+    per occurrence.  Then one pair-hash aggregate -> per-block lossless
+    top-k truncation -> tree combine (same tail as bigram_counts/top_words).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list = []
+        sep = [None] * window
+        for txt in t.column("text").to_pylist():
+            toks.extend(_WORD_RE.findall((txt or "").lower()))
+            toks.extend(sep)
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        # factorize maps the None sentinels to -1; uniq holds real tokens only
+        u = max(len(uniq), 1)
+        parts = []
+        for d in range(1, window + 1):
+            if len(codes) <= d:
+                break
+            a, b = codes[:-d], codes[d:]
+            m = (a >= 0) & (b >= 0)
+            parts.append(a[m].astype(np.int64) * u + b[m])
+        if not parts:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+            )
+        upc, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        ai, bi = upc // u, upc % u
+        pairs = [uniq[x] + " " + uniq[y] for x, y in zip(ai, bi)]
+        return pa.table(
+            {"pair": pa.array(pairs, pa.string()), "partial": pa.array(cnt, pa.int64())}
+        )
+
+    def head_k(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["total", "pair"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs_ds.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="total"))
+        .map_batches(head_k, batch_format="pyarrow")     # per-block truncate
+        .repartition(combine_parts)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+    )
+
+
 def source_lang_pivot(docs_ds):
     """Pivot / conditional aggregation: per source, total docs + one count
     column per language (fixed column set = the corpus's language codes),

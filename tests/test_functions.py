@@ -177,6 +177,41 @@ def test_bigram_counts_topk(ray_session):
     assert got == {"a b": 3, "b a": 1}  # tiebreak (total desc, bigram asc)
 
 
+def test_cooccurrence_topk_matches_serial_reference(ray_session):
+    """Windowed skip-gram counts == a serial loop reference: window
+    semantics (1 <= d <= window), no cross-document pairs, lowercase
+    tokenization, (total desc, pair asc) tiebreak at the k boundary."""
+    import re as _re
+    from collections import Counter
+
+    import ray.data
+
+    from grawler_ray.functions.textstats import cooccurrence_topk
+
+    texts = [
+        "a b c d e f a b",        # pairs at every offset 1..5
+        "A b",                     # lowercased; no pair with the doc above
+        "solo",                    # no pairs
+        "",                        # empty doc
+        "x " * 9,                  # repeated token: (x, x) at all offsets
+    ]
+    ref: Counter = Counter()
+    word_re = _re.compile(r"\b\w+\b")
+    window = 3
+    for txt in texts:
+        ws = word_re.findall(txt.lower())
+        for d in range(1, window + 1):
+            for a, b in zip(ws, ws[d:]):
+                ref[a + " " + b] += 1
+    k = 7
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    docs = ray.data.from_items([{"text": t} for t in texts]).repartition(3)
+    out = cooccurrence_topk(docs, window=window, k=k).to_pandas()
+    got = list(zip(out["pair"], out["total"]))
+    assert got == expect
+
+
 def test_source_lang_pivot(ray_session):
     import ray.data
 
