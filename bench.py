@@ -120,7 +120,8 @@ def run_subqueries() -> dict[str, float]:
         "quality_filter", "asof_join", "range_join_count",
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",
         "semdedup", "topk_words_sketch", "approx_distinct_words",
-        "event_deltas", "source_cap", "bigram_counts", "source_lang_pivot",
+        "event_deltas", "source_cap", "bigram_counts", "cooccurrence_topk",
+        "source_lang_pivot",
         "degree_stats", "triangle_count", "distinct_words_per_lang",
         "funnel_counts", "countmin_words", "decontaminate_bloom",
         "warc_ingest", "jsonl_ingest", "compression_signals", "redact_pii",

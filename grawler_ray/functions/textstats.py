@@ -280,33 +280,59 @@ def distinct_words_per_lang(docs_ds):
     )
 
 
+def _pair_count_partial(t: pa.Table, window: int, out_col: str) -> pa.Table:
+    """One batch's distinct windowed-pair counts: the token stream is
+    factorized ONCE (pandas factorize), docs separated by ``window``
+    sentinel codes so no pair can straddle documents; the ``window``
+    shifted-pair code arrays are counted with a single ``np.unique`` —
+    pair strings are built only for the batch's DISTINCT pairs."""
+    import pandas as pd
+
+    toks: list = []
+    sep = [None] * window
+    for txt in t.column("text").to_pylist():
+        toks.extend(_WORD_RE.findall((txt or "").lower()))
+        toks.extend(sep)
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    # factorize maps the None sentinels to -1; uniq holds real tokens only
+    u = max(len(uniq), 1)
+    parts = []
+    for d in range(1, window + 1):
+        if len(codes) <= d:
+            break
+        a, b = codes[:-d], codes[d:]
+        m = (a >= 0) & (b >= 0)
+        parts.append(a[m].astype(np.int64) * u + b[m])
+    if not parts:
+        return pa.table(
+            {out_col: pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+        )
+    upc, cnt = np.unique(np.concatenate(parts), return_counts=True)
+    ai, bi = upc // u, upc % u
+    pairs = [uniq[x] + " " + uniq[y] for x, y in zip(ai, bi)]
+    return pa.table(
+        {out_col: pa.array(pairs, pa.string()), "partial": pa.array(cnt, pa.int64())}
+    )
+
+
 def bigram_counts(docs_ds, k: int = 100, combine_parts: int = 8):
     """Global top-k bigrams (the 2-gram LM-count primitive): tokens are
     ``\\b\\w+\\b`` over lower(text) — the repetition_signals tokenizer —
     joined with one space; ranked (total desc, bigram asc).
 
-    Scale shape mirrors top_words: per-batch partial Counter (one row per
-    distinct bigram per batch, never per occurrence) -> one bigram hash
-    aggregate -> per-block lossless top-k truncation -> tree combine.
-    Output (bigram, total) with exactly the SQL LIMIT-k set (deterministic
-    tiebreak both sides)."""
+    Scale shape mirrors top_words: per-batch partial counts (one row per
+    distinct bigram per batch, never per occurrence; the factorized
+    cooccurrence kernel at window=1 — tokens factorized once, pair codes
+    counted in one np.unique, strings built only for distincts) -> one
+    bigram hash aggregate -> per-block lossless top-k truncation -> tree
+    combine.  Output (bigram, total) with exactly the SQL LIMIT-k set
+    (deterministic tiebreak both sides)."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        acc: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            ws = _WORD_RE.findall((txt or "").lower())
-            for a, b in zip(ws, ws[1:]):
-                bg = a + " " + b
-                acc[bg] = acc.get(bg, 0) + 1
-        return pa.table(
-            {
-                "bigram": pa.array(list(acc.keys()), pa.string()),
-                "partial": pa.array(list(acc.values()), pa.int64()),
-            }
-        )
+        return _pair_count_partial(t, window=1, out_col="bigram")
 
     def head_k(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
@@ -334,44 +360,15 @@ def cooccurrence_topk(docs_ds, window: int = 5, k: int = 100, combine_parts: int
     ``\\b\\w+\\b`` over lower(text) (the bigram_counts tokenizer; window=1
     degenerates to bigram_counts).  Ranked (total desc, pair asc).
 
-    Scale shape: per-batch the token stream is FACTORIZED once (pandas
-    factorize), docs separated by ``window`` sentinel codes so no pair can
-    straddle documents; the ``window`` shifted-pair code arrays are counted
-    with one ``np.unique`` — strings are built only for the batch's DISTINCT
-    pairs, so the shuffle carries one row per distinct pair per batch, never
-    per occurrence.  Then one pair-hash aggregate -> per-block lossless
-    top-k truncation -> tree combine (same tail as bigram_counts/top_words).
+    Scale shape: per-batch factorized pair counting (``_pair_count_partial``
+    — one row per distinct pair per batch, never per occurrence) -> one
+    pair-hash aggregate -> per-block lossless top-k truncation -> tree
+    combine (same tail as bigram_counts/top_words).
     """
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        toks: list = []
-        sep = [None] * window
-        for txt in t.column("text").to_pylist():
-            toks.extend(_WORD_RE.findall((txt or "").lower()))
-            toks.extend(sep)
-        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
-        # factorize maps the None sentinels to -1; uniq holds real tokens only
-        u = max(len(uniq), 1)
-        parts = []
-        for d in range(1, window + 1):
-            if len(codes) <= d:
-                break
-            a, b = codes[:-d], codes[d:]
-            m = (a >= 0) & (b >= 0)
-            parts.append(a[m].astype(np.int64) * u + b[m])
-        if not parts:
-            return pa.table(
-                {"pair": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
-            )
-        upc, cnt = np.unique(np.concatenate(parts), return_counts=True)
-        ai, bi = upc // u, upc % u
-        pairs = [uniq[x] + " " + uniq[y] for x, y in zip(ai, bi)]
-        return pa.table(
-            {"pair": pa.array(pairs, pa.string()), "partial": pa.array(cnt, pa.int64())}
-        )
+        return _pair_count_partial(t, window=window, out_col="pair")
 
     def head_k(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
