@@ -373,7 +373,8 @@ def _revenue_by_region(sf_dir: str):
     region-name map.  Revenue is integer cents (floor(px*(1-disc)*100+.5),
     same expression in the SQL oracle) so sums are order-independent."""
     import pyarrow.compute as _pc
-    from ray.data.aggregate import Count, Sum
+    import ray
+    from ray.data.aggregate import Sum
 
     from grawler_ray.functions.joins import repartition_join
 
@@ -390,33 +391,77 @@ def _revenue_by_region(sf_dir: str):
     for nk, rn in nat2reg.items():
         lut[nk] = rn
 
-    def attach_region(t: pa.Table) -> pa.Table:
-        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "c_custkey": t.column("c_custkey"),
-                "r_name": pa.array(lut[keys], pa.string()),
-            }
-        )
+    cust_ds = _read(sf_dir, "customer").select_columns(["c_custkey", "c_nationkey"])
+    # customer is the SMALL side of orders |X| customer: below the guard it
+    # broadcasts as one sorted (custkey -> region) lookup (ray.put once,
+    # searchsorted per batch — a map-side join, zero exchanges); above it,
+    # the hashed repartition join (the 100-TB path when customer no longer
+    # fits a worker heap: 5M rows ~ 80 MB broadcast).
+    broadcast_max_customers = 5_000_000
+    if cust_ds.count() <= broadcast_max_customers:
+        cust_pd = cust_ds.to_pandas()
+        ck = cust_pd["c_custkey"].to_numpy()
+        order = np.argsort(ck, kind="stable")
+        ck_sorted = ck[order]
+        reg_sorted = lut[cust_pd["c_nationkey"].to_numpy()[order]]
+        lookup_ref = ray.put((ck_sorted, reg_sorted))
 
-    cust = (
-        _read(sf_dir, "customer")
-        .select_columns(["c_custkey", "c_nationkey"])
-        .map_batches(attach_region, batch_format="pyarrow")
-    )
-    ord_r = repartition_join(
-        _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
-        cust,
-        on_left="o_custkey",
-        on_right="c_custkey",
-    ).select_columns(["o_orderkey", "r_name"])
+        def attach_region_bcast(t: pa.Table) -> pa.Table:
+            k, r = ray.get(lookup_ref)
+            ok = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(k, ok), 0, len(k) - 1)
+            m = len(k) > 0 and k[idx] == ok  # inner-join: drop missing custkeys
+            if not isinstance(m, np.ndarray):
+                m = np.zeros(len(ok), dtype=bool)
+            return pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+                    "r_name": pa.array(r[idx][m], pa.string()),
+                }
+            )
+
+        ord_r = (
+            _read(sf_dir, "orders")
+            .select_columns(["o_orderkey", "o_custkey"])
+            .map_batches(attach_region_bcast, batch_format="pyarrow")
+        )
+    else:
+
+        def attach_region(t: pa.Table) -> pa.Table:
+            keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "c_custkey": t.column("c_custkey"),
+                    "r_name": pa.array(lut[keys], pa.string()),
+                }
+            )
+
+        cust = cust_ds.map_batches(attach_region, batch_format="pyarrow")
+        ord_r = repartition_join(
+            _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
+            cust,
+            on_left="o_custkey",
+            on_right="c_custkey",
+        ).select_columns(["o_orderkey", "r_name"])
 
     def line_cents(t: pa.Table) -> pa.Table:
+        # pre-aggregate per orderkey INSIDE the batch before the big join:
+        # ~4 lineitems/order collapse to one partial row, so the join
+        # exchange moves orders, not items (partial sums stay < 2^53, so
+        # the float64 bincount accumulator is exact)
         px = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = np.floor(px * (1 - disc) * 100.0 + 0.5).astype(np.int64)
+        cents = np.floor(px * (1 - disc) * 100.0 + 0.5)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
+        n = np.bincount(inv).astype(np.int64)
         return pa.table(
-            {"l_orderkey": t.column("l_orderkey"), "cents": pa.array(cents, pa.int64())}
+            {
+                "l_orderkey": pa.array(uniq, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+                "n_items": pa.array(n, pa.int64()),
+            }
         )
 
     line = (
@@ -425,9 +470,36 @@ def _revenue_by_region(sf_dir: str):
         .map_batches(line_cents, batch_format="pyarrow")
     )
     joined = repartition_join(line, ord_r, on_left="l_orderkey", on_right="o_orderkey")
-    return joined.groupby("r_name").aggregate(
-        Sum("cents", alias_name="revenue_cents"),
-        Count("cents", alias_name="n_items"),
+
+    def region_partial(t: pa.Table) -> pa.Table:
+        # per-batch 5-group partial so the final exchange carries
+        # ~blocks x regions rows, never one row per order
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(
+            np.asarray(t.column("r_name").to_pylist(), dtype=object)
+        )
+        cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        nit = t.column("n_items").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "r_name": pa.array(list(uniq), pa.string()),
+                "cents": pa.array(
+                    np.bincount(codes, weights=cents).astype(np.int64), pa.int64()
+                ),
+                "n_items": pa.array(
+                    np.bincount(codes, weights=nit).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(region_partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
     )
 
 
