@@ -397,8 +397,7 @@ def _revenue_by_region(sf_dir: str):
     # searchsorted per batch — a map-side join, zero exchanges); above it,
     # the hashed repartition join (the 100-TB path when customer no longer
     # fits a worker heap: 5M rows ~ 80 MB broadcast).
-    broadcast_max_customers = 5_000_000
-    if cust_ds.count() <= broadcast_max_customers:
+    if cust_ds.count() <= _BCAST_MAX_ROWS:
         cust_pd = cust_ds.to_pandas()
         ck = cust_pd["c_custkey"].to_numpy()
         order = np.argsort(ck, kind="stable")
@@ -571,34 +570,58 @@ def _quality_filter(sf_dir: str):
 def _q1_agg(sf_dir: str):
     """TPC-H Q1-style aggregate with exact integer-scaled sums (no float
     accumulation => bit-identical to the SQL oracle)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    def scale(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # integer-scale AND pre-aggregate the ~6 (returnflag, linestatus)
+        # groups inside the batch: the exchange moves ~blocks x 6 rows,
+        # never one row per lineitem (per-batch sums stay < 2^53, so the
+        # float64 bincount accumulator is exact)
         import pyarrow.compute as pc
 
-        qty = pc.cast(
-            pc.floor(pc.add(pc.multiply(t.column("l_quantity"), 100.0), 0.5)), pa.int64()
+        qty = pc.floor(pc.add(pc.multiply(t.column("l_quantity"), 100.0), 0.5)).to_numpy(
+            zero_copy_only=False
         )
-        price = pc.cast(
-            pc.floor(pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)), pa.int64()
-        )
+        price = pc.floor(
+            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+        ).to_numpy(zero_copy_only=False)
+        c1, u1 = pd.factorize(np.asarray(t.column("l_returnflag").to_pylist(), dtype=object))
+        c2, u2 = pd.factorize(np.asarray(t.column("l_linestatus").to_pylist(), dtype=object))
+        if len(u2) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_qty_cents": pa.array([], pa.int64()),
+                    "sum_price_cents": pa.array([], pa.int64()),
+                }
+            )
+        cc = c1.astype(np.int64) * len(u2) + c2
+        ucc, inv = np.unique(cc, return_inverse=True)
         return pa.table(
             {
-                "l_returnflag": t.column("l_returnflag"),
-                "l_linestatus": t.column("l_linestatus"),
-                "qty_cents": qty,
-                "price_cents": price,
+                "l_returnflag": pa.array(list(u1[ucc // len(u2)]), pa.string()),
+                "l_linestatus": pa.array(list(u2[ucc % len(u2)]), pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "sum_qty_cents": pa.array(
+                    np.bincount(inv, weights=qty).astype(np.int64), pa.int64()
+                ),
+                "sum_price_cents": pa.array(
+                    np.bincount(inv, weights=price).astype(np.int64), pa.int64()
+                ),
             }
         )
 
     return (
         _read(sf_dir, "lineitem")
-        .map_batches(scale, batch_format="pyarrow")
+        .select_columns(["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Count(alias_name="n"),
-            Sum("qty_cents", alias_name="sum_qty_cents"),
-            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("n", alias_name="n"),
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
         )
     )
 
@@ -741,10 +764,32 @@ def _lineitem_join_orders(sf_dir: str):
     joined = li.join(
         orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    return joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lines"), Sum("qty_cents", alias_name="sum_qty_cents")
+    def priority_partial(t: pa.Table) -> pa.Table:
+        # per-batch ~5-group partials so the post-join aggregate exchange
+        # moves ~blocks x priorities rows, never one row per lineitem
+        codes, uniq = pd.factorize(
+            np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        )
+        qc = t.column("qty_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(list(uniq), pa.string()),
+                "n_lines": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+                "sum_qty_cents": pa.array(
+                    np.bincount(codes, weights=qc).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(priority_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        )
     )
 
 
