@@ -34,18 +34,45 @@ _LANG_PROFILES = {
 
 def word_freq_batch(t: pa.Table) -> pa.Table:
     """A1 exploded: (doc_id, word, frequency) — ASCII \\b\\w+\\b, lowercase
-    after match (src/parsers/text.go:16-29)."""
-    ids, ws, fs = [], [], []
-    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-        for w, f in words_freq(text or "").items():
-            ids.append(doc_id)
-            ws.append(w)
-            fs.append(f)
+    AFTER the match (src/parsers/text.go:16-29; matching on the original
+    text matters: lowercasing can change what \\w matches, e.g. U+0130).
+
+    Vectorized: tokens are factorized in ORIGINAL case, only the batch's
+    distinct tokens are lowered (bit-identical to per-token lower), then
+    one np.unique over (doc, word-code) pairs yields the counts — no
+    per-token Python dict ops.  Row order is (doc, code) sorted, not
+    first-occurrence (the scalar ``words_freq`` keeps Go's insertion
+    order for the crawl words sink)."""
+    import pandas as pd
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    toks: list = []
+    lens = np.empty(len(texts), np.int64)
+    for i, text in enumerate(texts):
+        ws = _WORD_RE.findall(text or "")
+        toks.extend(ws)
+        lens[i] = len(ws)
+    if not toks:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "word": pa.array([], pa.string()),
+                "frequency": pa.array([], pa.int64()),
+            }
+        )
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    lcodes, luniq = pd.factorize(
+        np.asarray([u.lower() for u in uniq], dtype=object)
+    )
+    u = len(luniq)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    ucc, counts = np.unique(doc_idx * u + lcodes[codes], return_counts=True)
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "word": pa.array(ws, pa.string()),
-            "frequency": pa.array(fs, pa.int64()),
+            "doc_id": pa.array(ids[ucc // u], pa.int64()),
+            "word": pa.array(list(luniq[ucc % u]), pa.string()),
+            "frequency": pa.array(counts.astype(np.int64), pa.int64()),
         }
     )
 

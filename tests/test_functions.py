@@ -160,6 +160,46 @@ def test_length_quantiles_bin_guard(ray_session):
         length_quantiles(docs, driver_max_bins=2)
 
 
+def test_word_freq_batch_matches_scalar_words_freq():
+    """The factorized word_freq kernel == the Go-parity scalar words_freq
+    as a (doc_id, word, frequency) SET, including the lower-AFTER-match
+    edge (U+0130 lowers into an ASCII-matchable 'i' — matching must happen
+    on the original text)."""
+    import pyarrow as pa
+
+    from grawler_ray.functions.textstats import word_freq_batch
+    from grawler_ray.textops import words_freq
+
+    texts = [
+        "Hello wörld_9 café Hello",
+        "",
+        "C'est l'été 42",
+        "The THE the tHe",
+        None,
+        "İstanbul I ı",
+    ]
+    ids = list(range(len(texts)))
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    out = word_freq_batch(t)
+    got = set(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["word"].to_pylist(),
+            out["frequency"].to_pylist(),
+        )
+    )
+    ref = {
+        (i, w, f)
+        for i, txt in zip(ids, texts)
+        for w, f in words_freq(txt or "").items()
+    }
+    assert got == ref
+    empty = word_freq_batch(t.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema == out.schema
+
+
 def test_bigram_counts_topk(ray_session):
     import ray.data
 
