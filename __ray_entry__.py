@@ -132,20 +132,11 @@ def _top_words(sf_dir: str):
     """Global top-100 words: per-batch partial combine BEFORE the shuffle
     (the pre-aggregation pattern — the groupby then moves one row per
     distinct word per batch, not one per token)."""
-    from grawler_ray.textops import words_freq
+    from grawler_ray.functions.textstats import word_count_partial
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        acc: dict[str, int] = {}
-        for txt in t.column("text").to_pylist():
-            for w, f in words_freq(txt or "").items():
-                acc[w] = acc.get(w, 0) + f
-        return pa.table(
-            {
-                "word": pa.array(list(acc.keys()), pa.string()),
-                "partial": pa.array(list(acc.values()), pa.int64()),
-            }
-        )
+        return word_count_partial(t)
 
     ds = (
         _read(sf_dir, "documents")

@@ -18,7 +18,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..textops import _WORD_RE, words_freq
+from ..textops import _WORD_RE
 
 # a small, fixed stopword list (shared with the SQL oracle literally)
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "by")
@@ -214,6 +214,46 @@ def token_count_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def word_count_partial(t: pa.Table, group_col: str | None = None) -> pa.Table:
+    """One batch's (group?, word) occurrence counts with words_freq
+    semantics (ASCII \\b\\w+\\b on the ORIGINAL text, lowercase after the
+    match) — factorized like word_freq_batch, one row per distinct
+    (group, word) per batch.  Output columns: [group_col?, word, partial]."""
+    import pandas as pd
+
+    texts = t.column("text").to_pylist()
+    toks: list = []
+    lens = np.empty(len(texts), np.int64)
+    for i, txt in enumerate(texts):
+        ws = _WORD_RE.findall(txt or "")
+        toks.extend(ws)
+        lens[i] = len(ws)
+    cols: dict = {}
+    if not toks:
+        if group_col is not None:
+            cols[group_col] = pa.array([], pa.string())
+        cols["word"] = pa.array([], pa.string())
+        cols["partial"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+    lcodes, luniq = pd.factorize(np.asarray([x.lower() for x in uniq], dtype=object))
+    u = len(luniq)
+    wcode = lcodes[codes]
+    if group_col is None:
+        ucc, cnt = np.unique(wcode, return_counts=True)
+        cols["word"] = pa.array(list(luniq[ucc]), pa.string())
+    else:
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        gw = np.repeat(gcodes.astype(np.int64), lens) * u + wcode
+        ucc, cnt = np.unique(gw, return_counts=True)
+        cols[group_col] = pa.array(list(guniq[ucc // u]), pa.string())
+        cols["word"] = pa.array(list(luniq[ucc % u]), pa.string())
+    cols["partial"] = pa.array(cnt.astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
 def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
     """Per-group top-k (group = lang, item = word, weight = occurrences):
     the standard vocabulary/report primitive.  Scale shape: per-batch partial
@@ -228,17 +268,7 @@ def top_words_per_lang(docs_ds, k: int = 10, combine_parts: int = 8):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        acc: dict[tuple[str, str], int] = {}
-        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
-            for w, f in words_freq(txt or "").items():
-                acc[(lang, w)] = acc.get((lang, w), 0) + f
-        return pa.table(
-            {
-                "lang": pa.array([kk[0] for kk in acc], pa.string()),
-                "word": pa.array([kk[1] for kk in acc], pa.string()),
-                "partial": pa.array(list(acc.values()), pa.int64()),
-            }
-        )
+        return word_count_partial(t, group_col="lang")
 
     def head_k(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -278,14 +308,32 @@ def distinct_words_per_lang(docs_ds):
     from ray.data.aggregate import Count, Sum
 
     def pairs(t: pa.Table) -> pa.Table:
-        seen: set[tuple[str, str]] = set()
-        for lang, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
-            for w in set(_WORD_RE.findall((txt or "").lower())):
-                seen.add((lang, w))
+        # lower-BEFORE-match semantics (mirrors the SQL oracle's
+        # regexp_extract_all(lower(text), ...)), factorized: one row per
+        # batch-distinct (lang, word)
+        import pandas as pd
+
+        texts = t.column("text").to_pylist()
+        toks: list = []
+        lens = np.empty(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            ws = _WORD_RE.findall((txt or "").lower())
+            toks.extend(ws)
+            lens[i] = len(ws)
+        if not toks:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "word": pa.array([], pa.string())}
+            )
+        wcodes, wuniq = pd.factorize(np.asarray(toks, dtype=object))
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column("lang").to_pylist(), dtype=object)
+        )
+        u = len(wuniq)
+        gw = np.unique(np.repeat(gcodes.astype(np.int64), lens) * u + wcodes)
         return pa.table(
             {
-                "lang": pa.array([p[0] for p in seen], pa.string()),
-                "word": pa.array([p[1] for p in seen], pa.string()),
+                "lang": pa.array(list(guniq[gw // u]), pa.string()),
+                "word": pa.array(list(wuniq[gw % u]), pa.string()),
             }
         )
 
