@@ -47,7 +47,37 @@ def _ghash(ids: np.ndarray, num_groups: int) -> np.ndarray:
     return (((u * _GOLDEN) >> np.uint64(33)) % np.uint64(num_groups)).astype(np.int32)
 
 
-def degree_stats(nodes_ds, pairs_ds, node_col: str = "v", pair_cols: tuple = ("a", "b")):
+def _wedge_pairs(s: np.ndarray, t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered neighbor pairs (x, y), x-position < y-position, within
+    each run of equal ``s`` — fully vectorized (no per-node Python loop):
+    for edge position p in a run ending at ``hi``, it pairs with the
+    ``hi - 1 - p`` later positions; one np.repeat + one cumsum-offset
+    arange enumerates every (p, q) block.  Inputs MUST be sorted by
+    (s, t); since t is sorted within a run, x <= y per wedge."""
+    m = len(s)
+    if m == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+    ends = np.append(starts[1:], m)
+    hi_per_edge = np.repeat(ends, ends - starts)
+    reps = hi_per_edge - 1 - np.arange(m)
+    total = int(reps.sum())
+    if total == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    P = np.repeat(np.arange(m), reps)
+    cum = np.concatenate(([0], np.cumsum(reps)))
+    Q = P + 1 + (np.arange(total) - cum[P])
+    return t[P], t[Q]
+
+
+def degree_stats(
+    nodes_ds,
+    pairs_ds,
+    node_col: str = "v",
+    pair_cols: tuple = ("a", "b"),
+    driver_max_nodes: int = 5_000_000,
+    driver_max_edges: int = 2_000_000,
+):
     """Per-node degree over an undirected canonical pair list (a < b),
     INCLUDING zero-degree nodes — the graph-health primitive (degree
     distribution feeds skew decisions for every other graph op here).
@@ -56,35 +86,84 @@ def degree_stats(nodes_ds, pairs_ds, node_col: str = "v", pair_cols: tuple = ("a
     Scale shape: one row per edge endpoint + one zero row per node into a
     single node-hash aggregate — no adjacency materialization, no join;
     the left-join-with-zeros is expressed as union + sum, the repo's
-    repartition-join pattern degenerated to its cheapest case."""
+    repartition-join pattern degenerated to its cheapest case.  Both
+    union legs emit ARROW blocks: a groupby().sum() fed by pandas blocks
+    is the Ray 2.49 sort-aggregate slow path (CLAUDE.md rule).
+
+    Size-adaptive small path (the pagerank pattern, round 4): below
+    (``driver_max_nodes``, ``driver_max_edges``) the degree count runs as
+    driver numpy over the pulled narrow (a, b) / node-id columns — even
+    the single 8-group exchange costs ~4 s of launch latency on a graph
+    whose arithmetic is ~1 ms.  Identical semantics (one output row per
+    distinct id in nodes ∪ endpoints), asserted equal in tests.  The edge
+    table is materialized either way (it is consumed for the size probe
+    and then the count — the pagerank control-table discipline; 16 B/row).
+    """
+    import ray.data
+
     a, b = pair_cols
-
-    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.concatenate([df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)])
-        return pd.DataFrame({"v": v, "one": np.ones(len(v), np.int64)})
-
-    def zeros(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[node_col].to_numpy(np.int64)
-        return pd.DataFrame({"v": v, "one": np.zeros(len(v), np.int64)})
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                node_col: df["v"].to_numpy(np.int64),
-                "degree": df["sum(one)"].to_numpy(np.int64),
-            }
+    pairs_ds = pairs_ds.materialize()
+    n_edges = pairs_ds.count()
+    n_nodes = nodes_ds.count()
+    if n_nodes <= driver_max_nodes and n_edges <= driver_max_edges:
+        if n_edges:
+            ep = pairs_ds.select_columns([a, b]).to_pandas()
+            v = np.concatenate(
+                [ep[a].to_numpy().astype(np.int64), ep[b].to_numpy().astype(np.int64)]
+            )
+        else:
+            v = np.array([], np.int64)
+        nv = (
+            nodes_ds.select_columns([node_col]).to_pandas()[node_col]
+            .to_numpy()
+            .astype(np.int64)
+            if n_nodes
+            else np.array([], np.int64)
+        )
+        uniq = np.unique(np.concatenate([nv, v]))
+        deg = np.bincount(np.searchsorted(uniq, v), minlength=len(uniq))
+        # arrow block on purpose: matches the distributed path's block type
+        return ray.data.from_arrow(
+            pa.table(
+                {node_col: pa.array(uniq, pa.int64()),
+                 "degree": pa.array(deg.astype(np.int64))}
+            )
         )
 
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                t.column(a).to_numpy(zero_copy_only=False).astype(np.int64),
+                t.column(b).to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "one": pa.array(np.ones(len(v), np.int64))})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        v = t.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "one": pa.array(np.zeros(len(v), np.int64))})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t.column("v"), "degree": t.column("sum(one)")})
+
     return (
-        pairs_ds.map_batches(endpoints, batch_format="pandas")
-        .union(nodes_ds.map_batches(zeros, batch_format="pandas"))
+        pairs_ds.map_batches(endpoints, batch_format="pyarrow")
+        .union(nodes_ds.map_batches(zeros, batch_format="pyarrow"))
         .groupby("v")
         .sum("one")
-        .map_batches(rename, batch_format="pandas", batch_size=None)
+        .map_batches(rename, batch_format="pyarrow", batch_size=None)
     )
 
 
-def triangle_count(pairs_ds, pair_cols: tuple = ("a", "b"), num_groups: int = 64):
+def triangle_count(
+    pairs_ds,
+    pair_cols: tuple = ("a", "b"),
+    num_groups: int = 64,
+    driver_max_edges: int = 2_000_000,
+    driver_max_wedges: int = 30_000_000,
+):
     """Exact triangle count over the undirected canonical pair list (a < b):
     each triangle {a<b<c} is counted ONCE, as the wedge (b, c) generated at
     its lowest vertex a matched against the edge (b, c).
@@ -107,6 +186,45 @@ def triangle_count(pairs_ds, pair_cols: tuple = ("a", "b"), num_groups: int = 64
     # control-table discipline as pagerank's edges
     pairs_ds = pairs_ds.materialize()
 
+    # Size-adaptive small path (the pagerank pattern, round 4): below
+    # driver_max_edges AND driver_max_wedges (the true memory bound —
+    # checked from run lengths BEFORE any wedge is materialized), the
+    # wedge–edge match runs as driver numpy: two coarse exchanges cost
+    # ~5 s of launch latency on a 144-edge graph with 1 triangle.
+    # Identical algorithm (same _wedge_pairs kernel, same packed-key
+    # searchsorted match), asserted equal to the distributed path in tests.
+    n_edges = pairs_ds.count()
+    if n_edges <= driver_max_edges:
+        if n_edges == 0:
+            return ray.data.from_pandas(
+                pd.DataFrame({"n_triangles": np.array([0], np.int64)})
+            )
+        ep = pairs_ds.select_columns([a, b]).to_pandas()
+        s = ep[a].to_numpy().astype(np.int64)
+        t = ep[b].to_numpy().astype(np.int64)
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        d = np.append(starts[1:], len(s)) - starts
+        n_wedges = int((d * (d - 1) // 2).sum())
+        if n_wedges <= driver_max_wedges:
+            if len(s) and (int(max(s.max(), t.max())) >= (1 << 31)):
+                raise OverflowError(
+                    "triangle_count id packing needs node ids < 2^31"
+                )
+            ek = np.sort(s * np.int64(1 << 31) + t)
+            x, y = _wedge_pairs(s, t)
+            wk = x * np.int64(1 << 31) + y
+            if len(wk):
+                pos = np.searchsorted(ek, wk)
+                ok = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+                n_tri = int(ok.sum())
+            else:
+                n_tri = 0
+            return ray.data.from_pandas(
+                pd.DataFrame({"n_triangles": np.array([n_tri], np.int64)})
+            )
+
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
         s = df[a].to_numpy(np.int64)
         return pd.DataFrame({"sg": _ghash(s, num_groups), "s": s, "t": df[b].to_numpy(np.int64)})
@@ -115,21 +233,8 @@ def triangle_count(pairs_ds, pair_cols: tuple = ("a", "b"), num_groups: int = 64
         df = df.sort_values(["s", "t"])
         s = df["s"].to_numpy(np.int64)
         t = df["t"].to_numpy(np.int64)
-        if len(s) == 0:
-            return pd.DataFrame({"x": np.array([], np.int64), "y": np.array([], np.int64)})
-        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
-        ends = np.append(starts[1:], len(s))
-        xs, ys = [], []
-        for lo, hi in zip(starts, ends):        # per-NODE loop; work inside
-            d = hi - lo                         # is the vectorized pair set
-            if d < 2:
-                continue
-            i, j = np.triu_indices(d, 1)
-            xs.append(t[lo:hi][i])
-            ys.append(t[lo:hi][j])
-        if not xs:
-            return pd.DataFrame({"x": np.array([], np.int64), "y": np.array([], np.int64)})
-        return pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+        x, y = _wedge_pairs(s, t)  # vectorized across ALL nodes in the group
+        return pd.DataFrame({"x": x, "y": y})
 
     wedge_ds = (
         pairs_ds.map_batches(tag_edges, batch_format="pandas")

@@ -145,7 +145,12 @@ def lsh_bucket_batch(dim: int, nbits: int = 16, seed: int = 3):
     return fn
 
 
-def embedding_dup_pairs(embeddings_ds, threshold: float = 0.45, num_blocks: int = 4):
+def embedding_dup_pairs(
+    embeddings_ds,
+    threshold: float = 0.45,
+    num_blocks: int = 4,
+    driver_max_vectors: int = 20_000,
+):
     """Embedding-cosine near-duplicate pairs — EXACT all-pairs, distributed
     as a block-replicated theta-join: each vector (block ``vec_id % B``) is
     replicated to the B groups ``(min(i,j), max(i,j))`` it participates in;
@@ -162,8 +167,43 @@ def embedding_dup_pairs(embeddings_ds, threshold: float = 0.45, num_blocks: int 
     differently.  The driver tables keep >= 5e-4 of clearance around the
     default 0.45 (measured), eleven orders of magnitude of margin; pick
     thresholds away from data modes when reusing this as a gate elsewhere.
+
+    Size-adaptive small path (the pagerank/dedup_components pattern, round
+    4): below ``driver_max_vectors`` the whole all-pairs runs as driver
+    numpy in row chunks — at small n the block-group exchange is pure
+    fixed cost (~5 s orchestrating <1 ms of matmul on a 2000-vector
+    table), and every consumer (degree_stats, triangle_count, pagerank
+    edges) pays it again.  Same normalize-then-matmul arithmetic, pair
+    sets asserted equal to the distributed path in tests; memory is
+    bounded by the 2048-row chunking (<=2048 x n float64 per chunk).
     """
+    import ray.data
+
     B = num_blocks
+    n = embeddings_ds.count()
+    if n is not None and n <= driver_max_vectors:
+        t = embeddings_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+        vids = t["vec_id"].to_numpy().astype(np.int64)
+        V = np.array(t["embedding"].tolist(), dtype=np.float64)
+        out_a, out_b = [], []
+        if len(vids):
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            for lo in range(0, len(vids), 2048):
+                hi = min(lo + 2048, len(vids))
+                S = Vn[lo:hi] @ Vn.T
+                ai, bi = np.nonzero(S >= threshold)
+                gi = ai + lo
+                m = bi > gi  # strict upper triangle by position
+                a, b = vids[gi[m]], vids[bi[m]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        # pandas block on purpose: matches the distributed path's block
+        # type for downstream unions (the dedup_components lesson)
+        return ray.data.from_pandas(
+            pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+        )
 
     def explode(t: pa.Table) -> pa.Table:
         vids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -137,6 +137,86 @@ class TestDegreeTriangles:
         out = triangle_count(self._ds([(0, 1), (2, 3), (4, 5)])).to_pandas()
         assert out["n_triangles"].iloc[0] == 0
 
+    def test_wedge_pairs_matches_triu_reference(self):
+        """_wedge_pairs (vectorized run enumeration) == the per-node
+        triu_indices construction it replaced, on a random multi-run input."""
+        from grawler_ray.functions.graph import _wedge_pairs
+
+        rng = np.random.default_rng(11)
+        s = np.sort(rng.integers(0, 40, 300).astype(np.int64))
+        t = rng.integers(100, 200, 300).astype(np.int64)
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        x, y = _wedge_pairs(s, t)
+        exp_x, exp_y = [], []
+        for v in np.unique(s):
+            nb = t[s == v]
+            i, j = np.triu_indices(len(nb), 1)
+            exp_x.append(nb[i])
+            exp_y.append(nb[j])
+        exp_x = np.concatenate(exp_x) if exp_x else np.array([], np.int64)
+        exp_y = np.concatenate(exp_y) if exp_y else np.array([], np.int64)
+        assert np.array_equal(x, exp_x) and np.array_equal(y, exp_y)
+        assert len(x) == sum(
+            len(t[s == v]) * (len(t[s == v]) - 1) // 2 for v in np.unique(s)
+        )
+
+    def test_degree_driver_path_equals_distributed(self, ray_session):
+        """driver_max_edges=0 forces the union+groupby exchange; it must
+        agree exactly with the default driver-numpy small path, including
+        endpoint ids absent from the node table."""
+        from grawler_ray.functions.graph import degree_stats
+
+        rng = np.random.default_rng(7)
+        pairs = {(int(a), int(b)) for a, b in rng.integers(0, 30, (60, 2)) if a < b}
+        pairs = sorted(pairs)
+        nodes = range(0, 25)  # ids 25-29 appear only as endpoints
+        fast = (
+            degree_stats(self._nodes(nodes), self._ds(pairs))
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        dist = (
+            degree_stats(self._nodes(nodes), self._ds(pairs), driver_max_edges=0)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+
+    def test_triangle_driver_path_equals_distributed(self, ray_session):
+        from grawler_ray.functions.graph import triangle_count
+
+        rng = np.random.default_rng(13)
+        pairs = {(int(a), int(b)) for a, b in rng.integers(0, 20, (80, 2)) if a < b}
+        pairs = sorted(pairs)
+        fast = triangle_count(self._ds(pairs)).to_pandas()
+        dist = triangle_count(self._ds(pairs), driver_max_edges=0).to_pandas()
+        wcap = triangle_count(self._ds(pairs), driver_max_wedges=0).to_pandas()
+        assert (
+            int(fast["n_triangles"].iloc[0])
+            == int(dist["n_triangles"].iloc[0])
+            == int(wcap["n_triangles"].iloc[0])
+        )
+        assert int(fast["n_triangles"].iloc[0]) > 0
+
+    def test_dup_pairs_driver_path_equals_distributed(self, ray_session):
+        """embedding_dup_pairs driver numpy path == block-group theta-join
+        on the sf0.001 embeddings (driver_max_vectors=0 forces the
+        distributed plan)."""
+        import ray.data
+
+        from grawler_ray.functions.similarity import embedding_dup_pairs
+
+        emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        fast = (
+            embedding_dup_pairs(emb, threshold=0.45)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        dist = (
+            embedding_dup_pairs(emb, threshold=0.45, driver_max_vectors=0)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+        assert len(fast) > 0
+
     def test_triangles_vs_duckdb_sf(self, ray_session):
         """Full-pipeline check at sf0.001 against the SQL triple-self-join."""
         import ray.data
