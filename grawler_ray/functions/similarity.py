@@ -499,16 +499,47 @@ def ann_indexed_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10, mult
 # IVF index: k-means coarse quantizer + centroid-partitioned layout
 # ---------------------------------------------------------------------------
 
-def _kmeans_fit(embeddings_ds, k: int, iters: int, seed: int) -> np.ndarray:
+def _kmeans_fit(
+    embeddings_ds, k: int, iters: int, seed: int,
+    driver_max_vectors: int = 200_000,
+) -> np.ndarray:
     """Distributed Lloyd's k-means, deterministic: init = the k vectors with
     the smallest Knuth-hashed vec_ids (per-batch partial top-k, bounded
     driver reduce); each iteration broadcasts the (k x dim) centroid matrix
     and reduces per-batch partial (sum, count) — driver state is k x dim
     floats, never a row set.  Fixed iteration count keeps the build
-    deterministic and bounded."""
+    deterministic and bounded.
+
+    Size-adaptive small path (the pagerank pattern, round 4): below
+    ``driver_max_vectors`` the fit pulls the matrix ONCE and runs the same
+    init rule + Lloyd loop in driver numpy — the distributed fit pays
+    ``iters + 1`` full pipeline launches (~0.5-1 s each) regardless of
+    data size, which dominates small tables.  Same argmin/assignment
+    semantics; float sums accumulate in pulled-row order instead of
+    per-batch partial order, a last-ulp difference the serial-oracle
+    equality test already tolerates by construction (test_semdedup's
+    oracle uses a third order)."""
     import ray
 
     KNUTH = np.uint64(2654435761)
+
+    n = embeddings_ds.count()
+    if n is not None and n <= driver_max_vectors:
+        t = embeddings_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+        vids = t["vec_id"].to_numpy().astype(np.int64)
+        V = np.array(t["embedding"].tolist(), dtype=np.float64)
+        h = (vids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+        order = np.lexsort((vids, h.astype(np.int64)))
+        C = V[order[:k]].copy()
+        for _ in range(iters):
+            d = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = np.argmin(d, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+            nonempty = counts > 0
+            C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+        return C
 
     def init_candidates(t: pa.Table) -> pa.Table:
         vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
@@ -769,16 +800,48 @@ def semdedup(
 # Product quantization (Jegou et al., TPAMI 2011): compressed-domain ANN
 # ---------------------------------------------------------------------------
 
-def _pq_fit(embeddings_ds, m: int, ks: int, iters: int) -> np.ndarray:
+def _pq_fit(
+    embeddings_ds, m: int, ks: int, iters: int,
+    driver_max_vectors: int = 200_000,
+) -> np.ndarray:
     """Deterministic distributed PQ codebook: split the (NORMALIZED) vector
     into ``m`` subvectors and run Lloyd's k-means with ``ks`` centroids in
     EVERY subspace simultaneously — one data pass per iteration (not per
     subspace).  Init = the ks smallest-Knuth-hash vec_ids (the _kmeans_fit
     rule).  Driver state is the (m, ks, d/m) codebook, never a row set.
-    Returns the codebook C with C[j, c] the c-th centroid of subspace j."""
+    Returns the codebook C with C[j, c] the c-th centroid of subspace j.
+
+    Size-adaptive small path below ``driver_max_vectors`` — same rationale
+    and float-order caveat as _kmeans_fit's."""
     import ray
 
     KNUTH = np.uint64(2654435761)
+
+    n = embeddings_ds.count()
+    if n is not None and n <= driver_max_vectors:
+        t = embeddings_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+        vids = t["vec_id"].to_numpy().astype(np.int64)
+        V = np.array(t["embedding"].tolist(), dtype=np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        h = (vids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+        order = np.lexsort((vids, h.astype(np.int64)))
+        V0 = V[order[:ks]]
+        dim = V0.shape[1]
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
+        C = V0.reshape(ks, m, dsub).transpose(1, 0, 2).copy()
+        S = V.reshape(len(V), m, dsub)
+        for _ in range(iters):
+            sums = np.zeros_like(C)
+            counts = np.zeros((m, ks), np.int64)
+            for j in range(m):
+                d = -2.0 * (S[:, j] @ C[j].T) + (C[j] * C[j]).sum(axis=1)[None, :]
+                a = np.argmin(d, axis=1)
+                np.add.at(sums[j], a, S[:, j])
+                counts[j] += np.bincount(a, minlength=ks)
+            nonempty = counts > 0
+            C = np.where(nonempty[..., None], sums / np.maximum(counts, 1)[..., None], C)
+        return C
 
     def init_candidates(t: pa.Table) -> pa.Table:
         vids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
