@@ -1725,7 +1725,8 @@ def dup_span_stats(
 
 
 def dedup_keep_longest(docs_ds, pairs_ds, length_col: str = "n_chars",
-                       num_groups: int = 256, driver_max_edges: int = 2_000_000):
+                       num_groups: int = 256, driver_max_edges: int = 2_000_000,
+                       driver_max_docs: int = 5_000_000):
     """Representative selection over near-dup components with the
     keep-LONGEST policy (the common alternative to prep_corpus's
     keep-min-doc_id): every doc gets (component, keep_doc_id) where
@@ -1737,12 +1738,48 @@ def dedup_keep_longest(docs_ds, pairs_ds, length_col: str = "n_chars",
     shuffle where each group picks representatives with a vectorized
     (component, -length, doc_id) sort + run-scan — never per-component
     Python groups (CLAUDE.md coarse-key rule).
+
+    Size-adaptive small path (the pagerank pattern, round 4): below
+    ``driver_max_docs`` the length attach + pick run as driver numpy over
+    the pulled (doc_id, component) / (doc_id, length) int columns — the
+    join and pick exchanges are pure fixed cost (~2-3 s each) on tables
+    whose arithmetic is sub-millisecond.  Identical sort rule, asserted
+    equal to the distributed plan in tests.
     """
+    import ray.data
+
     from .joins import repartition_join
 
     comp = dedup_components(
         docs_ds, pairs_ds, driver_max_edges=driver_max_edges
     )
+
+    n_docs = docs_ds.count()
+    if n_docs is not None and n_docs <= driver_max_docs:
+        cp = comp.to_pandas()
+        ids = cp["doc_id"].to_numpy().astype(np.int64)
+        comps = cp["component"].to_numpy().astype(np.int64)
+        lp = docs_ds.select_columns(["doc_id", length_col]).to_pandas()
+        lid = lp["doc_id"].to_numpy().astype(np.int64)
+        lval = lp[length_col].to_numpy().astype(np.int64)
+        o = np.argsort(lid, kind="stable")
+        lid, lval = lid[o], lval[o]
+        lengths = lval[np.searchsorted(lid, ids)]
+        order = np.lexsort((ids, -lengths, comps))
+        ids, comps = ids[order], comps[order]
+        is_start = np.concatenate(([True], comps[1:] != comps[:-1])) if len(comps) else np.array([], bool)
+        run_id = np.cumsum(is_start) - 1 if len(comps) else np.array([], np.int64)
+        keep = ids[np.flatnonzero(is_start)][run_id] if len(comps) else np.array([], np.int64)
+        # arrow block on purpose: matches the distributed plan's block type
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "component": pa.array(comps, pa.int64()),
+                    "keep_doc_id": pa.array(keep, pa.int64()),
+                }
+            )
+        )
     joined = repartition_join(
         comp,
         docs_ds.select_columns(["doc_id", length_col]).rename_columns(

@@ -263,6 +263,35 @@ def test_dedup_keep_longest_policy(ray_session):
         assert keep[i] == i
 
 
+def test_dedup_keep_longest_driver_path_equals_distributed(ray_session):
+    """driver_max_docs=0 forces the join + pick exchanges; the default
+    driver-numpy small path must agree row-for-row on a random graph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.dedup import dedup_keep_longest
+
+    rng = np.random.default_rng(21)
+    docs = ray.data.from_items(
+        [{"doc_id": i, "n_chars": int(rng.integers(1, 40))} for i in range(40)]
+    ).repartition(4)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 40, (25, 2)) if a != b}
+    pairs = ray.data.from_items(
+        [{"a": min(a, b), "b": max(a, b)} for a, b in sorted(raw)]
+    )
+    fast = (
+        dedup_keep_longest(docs, pairs)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dedup_keep_longest(docs, pairs, driver_max_docs=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+    assert (fast["keep_doc_id"] != fast["doc_id"]).any()
+
+
 def test_snapshot_diff_classification(ray_session):
     import ray.data
 
