@@ -1188,6 +1188,37 @@ def _source_cap(sf_dir: str):
     return cap_per_group(_read(sf_dir, "documents"), cap=10)
 
 
+def _chunk_docs(sf_dir: str):
+    """Context-window chunking: 80-char windows every 60 chars."""
+    from grawler_ray.functions.textstats import chunk_docs
+
+    return chunk_docs(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        size=80,
+        stride=60,
+    )
+
+
+def _vocab_coverage(sf_dir: str):
+    """Per-doc coverage counts against the global top-50 vocabulary."""
+    from grawler_ray.functions.textstats import vocab_coverage
+
+    return vocab_coverage(
+        _read(sf_dir, "documents").select_columns(["doc_id", "text"]), vocab_size=50
+    )
+
+
+def _mixture_sample(sf_dir: str):
+    """Domain-mixture resample: ~250 rows at src0/src1/src2 = 500/300/200."""
+    from grawler_ray.functions.sampling import mixture_sample
+
+    return mixture_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        target_permille={"src0": 500, "src1": 300, "src2": 200},
+        budget_rows=50,
+    )
+
+
 def _bigram_counts(sf_dir: str):
     from grawler_ray.functions.textstats import bigram_counts
 
@@ -1512,6 +1543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": _quantile_sketch,
         "revenue_by_region": _revenue_by_region,
         "grouped_quantile_sketch": _grouped_quantile_sketch,
+        "chunk_docs": _chunk_docs,
+        "vocab_coverage": _vocab_coverage,
+        "mixture_sample": _mixture_sample,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2428,6 +2462,54 @@ def oracle_sql() -> dict[str, str]:
                    (i * 4)::BIGINT AS frame_idx,
                    least(1024, n - i * 4 * 1024)::BIGINT AS frame_len
             FROM f
+        """,
+        # context-window chunking: 80-char windows every 60 chars; the
+        # chunk count per doc is 1 + ceil(max(L-80,0)/60), all-integer
+        "chunk_docs": """
+            SELECT doc_id,
+                   c.i::BIGINT AS chunk_id,
+                   (c.i * 60)::BIGINT AS chunk_start,
+                   substr(text, (c.i * 60 + 1)::INT, 80) AS chunk_text
+            FROM documents,
+                 unnest(range(0, (greatest(length(text) - 80, 0) + 59) // 60 + 1))
+                   AS c(i)
+            WHERE length(text) > 0
+        """,
+        # per-doc coverage counts vs the global top-50 vocabulary
+        # (count desc, word asc tie-break — the top_words rule)
+        "vocab_coverage": r"""
+            WITH tok AS (
+                SELECT doc_id, lower(w) AS word
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                      FROM documents)),
+            v AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS total FROM tok GROUP BY word
+                    ORDER BY total DESC, word ASC LIMIT 50))
+            SELECT tok.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS in_vocab_tokens,
+                   count(DISTINCT tok.word)::BIGINT AS n_types,
+                   count(DISTINCT v.word)::BIGINT AS in_vocab_types
+            FROM tok LEFT JOIN v USING (word)
+            GROUP BY tok.doc_id
+        """,
+        # domain-mixture resample: keep rate_s = min(1000, budget*w_s // n_s)
+        # per-mille under the Knuth hash rule (UBIGINT wrap == numpy uint64)
+        "mixture_sample": """
+            WITH t AS (SELECT doc_id, source FROM documents
+                       WHERE source IN ('src0', 'src1', 'src2')),
+            n AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source),
+            r AS (SELECT source,
+                         least(1000, (50 * CASE source WHEN 'src0' THEN 500
+                                                        WHEN 'src1' THEN 300
+                                                        ELSE 200 END) // n) AS rate
+                  FROM n)
+            SELECT t.doc_id, t.source
+            FROM t JOIN r USING (source)
+            WHERE ((doc_id::UBIGINT * 2654435761) % 4294967296) % 1000 < r.rate
         """,
     }
     # the strategy="join" scale plans have identical semantics to their

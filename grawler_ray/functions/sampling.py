@@ -129,3 +129,65 @@ def split_train_holdout(ds, id_col: str = "doc_id", holdout_permille: int = 100)
         return t.append_column("split", split)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds,
+    target_permille: dict[str, int],
+    budget_rows: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Domain-mixture resampling (the DoReMi / The-Pile recipe step:
+    reweight a crawled corpus toward target per-source shares before
+    training).  ``target_permille[s]`` is source s's share of the OUTPUT
+    (per-mille, summing to <= 1000); the sample approximates
+    ``budget_rows`` total rows in those proportions, bounded by what each
+    source actually has.  All-integer keep rule so the DuckDB oracle
+    compares exactly:
+
+        rate_s (per-mille) = min(1000, budget_rows * w_s // n_s)
+        keep row  <=>  knuth_bucket1000(id) < rate_s
+
+    Shape at 100 TB: rows outside the target mixture are filtered BEFORE
+    the counting aggregate, so the groupby key cardinality is
+    ``len(target_permille)`` (mixture specs are tens of buckets, never the
+    raw domain space — use cap_per_group for that); the counts table is a
+    len(target)-row driver pull, and the final pass is the stateless
+    stratified filter — one tiny exchange, the payload never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    sources = sorted(target_permille)
+
+    def in_target(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(source_col), value_set=pa.array(sources)))
+
+    picked = ds.map_batches(in_target, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        # one row per (source) per batch: the aggregate moves blocks x
+        # len(target) rows, not corpus rows
+        vc = t.column(source_col).value_counts()
+        return pa.table(
+            {
+                source_col: vc.field("values"),
+                "partial": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        picked.select_columns([source_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("partial", alias_name="n"))
+        .take_all()  # len(target_permille) rows by construction
+    )
+    rates = {
+        r[source_col]: min(1000, budget_rows * target_permille[r[source_col]] // r["n"])
+        for r in counts
+        if r["n"]
+    }
+    return stratified_sample(
+        picked, strata_col=source_col, id_col=id_col, permille=rates
+    )

@@ -949,3 +949,121 @@ def pack_manifest(docs_ds, seq_len: int = 256, num_shards: int = 64):
         .groupby("shard")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def chunk_docs(
+    docs_ds,
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-window chunking (tokenizer prep: split long documents into
+    training-context windows with overlap).  Each document emits windows
+    of ``size`` CHARACTERS starting every ``stride`` characters — character
+    (not byte) offsets so the DuckDB mirror is plain substr arithmetic;
+    final windows may be shorter; empty docs emit nothing.
+
+        chunks(L) = 1 + (max(L - size, 0) + stride - 1) // stride   (L > 0)
+
+    Output (id, chunk_id, chunk_start, chunk_text).  Shape: a stateless
+    flat map — no shuffle, no state; window counts/starts are numpy and
+    the only per-output-row Python is the slice that BUILDS each chunk
+    string (inherent, like shingling).  At 100 TB chunk output is ~L/stride
+    x input size — cap block growth with a smaller batch_size upstream if
+    texts are huge.
+    """
+    import pyarrow.compute as pc
+
+    assert size > 0 and stride > 0
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        ln = pc.fill_null(pc.utf8_length(t.column(text_col)), 0)
+        L = ln.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.where(L > 0, 1 + (np.maximum(L - size, 0) + stride - 1) // stride, 0)
+        doc_idx = np.repeat(np.arange(len(ids)), k)
+        chunk_id = np.arange(len(doc_idx)) - np.repeat(np.cumsum(k) - k, k)
+        starts = chunk_id * stride
+        chunks = [texts[d][s : s + size] for d, s in zip(doc_idx, starts)]
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "chunk_text": pa.array(chunks, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_coverage(docs_ds, vocab_size: int = 50):
+    """Tokenizer-vocabulary coverage: build the global top-``vocab_size``
+    word vocabulary (count desc, word asc — the top_words tie-break) and
+    report per-document all-integer coverage counts
+    (doc_id, n_tokens, in_vocab_tokens, n_types, in_vocab_types); the OOV
+    rate is 1 - in_vocab_tokens/n_tokens (caller divides).  Zero-token
+    documents emit no row (mirrors the SQL explode's inner GROUP BY).
+
+    Shape: word totals are per-batch partials -> ONE word groupby (a row
+    per distinct word) -> a vocab_size-row driver pull; the vocab ships
+    ONCE via ray.put and the coverage pass is stateless — membership is
+    tested only on each batch's DISTINCT lowered tokens (factorized), and
+    per-doc sums are np.add.reduceat over the doc-sorted word_freq rows.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    top = (
+        docs_ds.map_batches(
+            lambda t: word_count_partial(t), batch_format="pyarrow"
+        )
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="total"))
+        .sort(["total", "word"], descending=[True, False])
+        .limit(vocab_size)
+        .take_all()  # vocab_size rows by construction
+    )
+    vocab_ref = ray.put(frozenset(r["word"] for r in top))
+
+    def cover(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vocab = ray.get(vocab_ref)
+        wf = word_freq_batch(t)  # (doc_id, word, frequency), doc-sorted
+        if wf.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "in_vocab_tokens": pa.array([], pa.int64()),
+                    "n_types": pa.array([], pa.int64()),
+                    "in_vocab_types": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(np.asarray(wf.column("word").to_pylist(), object))
+        known = np.fromiter((w in vocab for w in uniq), bool, len(uniq))[codes]
+        ids = wf.column("doc_id").to_numpy()
+        tf = wf.column("frequency").to_numpy().astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1]))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_tokens": pa.array(np.add.reduceat(tf, starts), pa.int64()),
+                "in_vocab_tokens": pa.array(
+                    np.add.reduceat(np.where(known, tf, 0), starts), pa.int64()
+                ),
+                "n_types": pa.array(
+                    np.add.reduceat(np.ones(len(tf), np.int64), starts), pa.int64()
+                ),
+                "in_vocab_types": pa.array(
+                    np.add.reduceat(known.astype(np.int64), starts), pa.int64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(cover, batch_format="pyarrow")

@@ -100,3 +100,32 @@ def test_cap_per_group_rank_and_cap(ray_session):
         assert list(got["rank"]) == [1, 2, 3, 4]
         want_ids = sorted(d for d in range(30) if f"src{d % 3}" == src)[:4]
         assert list(got["doc_id"]) == want_ids
+
+
+def test_mixture_sample_rates_and_caps(ray_session):
+    """src 'a' is scarce (rate caps at 1000 -> all kept); 'b' is abundant
+    (proportional rate); 'c' is outside the target (dropped entirely)."""
+    import ray.data
+
+    from grawler_ray.functions.sampling import mixture_sample
+
+    rows = (
+        [{"doc_id": i, "source": "a"} for i in range(10)]
+        + [{"doc_id": 100 + i, "source": "b"} for i in range(500)]
+        + [{"doc_id": 1000 + i, "source": "c"} for i in range(50)]
+    )
+    ds = ray.data.from_items(rows).repartition(4)
+    out = mixture_sample(
+        ds, target_permille={"a": 500, "b": 500}, budget_rows=100
+    ).to_pandas()
+    assert set(out.source) <= {"a", "b"}
+    # a: rate = min(1000, 100*500//10 = 5000) = 1000 -> all 10 kept
+    assert (out.source == "a").sum() == 10
+    # b: rate = 100*500//500 = 100 permille of 500 rows ~ 50 +- hash noise
+    nb = (out.source == "b").sum()
+    assert 25 <= nb <= 85
+    # deterministic across runs/partitionings
+    out2 = mixture_sample(
+        ds.repartition(7), target_permille={"a": 500, "b": 500}, budget_rows=100
+    ).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)

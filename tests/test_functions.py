@@ -287,3 +287,66 @@ def test_distinct_words_per_lang(ray_session):
     out = distinct_words_per_lang(docs).to_pandas()
     got = dict(zip(out.lang, out.n_words))
     assert got == {"en": 3, "de": 1}
+
+
+def test_chunk_docs_windows(ray_session):
+    """Window arithmetic: overlap, short tails, empty docs dropped."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import chunk_docs
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "abcdefghij"},  # L=10: chunks at 0,4,8
+            {"doc_id": 1, "text": "abcde"},  # L=5 == size: one chunk
+            {"doc_id": 2, "text": ""},  # empty: no rows
+            {"doc_id": 3, "text": "abcdefgh"},  # L=8: 0 and 4 ('efgh')
+        ]
+    ).repartition(2)
+    out = (
+        chunk_docs(ds, size=5, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out.doc_id, out.chunk_id, out.chunk_start, out.chunk_text))
+    assert got == [
+        (0, 0, 0, "abcde"),
+        (0, 1, 4, "efghi"),
+        (0, 2, 8, "ij"),
+        (1, 0, 0, "abcde"),
+        (3, 0, 0, "abcde"),
+        (3, 1, 4, "efgh"),
+    ]
+    # every chunk is reconstructible: substr(text, start, size)
+    texts = {0: "abcdefghij", 1: "abcde", 3: "abcdefgh"}
+    for d, _c, s, txt in got:
+        assert txt == texts[d][s : s + 5]
+
+
+def test_vocab_coverage_counts(ray_session):
+    """Top-V vocabulary with the (count desc, word asc) tie-break; per-doc
+    token/type membership counts checked by hand."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import vocab_coverage
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "cat cat dog bird"},
+            {"doc_id": 1, "text": "dog dog cat fish"},
+            {"doc_id": 2, "text": "zebra zebra zebra"},
+            {"doc_id": 3, "text": ""},
+        ]
+    ).repartition(2)
+    # totals: cat 3, dog 3, zebra 3, bird 1, fish 1 -> top-2 = cat, dog
+    out = (
+        vocab_coverage(ds, vocab_size=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]  # empty doc 3 emits no row
+    assert out.loc[0].tolist() == [4, 3, 3, 2]  # tokens, in-vocab, types, in-types
+    assert out.loc[1].tolist() == [4, 3, 3, 2]
+    assert out.loc[2].tolist() == [3, 0, 1, 0]
