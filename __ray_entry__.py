@@ -1219,6 +1219,47 @@ def _mixture_sample(sf_dir: str):
     )
 
 
+def _source_sample_k(sf_dir: str):
+    """Uniform 5-per-source sample via Knuth-hash ranks."""
+    from grawler_ray.functions.sampling import group_sample_k
+
+    return group_sample_k(_read(sf_dir, "documents"), k=5)
+
+
+def _customer_order_counts(sf_dir: str):
+    """LEFT join: every customer with its order count (NULL when none) —
+    the repartition join's outer variant; big side shuffles once, the
+    per-customer counts are pre-aggregated partials."""
+    from grawler_ray.functions.joins import repartition_join
+    from ray.data.aggregate import Sum
+
+    def count_partial(t):
+        import pyarrow as pa
+
+        vc = t.column("o_custkey").value_counts()
+        return pa.table(
+            {
+                "o_custkey": vc.field("values"),
+                "partial": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("partial", alias_name="n_orders"))
+    )
+    return repartition_join(
+        _read(sf_dir, "customer").select_columns(["c_custkey"]),
+        counts,
+        on_left="c_custkey",
+        on_right="o_custkey",
+        how="left",
+    )
+
+
 def _bigram_counts(sf_dir: str):
     from grawler_ray.functions.textstats import bigram_counts
 
@@ -1546,6 +1587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _chunk_docs,
         "vocab_coverage": _vocab_coverage,
         "mixture_sample": _mixture_sample,
+        "source_sample_k": _source_sample_k,
+        "customer_order_counts": _customer_order_counts,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2510,6 +2553,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.source
             FROM t JOIN r USING (source)
             WHERE ((doc_id::UBIGINT * 2654435761) % 4294967296) % 1000 < r.rate
+        """,
+        # uniform 5-per-source sample: rank by the Knuth hash (odd
+        # multiplier -> bijective mod 2^32, id breaks residual ties)
+        "source_sample_k": """
+            SELECT doc_id, source, rn AS rank
+            FROM (SELECT doc_id, source,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY (doc_id::UBIGINT * 2654435761)
+                                        % 4294967296, doc_id)::BIGINT AS rn
+                  FROM documents)
+            WHERE rn <= 5
+        """,
+        # LEFT outer repartition join: customers with no orders keep a
+        # NULL count (lands as NaN/float64 both sides — the null repr rule)
+        "customer_order_counts": """
+            SELECT c.c_custkey, n.n_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders
+                       FROM orders GROUP BY o_custkey) n
+              ON c.c_custkey = n.o_custkey
         """,
     }
     # the strategy="join" scale plans have identical semantics to their

@@ -128,6 +128,7 @@ def run_subqueries() -> dict[str, float]:
         "normalize_text", "rare_word_ratio", "customers_without_orders",
         "docs_by_length", "quantile_sketch", "grouped_quantile_sketch",
         "revenue_by_region",
+        "chunk_docs", "vocab_coverage", "mixture_sample",
         "prep_corpus",
     ]
     import ray.data

@@ -347,8 +347,9 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
 
 
 def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
-                     num_groups: int = 64, salt: int = 1, hot_keys=None):
-    """Distributed inner equi-join for two LARGE sides — the general-join
+                     num_groups: int = 64, salt: int = 1, hot_keys=None,
+                     how: str = "inner"):
+    """Distributed inner/left equi-join for two LARGE sides — the general-join
     companion to ``hash_anti_join`` (same union + coarse-key-hash groupby
     "repartition join"; same Acero-avoidance rationale, see CLAUDE.md).
 
@@ -359,6 +360,12 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     (the right key column is dropped; names must not collide).  Full
     inner-join semantics (duplicate keys on either side multiply).  Join
     keys are int64 or string (URL-keyed joins).
+
+    ``how="left"`` keeps unmatched left rows with NULL right payloads —
+    every left row lands in exactly one (gk, salt) group, so it appears
+    exactly once; the null padding goes out as ARROW int64-with-nulls
+    (lands as float64/NaN after to_pandas, the driver's null repr rule in
+    CLAUDE.md — never pandas-nullable Int64).
 
     Skew: a hot key's matches must fit one group.  Pass ``salt`` > 1 with
     the ``hot_keys`` (int64 iterable) to shard each hot key's LEFT rows
@@ -386,6 +393,7 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     assert not set(rpay) & set(lcols), "column name collision"
     reserved = {"gk", "side", "_salt_r"} & (set(lcols) | set(rsch.names))
     assert not reserved, f"input columns collide with internal names: {reserved}"
+    assert how in ("inner", "left"), how
     all_cols = lcols + rpay
     all_types = {n: lsch.field(n).type for n in lcols}
     all_types.update({n: rsch.field(n).type for n in rpay})
@@ -463,7 +471,7 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         # groups can never double-match
         l = df.loc[side == 0, lcols + ["_salt_r"]]
         r = df.loc[side == 1, [on_left, "_salt_r"] + rpay]
-        out = l.merge(r, on=[on_left, "_salt_r"], how="inner", sort=False)
+        out = l.merge(r, on=[on_left, "_salt_r"], how=how, sort=False)
         # strip the pandas-dtype metadata from_pandas attaches, or the
         # nullable Int64 frame dtypes leak into downstream to_pandas calls
         return pa.Table.from_pandas(

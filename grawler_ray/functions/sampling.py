@@ -191,3 +191,78 @@ def mixture_sample(
     return stratified_sample(
         picked, strata_col=source_col, id_col=id_col, permille=rates
     )
+
+
+def group_sample_k(
+    ds,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    num_groups: int = 256,
+):
+    """Uniform per-group k-sample: keep the ``k`` rows of each group whose
+    Knuth id-hash ranks lowest — cap_per_group's machinery with a HASH
+    order instead of the id order, i.e. a deterministic uniform sample per
+    group rather than "the first k".  The multiplier is odd, so id -> hash
+    is a bijection mod 2^32 (no ties below 2^32 ids); the id itself is the
+    tie-break above that.  SQL mirror: row_number() OVER (PARTITION BY
+    group ORDER BY (id*2654435761) % 2^32, id) <= k.
+
+    Output (id_col, group_col, rank 1-based).  Scale shape: same as
+    cap_per_group — ONE coarse group-hash shuffle of (id, group, hkey),
+    vectorized run-scan inside ~num_groups groups, never per-domain pandas
+    groups.
+    """
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("sampling id column must be non-negative")
+        hkey = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        g = pd.util.hash_array(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                group_col: t.column(group_col).cast(pa.string()),
+                "hkey": pa.array(hkey.astype(np.int64), pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def rank_groups(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        df = t.to_pandas().sort_values([group_col, "hkey", id_col])
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        rank = idx - start_idx + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy()[keep], pa.int64()),
+                group_col: pa.array(df[group_col].to_numpy()[keep].tolist(), pa.string()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, group_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )

@@ -129,3 +129,28 @@ def test_mixture_sample_rates_and_caps(ray_session):
         ds.repartition(7), target_permille={"a": 500, "b": 500}, budget_rows=100
     ).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_group_sample_k_uniform(ray_session):
+    """Hash-ranked per-group sample: deterministic across partitionings,
+    exactly k per group when the group has >= k rows, matches the serial
+    (knuth_hash, id) rank rule."""
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.sampling import group_sample_k
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(90)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = group_sample_k(ds, k=4).to_pandas()
+    assert (out.groupby("source").size() == 4).all()
+    # serial oracle: rank by ((id * K) % 2^32, id) within each source
+    ids = np.arange(90, dtype=np.uint64)
+    hkey = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+    expect = set()
+    for s in range(3):
+        members = [(int(hkey[i]), i) for i in range(90) if i % 3 == s]
+        expect |= {i for _h, i in sorted(members)[:4]}
+    assert set(out.doc_id) == expect
+    out2 = group_sample_k(ds.repartition(11), k=4).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)

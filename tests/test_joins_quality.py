@@ -791,3 +791,37 @@ class TestStringKeyJoins:
             on_right="seen",
         ).to_pandas()
         assert set(got.url) == {f"u{i}" for i in range(1, 30, 2)}
+
+
+def test_repartition_join_left_outer(ray_session):
+    """how='left' keeps unmatched left rows exactly once with Arrow-null
+    right payloads (float64/NaN after to_pandas, never pandas Int64)."""
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.joins import repartition_join
+
+    left = ray.data.from_items(
+        [{"k": i, "lv": i * 10} for i in range(20)]
+    ).repartition(3)
+    right = ray.data.from_items(
+        [{"rk": i, "rv": i * 100} for i in range(0, 20, 2)]  # evens only
+        + [{"rk": 4, "rv": 999}]  # duplicate key multiplies
+    ).repartition(2)
+    out = (
+        repartition_join(left, right, on_left="k", on_right="rk", how="left")
+        .to_pandas()
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    # 20 left rows, k=4 doubled
+    assert len(out) == 21
+    assert (out.k == 4).sum() == 2
+    odd = out[out.k % 2 == 1]
+    assert odd.rv.isna().all() and len(odd) == 10
+    assert out.rv.dtype.kind == "f"  # Arrow int64-with-nulls -> float64/NaN
+    even = out[(out.k % 2 == 0) & (out.rv != 999)]
+    assert (even.rv.to_numpy() == even.k.to_numpy() * 100).all()
+    # inner join drops the unmatched rows but keeps the duplicate
+    inner = repartition_join(left, right, on_left="k", on_right="rk").to_pandas()
+    assert len(inner) == 11
