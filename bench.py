@@ -129,6 +129,7 @@ def run_subqueries() -> dict[str, float]:
         "docs_by_length", "quantile_sketch", "grouped_quantile_sketch",
         "revenue_by_region",
         "chunk_docs", "vocab_coverage", "mixture_sample",
+        "source_sample_k", "customer_order_counts",
         "prep_corpus",
     ]
     import ray.data
