@@ -1260,6 +1260,82 @@ def _customer_order_counts(sf_dir: str):
     )
 
 
+def _events_orders_full(sf_dir: str):
+    """FULL OUTER join of per-user event counts with per-customer order
+    counts — both sides carry unmatched keys (event users with no orders,
+    ordering customers with no events), exercising null padding in both
+    directions.  Both inputs are pre-aggregated partials, so the join
+    shuffles ~distinct-key rows, never raw events/orders."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.joins import repartition_join
+    from ray.data.aggregate import Sum
+
+    def _counts(col: str, out: str):
+        def partial(t):
+            vc = t.column(col).value_counts()
+            return pa.table(
+                {col: vc.field("values"), "partial": vc.field("counts").cast(pa.int64())}
+            )
+
+        return partial, Sum("partial", alias_name=out)
+
+    ep, eagg = _counts("user_id", "n_events")
+    ev = (
+        _read(sf_dir, "events")
+        .select_columns(["user_id"])
+        .map_batches(ep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(eagg)
+    )
+    op, oagg = _counts("o_custkey", "n_orders")
+    od = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey"])
+        # custkey >= 100 only: event users 0..99 then surface as
+        # left-unmatched rows, so BOTH null-padding directions are live
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("o_custkey"), 100)),
+            batch_format="pyarrow",
+        )
+        .map_batches(op, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(oagg)
+    )
+    return repartition_join(
+        ev, od, on_left="user_id", on_right="o_custkey", how="outer"
+    )
+
+
+def _top_orders_per_customer(sf_dir: str):
+    """Ranking window: each customer's top-3 orders by price (cents), the
+    row_number() OVER (PARTITION BY ... ORDER BY value DESC) primitive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from grawler_ray.functions.sampling import group_topk
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
+    )
+    return group_topk(
+        orders, group_col="o_custkey", id_col="o_orderkey", value_col="cents", k=3
+    )
+
+
 def _bigram_counts(sf_dir: str):
     from grawler_ray.functions.textstats import bigram_counts
 
@@ -1589,6 +1665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _mixture_sample,
         "source_sample_k": _source_sample_k,
         "customer_order_counts": _customer_order_counts,
+        "events_orders_full": _events_orders_full,
+        "top_orders_per_customer": _top_orders_per_customer,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2574,6 +2652,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders
                        FROM orders GROUP BY o_custkey) n
               ON c.c_custkey = n.o_custkey
+        """,
+        # FULL outer repartition join: the key is coalesced from whichever
+        # side is present; unmatched counts land as NaN/float64 both sides
+        "events_orders_full": """
+            SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+                   e.n_events, o.n_orders
+            FROM (SELECT user_id, count(*)::BIGINT AS n_events
+                  FROM events GROUP BY user_id) e
+            FULL OUTER JOIN (SELECT o_custkey, count(*)::BIGINT AS n_orders
+                             FROM orders WHERE o_custkey >= 100
+                             GROUP BY o_custkey) o
+              ON e.user_id = o.o_custkey
+        """,
+        # value-ordered per-group top-k (ranking window); cents-integer
+        # order both sides so float ties can't diverge
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, cents, rn AS rank
+            FROM (SELECT o_custkey, o_orderkey,
+                         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+                         row_number() OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY floor(o_totalprice * 100 + 0.5)::BIGINT DESC,
+                                      o_orderkey)::BIGINT AS rn
+                  FROM orders)
+            WHERE rn <= 3
         """,
     }
     # the strategy="join" scale plans have identical semantics to their

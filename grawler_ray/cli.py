@@ -1,0 +1,253 @@
+"""Job-submittable command-line entry points.
+
+The north rule runs the engine "via ray job submit on a fixed-size
+multi-node Ray cluster"; this module is that surface:
+
+    ray job submit --working-dir . -- python -m grawler_ray crawl \\
+        --corpus /data/corpus --out /data/crawl --auto-seeds 3
+
+Subcommands:
+    gen-corpus   write the deterministic bucketed page corpus
+    crawl        run the frontier crawl (resumable with --resume)
+    prep         crawl output / parquet docs -> quality -> dedup -> splits
+    compact      merge + last-wins-compact several crawl runs
+    report       print a finished crawl's manifest metrics as JSON
+
+Ray-session ownership: inside a `ray job submit` entrypoint (or any
+driver that already ran ray.init) the existing session is used as-is;
+standalone invocation initializes a local session and shuts it down on
+exit.  Library code never touches ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import sys
+
+
+@contextlib.contextmanager
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        # RAY_ADDRESS (set by `ray job submit` runtime) wins; else local
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        yield
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj, sort_keys=True, default=str))
+
+
+# --- subcommands -----------------------------------------------------------
+
+
+def _cmd_gen_corpus(a: argparse.Namespace) -> dict:
+    from grawler_ray.sources.corpus import generate_corpus, generate_robots_cache
+
+    generate_corpus(
+        a.out,
+        n_hosts=a.hosts,
+        pages_per_host=a.pages,
+        seed=a.seed,
+        num_buckets=a.buckets,
+        use_ray=a.hosts * a.pages >= 50_000,
+    )
+    out = {
+        "out": a.out,
+        "hosts": a.hosts,
+        "pages_per_host": a.pages,
+        "num_buckets": a.buckets,
+    }
+    if a.robots_cache:
+        from grawler_ray.config import CrawlConfig
+
+        out["robots_cache"] = generate_robots_cache(
+            a.robots_cache, a.seed, a.hosts, CrawlConfig().now_us
+        )
+    return out
+
+
+def _cmd_crawl(a: argparse.Namespace) -> dict:
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.pipelines.crawl import run_crawl
+    from grawler_ray.sources.corpus import load_seed_list, seed_urls
+
+    if a.seed_list:
+        seeds = load_seed_list(a.seed_list)
+    elif a.seeds:
+        seeds = a.seeds
+    elif a.auto_seeds:
+        seeds = seed_urls(10**9, a.auto_seeds)  # first K synthetic hosts
+    else:
+        raise SystemExit("crawl: need --seeds, --seed-list or --auto-seeds")
+
+    cfg = CrawlConfig(
+        out_dir=a.out,
+        per_host_quota=a.per_host_quota,
+        max_rounds=a.max_rounds,
+        max_urls=a.max_urls,
+        frontier_order=a.frontier_order,
+        frontier_cap=a.frontier_cap,
+        seen_mode=a.seen_mode,
+        seen_shards=a.seen_shards,
+        canonicalize_seen=a.canonicalize,
+        fetch_mode=a.fetch_mode,
+        num_fetch_buckets=a.fetch_buckets,
+        write_trace=not a.no_trace,
+    )
+    return run_crawl(
+        a.corpus,
+        seeds,
+        cfg,
+        robots_cache_path=a.robots_cache,
+        resume=a.resume,
+    )
+
+
+def _cmd_prep(a: argparse.Namespace) -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.pipelines.preprocess import prep_corpus
+    from grawler_ray.urlops import xxhash64_batch
+
+    if a.docs:  # a finished crawl out_dir: (url, content) -> (doc_id, text)
+        from grawler_ray.pipelines.crawl import read_documents
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            # 63-bit ids: the split hash requires non-negative doc ids
+            ids = (
+                xxhash64_batch(t.column("url").to_pylist()) >> np.uint64(1)
+            ).astype(np.int64)
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "text": t.column("content")}
+            )
+
+        docs = read_documents(a.docs).map_batches(to_docs, batch_format="pyarrow")
+    elif a.parquet:  # any parquet table already shaped (doc_id, text)
+        docs = ray.data.read_parquet(a.parquet, columns=["doc_id", "text"])
+    else:
+        raise SystemExit("prep: need --docs (crawl out_dir) or --parquet")
+
+    timings: dict = {}
+    summary = prep_corpus(
+        docs,
+        out_dir=a.out,
+        minhash_threshold=a.threshold,
+        holdout_permille=a.holdout_permille,
+        collect_timings=timings,
+        checkpoint_dir=a.checkpoint_dir,
+    ).to_pandas()
+    return {
+        "out": a.out,
+        "stage_seconds": timings,
+        "summary": summary.to_dict(orient="records"),
+    }
+
+
+def _cmd_compact(a: argparse.Namespace) -> dict:
+    from grawler_ray.pipelines.crawl import compact_runs
+
+    return compact_runs(a.runs, a.dest, num_buckets=a.buckets)
+
+
+def _cmd_report(a: argparse.Namespace) -> dict:
+    from grawler_ray.pipelines.crawl import crawl_report
+
+    return crawl_report(a.out)
+
+
+# --- parser ----------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="grawler_ray", description=__doc__)
+    p.add_argument(
+        "--num-cpus",
+        type=int,
+        default=None,
+        help="num_cpus for a standalone local ray.init (ignored when a "
+        "session already exists, e.g. under `ray job submit`)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus", help="write the deterministic page corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--hosts", type=int, default=4)
+    g.add_argument("--pages", type=int, default=10)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--buckets", type=int, default=32)
+    g.add_argument("--robots-cache", default=None, help="also write a robots cache parquet here")
+    g.set_defaults(fn=_cmd_gen_corpus, needs_ray=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--seeds", nargs="*", default=None)
+    c.add_argument("--seed-list", default=None, help='JSON file with "seed_list"')
+    c.add_argument("--auto-seeds", type=int, default=None, help="seed page 0 of the first K synthetic hosts")
+    c.add_argument("--per-host-quota", type=int, default=4)
+    c.add_argument("--max-rounds", type=int, default=50)
+    c.add_argument("--max-urls", type=int, default=None)
+    c.add_argument("--frontier-order", choices=("fifo", "priority"), default="fifo")
+    c.add_argument("--frontier-cap", type=int, default=None)
+    c.add_argument("--seen-mode", choices=("exact", "cuckoo"), default="exact")
+    c.add_argument("--seen-shards", type=int, default=8)
+    c.add_argument("--canonicalize", action="store_true")
+    c.add_argument("--fetch-mode", choices=("corpus", "http"), default="corpus")
+    c.add_argument("--fetch-buckets", type=int, default=32, help="must match the corpus bucket layout")
+    c.add_argument("--robots-cache", default=None)
+    c.add_argument("--no-trace", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.set_defaults(fn=_cmd_crawl, needs_ray=True)
+
+    r = sub.add_parser("prep", help="docs -> quality/dedup/tokenize/split")
+    r.add_argument("--docs", default=None, help="a finished crawl out_dir")
+    r.add_argument("--parquet", default=None, help="parquet dir with (doc_id, text)")
+    r.add_argument("--out", required=True)
+    r.add_argument("--threshold", type=float, default=0.5)
+    r.add_argument("--holdout-permille", type=int, default=100)
+    r.add_argument("--checkpoint-dir", default=None)
+    r.set_defaults(fn=_cmd_prep, needs_ray=True)
+
+    k = sub.add_parser("compact", help="merge several crawl runs, last-wins")
+    k.add_argument("--runs", nargs="+", required=True)
+    k.add_argument("--dest", required=True)
+    k.add_argument("--buckets", type=int, default=64)
+    k.set_defaults(fn=_cmd_compact, needs_ray=True)
+
+    t = sub.add_parser("report", help="print a crawl's manifest metrics")
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=_cmd_report, needs_ray=False)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.needs_ray:
+        with _ray_session(a.num_cpus):
+            _emit(a.fn(a))
+    else:
+        _emit(a.fn(a))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

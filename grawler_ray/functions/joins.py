@@ -365,7 +365,11 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     every left row lands in exactly one (gk, salt) group, so it appears
     exactly once; the null padding goes out as ARROW int64-with-nulls
     (lands as float64/NaN after to_pandas, the driver's null repr rule in
-    CLAUDE.md — never pandas-nullable Int64).
+    CLAUDE.md — never pandas-nullable Int64).  ``how="outer"`` additionally
+    keeps unmatched RIGHT rows with NULL left payloads (the key column is
+    coalesced from whichever side is present); full requires ``salt == 1``
+    — a salted hot right row is replicated per shard, so an unmatched one
+    would surface once per replica.
 
     Skew: a hot key's matches must fit one group.  Pass ``salt`` > 1 with
     the ``hot_keys`` (int64 iterable) to shard each hot key's LEFT rows
@@ -393,7 +397,8 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     assert not set(rpay) & set(lcols), "column name collision"
     reserved = {"gk", "side", "_salt_r"} & (set(lcols) | set(rsch.names))
     assert not reserved, f"input columns collide with internal names: {reserved}"
-    assert how in ("inner", "left"), how
+    assert how in ("inner", "left", "outer"), how
+    assert not (how == "outer" and salt > 1), "full-outer + salting unsupported"
     all_cols = lcols + rpay
     all_types = {n: lsch.field(n).type for n in lcols}
     all_types.update({n: rsch.field(n).type for n in rpay})

@@ -193,6 +193,96 @@ def mixture_sample(
     )
 
 
+def group_topk(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+    num_groups: int = 256,
+    group_dtype: str = "int64",
+):
+    """Value-ordered per-group top-k (the ranking window): keep each
+    group's ``k`` highest-``value_col`` rows, ties broken by ``id_col``
+    ascending.  SQL mirror: ``row_number() OVER (PARTITION BY group ORDER
+    BY value DESC, id) <= k``.
+
+    ``value_col`` must be int64 (callers pre-scale money to cents — float
+    ordering ties would diverge from the oracle).  Group keys are int64 or
+    string — pass ``group_dtype="string"`` for string keys (empty sparse
+    partitions emit ZERO-column blocks, so the output type can't be read
+    from the block).  Output (group_col, id_col, value_col, rank 1-based).
+
+    Scale shape: same as cap_per_group / group_sample_k — ONE coarse
+    group-hash shuffle of three int columns (payload never moves),
+    vectorized sort + run-rebased rank inside ~num_groups kernels, never
+    one pandas group per key.  A single group's rows must fit one coarse
+    partition (keys are customers/domains; the events.py assumption).
+    """
+    import pandas as pd
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gv = t.column(group_col)
+        if pa.types.is_integer(gv.type):
+            u = gv.to_numpy(zero_copy_only=False).astype(np.uint64)
+            g = (u * _GOLD) >> np.uint64(33)
+        else:
+            g = pd.util.hash_array(np.asarray(gv.to_pylist(), dtype=object))
+        g = g % np.uint64(num_groups)
+        return pa.table(
+            {
+                group_col: gv,
+                id_col: t.column(id_col),
+                value_col: t.column(value_col).cast(pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(group_col, pa.string() if group_dtype == "string" else pa.int64()),
+            pa.field(id_col, pa.int64()),
+            pa.field(value_col, pa.int64()),
+            pa.field("rank", pa.int64()),
+        ]
+    )
+
+    def rank_groups(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True]
+        )
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        rank = idx - start_idx + 1
+        keep = rank <= k
+        gout = df[group_col].to_numpy()[keep]
+        return pa.table(
+            {
+                group_col: pa.array(gout)
+                if gout.dtype.kind == "i"
+                else pa.array(gout.tolist(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy()[keep], pa.int64()),
+                value_col: pa.array(df[value_col].to_numpy()[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, id_col, value_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )
+
+
 def group_sample_k(
     ds,
     group_col: str = "source",

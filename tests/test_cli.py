@@ -1,0 +1,90 @@
+"""The `python -m grawler_ray` job-submit surface (grawler_ray/cli.py):
+gen-corpus -> crawl -> report -> prep -> compact chained on a tiny corpus.
+Under the session Ray fixture the CLI must reuse (and not shut down) the
+existing session — the `ray job submit` contract."""
+
+import json
+import os
+
+import pytest
+
+from grawler_ray.cli import main
+
+
+def _run(capsys, argv) -> dict:
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("cli") / "corpus"
+    out = main(["gen-corpus", "--out", str(d), "--hosts", "4", "--pages", "10", "--buckets", "8"])
+    assert out == 0
+    return str(d)
+
+
+def test_cli_crawl_report_prep_compact(corpus, tmp_path, capsys, ray_session):
+    import ray
+
+    out_dir = str(tmp_path / "crawl")
+    stats = _run(
+        capsys,
+        [
+            "crawl", "--corpus", corpus, "--out", out_dir,
+            "--auto-seeds", "2", "--fetch-buckets", "8",
+            "--max-rounds", "4", "--seen-shards", "2",
+        ],
+    )
+    assert ray.is_initialized()  # CLI must not tear down the session fixture
+    assert stats["fetched"] > 0 and stats["rounds"] >= 1
+
+    rep = _run(capsys, ["report", "--out", out_dir])
+    assert rep["complete_rounds"] == rep["num_rounds"] >= 1
+    assert rep["parsed_rows_total"] > 0
+    assert rep["rounds"][0]["partitions"] >= 1  # lineage present
+
+    prep_out = str(tmp_path / "prep")
+    prep = _run(
+        capsys,
+        ["prep", "--docs", out_dir, "--out", prep_out, "--threshold", "0.9"],
+    )
+    assert os.path.isdir(os.path.join(prep_out, "split=train"))
+    assert prep["summary"] and "stage_seconds" in prep
+
+    dest = str(tmp_path / "compacted")
+    comp = _run(capsys, ["compact", "--runs", out_dir, "--dest", dest, "--buckets", "4"])
+    assert comp["rows"] > 0
+    assert os.path.isdir(dest)
+
+
+def test_cli_crawl_resume(corpus, tmp_path, capsys, ray_session):
+    out_dir = str(tmp_path / "crawl_r")
+    args = [
+        "crawl", "--corpus", corpus, "--out", out_dir,
+        "--auto-seeds", "2", "--fetch-buckets", "8", "--seen-shards", "2",
+    ]
+    full = _run(capsys, args + ["--max-rounds", "4"])
+    assert full["fetched"] > 0
+    # resume over a finished dir: nothing left to do, stats still coherent
+    again = _run(capsys, args + ["--max-rounds", "4", "--resume"])
+    assert again["rounds"] >= 1
+
+
+def test_cli_seed_list_and_errors(corpus, tmp_path, capsys, ray_session):
+    sl = tmp_path / "seeds.json"
+    from grawler_ray.sources.corpus import seed_urls
+
+    sl.write_text(json.dumps({"seed_list": seed_urls(4, 1)}))
+    out_dir = str(tmp_path / "crawl_s")
+    stats = _run(
+        capsys,
+        [
+            "crawl", "--corpus", corpus, "--out", out_dir,
+            "--seed-list", str(sl), "--fetch-buckets", "8",
+            "--max-rounds", "2", "--seen-shards", "2", "--no-trace",
+        ],
+    )
+    assert stats["fetched"] > 0
+    with pytest.raises(SystemExit):
+        main(["crawl", "--corpus", corpus, "--out", out_dir + "x", "--fetch-buckets", "8"])

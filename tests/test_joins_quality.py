@@ -825,3 +825,73 @@ def test_repartition_join_left_outer(ray_session):
     # inner join drops the unmatched rows but keeps the duplicate
     inner = repartition_join(left, right, on_left="k", on_right="rk").to_pandas()
     assert len(inner) == 11
+
+
+def test_repartition_join_full_outer(ray_session):
+    """how='outer' additionally keeps unmatched RIGHT rows (key coalesced,
+    left payload null); salting is rejected."""
+    import pytest
+    import ray.data
+
+    from grawler_ray.functions.joins import repartition_join
+
+    left = ray.data.from_items(
+        [{"k": i, "lv": i * 10} for i in range(10)]  # 0..9
+    ).repartition(3)
+    right = ray.data.from_items(
+        [{"rk": i, "rv": i * 100} for i in range(5, 15)]  # 5..14
+    ).repartition(2)
+    out = (
+        repartition_join(left, right, on_left="k", on_right="rk", how="outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 15 and sorted(out.k) == list(range(15))
+    matched = out[(out.k >= 5) & (out.k <= 9)]
+    assert (matched.rv.to_numpy() == matched.k.to_numpy() * 100).all()
+    assert (matched.lv.to_numpy() == matched.k.to_numpy() * 10).all()
+    left_only = out[out.k < 5]
+    assert left_only.rv.isna().all() and left_only.lv.notna().all()
+    right_only = out[out.k > 9]
+    assert right_only.lv.isna().all()
+    assert (right_only.rv.to_numpy() == right_only.k.to_numpy() * 100).all()
+    # null repr rule: Arrow int64-with-nulls -> float64/NaN, never Int64
+    assert out.lv.dtype.kind == "f" and out.rv.dtype.kind == "f"
+    with pytest.raises(AssertionError):
+        repartition_join(
+            left, right, on_left="k", on_right="rk", how="outer", salt=2, hot_keys=[5]
+        )
+
+
+def test_group_topk_rank_and_ties(ray_session):
+    """Value-descending per-group top-k with id tie-break == the
+    row_number() window; empty sparse partitions stay schema-stable."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.sampling import group_topk
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 23, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.randint(0, 9, n).astype(np.int64),  # small range -> ties
+        }
+    )
+    out = (
+        group_topk(ray.data.from_pandas(df).repartition(4), "g", "id", "v", k=3)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "v", "id"], ascending=[True, False, True]).copy()
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    exp = exp[exp["rank"] <= 3].sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["g", "id", "v", "rank"]].astype(np.int64),
+        exp[["g", "id", "v", "rank"]].astype(np.int64),
+    )
