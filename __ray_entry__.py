@@ -1349,6 +1349,14 @@ def _cooccurrence_topk(sf_dir: str):
     return cooccurrence_topk(_read(sf_dir, "documents"), window=5, k=100)
 
 
+def _bigram_lm_score(sf_dir: str):
+    """Per-doc corpus-frequency fluency score (the integer perplexity
+    stand-in): global bigram counts joined back onto every doc's bigrams."""
+    from grawler_ray.functions.textstats import bigram_lm_score
+
+    return bigram_lm_score(_read(sf_dir, "documents"))
+
+
 def _source_lang_pivot(sf_dir: str):
     from grawler_ray.functions.textstats import source_lang_pivot
 
@@ -1645,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": _source_cap,
         "bigram_counts": _bigram_counts,
         "cooccurrence_topk": _cooccurrence_topk,
+        "bigram_lm_score": _bigram_lm_score,
         "source_lang_pivot": _source_lang_pivot,
         "degree_stats": _degree_stats,
         "triangle_count": _triangle_count,
@@ -2486,6 +2495,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bg GROUP BY bigram
             ORDER BY total DESC, bigram ASC
             LIMIT 100
+        """,
+        # per-doc Σ over bigram occurrences of the bigram's GLOBAL count —
+        # the all-integer LM-fluency analogue; docs with < 2 tokens absent
+        "bigram_lm_score": r"""
+            WITH W AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\b\w+\b') AS w
+                       FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])) AS bigram
+                   FROM W),
+            gc AS (SELECT bigram, count(*)::BIGINT AS total
+                   FROM bg GROUP BY bigram)
+            SELECT b.doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(g.total)::BIGINT AS score
+            FROM bg b JOIN gc g USING (bigram)
+            GROUP BY b.doc_id
         """,
         # windowed skip-gram co-occurrence (word2vec/PMI primitive):
         # ordered pairs (w_i, w_{i+d}), 1 <= d <= 5, within one document

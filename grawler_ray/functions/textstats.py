@@ -464,6 +464,128 @@ def cooccurrence_topk(docs_ds, window: int = 5, k: int = 100, combine_parts: int
     )
 
 
+def bigram_lm_score(docs_ds, num_groups: int = 64):
+    """Per-doc corpus-frequency fluency score — the count-based stand-in
+    for LM perplexity filtering (CCNet/Gopher use a real LM; with no
+    tokenizer/LM libs in the image, the integer bigram-frequency sum is
+    the deterministic, oracle-checkable analogue): for every document,
+    ``score = Σ over its bigram OCCURRENCES of that bigram's GLOBAL
+    corpus count`` (all-integer, so the DuckDB mirror compares exactly),
+    plus ``n_bigrams``.  Docs with < 2 tokens have no bigrams and are
+    absent (JOIN semantics).  Tokens are the bigram_counts tokenizer.
+
+    Scale shape (two passes over narrow metadata, never the text twice):
+    1. per-batch factorized (doc_id, bigram, mult) distincts — one row
+       per distinct bigram per doc, the text payload never leaves the
+       batch; MATERIALIZED once because it feeds both the global count
+       and the join (narrow: str + 2 ints — the frontier lesson).
+    2. global counts = one bigram-hash aggregate of the same rows.
+    3. counts flow back via the string-key ``repartition_join`` (the
+       global bigram table is corpus-sized — a broadcast would not fit;
+       this is the large×large join path), contributions are pre-summed
+       per doc inside each batch, and one final doc_id aggregate
+       finishes.  3 exchanges total, all ∝ distinct (doc, bigram) rows.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from grawler_ray.functions.joins import repartition_join
+
+    empty = pa.schema(
+        [
+            pa.field("bigram", pa.string()),
+            pa.field("doc_id", pa.int64()),
+            pa.field("mult", pa.int64()),
+        ]
+    )
+
+    def doc_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks: list = []
+        dlens = np.empty(len(ids), np.int64)
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            ws = _WORD_RE.findall((txt or "").lower())
+            toks.extend(ws)
+            toks.append(None)  # sentinel: no pair straddles documents
+            dlens[i] = len(ws) + 1
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        u = max(len(uniq), 1)
+        if len(codes) < 2:
+            return empty.empty_table()
+        docidx = np.repeat(np.arange(len(ids), dtype=np.int64), dlens)
+        a, b = codes[:-1], codes[1:]
+        m = (a >= 0) & (b >= 0)
+        if not m.any():
+            return empty.empty_table()
+        d = docidx[:-1][m]
+        a = a[m].astype(np.int64)
+        b = b[m].astype(np.int64)
+        # distinct (doc, pair) + multiplicity in ONE np.unique over a
+        # packed key; fits int64 up to ~nd * u^2 = 2^62
+        assert len(ids) * u * u < (1 << 62), "batch too large for packed keys"
+        key = (d * u + a) * u + b
+        ukey, mult = np.unique(key, return_counts=True)
+        ud = ukey // (u * u)
+        rem = ukey % (u * u)
+        pairs = [uniq[x] + " " + uniq[y] for x, y in zip(rem // u, rem % u)]
+        return pa.table(
+            {
+                "bigram": pa.array(pairs, pa.string()),
+                "doc_id": pa.array(ids[ud], pa.int64()),
+                "mult": pa.array(mult.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs_ds = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(doc_pairs, batch_format="pyarrow")
+        .materialize()  # narrow; consumed by the count AND the join
+    )
+    glob = pairs_ds.groupby("bigram").aggregate(Sum("mult", alias_name="total"))
+    joined = repartition_join(
+        pairs_ds, glob, on_left="bigram", on_right="bigram", num_groups=num_groups
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mult = t.column("mult").to_numpy(zero_copy_only=False)
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        uids, inv = np.unique(ids, return_inverse=True)
+        # integer scatter-adds (np.bincount accumulates in FLOAT64 and
+        # silently corrupts int64 sums above 2^53)
+        n_part = np.zeros(len(uids), np.int64)
+        s_part = np.zeros(len(uids), np.int64)
+        np.add.at(n_part, inv, mult)
+        np.add.at(s_part, inv, mult * total)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_part": pa.array(n_part),
+                "s_part": pa.array(s_part),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_part", alias_name="n_bigrams"), Sum("s_part", alias_name="score")
+        )
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bigrams": t.column("n_bigrams").cast(pa.int64()),
+                "score": t.column("score").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
 def source_lang_pivot(docs_ds):
     """Pivot / conditional aggregation: per source, total docs + one count
     column per language (fixed column set = the corpus's language codes),

@@ -350,3 +350,46 @@ def test_vocab_coverage_counts(ray_session):
     assert out.loc[0].tolist() == [4, 3, 3, 2]  # tokens, in-vocab, types, in-types
     assert out.loc[1].tolist() == [4, 3, 3, 2]
     assert out.loc[2].tolist() == [3, 0, 1, 0]
+
+
+def test_bigram_lm_score_planted(ray_session):
+    """score = Σ over a doc's bigram occurrences of that bigram's GLOBAL
+    count — checked against a brute-force serial recomputation."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from grawler_ray.functions.textstats import bigram_lm_score
+
+    texts = {
+        0: "the cat sat on the cat",   # repeated bigram inside one doc
+        1: "the cat ran",              # shares "the cat" with doc 0
+        2: "lonely",                   # 1 token -> no bigrams -> absent
+        3: "",                         # empty -> absent
+        4: "on the cat sat THE CAT",   # lowercasing folds THE CAT
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in texts.items()]
+    ).repartition(3)
+
+    wre = re.compile(r"\b\w+\b")
+    doc_bgs = {
+        d: [
+            f"{w[i]} {w[i + 1]}"
+            for w in [wre.findall(t.lower())]
+            for i in range(len(w) - 1)
+        ]
+        for d, t in texts.items()
+    }
+    glob = Counter(bg for bgs in doc_bgs.values() for bg in bgs)
+    exp = {
+        d: (len(bgs), sum(glob[bg] for bg in bgs))
+        for d, bgs in doc_bgs.items()
+        if bgs
+    }
+
+    out = bigram_lm_score(ds).to_pandas().set_index("doc_id").sort_index()
+    assert set(out.index) == set(exp)
+    for d, (n, s) in exp.items():
+        assert out.loc[d, "n_bigrams"] == n and out.loc[d, "score"] == s
