@@ -130,6 +130,7 @@ def run_subqueries() -> dict[str, float]:
         "revenue_by_region",
         "chunk_docs", "vocab_coverage", "mixture_sample",
         "source_sample_k", "customer_order_counts",
+        "events_orders_full", "top_orders_per_customer", "bigram_lm_score",
         "prep_corpus",
     ]
     import ray.data
