@@ -1308,6 +1308,70 @@ def _events_orders_full(sf_dir: str):
     )
 
 
+def _user_type_join(sf_dir: str):
+    """Composite-key (int + string) LEFT repartition join: per-(user,
+    event_type) event counts joined with per-(user, event_type) cents
+    sums computed over non-click events only — click rows stay unmatched
+    (NULL sums), so the composite null padding is live.  Both sides are
+    in-batch pre-aggregated partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.joins import repartition_join
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            t.select(["user_id", "event_type"])
+            .to_pandas()
+            .groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="partial")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.filter(pc.not_equal(t.column("event_type"), "click"))
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "u2": t.column("user_id").to_numpy(zero_copy_only=False),
+                "t2": t.column("event_type").to_pylist(),
+                "cents": np.floor(v * 100.0 + 0.5).astype(np.int64),
+            }
+        )
+        df = df.groupby(["u2", "t2"], sort=False)["cents"].sum().reset_index(name="partial_c")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ev = _read(sf_dir, "events")
+    counts = (
+        ev.select_columns(["user_id", "event_type"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("partial", alias_name="n_events"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    sums = (
+        ev.select_columns(["user_id", "event_type", "value"])
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .groupby(["u2", "t2"])
+        .aggregate(Sum("partial_c", alias_name="sum_cents"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return repartition_join(
+        counts,
+        sums,
+        on_left=["user_id", "event_type"],
+        on_right=["u2", "t2"],
+        how="left",
+    )
+
+
 def _top_orders_per_customer(sf_dir: str):
     """Ranking window: each customer's top-3 orders by price (cents), the
     row_number() OVER (PARTITION BY ... ORDER BY value DESC) primitive."""
@@ -1676,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _customer_order_counts,
         "events_orders_full": _events_orders_full,
         "top_orders_per_customer": _top_orders_per_customer,
+        "user_type_join": _user_type_join,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2691,6 +2756,18 @@ def oracle_sql() -> dict[str, str]:
                              FROM orders WHERE o_custkey >= 100
                              GROUP BY o_custkey) o
               ON e.user_id = o.o_custkey
+        """,
+        # composite-key (int, string) LEFT join; click rows have no
+        # non-click cents partner, so sum_cents is NULL there
+        "user_type_join": """
+            SELECT e.user_id, e.event_type, e.n_events, p.sum_cents
+            FROM (SELECT user_id, event_type, count(*)::BIGINT AS n_events
+                  FROM events GROUP BY user_id, event_type) e
+            LEFT JOIN (SELECT user_id, event_type,
+                              sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS sum_cents
+                       FROM events WHERE event_type <> 'click'
+                       GROUP BY user_id, event_type) p
+              ON e.user_id = p.user_id AND e.event_type = p.event_type
         """,
         # value-ordered per-group top-k (ranking window); cents-integer
         # order both sides so float ties can't diverge

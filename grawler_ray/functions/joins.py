@@ -346,7 +346,7 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
     return both.groupby("gk").map_groups(anti, batch_format="pyarrow")
 
 
-def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
+def repartition_join(left_ds, right_ds, on_left, on_right,
                      num_groups: int = 64, salt: int = 1, hot_keys=None,
                      how: str = "inner"):
     """Distributed inner/left equi-join for two LARGE sides — the general-join
@@ -378,6 +378,13 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
     (salt - 1) x the hot right rows, and the biggest group shrinks by
     ~1/salt.  The salt id rides both sides and joins as part of the key,
     so colliding coarse groups can never double-match.
+
+    Composite keys: ``on_left`` / ``on_right`` may be equal-length LISTS
+    of column names — the coarse partition hash chains the per-column
+    hashes (``(mix ^ h_col) * golden``, so single-key plans are
+    bit-identical to before) and the in-group merge matches on the whole
+    tuple.  Output key columns carry the LEFT names.  Salting stays
+    single-key (name ONE hot column's values).
     """
     def _pa_schema(ds):
         sch = ds.schema()
@@ -390,10 +397,16 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
 
         return pa.schema([pa.field(n, _to_pa(t)) for n, t in zip(sch.names, sch.types)])
 
+    lkeys = [on_left] if isinstance(on_left, str) else list(on_left)
+    rkeys = [on_right] if isinstance(on_right, str) else list(on_right)
+    assert lkeys and len(lkeys) == len(rkeys), (lkeys, rkeys)
+    assert salt == 1 or len(lkeys) == 1, "salting is single-key only"
+
     lsch, rsch = _pa_schema(left_ds), _pa_schema(right_ds)
     lcols = list(lsch.names)
-    rpay = [n for n in rsch.names if n != on_right]
-    assert on_left in lcols, on_left
+    rpay = [n for n in rsch.names if n not in rkeys]
+    for k in lkeys:
+        assert k in lcols, k
     assert not set(rpay) & set(lcols), "column name collision"
     reserved = {"gk", "side", "_salt_r"} & (set(lcols) | set(rsch.names))
     assert not reserved, f"input columns collide with internal names: {reserved}"
@@ -412,48 +425,58 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
             hot_arr = np.asarray([str(x) for x in hk], object)
     _SALT_C = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    def _gk(keys: np.ndarray, r: np.ndarray) -> np.ndarray:
-        mix = _key_hash64(keys) * _GOLDEN + r.astype(np.uint64) * _SALT_C
+    def _gk(key_arrs: list[np.ndarray], r: np.ndarray) -> np.ndarray:
+        # chained per-column mix; one key => h * golden, the legacy formula
+        mix = np.zeros(len(r), np.uint64)
+        for arr in key_arrs:
+            mix = (mix ^ _key_hash64(arr)) * _GOLDEN
+        mix = mix + r.astype(np.uint64) * _SALT_C
         return ((mix >> np.uint64(33)) % np.uint64(num_groups)).astype(np.int32)
 
-    def _pad(t: pa.Table, present: list, keys: np.ndarray,
-             r: np.ndarray, side: int) -> pa.Table:
+    def _pad(t: pa.Table, present: list, key_cols: dict,
+             key_arrs: list[np.ndarray], r: np.ndarray, side: int) -> pa.Table:
         arrays = []
         for name in all_cols:
-            if name == on_left:
-                arrays.append(pa.array(keys).cast(all_types[name]))
+            if name in key_cols:
+                arrays.append(key_cols[name].cast(all_types[name]))
             elif name in present:
                 arrays.append(t.column(name))
             else:
                 arrays.append(pa.nulls(t.num_rows, all_types[name]))
         out = pa.table(dict(zip(all_cols, arrays)))
         out = out.append_column("_salt_r", pa.array(r.astype(np.int32), pa.int32()))
-        out = out.append_column("gk", pa.array(_gk(keys, r), pa.int32()))
+        out = out.append_column("gk", pa.array(_gk(key_arrs, r), pa.int32()))
         return out.append_column(
             "side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
         )
 
     def tag_left(t: pa.Table) -> pa.Table:
-        keys = t.column(on_left).to_numpy(zero_copy_only=False)
-        r = np.zeros(len(keys), np.int64)
+        key_arrs = [t.column(k).to_numpy(zero_copy_only=False) for k in lkeys]
+        r = np.zeros(t.num_rows, np.int64)
         if hot_arr is not None:
-            hot = np.isin(keys, hot_arr)
+            hot = np.isin(key_arrs[0], hot_arr)
             # deterministic round-robin shard of a hot key's left rows
             r[hot] = np.arange(int(hot.sum())) % salt
-        return _pad(t, lcols, keys, r, 0)
+        key_cols = {k: t.column(k) for k in lkeys}
+        return _pad(t, lcols, key_cols, key_arrs, r, 0)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        keys = t.column(on_right).to_numpy(zero_copy_only=False)
+        # right key columns travel under the LEFT names / types
+        key_cols = {lk: t.column(rk) for lk, rk in zip(lkeys, rkeys)}
+        key_arrs = [t.column(rk).to_numpy(zero_copy_only=False) for rk in rkeys]
+        zeros = np.zeros(t.num_rows, np.int64)
         if hot_arr is None:
-            return _pad(t, rpay, keys, np.zeros(len(keys), np.int64), 1)
-        hot = np.isin(keys, hot_arr)
-        parts = [_pad(t, rpay, keys, np.zeros(len(keys), np.int64), 1)]
+            return _pad(t, rpay, key_cols, key_arrs, zeros, 1)
+        hot = np.isin(key_arrs[0], hot_arr)
+        parts = [_pad(t, rpay, key_cols, key_arrs, zeros, 1)]
         if hot.any():
             t_hot = t.filter(pa.array(hot))
-            k_hot = keys[hot]
+            kc_hot = {lkeys[0]: t_hot.column(rkeys[0])}
+            ka_hot = [key_arrs[0][hot]]
             for rr in range(1, salt):  # replicas for the extra subgroups
                 parts.append(
-                    _pad(t_hot, rpay, k_hot, np.full(len(k_hot), rr, np.int64), 1)
+                    _pad(t_hot, rpay, kc_hot, ka_hot,
+                         np.full(t_hot.num_rows, rr, np.int64), 1)
                 )
         return pa.concat_tables(parts)
 
@@ -475,8 +498,8 @@ def repartition_join(left_ds, right_ds, on_left: str, on_right: str,
         # matches the left shard it was made for, so colliding coarse
         # groups can never double-match
         l = df.loc[side == 0, lcols + ["_salt_r"]]
-        r = df.loc[side == 1, [on_left, "_salt_r"] + rpay]
-        out = l.merge(r, on=[on_left, "_salt_r"], how=how, sort=False)
+        r = df.loc[side == 1, lkeys + ["_salt_r"] + rpay]
+        out = l.merge(r, on=lkeys + ["_salt_r"], how=how, sort=False)
         # strip the pandas-dtype metadata from_pandas attaches, or the
         # nullable Int64 frame dtypes leak into downstream to_pandas calls
         return pa.Table.from_pandas(

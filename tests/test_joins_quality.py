@@ -895,3 +895,68 @@ def test_group_topk_rank_and_ties(ray_session):
         out[["g", "id", "v", "rank"]].astype(np.int64),
         exp[["g", "id", "v", "rank"]].astype(np.int64),
     )
+
+
+def test_repartition_join_composite_keys(ray_session):
+    """List-valued on_left/on_right: the (int, string) tuple key must
+    match as a whole — same-user different-type rows never cross-match;
+    checked against pandas merge on a planted frame."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.joins import repartition_join
+
+    rng = np.random.RandomState(11)
+    l = pd.DataFrame(
+        {
+            "u": rng.randint(0, 12, 80).astype(np.int64),
+            "ty": rng.choice(["a", "b", "c"], 80),
+            "lv": np.arange(80, dtype=np.int64),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "ru": rng.randint(0, 12, 40).astype(np.int64),
+            "rty": rng.choice(["a", "b", "c"], 40),
+            "rv": np.arange(40, dtype=np.int64) * 7,
+        }
+    )
+    for how in ("inner", "left"):
+        got = (
+            repartition_join(
+                ray.data.from_pandas(l).repartition(3),
+                ray.data.from_pandas(r).repartition(2),
+                on_left=["u", "ty"],
+                on_right=["ru", "rty"],
+                how=how,
+            )
+            .to_pandas()
+            .sort_values(["u", "ty", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            l.merge(r, left_on=["u", "ty"], right_on=["ru", "rty"], how=how)
+            .drop(columns=["ru", "rty"])
+            .sort_values(["u", "ty", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        assert (got["lv"].to_numpy() == exp["lv"].to_numpy()).all()
+        gv, ev = got["rv"].to_numpy(), exp["rv"].to_numpy()
+        nan_g, nan_e = pd.isna(gv), pd.isna(ev)
+        assert (nan_g == nan_e).all()
+        assert (gv[~nan_g] == ev[~nan_e]).all()
+    # mismatched key-list lengths and salted composites are rejected
+    import pytest
+
+    with pytest.raises(AssertionError):
+        repartition_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on_left=["u", "ty"], on_right=["ru"],
+        )
+    with pytest.raises(AssertionError):
+        repartition_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on_left=["u", "ty"], on_right=["ru", "rty"], salt=2, hot_keys=[3],
+        )
