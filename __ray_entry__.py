@@ -1308,6 +1308,36 @@ def _events_orders_full(sf_dir: str):
     )
 
 
+def _cumulative_spend(sf_dir: str):
+    """Per-customer running order total — sum() OVER (PARTITION BY
+    customer ORDER BY date, orderkey), the cumulative window primitive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from grawler_ray.functions.events import grouped_running_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+    )
+    return grouped_running_sum(
+        orders, group_col="o_custkey", order_col="ts_us",
+        tie_col="o_orderkey", value_col="cents",
+    )
+
+
 def _user_type_join(sf_dir: str):
     """Composite-key (int + string) LEFT repartition join: per-(user,
     event_type) event counts joined with per-(user, event_type) cents
@@ -1741,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_full": _events_orders_full,
         "top_orders_per_customer": _top_orders_per_customer,
         "user_type_join": _user_type_join,
+        "cumulative_spend": _cumulative_spend,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2756,6 +2787,17 @@ def oracle_sql() -> dict[str, str]:
                              FROM orders WHERE o_custkey >= 100
                              GROUP BY o_custkey) o
               ON e.user_id = o.o_custkey
+        """,
+        # running per-customer order total (ROWS UNBOUNDED PRECEDING;
+        # orderkey tiebreak makes the frame deterministic)
+        "cumulative_spend": """
+            SELECT o_orderkey, o_custkey,
+                   sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+            FROM orders
         """,
         # composite-key (int, string) LEFT join; click rows have no
         # non-click cents partner, so sum_cents is NULL there

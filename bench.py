@@ -131,7 +131,7 @@ def run_subqueries() -> dict[str, float]:
         "chunk_docs", "vocab_coverage", "mixture_sample",
         "source_sample_k", "customer_order_counts",
         "events_orders_full", "top_orders_per_customer", "bigram_lm_score",
-        "user_type_join",
+        "user_type_join", "cumulative_spend",
         "prep_corpus",
     ]
     import ray.data

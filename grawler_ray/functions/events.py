@@ -105,6 +105,74 @@ def rolling_sum(events_ds, window: int = 4, num_groups: int = 256):
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def grouped_running_sum(
+    ds,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    value_col: str,
+    num_groups: int = 256,
+):
+    """Generic cumulative window — ``sum(value) OVER (PARTITION BY group
+    ORDER BY order, tie ROWS UNBOUNDED PRECEDING)`` — for any table with
+    an int64 group key, a sortable order column, a unique int64 tiebreak
+    and an ALREADY-INTEGER value column (callers pre-scale money to
+    cents; float accumulation would diverge from the SQL mirror).
+    Output (tie_col, group_col, ``cum`` int64).
+
+    Scale shape: rolling_sum's — ONE coarse group-hash shuffle of four
+    narrow columns, one sort + run-rebased cumsum per ~num_groups
+    vectorized kernels; a group's rows must fit one coarse partition
+    (groups are customers/users — the events.py assumption)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column(group_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (u * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                order_col: t.column(order_col),
+                tie_col: t.column(tie_col),
+                value_col: t.column(value_col).cast(pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(tie_col, pa.int64()),
+            pa.field(group_col, pa.int64()),
+            pa.field("cum", pa.int64()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        # pyarrow map_groups: empty sparse partitions emit ARROW blocks
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values([group_col, order_col, tie_col])
+        groups = df[group_col].to_numpy()
+        is_start = np.concatenate(([True], np.diff(groups) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(len(df)), 0))
+        vals = df[value_col].to_numpy().astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(vals)))
+        cum = csum[1:] - csum[start_idx]
+        return pa.table(
+            {
+                tie_col: pa.array(df[tie_col].to_numpy(), pa.int64()),
+                group_col: pa.array(groups, pa.int64()),
+                "cum": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, order_col, tie_col, value_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
 def time_window_sum(events_ds, window_us: int = 604_800_000_000, num_groups: int = 256):
     """Time-based sliding-window aggregate (RANGE window, vs rolling_sum's
     ROWS window): per user, the cents sum over events with ts in

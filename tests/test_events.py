@@ -111,3 +111,36 @@ def test_funnel_counts(ray_session):
     assert out.n_step1.iloc[0] == 3      # users 1, 2, 3 viewed
     assert out.n_step2.iloc[0] == 1      # only user 1 clicked after viewing
     assert out.n_step3.iloc[0] == 1
+
+
+def test_grouped_running_sum_planted(ray_session):
+    """Cumulative window rebased per group, (order, tie) sort inside."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.events import grouped_running_sum
+
+    df = pd.DataFrame(
+        {
+            "g": np.array([1, 1, 1, 2, 2, 7], np.int64),
+            "o": np.array([5, 3, 3, 1, 2, 9], np.int64),
+            "tie": np.array([10, 11, 12, 13, 14, 15], np.int64),
+            "v": np.array([100, 20, 3, 7, 40, 500], np.int64),
+        }
+    )
+    out = (
+        grouped_running_sum(
+            ray.data.from_pandas(df).repartition(2),
+            group_col="g", order_col="o", tie_col="tie", value_col="v",
+        )
+        .to_pandas()
+        .set_index("tie")
+        .sort_index()
+    )
+    # g=1 order: (3,11)=20, (3,12)=23, (5,10)=123; g=2: 7 then 47; g=7: 500
+    assert out.loc[11, "cum"] == 20 and out.loc[12, "cum"] == 23
+    assert out.loc[10, "cum"] == 123
+    assert out.loc[13, "cum"] == 7 and out.loc[14, "cum"] == 47
+    assert out.loc[15, "cum"] == 500
+    assert (out["g"].to_numpy() >= 1).all() and len(out) == 6
