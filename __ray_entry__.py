@@ -1308,6 +1308,110 @@ def _events_orders_full(sf_dir: str):
     )
 
 
+def _brand_revenue(sf_dir: str):
+    """Per-brand lineitem revenue (Q19-flavor aggregate join): part is the
+    small side — below the guard it broadcasts as one sorted
+    partkey->brand lookup (map-side join, ZERO pre-aggregate exchanges:
+    brand partials come straight off each lineitem batch); above it, the
+    hashed repartition join on partkey with per-partkey in-batch
+    partials.  Final exchange carries ~blocks x brands rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from grawler_ray.functions.joins import repartition_join
+    from ray.data.aggregate import Sum
+
+    line = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    part_ds = _read(sf_dir, "part").select_columns(["p_partkey", "p_brand"])
+
+    def _brand_partial(brands: np.ndarray, cents: np.ndarray) -> pa.Table:
+        # per-batch partials: sums < 2^53, so float64 bincount is exact
+        codes, uniq = pd.factorize(brands)
+        return pa.table(
+            {
+                "p_brand": pa.array(list(uniq), pa.string()),
+                "cents": pa.array(
+                    np.bincount(codes, weights=cents).astype(np.int64), pa.int64()
+                ),
+                "n_items": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+            }
+        )
+
+    if part_ds.count() <= _BCAST_MAX_ROWS:
+        p = part_ds.to_pandas()
+        pk = p["p_partkey"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_s, brand_s = pk[order], p["p_brand"].to_numpy()[order]
+        ref = ray.put((pk_s, brand_s))
+
+        def partial(t: pa.Table) -> pa.Table:
+            k, b = ray.get(ref)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(k, lp), 0, max(len(k) - 1, 0))
+            m = len(k) > 0 and k[idx] == lp  # inner join: drop missing keys
+            if not isinstance(m, np.ndarray):
+                m = np.zeros(len(lp), dtype=bool)
+            px = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)[m]
+            cents = np.floor(px * (1 - disc) * 100.0 + 0.5)
+            return _brand_partial(np.asarray(b[idx][m], dtype=object), cents)
+
+        partials = line.map_batches(partial, batch_format="pyarrow")
+    else:
+
+        def pk_cents(t: pa.Table) -> pa.Table:
+            px = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            cents = np.floor(px * (1 - disc) * 100.0 + 0.5)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(lp, return_inverse=True)
+            return pa.table(
+                {
+                    "l_partkey": pa.array(uniq, pa.int64()),
+                    "cents": pa.array(
+                        np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                    ),
+                    "n_items": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                }
+            )
+
+        joined = repartition_join(
+            line.map_batches(pk_cents, batch_format="pyarrow"),
+            part_ds,
+            on_left="l_partkey",
+            on_right="p_partkey",
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            codes, uniq = pd.factorize(
+                np.asarray(t.column("p_brand").to_pylist(), dtype=object)
+            )
+            cents = t.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+            nit = t.column("n_items").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "p_brand": pa.array(list(uniq), pa.string()),
+                    "cents": pa.array(
+                        np.bincount(codes, weights=cents).astype(np.int64), pa.int64()
+                    ),
+                    "n_items": pa.array(
+                        np.bincount(codes, weights=nit).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
+
+    return partials.groupby("p_brand").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+
 def _cumulative_spend(sf_dir: str):
     """Per-customer running order total — sum() OVER (PARTITION BY
     customer ORDER BY date, orderkey), the cumulative window primitive."""
@@ -1772,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _top_orders_per_customer,
         "user_type_join": _user_type_join,
         "cumulative_spend": _cumulative_spend,
+        "brand_revenue": _brand_revenue,
         # rows-only
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
@@ -2787,6 +2892,18 @@ def oracle_sql() -> dict[str, str]:
                              FROM orders WHERE o_custkey >= 100
                              GROUP BY o_custkey) o
               ON e.user_id = o.o_custkey
+        """,
+        # per-brand lineitem revenue via the part dimension (broadcast
+        # map-side join below the guard, repartition join above)
+        "brand_revenue": """
+            SELECT p.p_brand,
+                   sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                  * 100 + 0.5) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         # running per-customer order total (ROWS UNBOUNDED PRECEDING;
         # orderkey tiebreak makes the frame deterministic)
