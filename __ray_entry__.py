@@ -324,6 +324,29 @@ def _customers_without_orders(sf_dir: str):
     )
 
 
+def _customers_with_orders(sf_dir: str):
+    """Customers with at least one high-value (>= 400k) order: the semi-join
+    (IN-subquery) complement of ``customers_without_orders`` — left rows
+    kept at most once however many qualifying orders exist, right side
+    ships keys only."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.joins import hash_semi_join
+
+    def big_orders(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.greater_equal(t.column("o_totalprice"), 400_000.0))
+
+    right = (
+        _read(sf_dir, "orders")
+        .select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(big_orders, batch_format="pyarrow")
+        .select_columns(["o_custkey"])
+    )
+    return hash_semi_join(
+        _read(sf_dir, "customer"), right, on_left="c_custkey", on_right="o_custkey"
+    )
+
+
 def _docs_by_length(sf_dir: str):
     # global range-partitioned sort (Ray's all-to-all sort operator) with a
     # deterministic (n_chars desc, doc_id asc) tiebreak, then limit
@@ -556,6 +579,38 @@ def _quality_filter(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(
         quality_filter_batch(), batch_format="pyarrow"
     )
+
+
+def _lang_quality_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail split: NTILE(3) per language over a
+    per-doc quality score (n_chars here — the synthetic corpus's stand-in
+    for an LM score; the operator takes any int column)."""
+    from grawler_ray.functions.sampling import group_ntile
+
+    return group_ntile(
+        _read(sf_dir, "documents").select_columns(["lang", "doc_id", "n_chars"]),
+        group_col="lang",
+        id_col="doc_id",
+        value_col="n_chars",
+        n_tiles=3,
+    )
+
+
+def _dsir_weights(sf_dir: str):
+    """DSIR hashed-unigram importance weights of every doc against an
+    English-docs target set.  Rows-only for the driver gate (the smoothed
+    log-ratio table isn't reproducible bit-exactly in SQL);
+    tests/test_batch6.py holds the serial-numpy oracle equality."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.quality import dsir_weights
+
+    docs = _read(sf_dir, "documents")
+    target = docs.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow",
+    )
+    return dsir_weights(docs, target, num_buckets=4096)
 
 
 def _q1_agg(sf_dir: str):
@@ -1863,6 +1918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _normalize_text,
         "rare_word_ratio": _rare_word_ratio,
         "customers_without_orders": _customers_without_orders,
+        "customers_with_orders": _customers_with_orders,
+        "lang_quality_buckets": _lang_quality_buckets,
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
         "revenue_by_region": _revenue_by_region,
@@ -1878,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_spend": _cumulative_spend,
         "brand_revenue": _brand_revenue,
         # rows-only
+        "dsir_weights": _dsir_weights,
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -2590,6 +2648,19 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+            WHERE c_custkey IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)
+        """,
+        "lang_quality_buckets": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(NTILE(3) OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS tile
+            FROM documents
         """,
         "docs_by_length": """
             SELECT doc_id, n_chars FROM documents

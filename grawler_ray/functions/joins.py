@@ -274,7 +274,8 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
     """Distributed anti-join (``left WHERE key NOT IN right``) for two
     LARGE sides — when the right side is small the broadcast-membership
     pattern (decontaminate's guarded ``ray.put`` set) is cheaper; this is
-    the shuffle path for when it is not.
+    the shuffle path for when it is not.  See :func:`hash_semi_join` for
+    the IN-list complement (same machinery, inverted filter).
 
     Ray 2.49's native ``Dataset.join`` is avoided for the documented Acero
     defects (empty hash partitions, list-column payloads, chained-join
@@ -288,6 +289,26 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
 
     Assumption (documented per the brief): join keys are int64 or string.
     """
+    return _membership_join(left_ds, right_ds, on_left, on_right,
+                            num_groups, semi=False)
+
+
+def hash_semi_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: int = 64):
+    """Distributed semi-join (``left WHERE key IN right``, left rows kept
+    at most once regardless of right-side multiplicity) for two LARGE
+    sides — the membership complement of :func:`hash_anti_join`, sharing
+    its machinery verbatim: right ships only deduplicated 8-byte keys,
+    ONE coarse-hash shuffle, vectorized in-group ``np.isin``.  Unlike an
+    inner ``repartition_join`` this never replicates left rows and never
+    moves right payloads, so it is the scale shape for EXISTS / IN-subquery
+    filters (e.g. "docs whose url appears in a blocklist snapshot").
+    """
+    return _membership_join(left_ds, right_ds, on_left, on_right,
+                            num_groups, semi=True)
+
+
+def _membership_join(left_ds, right_ds, on_left: str, on_right: str,
+                     num_groups: int, semi: bool):
     sch = left_ds.schema()
 
     # pandas-block datasets report numpy dtypes; normalize to a pa.Schema
@@ -329,7 +350,7 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
         out = out.append_column("gk", pa.array(_gk(keys), pa.int32()))
         return out.append_column("side", pa.array(np.ones(len(keys), np.int8), pa.int8()))
 
-    def anti(t: pa.Table) -> pa.Table:
+    def membership(t: pa.Table) -> pa.Table:
         # pyarrow-format map_groups: empty partitions of the sparse gk key
         # space emit ARROW blocks (CLAUDE.md block-type rule)
         if t.num_rows == 0:
@@ -337,13 +358,13 @@ def hash_anti_join(left_ds, right_ds, on_left: str, on_right: str, num_groups: i
         side = t.column("side").to_numpy(zero_copy_only=False)
         keys = t.column(on_left).to_numpy(zero_copy_only=False)
         right_keys = keys[side == 1]
-        keep = (side == 0) & ~np.isin(keys, right_keys)
+        keep = (side == 0) & (np.isin(keys, right_keys) == semi)
         return t.filter(pa.array(keep)).select(cols)
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
-    return both.groupby("gk").map_groups(anti, batch_format="pyarrow")
+    return both.groupby("gk").map_groups(membership, batch_format="pyarrow")
 
 
 def repartition_join(left_ds, right_ds, on_left, on_right,

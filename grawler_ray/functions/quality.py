@@ -597,3 +597,119 @@ def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
             "n_ips": pc.cast(n_ips, pa.int64()),
         }
     )
+
+
+def dsir_weights(
+    raw_ds,
+    target_ds,
+    num_buckets: int = 65_536,
+    scale: int = 1_000_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR data-selection importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public
+    paper): score every raw-corpus document by how target-like its hashed
+    unigram distribution is, so a training mix can resample raw web text
+    toward a small high-quality target set.
+
+    Per-feature log-ratio over HASHED unigram buckets (the paper's hashed
+    n-gram generative model, n=1):
+
+        lam[f] = floor(scale * (ln p_target(f) - ln p_raw(f)))   (int64)
+        weight(doc) = sum over token occurrences of lam[bucket(token)]
+
+    with add-``alpha`` smoothing on both distributions.  lam is integer
+    micro-units, so per-doc weights are exact integer sums — order- and
+    partitioning-independent (the serial oracle in tests compares ==).
+    Tokens are the word_freq tokenizer (``\\b\\w+\\b`` over lower(text));
+    buckets are ``xxhash64(token) % num_buckets``.
+
+    Shape at 100 TB: both distribution fits reduce to FIXED-size
+    ``num_buckets``-row aggregates (per-batch factorize + bincount
+    partials; only nonzero (feature, count) pairs move), so the driver
+    pull is bounded by construction (65 536 x 16 B ~ 1 MiB) no matter the
+    corpus size; lam broadcasts ONCE via ray.put; scoring is a stateless
+    shuffle-free map over raw batches.  Nothing is O(corpus) on the
+    driver.
+
+    Output: one row per raw doc — (id_col, weight int64, n_tokens int64).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..urlops import xxhash64_batch
+
+    def _tok_partials(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for txt in t.column(text_col).to_pylist():
+            toks.extend(_WORD_RE.findall((txt or "").lower()))
+        if not toks:
+            return pa.table(
+                {"feature": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        buck = (xxhash64_batch(list(uniq)) % np.uint64(num_buckets)).astype(np.int64)
+        per_code = np.bincount(codes, minlength=len(uniq))
+        agg = np.bincount(buck, weights=per_code, minlength=num_buckets)
+        nz = np.flatnonzero(agg)
+        return pa.table(
+            {"feature": pa.array(nz, pa.int64()),
+             "partial": pa.array(agg[nz].astype(np.int64), pa.int64())}
+        )
+
+    def _fit(ds) -> np.ndarray:
+        rows = (
+            ds.select_columns([text_col])
+            .map_batches(_tok_partials, batch_format="pyarrow")
+            .groupby("feature")
+            .aggregate(Sum("partial", alias_name="n"))
+            .take_all()  # <= num_buckets rows by construction
+        )
+        counts = np.zeros(num_buckets, np.int64)
+        for r in rows:
+            counts[r["feature"]] = r["n"]
+        return counts
+
+    t_cnt = _fit(target_ds)
+    r_cnt = _fit(raw_ds)
+    log_pt = np.log((t_cnt + alpha) / (t_cnt.sum() + alpha * num_buckets))
+    log_pr = np.log((r_cnt + alpha) / (r_cnt.sum() + alpha * num_buckets))
+    lam = np.floor(scale * (log_pt - log_pr)).astype(np.int64)
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_b = ray.get(lam_ref)
+        texts = t.column(text_col).to_pylist()
+        toks: list = []
+        doc_idx: list = []
+        for i, txt in enumerate(texts):
+            w = _WORD_RE.findall((txt or "").lower())
+            toks.extend(w)
+            doc_idx.extend([i] * len(w))
+        n = len(texts)
+        if not toks:
+            return pa.table(
+                {id_col: t.column(id_col),
+                 "weight": pa.array(np.zeros(n, np.int64), pa.int64()),
+                 "n_tokens": pa.array(np.zeros(n, np.int64), pa.int64())}
+            )
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        buck = (xxhash64_batch(list(uniq)) % np.uint64(num_buckets)).astype(np.int64)
+        occ_lam = lam_b[buck[codes]]
+        di = np.asarray(doc_idx, np.int64)
+        # int64 scatter-add (bincount's float64 weights would stay exact
+        # only below 2^53; per-doc sums are exact integers by contract)
+        weight = np.zeros(n, np.int64)
+        np.add.at(weight, di, occ_lam)
+        n_tok = np.bincount(di, minlength=n).astype(np.int64)
+        return pa.table(
+            {id_col: t.column(id_col),
+             "weight": pa.array(weight, pa.int64()),
+             "n_tokens": pa.array(n_tok, pa.int64())}
+        )
+
+    return raw_ds.map_batches(score, batch_format="pyarrow")

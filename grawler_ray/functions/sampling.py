@@ -283,6 +283,115 @@ def group_topk(
     )
 
 
+def group_ntile(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_tiles: int = 3,
+    num_groups: int = 64,
+):
+    """True NTILE window per group: assign each row its ``NTILE(n_tiles)
+    OVER (PARTITION BY group ORDER BY value DESC, id)`` bucket — the
+    CCNet head/middle/tail split (Wenzek et al. 2020 partition a corpus
+    into per-language quality terciles before sampling; the score column
+    here is whatever per-doc quality integer the caller computed).
+
+    NTILE is NOT the equal-width rank formula ``(rn-1)*n // cnt``: SQL
+    gives the FIRST ``cnt % n`` buckets the extra rows (cnt=10, n=4 →
+    sizes 3,3,2,2, not 3,2,3,2), so the kernel computes q = cnt // n,
+    r = cnt % n and splits at the r*(q+1) boundary exactly.
+
+    Scale shape: same as group_topk — ONE coarse group-hash shuffle of
+    (group, id, value), vectorized sort + run-scan inside ~num_groups
+    kernels.  A group's rows must fit one coarse partition (groups are
+    languages/domains — low cardinality by nature here; NTILE over a
+    single global partition would instead use docs_by_length's
+    range-partitioned sort + per-partition offsets).
+
+    Output: (group_col, id_col, value_col, tile 1-based), string or int64
+    group keys.
+    """
+    import pandas as pd
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gv = t.column(group_col)
+        if pa.types.is_integer(gv.type):
+            u = gv.to_numpy(zero_copy_only=False).astype(np.uint64)
+            g = (u * _GOLD) >> np.uint64(33)
+        else:
+            g = pd.util.hash_array(np.asarray(gv.to_pylist(), dtype=object))
+        g = g % np.uint64(num_groups)
+        return pa.table(
+            {
+                group_col: gv,
+                id_col: t.column(id_col),
+                value_col: t.column(value_col).cast(pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    key_type = pa.string()
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == group_col and (
+            isinstance(typ, pa.DataType) and pa.types.is_integer(typ)
+        ):
+            key_type = pa.int64()
+    empty = pa.schema(
+        [
+            pa.field(group_col, key_type),
+            pa.field(id_col, pa.int64()),
+            pa.field(value_col, pa.int64()),
+            pa.field("tile", pa.int64()),
+        ]
+    )
+
+    def tile_groups(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True]
+        )
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        starts = idx[is_start]
+        run_len = np.diff(np.append(starts, len(df)))
+        cnt = np.repeat(run_len, run_len)
+        rn0 = idx - start_idx
+        q, r = cnt // n_tiles, cnt % n_tiles
+        boundary = r * (q + 1)
+        # rows past the boundary only exist when q >= 1 (else boundary=cnt)
+        tile = np.where(
+            rn0 < boundary,
+            rn0 // np.maximum(q + 1, 1),
+            r + (rn0 - boundary) // np.maximum(q, 1),
+        ) + 1
+        gout = df[group_col].to_numpy()
+        return pa.table(
+            {
+                group_col: pa.array(gout)
+                if gout.dtype.kind == "i"
+                else pa.array(gout.tolist(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                value_col: pa.array(df[value_col].to_numpy(), pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, id_col, value_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(tile_groups, batch_format="pyarrow")
+    )
+
+
 def group_sample_k(
     ds,
     group_col: str = "source",
