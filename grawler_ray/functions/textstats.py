@@ -464,7 +464,8 @@ def cooccurrence_topk(docs_ds, window: int = 5, k: int = 100, combine_parts: int
     )
 
 
-def bigram_lm_score(docs_ds, num_groups: int = 64):
+def bigram_lm_score(docs_ds, num_groups: int = 64,
+                    driver_max_bigrams: int = 2_000_000):
     """Per-doc corpus-frequency fluency score — the count-based stand-in
     for LM perplexity filtering (CCNet/Gopher use a real LM; with no
     tokenizer/LM libs in the image, the integer bigram-frequency sum is
@@ -480,11 +481,17 @@ def bigram_lm_score(docs_ds, num_groups: int = 64):
        batch; MATERIALIZED once because it feeds both the global count
        and the join (narrow: str + 2 ints — the frontier lesson).
     2. global counts = one bigram-hash aggregate of the same rows.
-    3. counts flow back via the string-key ``repartition_join`` (the
-       global bigram table is corpus-sized — a broadcast would not fit;
-       this is the large×large join path), contributions are pre-summed
-       per doc inside each batch, and one final doc_id aggregate
-       finishes.  3 exchanges total, all ∝ distinct (doc, bigram) rows.
+    3. counts flow back — size-adaptively.  Below ``driver_max_bigrams``
+       distinct bigrams the count table is pulled once and broadcast via
+       ``ray.put`` (sandbox/mid scale: kills the string-key exchange —
+       measured ~2 s/exchange fixed cost at 32 cpus), the attach+presum
+       fuse into one stateless map, and one final doc_id aggregate
+       finishes: 2 exchanges.  Above it, counts flow through the
+       string-key ``repartition_join`` (the corpus-scale large×large
+       path; a 10^9-bigram table fits no driver) with the same per-batch
+       presums and final aggregate: 3 exchanges, all ∝ distinct
+       (doc, bigram) rows.  tests/test_functions.py asserts both paths
+       equal below the threshold.
     """
     import pandas as pd
 
@@ -542,9 +549,10 @@ def bigram_lm_score(docs_ds, num_groups: int = 64):
         .map_batches(doc_pairs, batch_format="pyarrow")
         .materialize()  # narrow; consumed by the count AND the join
     )
-    glob = pairs_ds.groupby("bigram").aggregate(Sum("mult", alias_name="total"))
-    joined = repartition_join(
-        pairs_ds, glob, on_left="bigram", on_right="bigram", num_groups=num_groups
+    glob = (
+        pairs_ds.groupby("bigram")
+        .aggregate(Sum("mult", alias_name="total"))
+        .materialize()
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -566,12 +574,55 @@ def bigram_lm_score(docs_ds, num_groups: int = 64):
             }
         )
 
-    out = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_part", alias_name="n_bigrams"), Sum("s_part", alias_name="score")
+    if glob.count() <= driver_max_bigrams:
+        # size-adaptive driver path: bounded count table -> one broadcast,
+        # attach + presum fused, no string-key exchange
+        import ray as _ray
+
+        cmap = {r["bigram"]: r["total"] for r in glob.take_all()}
+        ref = _ray.put(cmap)
+
+        def attach_partial(t: pa.Table) -> pa.Table:
+            cm = _ray.get(ref)
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_part": pa.array([], pa.int64()),
+                        "s_part": pa.array([], pa.int64()),
+                    }
+                )
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mult = t.column("mult").to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(
+                np.asarray(t.column("bigram").to_pylist(), dtype=object)
+            )
+            # dict lookups only per DISTINCT bigram in the batch
+            tot_u = np.fromiter((cm[x] for x in uniq), np.int64, len(uniq))
+            total = tot_u[codes]
+            uids, inv = np.unique(ids, return_inverse=True)
+            n_part = np.zeros(len(uids), np.int64)
+            s_part = np.zeros(len(uids), np.int64)
+            np.add.at(n_part, inv, mult)
+            np.add.at(s_part, inv, mult * total)
+            return pa.table(
+                {
+                    "doc_id": pa.array(uids, pa.int64()),
+                    "n_part": pa.array(n_part),
+                    "s_part": pa.array(s_part),
+                }
+            )
+
+        scored = pairs_ds.map_batches(attach_partial, batch_format="pyarrow")
+    else:
+        joined = repartition_join(
+            pairs_ds, glob, on_left="bigram", on_right="bigram",
+            num_groups=num_groups,
         )
+        scored = joined.map_batches(partial, batch_format="pyarrow")
+
+    out = scored.groupby("doc_id").aggregate(
+        Sum("n_part", alias_name="n_bigrams"), Sum("s_part", alias_name="score")
     )
 
     def norm(t: pa.Table) -> pa.Table:

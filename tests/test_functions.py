@@ -393,3 +393,13 @@ def test_bigram_lm_score_planted(ray_session):
     assert set(out.index) == set(exp)
     for d, (n, s) in exp.items():
         assert out.loc[d, "n_bigrams"] == n and out.loc[d, "score"] == s
+
+    # the scale path (string-key repartition join, driver_max_bigrams=0
+    # forces it) must equal the broadcast path exactly
+    join_out = (
+        bigram_lm_score(ds, driver_max_bigrams=0)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert join_out.equals(out)
