@@ -131,7 +131,8 @@ def run_subqueries() -> dict[str, float]:
         "chunk_docs", "vocab_coverage", "mixture_sample",
         "source_sample_k", "customer_order_counts",
         "events_orders_full", "top_orders_per_customer", "bigram_lm_score",
-        "user_type_join", "cumulative_spend",
+        "user_type_join", "cumulative_spend", "brand_revenue",
+        "customers_with_orders", "lang_quality_buckets", "dsir_weights",
         "prep_corpus",
     ]
     import ray.data
