@@ -596,6 +596,36 @@ def _lang_quality_buckets(sf_dir: str):
     )
 
 
+def _source_lang_rollup(sf_dir: str):
+    """Multi-granularity corpus-composition report: docs + chars per
+    (source, lang), per-source subtotals, and a grand total — SQL's
+    GROUP BY ROLLUP in ONE exchange (all levels pre-aggregated in-batch
+    under sentinel keys)."""
+    from grawler_ray.functions.olap import rollup_sum
+
+    return rollup_sum(
+        _read(sf_dir, "documents"),
+        k1="source",
+        k2="lang",
+        value_col="n_chars",
+        count_name="n_docs",
+        sum_name="sum_chars",
+    )
+
+
+def _lineitem_melt(sf_dir: str):
+    """Wide→long unpivot of the four lineitem measures — a stateless
+    per-batch reshape (no shuffle), values bit-exact vs the UNION ALL
+    oracle."""
+    from grawler_ray.functions.olap import melt
+
+    return melt(
+        _read(sf_dir, "lineitem"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def _dsir_weights(sf_dir: str):
     """DSIR hashed-unigram importance weights of every doc against an
     English-docs target set.  Rows-only for the driver gate (the smoothed
@@ -1920,6 +1950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
         "lang_quality_buckets": _lang_quality_buckets,
+        "source_lang_rollup": _source_lang_rollup,
+        "lineitem_melt": _lineitem_melt,
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
         "revenue_by_region": _revenue_by_region,
@@ -2661,6 +2693,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY lang ORDER BY n_chars DESC, doc_id
                    ) AS BIGINT) AS tile
             FROM documents
+        """,
+        "source_lang_rollup": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
+        "lineitem_melt": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         """,
         "docs_by_length": """
             SELECT doc_id, n_chars FROM documents

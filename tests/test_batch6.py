@@ -193,3 +193,66 @@ def test_dsir_weights_empty_and_tokenless_docs(ray_session):
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "weight"] == 0
     assert out.loc[4, "n_tokens"] == 3
     assert out.weight.dtype.kind == "i" and not out.weight.isna().any()
+
+
+def test_rollup_sum_vs_duckdb(ray_session):
+    """One-exchange ROLLUP == SQL GROUP BY ROLLUP row set (finest rows,
+    per-k1 subtotals with NULL k2, one grand total) on a random frame."""
+    import ray.data
+
+    from grawler_ray.functions.olap import rollup_sum
+
+    rng = np.random.RandomState(23)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "s": [f"src{x}" for x in rng.randint(0, 9, n)],
+            "l": [f"l{x}" for x in rng.randint(0, 4, n)],
+            "v": rng.randint(0, 1000, n).astype(np.int64),
+        }
+    )
+    out = (
+        rollup_sum(ray.data.from_pandas(df).repartition(5), "s", "l", "v")
+        .to_pandas()
+        .sort_values(["s", "l"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT s, l, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_value
+           FROM df GROUP BY ROLLUP(s, l)
+           ORDER BY s NULLS FIRST, l NULLS FIRST"""
+    ).df()
+    pd.testing.assert_frame_equal(out, exp)
+    # exactly one grand total; its count is n
+    grand = out[out.s.isna()]
+    assert len(grand) == 1 and grand.n_rows.iloc[0] == n
+
+
+def test_melt_reshape(ray_session):
+    """melt == pandas.melt (same rows, bit-exact float values, no
+    shuffle reshape)."""
+    import ray.data
+
+    from grawler_ray.functions.olap import melt
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(50, dtype=np.int64),
+            "m1": rng.rand(50),
+            "m2": rng.rand(50) * 1000,
+        }
+    )
+    out = (
+        melt(ray.data.from_pandas(df).repartition(3), ["id"], ["m1", "m2"])
+        .to_pandas()
+        .sort_values(["id", "metric"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.melt(id_vars=["id"], value_vars=["m1", "m2"], var_name="metric",
+                value_name="value")
+        .sort_values(["id", "metric"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
