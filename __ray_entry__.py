@@ -613,6 +613,22 @@ def _source_lang_rollup(sf_dir: str):
     )
 
 
+def _source_lang_cube(sf_dir: str):
+    """Full CUBE over (source, lang): the rollup row set plus the
+    per-language subtotals — still one exchange."""
+    from grawler_ray.functions.olap import rollup_sum
+
+    return rollup_sum(
+        _read(sf_dir, "documents"),
+        k1="source",
+        k2="lang",
+        value_col="n_chars",
+        count_name="n_docs",
+        sum_name="sum_chars",
+        cube=True,
+    )
+
+
 def _lineitem_melt(sf_dir: str):
     """Wide→long unpivot of the four lineitem measures — a stateless
     per-batch reshape (no shuffle), values bit-exact vs the UNION ALL
@@ -1951,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _customers_with_orders,
         "lang_quality_buckets": _lang_quality_buckets,
         "source_lang_rollup": _source_lang_rollup,
+        "source_lang_cube": _source_lang_cube,
         "lineitem_melt": _lineitem_melt,
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
@@ -2700,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY ROLLUP(source, lang)
+        """,
+        "source_lang_cube": """
+            SELECT source, lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY CUBE(source, lang)
         """,
         "lineitem_melt": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -133,6 +133,7 @@ def run_subqueries() -> dict[str, float]:
         "events_orders_full", "top_orders_per_customer", "bigram_lm_score",
         "user_type_join", "cumulative_spend", "brand_revenue",
         "customers_with_orders", "lang_quality_buckets", "dsir_weights",
+        "source_lang_rollup", "source_lang_cube", "lineitem_melt",
         "prep_corpus",
     ]
     import ray.data

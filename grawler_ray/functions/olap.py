@@ -32,10 +32,13 @@ _ALL = "\x00ALL\x00"
 
 
 def rollup_sum(ds, k1: str, k2: str, value_col: str, count_name: str = "n_rows",
-               sum_name: str = "sum_value"):
+               sum_name: str = "sum_value", cube: bool = False):
     """``GROUP BY ROLLUP(k1, k2)`` with COUNT(*) and SUM(value_col):
     finest (k1, k2) rows, per-``k1`` subtotals (k2 NULL), and one grand
-    total (both NULL) — exactly SQL's rollup row set.
+    total (both NULL) — exactly SQL's rollup row set.  ``cube=True``
+    additionally emits the per-``k2`` subtotals (k1 NULL), completing
+    ``GROUP BY CUBE(k1, k2)`` — same single exchange, one more
+    pre-aggregated level per batch.
 
     Both keys must be strings; ``value_col`` must be integer (callers
     pre-scale money to cents — the module's exact-compare convention).
@@ -61,6 +64,14 @@ def rollup_sum(ds, k1: str, k2: str, value_col: str, count_name: str = "n_rows",
         sub = fine.groupby("a", sort=False, dropna=False)[["n", "s"]].sum().reset_index()
         sub["b"] = _ALL
         levels.append(sub)
+        if cube:
+            sub2 = (
+                fine.groupby("b", sort=False, dropna=False)[["n", "s"]]
+                .sum()
+                .reset_index()
+            )
+            sub2["a"] = _ALL
+            levels.append(sub2)
         levels.append(
             pd.DataFrame({"a": [_ALL], "b": [_ALL], "n": [fine["n"].sum()],
                           "s": [fine["s"].sum()]})

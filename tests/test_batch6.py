@@ -256,3 +256,32 @@ def test_melt_reshape(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_cube_vs_duckdb(ray_session):
+    """cube=True adds the per-k2 subtotals == SQL GROUP BY CUBE exactly."""
+    import ray.data
+
+    from grawler_ray.functions.olap import rollup_sum
+
+    rng = np.random.RandomState(29)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "s": [f"src{x}" for x in rng.randint(0, 6, n)],
+            "l": [f"l{x}" for x in rng.randint(0, 5, n)],
+            "v": rng.randint(0, 100, n).astype(np.int64),
+        }
+    )
+    out = (
+        rollup_sum(ray.data.from_pandas(df).repartition(4), "s", "l", "v", cube=True)
+        .to_pandas()
+        .sort_values(["s", "l"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT s, l, count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sum_value
+           FROM df GROUP BY CUBE(s, l)
+           ORDER BY s NULLS FIRST, l NULLS FIRST"""
+    ).df()
+    pd.testing.assert_frame_equal(out, exp)
