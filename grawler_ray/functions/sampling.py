@@ -375,7 +375,9 @@ def group_ntile(
         gout = df[group_col].to_numpy()
         return pa.table(
             {
-                group_col: pa.array(gout)
+                # explicit int64: an int32 input group column must not mix
+                # block schemas with the int64 empty-partition declaration
+                group_col: pa.array(gout.astype(np.int64), pa.int64())
                 if gout.dtype.kind == "i"
                 else pa.array(gout.tolist(), pa.string()),
                 id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
