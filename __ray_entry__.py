@@ -596,6 +596,27 @@ def _lang_quality_buckets(sf_dir: str):
     )
 
 
+def _curate_corpus(sf_dir: str):
+    """The CCNet/DSIR curation composition (langid → LM-score tiles →
+    tail drop → DSIR weights → per-(lang, tile) summary).  Rows-only
+    (langid + the smoothed log-ratio aren't SQL-expressible);
+    tests/test_curate.py holds the full serial-oracle equality."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.pipelines.preprocess import curate_corpus
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    target = (
+        _read(sf_dir, "documents")
+        .map_batches(
+            lambda t: t.filter(_pc.equal(t.column("lang"), "en")),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "text"])
+    )
+    return curate_corpus(docs, target, dsir_num_buckets=4096)
+
+
 def _source_lang_rollup(sf_dir: str):
     """Multi-granularity corpus-composition report: docs + chars per
     (source, lang), per-source subtotals, and a grand total — SQL's
@@ -1985,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": _brand_revenue,
         # rows-only
         "dsir_weights": _dsir_weights,
+        "curate_corpus": _curate_corpus,
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,

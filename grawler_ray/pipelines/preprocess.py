@@ -424,3 +424,156 @@ def prep_corpus(
     return ray.data.from_pandas(
         pd.DataFrame(rows, columns=["stage", "n_docs", "n_tokens"])
     )
+
+
+def curate_corpus(
+    docs_ds,
+    target_ds,
+    *,
+    n_tiles: int = 3,
+    keep_tiles: tuple = (1, 2),
+    dsir_num_buckets: int = 65_536,
+    num_groups: int = 256,
+    out_dir: str | None = None,
+    collect_timings: dict | None = None,
+):
+    """The CCNet/DSIR curation chain — the second flagship composition,
+    orthogonal to :func:`prep_corpus`'s dedup chain (Wenzek et al. 2020
+    bucket a corpus into per-language LM-quality tiles and keep
+    head/middle; Xie et al. 2023 then weight the survivors toward a
+    target distribution):
+
+      1. langid over text                      (stateless map)
+      2. bigram_lm_score                        (integer fluency score)
+      3. lang ⋈ score (int-key repartition join, LEFT: <2-token docs
+         score 0 — they must still land in a tile, like CCNet's
+         shortest docs)
+      4. per-language NTILE(n_tiles) over the score  (group_ntile)
+      5. drop the tail tiles (keep ``keep_tiles``), semi-join the
+         survivors' text back (the prep_corpus drop machinery)
+      6. DSIR weights of survivors vs ``target_ds``  (fixed-size fits)
+      7. summary: (lang, tile) → n_docs, sum_weight, sum_tokens
+
+    Returns the summary Dataset; with ``out_dir`` also writes the curated
+    per-doc table (doc_id, lang, tile, weight, n_tokens) partitioned by
+    lang (the resumable-output convention).
+
+    Scale notes: every exchange moves narrow metadata (ids + ints); the
+    text payload moves exactly once (the survivor semi-join) and is
+    re-read, never held; DSIR's driver pull is fixed-size by
+    construction.  Langs are low-cardinality, the group_ntile
+    assumption.
+    """
+    import time as _time
+
+    from grawler_ray.functions.joins import repartition_join
+    from grawler_ray.functions.quality import dsir_weights
+    from grawler_ray.functions.sampling import group_ntile
+    from grawler_ray.functions.textstats import bigram_lm_score, langid_batch
+
+    _t = _time.monotonic
+
+    def _mark(d: dict | None, stage: str, t0: float) -> float:
+        now = _t()
+        if d is not None:
+            d[stage] = round(now - t0, 3)
+        return now
+
+    t0 = _t()
+    # 1-2. narrow per-doc metadata tables (text never leaves its batch)
+    langs = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(langid_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "pred_lang"])
+    )
+    scores = bigram_lm_score(docs_ds).select_columns(["doc_id", "score"])
+    t0 = _mark(collect_timings, "langid_lm", t0)
+
+    # 3. LEFT join: docs with < 2 tokens have no bigram row — score 0
+    def fill0(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pred_lang": t.column("pred_lang"),
+                "score": pc.fill_null(pc.cast(t.column("score"), pa.int64()), 0),
+            }
+        )
+
+    meta = repartition_join(
+        langs, scores, on_left="doc_id", on_right="doc_id",
+        num_groups=num_groups, how="left",
+    ).map_batches(fill0, batch_format="pyarrow")
+    t0 = _mark(collect_timings, "join_meta", t0)
+
+    # 4. per-language quality tiles
+    tiles = group_ntile(
+        meta, group_col="pred_lang", id_col="doc_id", value_col="score",
+        n_tiles=n_tiles,
+    )
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t.column("tile"), value_set=pa.array(list(keep_tiles)))
+        )
+
+    kept = tiles.map_batches(keep_only, batch_format="pyarrow").materialize()
+    t0 = _mark(collect_timings, "ntile", t0)
+
+    # 5. survivors' text back.  MATERIALIZED before DSIR: dsir_weights
+    # makes two passes over its raw input (distribution fit, then score),
+    # and re-executing a lazy semi-join would ship the text payload twice
+    # — materializing pins it in the object store (spills if large), so
+    # the payload moves through the exchange exactly once.
+    surv_text = _semi_join_text(
+        docs_ds.select_columns(["doc_id", "text"]),
+        kept.select_columns(["doc_id"]),
+        num_groups,
+    ).materialize()
+
+    # 6. DSIR weights of survivors vs the target
+    weights = dsir_weights(surv_text, target_ds, num_buckets=dsir_num_buckets)
+    t0 = _mark(collect_timings, "dsir", t0)
+
+    # attach (lang, tile) to the weights — int-key join of two narrow tables
+    curated = repartition_join(
+        weights, kept.select_columns(["doc_id", "pred_lang", "tile"]),
+        on_left="doc_id", on_right="doc_id", num_groups=num_groups,
+    ).materialize()
+    if out_dir is not None:
+        curated.write_parquet(out_dir, partition_cols=["pred_lang"])
+    t0 = _mark(collect_timings, "attach", t0)
+
+    # 7. (lang, tile) summary — arrow blocks feed the aggregate
+    from ray.data.aggregate import Count, Sum
+
+    summary = (
+        curated.select_columns(["pred_lang", "tile", "weight", "n_tokens"])
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(["pred_lang", "tile"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("weight", alias_name="sum_weight"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "pred_lang": t.column("pred_lang"),
+                "tile": pc.cast(t.column("tile"), pa.int64()),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "sum_weight": t.column("sum_weight").cast(pa.int64()),
+                "sum_tokens": t.column("sum_tokens").cast(pa.int64()),
+            }
+        )
+
+    out = summary.map_batches(norm, batch_format="pyarrow")
+    _mark(collect_timings, "summary", t0)
+    return out
