@@ -617,6 +617,64 @@ def _curate_corpus(sf_dir: str):
     return curate_corpus(docs, target, dsir_num_buckets=4096)
 
 
+def _lineitem_moments(sf_dir: str):
+    """Exact grouped moments (count / scaled sum / floor mean / floor
+    population variance) — integer partial sums, Python-int finish; the
+    oracle mirrors the HUGEINT arithmetic."""
+    from grawler_ray.functions.stats import grouped_moments
+
+    return grouped_moments(
+        _read(sf_dir, "lineitem").select_columns(["l_returnflag", "l_quantity"]),
+        "l_returnflag",
+        "l_quantity",
+        value_scale=100,
+    )
+
+
+def _qty_discount_corr(sf_dir: str):
+    """Per-group Pearson correlation as a floor-scaled integer — six
+    int64 partial sums, one float expression per GROUP computed
+    identically by the oracle."""
+    from grawler_ray.functions.stats import grouped_corr
+
+    return grouped_corr(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity", "l_discount"]
+        ),
+        "l_returnflag",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+def _zscore_orders(sf_dir: str):
+    """Per-row within-group z-score in the overflow-free integer
+    formulation (z = (n·x − Σx)/sqrt(n·Σx² − (Σx)²)) — moments broadcast
+    once, second pass shuffle-free."""
+    from grawler_ray.functions.stats import zscore_normalize
+
+    return zscore_normalize(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        ),
+        group_col="o_orderpriority",
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+    )
+
+
+def _bpe_merges(sf_dir: str):
+    """Distributed BPE merge training (Sennrich et al. 2016) over the
+    documents word-frequency table.  Rows-only: the iterative greedy
+    argmax isn't SQL-expressible; tests/test_stats.py holds the serial
+    Counter-BPE equality."""
+    from grawler_ray.functions.stats import bpe_train
+
+    return bpe_train(
+        _read(sf_dir, "documents").select_columns(["text"]), num_merges=12
+    )
+
+
 def _source_lang_rollup(sf_dir: str):
     """Multi-granularity corpus-composition report: docs + chars per
     (source, lang), per-source subtotals, and a grand total — SQL's
@@ -2004,9 +2062,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_join": _user_type_join,
         "cumulative_spend": _cumulative_spend,
         "brand_revenue": _brand_revenue,
+        "lineitem_moments": _lineitem_moments,
+        "qty_discount_corr": _qty_discount_corr,
+        "zscore_orders": _zscore_orders,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
+        "bpe_merges": _bpe_merges,
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -3060,6 +3122,50 @@ def oracle_sql() -> dict[str, str]:
                              FROM orders WHERE o_custkey >= 100
                              GROUP BY o_custkey) o
               ON e.user_id = o.o_custkey
+        """,
+        # exact grouped moments: integer partial sums, HUGEINT finish
+        # (floor-division mean/variance, matching the Python-int finish)
+        "lineitem_moments": """
+            WITH c AS (SELECT l_returnflag AS g,
+                              CAST(floor(l_quantity*100+0.5) AS HUGEINT) AS x
+                       FROM lineitem),
+            a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+                         SUM(x*x) AS ss FROM c GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CAST(s AS BIGINT) AS sum_scaled,
+                   CAST((s*1000000)//n AS BIGINT) AS mean_micro,
+                   CAST((n*ss - s*s)//(n*n) AS BIGINT) AS varp_scaled2
+            FROM a
+        """,
+        # Pearson correlation per group, floor-scaled; the single float
+        # expression runs on exact HUGEINT sums on both sides
+        "qty_discount_corr": """
+            WITH c AS (SELECT l_returnflag AS g,
+                              CAST(floor(l_quantity*100+0.5) AS HUGEINT) AS x,
+                              CAST(floor(l_discount*10000+0.5) AS HUGEINT) AS y
+                       FROM lineitem),
+            a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                         SUM(x*y) AS sxy FROM c GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CAST(FLOOR(1000000.0*(n*sxy - sx*sy)
+                        / SQRT(CAST((n*sxx - sx*sx)*(n*syy - sy*sy)
+                                    AS DOUBLE))) AS BIGINT) AS corr_micro
+            FROM a
+        """,
+        # within-group z-score, overflow-free integer formulation
+        # z = (n*x - s) / sqrt(n*ss - s^2), floor-scaled to micro-units
+        "zscore_orders": """
+            WITH c AS (SELECT o_orderkey, o_orderpriority AS g,
+                              CAST(floor(o_totalprice+0.5) AS HUGEINT) AS x
+                       FROM orders),
+            a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+                         SUM(x*x) AS ss FROM c GROUP BY g)
+            SELECT c.o_orderkey, c.g AS o_orderpriority,
+                   CAST(FLOOR(1000000.0*(a.n*c.x - a.s)
+                        / SQRT(CAST(a.n*a.ss - a.s*a.s AS DOUBLE)))
+                        AS BIGINT) AS z_micro
+            FROM c JOIN a USING (g)
         """,
         # per-brand lineitem revenue via the part dimension (broadcast
         # map-side join below the guard, repartition join above)

@@ -134,7 +134,8 @@ def run_subqueries() -> dict[str, float]:
         "user_type_join", "cumulative_spend", "brand_revenue",
         "customers_with_orders", "lang_quality_buckets", "dsir_weights",
         "source_lang_rollup", "source_lang_cube", "lineitem_melt",
-        "prep_corpus", "curate_corpus",
+        "prep_corpus", "curate_corpus", "lineitem_moments",
+        "qty_discount_corr", "zscore_orders", "bpe_merges",
     ]
     import ray.data
 

@@ -1,0 +1,451 @@
+"""Exact grouped numeric statistics and a distributed BPE merge trainer.
+
+Numeric aggregates here follow the repo's integer-exactness contract
+(CLAUDE.md): values are scaled to integers at the edge
+(``floor(v * scale + 0.5)``, mirrored verbatim in the DuckDB oracle), all
+accumulation is integer partial sums ``(n, Σx, Σx², …)`` merged by one
+small arrow groupby, and any float math happens exactly once per GROUP on
+the finished integer sums — so Ray's partitioning/order can never move a
+value-hash.  Where a float expression is unavoidable (corr, z-score) both
+sides compute the SAME single IEEE expression from the SAME exact
+integers (one int→double conversion, one sqrt, one divide, one floor),
+which is deterministic; ``tests/test_stats.py`` and the sf0.01 gate pin
+it.
+
+Scale shapes (100 TB):
+- moments/corr: per-batch factorize+bincount partials (one row per
+  distinct group per batch) → one small groupby; nothing is O(rows)
+  after the map.  Overflow bound: Σx² must fit int64, i.e.
+  rows × max(x)² < 2^63 — with the default cent/basis-point scales that
+  is ~10^11 rows for quantity-like columns; pick ``value_scale`` so the
+  bound holds (documented per call site).
+- zscore: the moments table is one row per group — pulled to the driver
+  under ``max_groups`` (raises naming the repartition-join alternative
+  above it) and broadcast once via ``ray.put``; the per-row pass is a
+  stateless shuffle-free vectorized map.
+- bpe_train: iterates over the WORD-FREQUENCY table (∝ vocabulary,
+  sublinear in corpus), not the corpus — the classic distributed BPE
+  formulation (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  Words with Subword Units", public paper).  Each merge round is one
+  narrow pair-count exchange (one row per distinct in-block pair) plus a
+  per-block argmax, so the driver sees ≤ one candidate row per block.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "grouped_moments",
+    "grouped_corr",
+    "zscore_normalize",
+    "bpe_train",
+]
+
+
+def _scaled_int(col: pa.ChunkedArray, scale: int) -> np.ndarray:
+    """floor(v * scale + 0.5) as int64 — the repo's edge-scaling idiom,
+    mirrored by the oracle SQL."""
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * scale + 0.5).astype(np.int64)
+
+
+def _group_partials(
+    t: pa.Table, group_col: str, arrays: dict[str, np.ndarray]
+) -> pa.Table:
+    """One batch's per-group integer sums of each array in ``arrays``
+    plus an ``n`` count — one output row per distinct group per batch."""
+    import pandas as pd
+
+    gcodes, guniq = pd.factorize(
+        np.asarray(t.column(group_col).to_pylist(), dtype=object)
+    )
+    k = len(guniq)
+    cols: dict = {group_col: pa.array(list(guniq), pa.string())}
+    cols["n"] = pa.array(np.bincount(gcodes, minlength=k).astype(np.int64))
+    for name, arr in arrays.items():
+        s = np.zeros(k, np.int64)
+        np.add.at(s, gcodes, arr)
+        cols[name] = pa.array(s, pa.int64())
+    return pa.table(cols)
+
+
+def _sum_partials(ds, group_col: str, part_cols: list[str]):
+    """groupby(group).sum over arrow partial blocks (the pandas-block
+    aggregate is the documented 20x slow path — force arrow first)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", *part_cols]])
+    )
+
+
+def grouped_moments(
+    ds,
+    group_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    mean_scale: int = 1_000_000,
+):
+    """Per-group count / scaled sum / floor-scaled mean / floor population
+    variance, all exact integers:
+
+        x           = floor(v * value_scale + 0.5)          (int64)
+        mean_micro  = (Σx * mean_scale) // n
+        varp_scaled2 = (n·Σx² − (Σx)²) // n²                 (in x-units²)
+
+    The final divisions run in arbitrary-precision Python ints on the one
+    tiny row per group, so Σx·mean_scale and (Σx)² can exceed int64
+    safely.  Output: (group_col, n_rows, sum_scaled, mean_micro,
+    varp_scaled2).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(value_col), value_scale)
+        return _group_partials(t, group_col, {"s": x, "ss": x * x})
+
+    agg = _sum_partials(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        group_col,
+        ["s", "ss"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pylist()
+        n = t.column("n").to_pylist()
+        s = t.column("s").to_pylist()
+        ss = t.column("ss").to_pylist()
+        return pa.table(
+            {
+                group_col: pa.array(g, pa.string()),
+                "n_rows": pa.array(n, pa.int64()),
+                "sum_scaled": pa.array(s, pa.int64()),
+                "mean_micro": pa.array(
+                    [(si * mean_scale) // ni for si, ni in zip(s, n)], pa.int64()
+                ),
+                "varp_scaled2": pa.array(
+                    [
+                        (ni * ssi - si * si) // (ni * ni)
+                        for ni, si, ssi in zip(n, s, ss)
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 10_000,
+    out_scale: int = 1_000_000,
+):
+    """Per-group Pearson correlation as a floor-scaled integer:
+
+        corr_micro = floor(out_scale · (n·Σxy − Σx·Σy)
+                           / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²)))
+
+    The six sums are exact int64 partials; the numerator/denominator
+    products run in Python ints per group; the single float expression
+    (int→double, sqrt, divide, floor) is computed identically by the
+    DuckDB oracle (verified exact at sf0.01).  Zero-variance groups emit
+    NULL (→ float64/NaN at to_pandas, the driver-hash convention).
+    Output: (group_col, n_rows, corr_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(x_col), x_scale)
+        y = _scaled_int(t.column(y_col), y_scale)
+        return _group_partials(
+            t,
+            group_col,
+            {"sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y},
+        )
+
+    agg = _sum_partials(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        group_col,
+        ["sx", "sy", "sxx", "syy", "sxy"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        corr = []
+        for r in rows:
+            n = r["n"]
+            num = n * r["sxy"] - r["sx"] * r["sy"]
+            den2 = (n * r["sxx"] - r["sx"] ** 2) * (n * r["syy"] - r["sy"] ** 2)
+            corr.append(
+                None
+                if den2 <= 0
+                else math.floor(float(out_scale) * num / math.sqrt(den2))
+            )
+        return pa.table(
+            {
+                group_col: pa.array([r[group_col] for r in rows], pa.string()),
+                "n_rows": pa.array([r["n"] for r in rows], pa.int64()),
+                "corr_micro": pa.array(corr, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zscore_normalize(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    value_scale: int = 1,
+    z_scale: int = 1_000_000,
+    max_groups: int = 100_000,
+):
+    """Per-row z-score within its group, as a floor-scaled integer, in the
+    overflow-free integer formulation (no float mean/std accumulation):
+
+        z_micro = floor(z_scale · (n·x − Σx) / sqrt(n·Σx² − (Σx)²))
+
+    Two-phase: the (n, Σx, Σx²) moments table (one row per group) is
+    pulled to the driver under ``max_groups`` and broadcast once via
+    ``ray.put``; the second pass is a stateless vectorized map (no
+    shuffle).  Above ``max_groups`` this raises — the alternative is
+    attaching the moments with ``joins.repartition_join`` (one exchange),
+    which high-cardinality callers should use directly.  n·x must fit
+    int64: n × max(x) < 2^63.  Output: (id_col, group_col, z_micro);
+    zero-variance groups emit NULL z.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(value_col), value_scale)
+        return _group_partials(t, group_col, {"s": x, "ss": x * x})
+
+    rows = (
+        _sum_partials(
+            ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            group_col,
+            ["s", "ss"],
+        ).take_all()  # one row per group by construction
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"zscore_normalize saw {len(rows)} groups (> {max_groups}); "
+            "attach the moments with joins.repartition_join instead of the "
+            "driver broadcast"
+        )
+    moments = {
+        r[group_col]: (
+            int(r["n"]),
+            int(r["s"]),
+            math.sqrt(float(r["n"] * r["ss"] - r["s"] * r["s"])),
+        )
+        for r in rows
+    }
+    mom_ref = ray.put(moments)
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mom = ray.get(mom_ref)
+        x = _scaled_int(t.column(value_col), value_scale)
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        n_arr = np.array([mom[g][0] for g in guniq], np.int64)
+        s_arr = np.array([mom[g][1] for g in guniq], np.int64)
+        den = np.array([mom[g][2] for g in guniq], np.float64)
+        nx = n_arr[gcodes] * x - s_arr[gcodes]
+        d = den[gcodes]
+        ok = d > 0.0
+        z = np.zeros(len(x), np.int64)
+        z[ok] = np.floor(
+            float(z_scale) * nx[ok].astype(np.float64) / d[ok]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "z_micro": pa.array(z, pa.int64(), mask=~ok),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def _merge_pair(syms: list, left: str, right: str, merged: str) -> list:
+    """Left-to-right non-overlapping merge (Sennrich BPE application)."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    docs_ds,
+    num_merges: int = 20,
+    end_marker: str = "</w>",
+    num_groups: int = 64,
+    text_col: str = "text",
+):
+    """Distributed BPE merge learning (Sennrich et al. 2016) over the
+    corpus word-frequency table.
+
+    Phase 1 builds (word, n) with the word_freq tokenizer (one coarse
+    exchange, partial-counted per batch), symbolizes each word as
+    chars + ``end_marker``, and MATERIALIZES that narrow state table.
+    Each of the ``num_merges`` rounds then:
+      1. counts adjacent symbol pairs weighted by word count, one partial
+         row per distinct pair per block,
+      2. reduces the partials with ONE pair-key groupby exchange, then
+         takes each output block's best candidate (max count, then
+         lexicographically smallest pair — the deterministic tie-break
+         the serial oracle mirrors), so the driver pull is ≤ one row per
+         block,
+      3. broadcasts the winning pair and rewrites the symbols column
+         (left-to-right non-overlapping application), re-materializing
+         the state.
+
+    Stops early when no pair occurs twice.  Returns a Dataset of
+    (rank, left, right, merged, pair_count) — rank is 1-based merge
+    order.  State is ∝ vocabulary, never corpus; per-round exchanges
+    move (pair, count) rows only.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .textstats import word_count_partial
+
+    words = (
+        docs_ds.select_columns([text_col])
+        .map_batches(
+            lambda t: word_count_partial(t.rename_columns(["text"])),
+            batch_format="pyarrow",
+        )
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        syms = [list(w) + [end_marker] for w in t.column("word").to_pylist()]
+        return pa.table(
+            {
+                "n": t.column("n").cast(pa.int64()),
+                "syms": pa.array(syms, pa.list_(pa.string())),
+            }
+        )
+
+    state = (
+        words.map_batches(symbolize, batch_format="pyarrow")
+        .repartition(num_groups)
+        .materialize()
+    )
+
+    _empty_pairs = pa.table(
+        {
+            "left": pa.array([], pa.string()),
+            "right": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        """One row per distinct adjacent pair in this block (count-weighted
+        partial) — a pair's GLOBAL count is the sum across blocks, so the
+        argmax can only run after the groupby reduce."""
+        counts: dict = {}
+        ns = t.column("n").to_pylist()
+        for syms, n in zip(t.column("syms").to_pylist(), ns):
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + n
+        if not counts:
+            return _empty_pairs
+        return pa.table(
+            {
+                "left": pa.array([k[0] for k in counts], pa.string()),
+                "right": pa.array([k[1] for k in counts], pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def block_best(t: pa.Table) -> pa.Table:
+        """Post-reduce block argmax (count desc, pair asc) — each pair now
+        appears exactly once globally, so min-over-block-bests is exact."""
+        if t.num_rows == 0:
+            return _empty_pairs
+        rows = t.to_pylist()
+        b = min(rows, key=lambda r: (-r["cnt"], (r["left"], r["right"])))
+        return pa.table(
+            {
+                "left": pa.array([b["left"]], pa.string()),
+                "right": pa.array([b["right"]], pa.string()),
+                "cnt": pa.array([b["cnt"]], pa.int64()),
+            }
+        )
+
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        cands = (
+            state.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .map_batches(block_best, batch_format="pyarrow")
+            .take_all()
+        )
+        if not cands:
+            break
+        top = min(cands, key=lambda r: (-r["cnt"], (r["left"], r["right"])))
+        if top["cnt"] < 2:
+            break
+        left, right = top["left"], top["right"]
+        merged = left + right
+        merges.append((rank, left, right, merged, int(top["cnt"])))
+
+        def apply(t: pa.Table, _l=left, _r=right, _m=merged) -> pa.Table:
+            syms = [
+                _merge_pair(s, _l, _r, _m) for s in t.column("syms").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "n": t.column("n"),
+                    "syms": pa.array(syms, pa.list_(pa.string())),
+                }
+            )
+
+        state = state.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "merged": pa.array([m[3] for m in merges], pa.string()),
+                "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+            }
+        )
+    )

@@ -1,0 +1,227 @@
+"""grouped_moments / grouped_corr / zscore_normalize vs DuckDB's exact
+HUGEINT formulations, and bpe_train vs a serial Counter BPE oracle."""
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+WORD = re.compile(r"\b\w+\b")
+
+
+def _read(ray_session, table, cols):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/{table}.parquet", columns=cols)
+
+
+def test_grouped_moments_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_moments
+
+    got = (
+        grouped_moments(
+            _read(ray_session, "lineitem", ["l_returnflag", "l_quantity"]),
+            "l_returnflag",
+            "l_quantity",
+            value_scale=100,
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity*100+0.5) AS HUGEINT) AS x
+                      FROM '{SF}/lineitem.parquet'),
+        a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+                     SUM(x*x) AS ss FROM c GROUP BY g)
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               CAST(s AS BIGINT) AS sum_scaled,
+               CAST((s*1000000)//n AS BIGINT) AS mean_micro,
+               CAST((n*ss - s*s)//(n*n) AS BIGINT) AS varp_scaled2
+        FROM a ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_corr_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_corr
+
+    got = (
+        grouped_corr(
+            _read(
+                ray_session, "lineitem",
+                ["l_returnflag", "l_quantity", "l_discount"],
+            ),
+            "l_returnflag",
+            "l_quantity",
+            "l_discount",
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT l_returnflag AS g,
+                      CAST(floor(l_quantity*100+0.5) AS HUGEINT) AS x,
+                      CAST(floor(l_discount*10000+0.5) AS HUGEINT) AS y
+                      FROM '{SF}/lineitem.parquet'),
+        a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                     SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                     SUM(x*y) AS sxy FROM c GROUP BY g)
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               CAST(FLOOR(1000000.0*(n*sxy - sx*sy)
+                    / SQRT(CAST((n*sxx - sx*sx)*(n*syy - sy*sy) AS DOUBLE)))
+                    AS BIGINT) AS corr_micro
+        FROM a ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # corr is a correlation: every value in [-1e6, 1e6]
+    assert got.corr_micro.abs().max() <= 1_000_000
+
+
+def test_grouped_corr_zero_variance_null(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_corr
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "g": ["a"] * 4 + ["b"] * 4,
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0, 5.0],
+            "y": [2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    got = (
+        grouped_corr(ray.data.from_arrow(t), "g", "x", "y",
+                     x_scale=1, y_scale=1)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "corr_micro"] == 1_000_000  # perfect in group a
+    assert math.isnan(got.loc[1, "corr_micro"])  # zero x-variance in b
+
+
+def test_zscore_normalize_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import zscore_normalize
+
+    got = (
+        zscore_normalize(
+            _read(
+                ray_session, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            ),
+            group_col="o_orderpriority",
+            id_col="o_orderkey",
+            value_col="o_totalprice",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT o_orderkey, o_orderpriority AS g,
+                      CAST(floor(o_totalprice+0.5) AS HUGEINT) AS x
+                      FROM '{SF}/orders.parquet'),
+        a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+                     SUM(x*x) AS ss FROM c GROUP BY g)
+        SELECT c.o_orderkey, c.g AS o_orderpriority,
+               CAST(FLOOR(1000000.0*(a.n*c.x - a.s)
+                    / SQRT(CAST(a.n*a.ss - a.s*a.s AS DOUBLE))) AS BIGINT)
+                    AS z_micro
+        FROM c JOIN a USING (g) ORDER BY o_orderkey"""
+    ).df()
+    assert list(got.o_orderkey) == list(exp.o_orderkey)
+    assert list(got.z_micro) == list(exp.z_micro)
+    # z-scores are centered: per-group sums are ~0 relative to scale
+    assert abs(got.z_micro.sum()) < len(got) * 1_000_000
+
+
+def test_zscore_guard_raises(ray_session):
+    from grawler_ray.functions.stats import zscore_normalize
+
+    with pytest.raises(ValueError, match="repartition_join"):
+        zscore_normalize(
+            _read(
+                ray_session, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            ),
+            group_col="o_orderpriority",
+            id_col="o_orderkey",
+            value_col="o_totalprice",
+            max_groups=2,
+        )
+
+
+def _serial_bpe(texts, num_merges, end_marker="</w>"):
+    words = Counter()
+    for t in texts:
+        for w in WORD.findall(t or ""):
+            words[w.lower()] += 1
+    state = {w: tuple(list(w) + [end_marker]) for w in words}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            syms = state[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for w in words:
+            syms = state[w]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_vs_serial_oracle(ray_session):
+    from grawler_ray.functions.stats import bpe_train
+
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).df().text.tolist()
+    got = (
+        bpe_train(_read(ray_session, "documents", ["text"]), num_merges=12)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    exp = _serial_bpe(texts, 12)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # merges are genuinely compositional: later merges may use earlier ones
+    assert len(exp) == 12
+
+
+def test_bpe_train_early_stop(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from grawler_ray.functions.stats import bpe_train
+
+    ds = ray.data.from_arrow(pa.table({"text": ["ab ab", "cd"]}))
+    got = bpe_train(ds, num_merges=50).to_pandas()
+    # 'ab' repeats (a,b)=2 then (ab,</w>)=2; nothing else reaches 2
+    assert list(got["merged"])[:1] == ["ab"]
+    assert (got.pair_count >= 2).all()
+    assert len(got) < 50
