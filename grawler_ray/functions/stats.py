@@ -304,12 +304,56 @@ def _merge_pair(syms: list, left: str, right: str, merged: str) -> list:
     return out
 
 
+def _merges_table(merges: list[tuple]):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "merged": pa.array([m[3] for m in merges], pa.string()),
+                "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+            }
+        )
+    )
+
+
+def _bpe_driver(words_ds, num_merges: int, end_marker: str):
+    """Serial merge loop over a driver-pulled (word, n) table — the exact
+    same greedy/tie-break/application semantics as the distributed loop
+    (tests assert path equality)."""
+    rows = words_ds.take_all()
+    counts = {r["word"]: int(r["n"]) for r in rows}
+    state = {w: list(w) + [end_marker] for w in counts}
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        pairs: dict = {}
+        for w, n in counts.items():
+            s = state[w]
+            for i in range(len(s) - 1):
+                key = (s[i], s[i + 1])
+                pairs[key] = pairs.get(key, 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for w in counts:
+            state[w] = _merge_pair(state[w], left, right, merged)
+    return _merges_table(merges)
+
+
 def bpe_train(
     docs_ds,
     num_merges: int = 20,
     end_marker: str = "</w>",
     num_groups: int = 64,
     text_col: str = "text",
+    driver_max_vocab: int = 2_000_000,
 ):
     """Distributed BPE merge learning (Sennrich et al. 2016) over the
     corpus word-frequency table.
@@ -333,8 +377,14 @@ def bpe_train(
     (rank, left, right, merged, pair_count) — rank is 1-based merge
     order.  State is ∝ vocabulary, never corpus; per-round exchanges
     move (pair, count) rows only.
+
+    Size-adaptive (the pagerank/dedup-components pattern): vocabularies
+    at or below ``driver_max_vocab`` rows pull the (word, n) table once
+    and run the merge loop serially on the driver — identical results
+    (asserted by tests), none of the per-round exchange latency; web
+    vocabularies at 100 TB exceed the guard and take the distributed
+    loop.
     """
-    import ray.data
     from ray.data.aggregate import Sum
 
     from .textstats import word_count_partial
@@ -357,6 +407,10 @@ def bpe_train(
                 "syms": pa.array(syms, pa.list_(pa.string())),
             }
         )
+
+    words = words.materialize()
+    if words.count() <= driver_max_vocab:
+        return _bpe_driver(words, num_merges, end_marker)
 
     state = (
         words.map_batches(symbolize, batch_format="pyarrow")
@@ -438,14 +492,4 @@ def bpe_train(
 
         state = state.map_batches(apply, batch_format="pyarrow").materialize()
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "rank": pa.array([m[0] for m in merges], pa.int64()),
-                "left": pa.array([m[1] for m in merges], pa.string()),
-                "right": pa.array([m[2] for m in merges], pa.string()),
-                "merged": pa.array([m[3] for m in merges], pa.string()),
-                "pair_count": pa.array([m[4] for m in merges], pa.int64()),
-            }
-        )
-    )
+    return _merges_table(merges)

@@ -213,6 +213,18 @@ def test_bpe_train_vs_serial_oracle(ray_session):
     assert len(exp) == 12
 
 
+def test_bpe_train_distributed_equals_driver_path(ray_session):
+    from grawler_ray.functions.stats import bpe_train
+
+    docs = _read(None, "documents", ["text"])
+    drv = bpe_train(docs, num_merges=8).to_pandas()  # vocab << guard
+    dist = bpe_train(docs, num_merges=8, driver_max_vocab=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        drv.sort_values("rank").reset_index(drop=True),
+        dist.sort_values("rank").reset_index(drop=True),
+    )
+
+
 def test_bpe_train_early_stop(ray_session):
     import ray.data
     import pyarrow as pa
