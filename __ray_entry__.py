@@ -675,6 +675,37 @@ def _bpe_merges(sf_dir: str):
     )
 
 
+def _qty_histogram(sf_dir: str):
+    """Per-group equal-width histogram on the scaled-integer value —
+    vectorized (group, bin) partials re-based per batch, one small
+    composite-key groupby; the oracle mirrors the integer floor-div
+    binning (values non-negative by construction, the // parity guard)."""
+    from grawler_ray.functions.stats import grouped_histogram
+
+    return grouped_histogram(
+        _read(sf_dir, "lineitem").select_columns(["l_returnflag", "l_quantity"]),
+        "l_returnflag",
+        "l_quantity",
+        bin_width=500,
+        value_scale=100,
+    )
+
+
+def _weighted_sample(sf_dir: str):
+    """Sequential Poisson weighted k-sample (Ohlsson 1998): priority
+    u/w with u the Knuth id-hash and w the doc length — the single IEEE
+    divide is bit-identical in numpy and DuckDB, so the exact row set is
+    SQL-checkable.  Partial top-k per batch, one tiny final selection."""
+    from grawler_ray.functions.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=50,
+    )
+
+
 def _source_lang_rollup(sf_dir: str):
     """Multi-granularity corpus-composition report: docs + chars per
     (source, lang), per-source subtotals, and a grand total — SQL's
@@ -2065,6 +2096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_moments": _lineitem_moments,
         "qty_discount_corr": _qty_discount_corr,
         "zscore_orders": _zscore_orders,
+        "qty_histogram": _qty_histogram,
+        "weighted_sample": _weighted_sample,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3166,6 +3199,25 @@ def oracle_sql() -> dict[str, str]:
                         / SQRT(CAST(a.n*a.ss - a.s*a.s AS DOUBLE)))
                         AS BIGINT) AS z_micro
             FROM c JOIN a USING (g)
+        """,
+        # per-group equal-width histogram on scaled integers; values are
+        # non-negative so BIGINT // matches numpy floor division
+        "qty_histogram": """
+            SELECT l_returnflag,
+                   CAST(floor(l_quantity*100+0.5) AS BIGINT) // 500 AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM lineitem
+            GROUP BY l_returnflag, bin
+        """,
+        # sequential Poisson weighted k-sample: k smallest u/w priorities
+        # (one IEEE divide — bit-identical numpy/DuckDB), id tie-break
+        "weighted_sample": """
+            SELECT doc_id, n_chars AS w
+            FROM documents
+            ORDER BY CAST(((doc_id::HUGEINT * 2654435761) % 4294967296) + 1
+                          AS DOUBLE) / n_chars,
+                     doc_id
+            LIMIT 50
         """,
         # per-brand lineitem revenue via the part dimension (broadcast
         # map-side join below the guard, repartition join above)

@@ -394,6 +394,82 @@ def group_ntile(
     )
 
 
+def weighted_sample_k(
+    ds,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 50,
+    weight_scale: int = 1,
+):
+    """Deterministic weighted k-sample without replacement — sequential
+    Poisson sampling (Ohlsson 1998, "Sequential Poisson Sampling", public
+    survey-sampling literature): each row gets priority
+
+        key = u / w,   u = ((id · 2654435761) mod 2^32) + 1,
+                       w = floor(weight · weight_scale + 0.5) > 0
+
+    and the k SMALLEST keys win, so inclusion probability is ~∝ weight
+    (the πps approximation).  Everything is SQL-mirrorable exactly: u and
+    w are exact integers, and the one float op is a single IEEE double
+    division, which is correctly rounded and therefore bit-identical in
+    numpy and DuckDB (verified) — unlike ln/pow-based Efraimidis–Spirakis
+    keys, which hit libm last-ulp divergence.  Ties (equal exact ratios
+    across ids) break by id, both sides.
+
+    SQL mirror:
+        ORDER BY CAST(((id::HUGEINT*2654435761) % 4294967296) + 1
+                      AS DOUBLE) / w, id  LIMIT k
+
+    Scale shape: stateless per-batch partial top-k (each batch keeps its
+    k best → ≤ k·blocks tiny rows), then one single-partition final
+    selection — no corpus-wide sort, no shuffle of payload.  Output
+    (id_col, w:int64) — w is the scaled weight the key used.
+    """
+
+    def keys_of(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("sampling id column must be non-negative")
+        if len(w) and int(w.min()) <= 0:
+            raise ValueError("weighted_sample_k: weights must be positive")
+        u = ((ids.astype(np.uint64) * _KNUTH) % _MOD + 1).astype(np.float64)
+        return u / w.astype(np.float64)
+
+    def scaled_w(t: pa.Table) -> np.ndarray:
+        v = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(v * weight_scale + 0.5).astype(np.int64)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = scaled_w(t)
+        key = keys_of(ids, w)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "w": pa.array(w[order], pa.int64()),
+            }
+        )
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        key = keys_of(ids.astype(np.int64), w.astype(np.int64))
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "w": pa.array(w[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, weight_col])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow")
+    )
+
+
 def group_sample_k(
     ds,
     group_col: str = "source",

@@ -41,6 +41,7 @@ import pyarrow as pa
 __all__ = [
     "grouped_moments",
     "grouped_corr",
+    "grouped_histogram",
     "zscore_normalize",
     "bpe_train",
 ]
@@ -203,6 +204,75 @@ def grouped_corr(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_histogram(
+    ds,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+    value_scale: int = 100,
+):
+    """Per-group equal-width histogram over the scaled-integer value:
+
+        x   = floor(v * value_scale + 0.5)   (int64, must be >= 0)
+        bin = x // bin_width
+
+    Values must be non-negative: DuckDB's ``//`` truncates toward zero
+    on negatives while numpy floors, so rather than silently diverge
+    from the oracle this raises (the _bucket1000 convention).
+
+    Scale shape: per-batch vectorized (group, bin) partial counts — the
+    bin range is re-based per batch so one ``np.bincount`` covers the
+    composite key — then ONE small (group, bin)-key groupby; shuffle
+    volume is one row per distinct (group, bin) per batch, never per
+    input row.  Output: (group_col, bin:int64, cnt:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = _scaled_int(t.column(value_col), value_scale)
+        if len(x) and int(x.min()) < 0:
+            raise ValueError(
+                "grouped_histogram: negative scaled values (numpy // floors, "
+                "SQL // truncates — shift the column or use a non-negative "
+                "value_scale transform)"
+            )
+        bins = x // np.int64(bin_width)
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        if len(x) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        bmin = int(bins.min())
+        width = int(bins.max()) - bmin + 1
+        combo = gcodes.astype(np.int64) * width + (bins - bmin)
+        counts = np.bincount(combo, minlength=len(guniq) * width)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                group_col: pa.array(
+                    [guniq[i] for i in nz // width], pa.string()
+                ),
+                "bin": pa.array(nz % width + bmin, pa.int64()),
+                "cnt": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
 
 
 def zscore_normalize(

@@ -154,3 +154,74 @@ def test_group_sample_k_uniform(ray_session):
     assert set(out.doc_id) == expect
     out2 = group_sample_k(ds.repartition(11), k=4).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_weighted_sample_k_vs_serial_and_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from grawler_ray.functions.sampling import weighted_sample_k
+
+    sf = "/root/testdata/sf0.001"
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    got = (
+        weighted_sample_k(ds, id_col="doc_id", weight_col="n_chars", k=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            f"""SELECT doc_id, n_chars AS w FROM '{sf}/documents.parquet'
+            ORDER BY CAST(((doc_id::HUGEINT*2654435761) % 4294967296) + 1
+                          AS DOUBLE) / n_chars, doc_id LIMIT 20"""
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["w"].tolist() == exp["w"].tolist()
+    # serial numpy oracle: same k-smallest u/w set
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    w = t.column("n_chars").to_numpy().astype(np.int64)
+    key = (((ids.astype(np.uint64) * 2654435761) % (1 << 32)) + 1).astype(
+        np.float64
+    ) / w
+    order = np.lexsort((ids, key))[:20]
+    assert sorted(ids[order].tolist()) == got["doc_id"].tolist()
+
+
+def test_weighted_sample_k_weight_bias(ray_session):
+    """Heavier rows win more often: with weights 1 vs 1000 over many ids,
+    nearly all winners come from the heavy stratum."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.sampling import weighted_sample_k
+
+    n = 4000
+    ids = list(range(n))
+    w = [1000 if i % 2 == 0 else 1 for i in ids]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "n_chars": w}))
+    got = weighted_sample_k(ds, k=100).to_pandas()
+    heavy = (got["w"] == 1000).sum()
+    assert heavy >= 95
+
+
+def test_weighted_sample_k_nonpositive_weight_raises(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.sampling import weighted_sample_k
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "n_chars": [5, 0]}))
+    with pytest.raises(Exception, match="weights must be positive"):
+        weighted_sample_k(ds, k=2).take_all()

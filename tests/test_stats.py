@@ -237,3 +237,45 @@ def test_bpe_train_early_stop(ray_session):
     assert list(got["merged"])[:1] == ["ab"]
     assert (got.pair_count >= 2).all()
     assert len(got) < 50
+
+
+def test_grouped_histogram_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_histogram
+
+    got = (
+        grouped_histogram(
+            _read(ray_session, "lineitem", ["l_returnflag", "l_quantity"]),
+            "l_returnflag",
+            "l_quantity",
+            bin_width=500,
+            value_scale=100,
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "bin"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT l_returnflag,
+                   CAST(floor(l_quantity*100+0.5) AS BIGINT) // 500 AS bin,
+                   count(*)::BIGINT AS cnt
+            FROM '{SF}/lineitem.parquet'
+            GROUP BY l_returnflag, bin ORDER BY l_returnflag, bin"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # counts cover every input row exactly once
+    assert got["cnt"].sum() == duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+
+
+def test_grouped_histogram_negative_raises(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_histogram
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": ["a", "a"], "v": [1.0, -3.0]})
+    )
+    with pytest.raises(Exception, match="negative scaled values"):
+        grouped_histogram(ds, "g", "v", bin_width=10, value_scale=100).take_all()
