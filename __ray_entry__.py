@@ -1111,6 +1111,50 @@ def _pagerank(sf_dir: str):
     return pagerank(nodes, pairs, node_col="vec_id")
 
 
+def _order_part_bfs(sf_dir: str):
+    """Multi-source BFS hop depth over the order–part co-purchase
+    bipartite graph (partkeys offset into a disjoint id space), seeded
+    at the 3 smallest partkeys, 4 hops — the bounded recursive-CTE
+    oracle checks the exact depth of every node; unreachable nodes are
+    NULL (arrow int64-with-nulls → float64/NaN, the hash convention)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.graph import bfs_depth
+
+    OFF = 10_000_000  # > max l_orderkey at any tested sf
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+
+    def to_edges(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "a": t.column("l_orderkey").cast(_pa.int64()),
+                "b": _pc.add(t.column("l_partkey").cast(_pa.int64()), OFF),
+            }
+        )
+
+    def node_union(t: _pa.Table) -> _pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(_np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(_np.int64) + OFF
+        return _pa.table({"v": _pa.array(_np.concatenate([o, p]), _pa.int64())})
+
+    seeds_rows = (
+        _read(sf_dir, "part")
+        .select_columns(["p_partkey"])
+        .sort("p_partkey")
+        .limit(3)
+        .take_all()
+    )
+    seeds = [OFF + int(r["p_partkey"]) for r in seeds_rows]
+    return bfs_depth(
+        li.map_batches(node_union, batch_format="pyarrow"),
+        li.map_batches(to_edges, batch_format="pyarrow"),
+        seeds,
+        max_iters=4,
+    )
+
+
 def _sample_docs(sf_dir: str):
     from grawler_ray.functions.sampling import sample_fraction
 
@@ -2098,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_orders": _zscore_orders,
         "qty_histogram": _qty_histogram,
         "weighted_sample": _weighted_sample,
+        "order_part_bfs": _order_part_bfs,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3199,6 +3244,29 @@ def oracle_sql() -> dict[str, str]:
                         / SQRT(CAST(a.n*a.ss - a.s*a.s AS DOUBLE)))
                         AS BIGINT) AS z_micro
             FROM c JOIN a USING (g)
+        """,
+        # bounded-depth multi-source BFS as a recursive CTE: walk states
+        # (v, d) dedup via UNION, min(d) is the hop depth, LEFT JOIN keeps
+        # unreachable nodes NULL
+        "order_part_bfs": """
+            WITH RECURSIVE
+            e AS (SELECT l_orderkey AS s, l_partkey + 10000000 AS t
+                  FROM lineitem
+                  UNION ALL
+                  SELECT l_partkey + 10000000, l_orderkey FROM lineitem),
+            seeds AS (SELECT p_partkey + 10000000 AS v FROM part
+                      ORDER BY p_partkey LIMIT 3),
+            walk(v, d) AS (
+                SELECT v, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT e.t, w.d + 1 FROM walk w JOIN e ON e.s = w.v
+                WHERE w.d < 4
+            ),
+            nodes AS (SELECT DISTINCT l_orderkey AS v FROM lineitem
+                      UNION
+                      SELECT DISTINCT l_partkey + 10000000 FROM lineitem),
+            best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
+            SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
         """,
         # per-group equal-width histogram on scaled integers; values are
         # non-negative so BIGINT // matches numpy floor division

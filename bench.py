@@ -136,7 +136,7 @@ def run_subqueries() -> dict[str, float]:
         "source_lang_rollup", "source_lang_cube", "lineitem_melt",
         "prep_corpus", "curate_corpus", "lineitem_moments",
         "qty_discount_corr", "zscore_orders", "bpe_merges",
-        "qty_histogram", "weighted_sample",
+        "qty_histogram", "weighted_sample", "order_part_bfs",
     ]
     import ray.data
 

@@ -527,3 +527,226 @@ def pagerank(
         return out
 
     return ranks.map_batches(finalize, batch_format="pandas")
+
+
+def bfs_depth(
+    nodes_ds,
+    pairs_ds,
+    seeds: list[int],
+    node_col: str = "v",
+    pair_cols: tuple = ("a", "b"),
+    max_iters: int = 4,
+    num_groups: int | None = None,
+    driver_max_nodes: int = 5_000_000,
+    driver_max_edges: int = 2_000_000,
+):
+    """Multi-source BFS shortest-hop depth over an undirected edge table:
+    seeds get depth 0, every node reachable within ``max_iters`` hops gets
+    its minimum hop count, everything else NULL.  The frontier recurrence
+    is exactly a bounded-depth recursive CTE, so the DuckDB oracle is
+
+        WITH RECURSIVE walk(v, d) AS (
+            SELECT v, 0 FROM seeds
+            UNION
+            SELECT e.t, w.d+1 FROM walk w JOIN edges e ON e.s = w.v
+            WHERE w.d < max_iters)
+        SELECT v, min(d) ...
+
+    and integer hop counts hash-compare exactly (no float drift).
+
+    ``seeds`` is a small driver-side list (the multi-source query set —
+    the ANN-query-matrix convention), broadcast into the loop closure.
+    ``nodes_ds`` may contain duplicate node rows: the first update
+    exchange's run-scan emits one state row per distinct v by
+    construction.
+
+    Scale shape: per iteration TWO coarse-hash exchanges (the pagerank
+    discipline) — (1) frontier ∪ edges keyed by src: inside each group a
+    sorted-membership scan emits the group's DISTINCT newly-touched
+    targets (candidates leave pre-deduped, ∝ frontier boundary, never
+    ∝ edges), (2) state ∪ candidates keyed by node: a run-scan keeps the
+    first (minimum) depth per node.  State is (v, d) — 2 ints/node,
+    re-repartitioned and materialized per iteration (the 2^k block rule).
+    Early exit when an iteration reaches nobody new.
+
+    Size-adaptive (the pagerank/dedup_components pattern): below the
+    guards the whole loop is driver numpy over the pulled edge list —
+    identical semantics, none of the per-iteration exchange latency;
+    tests assert both paths equal.  Output: (node_col, depth) with depth
+    Arrow int64-with-nulls (lands float64/NaN, the driver-hash
+    convention for nullable ints — CLAUDE.md).
+    """
+    import ray.data
+
+    a, b = pair_cols
+    n = nodes_ds.count()
+    if n == 0:
+        return nodes_ds
+    if num_groups is None:
+        num_groups = 8 if n < 1_000_000 else (64 if n < 100_000_000 else 256)
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.concatenate([df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)])
+        t = np.concatenate([df[b].to_numpy(np.int64), df[a].to_numpy(np.int64)])
+        return pd.DataFrame({"sg": _ghash(s, num_groups), "s": s, "t": t})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pandas").materialize()
+    n_edges = edges.count()
+
+    def _arrow_out(v: np.ndarray, d: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                node_col: pa.array(v, pa.int64()),
+                "depth": pa.array(d, pa.int64(), mask=d < 0),
+            }
+        )
+
+    if n <= driver_max_nodes and n_edges <= driver_max_edges:
+        if n_edges:
+            ep = edges.to_pandas()
+            s = ep["s"].to_numpy(np.int64)
+            t = ep["t"].to_numpy(np.int64)
+        else:
+            s = t = np.array([], np.int64)
+        nv = np.unique(
+            nodes_ds.select_columns([node_col]).to_pandas()[node_col].to_numpy(np.int64)
+        )
+        si = np.searchsorted(nv, s)
+        ti = np.searchsorted(nv, t)
+        d = np.full(len(nv), -1, np.int64)
+        pos = np.searchsorted(nv, seed_arr)
+        ok = (pos < len(nv)) & (nv[np.minimum(pos, len(nv) - 1)] == seed_arr)
+        d[pos[ok]] = 0
+        frontier = np.zeros(len(nv), bool)
+        frontier[pos[ok]] = True
+        for k in range(1, max_iters + 1):
+            if len(s) == 0 or not frontier.any():
+                break
+            hit = frontier[si]
+            newly = np.unique(ti[hit])
+            newly = newly[d[newly] < 0]
+            if len(newly) == 0:
+                break
+            d[newly] = k
+            frontier = np.zeros(len(nv), bool)
+            frontier[newly] = True
+        return ray.data.from_arrow(_arrow_out(nv, d))
+
+    # --- distributed loop ---
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[node_col].to_numpy(np.int64)
+        d = np.where(np.isin(v, seed_arr), 0, -1).astype(np.int64)
+        return pd.DataFrame({"vg": _ghash(v, num_groups), "v": v, "d": d})
+
+    state = nodes_ds.map_batches(node_rows, batch_format="pandas").materialize()
+
+    for k in range(1, max_iters + 1):
+        front_d = k - 1
+
+        # (1) frontier ∪ edges keyed by src → distinct touched targets
+        def tag_frontier(df: pd.DataFrame, _fd=front_d) -> pd.DataFrame:
+            f = df.loc[df["d"].to_numpy() == _fd]
+            v = f["v"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "sg": _ghash(v, num_groups),
+                    "s": v,
+                    "t": np.full(len(v), -1, np.int64),
+                    "is_edge": np.zeros(len(v), np.int8),
+                }
+            )
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sg": df["sg"].to_numpy(np.int32),
+                    "s": df["s"].to_numpy(np.int64),
+                    "t": df["t"].to_numpy(np.int64),
+                    "is_edge": np.ones(len(df), np.int8),
+                }
+            )
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            ise = df["is_edge"].to_numpy() == 1
+            fs = np.unique(df.loc[~ise, "s"].to_numpy(np.int64))
+            es = df.loc[ise, "s"].to_numpy(np.int64)
+            if len(fs) == 0 or len(es) == 0:
+                return pd.DataFrame(
+                    {
+                        "vg": np.array([], np.int32),
+                        "v": np.array([], np.int64),
+                        "d": np.array([], np.int64),
+                    }
+                )
+            pos = np.searchsorted(fs, es)
+            hit = (pos < len(fs)) & (fs[np.minimum(pos, len(fs) - 1)] == es)
+            tt = np.unique(df.loc[ise, "t"].to_numpy(np.int64)[hit])
+            return pd.DataFrame(
+                {
+                    "vg": _ghash(tt, num_groups),
+                    "v": tt,
+                    "d": np.full(len(tt), -2, np.int64),  # candidate tag
+                }
+            )
+
+        cands = (
+            state.map_batches(tag_frontier, batch_format="pandas")
+            .union(edges.map_batches(tag_edge, batch_format="pandas"))
+            .groupby("sg")
+            .map_groups(expand, batch_format="pandas")
+        )
+
+        # (2) state ∪ candidates keyed by node → first-reach update
+        def update(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+            v = df["v"].to_numpy(np.int64)
+            d = df["d"].to_numpy(np.int64)
+            order = np.argsort(v, kind="stable")
+            v, d = v[order], d[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], v[1:] != v[:-1]))
+            ) if len(v) else np.array([], np.int64)
+            uv = v[starts]
+            # per run: max existing depth (>=0 wins over -1/-2 sentinels);
+            # if only sentinels, -2 present means newly reached at _k
+            best = np.full(len(uv), -1, np.int64)
+            run_max = np.maximum.reduceat(d, starts) if len(v) else best
+            run_min = np.minimum.reduceat(d, starts) if len(v) else best
+            reached = run_max >= 0
+            best[reached] = run_max[reached]
+            # newly reached = has a state row (-1 present => run_max == -1)
+            # AND a candidate row (-2 present => run_min == -2); candidate-
+            # only runs (endpoint absent from nodes_ds) are dropped so the
+            # output row set stays exactly the node table
+            newly = (~reached) & (run_min == -2) & (run_max == -1)
+            best[newly] = _k
+            keep = run_max >= -1
+            return pd.DataFrame(
+                {
+                    "vg": _ghash(uv[keep], num_groups),
+                    "v": uv[keep],
+                    "d": best[keep],
+                }
+            )
+
+        state = (
+            state.union(cands)
+            .groupby("vg")
+            .map_groups(update, batch_format="pandas")
+            .repartition(num_groups)
+            .materialize()
+        )
+
+        newly_reached = state.map_batches(
+            lambda df, _k=k: pd.DataFrame(
+                {"n": [int((df["d"].to_numpy() == _k).sum())]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()["n"].sum()
+        if newly_reached == 0:
+            break
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        return _arrow_out(df["v"].to_numpy(np.int64), df["d"].to_numpy(np.int64))
+
+    return state.map_batches(finalize, batch_format="pandas")

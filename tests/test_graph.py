@@ -240,3 +240,150 @@ class TestDegreeTriangles:
             """
         ).fetchone()[0]
         assert int(got["n_triangles"].iloc[0]) == int(want)
+
+
+class TestBfsDepth:
+    def _toy(self):
+        import pyarrow as pa
+        import ray.data
+
+        # path graph 1-2-3-4-5 plus isolated 9
+        pairs = ray.data.from_arrow(
+            pa.table({"a": [1, 2, 3, 4], "b": [2, 3, 4, 5]})
+        )
+        nodes = ray.data.from_arrow(pa.table({"v": [1, 2, 3, 4, 5, 9]}))
+        return nodes, pairs
+
+    def test_path_graph_depths(self, ray_session):
+        from grawler_ray.functions.graph import bfs_depth
+
+        nodes, pairs = self._toy()
+        got = (
+            bfs_depth(nodes, pairs, seeds=[1], max_iters=3)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert got["v"].tolist() == [1, 2, 3, 4, 5, 9]
+        d = got["depth"].tolist()
+        assert d[:4] == [0.0, 1.0, 2.0, 3.0]
+        # beyond max_iters and isolated: NULL
+        assert np.isnan(d[4]) and np.isnan(d[5])
+        assert got["depth"].dtype.kind == "f"
+
+    def test_multi_seed_min(self, ray_session):
+        from grawler_ray.functions.graph import bfs_depth
+
+        nodes, pairs = self._toy()
+        got = (
+            bfs_depth(nodes, pairs, seeds=[1, 5], max_iters=3)
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert got["depth"].tolist()[:5] == [0.0, 1.0, 2.0, 1.0, 0.0]
+
+    def test_distributed_path_equals_driver_path(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from grawler_ray.functions.graph import bfs_depth
+
+        t = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        import pyarrow as pa
+
+        OFF = 10_000_000
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64) + OFF
+        pairs_t = pa.table({"a": pa.array(o), "b": pa.array(p)})
+        nodes_t = pa.table({"v": pa.array(np.concatenate([o, p]))})
+        seeds = [int(np.sort(np.unique(p))[0])]
+
+        def run(**guards):
+            return (
+                bfs_depth(
+                    ray.data.from_arrow(nodes_t),
+                    ray.data.from_arrow(pairs_t),
+                    seeds,
+                    max_iters=3,
+                    **guards,
+                )
+                .to_pandas()
+                .sort_values("v")
+                .reset_index(drop=True)
+            )
+
+        drv = run()
+        dist = run(driver_max_nodes=0, driver_max_edges=0)
+        pd.testing.assert_frame_equal(drv, dist)
+
+    def test_vs_duckdb_recursive_cte(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.graph import bfs_depth
+
+        OFF = 10_000_000
+        li = ray.data.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def to_edges(t):
+            return pa.table(
+                {
+                    "a": t.column("l_orderkey").cast(pa.int64()),
+                    "b": pc.add(t.column("l_partkey").cast(pa.int64()), OFF),
+                }
+            )
+
+        def node_union(t):
+            o = t.column("l_orderkey").to_numpy().astype(np.int64)
+            p = t.column("l_partkey").to_numpy().astype(np.int64) + OFF
+            return pa.table({"v": pa.array(np.concatenate([o, p]), pa.int64())})
+
+        seeds_sql = duckdb.sql(
+            f"SELECT p_partkey + {OFF} AS v FROM '{SF}/part.parquet' "
+            "ORDER BY p_partkey LIMIT 3"
+        ).fetchall()
+        seeds = [r[0] for r in seeds_sql]
+        got = (
+            bfs_depth(
+                li.map_batches(node_union, batch_format="pyarrow"),
+                li.map_batches(to_edges, batch_format="pyarrow"),
+                seeds,
+                max_iters=4,
+            )
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""WITH RECURSIVE
+            e AS (SELECT l_orderkey AS s, l_partkey + {OFF} AS t
+                  FROM '{SF}/lineitem.parquet'
+                  UNION ALL
+                  SELECT l_partkey + {OFF}, l_orderkey
+                  FROM '{SF}/lineitem.parquet'),
+            seeds AS (SELECT p_partkey + {OFF} AS v FROM '{SF}/part.parquet'
+                      ORDER BY p_partkey LIMIT 3),
+            walk(v, d) AS (
+                SELECT v, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT e.t, w.d + 1 FROM walk w JOIN e ON e.s = w.v
+                WHERE w.d < 4),
+            nodes AS (SELECT DISTINCT l_orderkey AS v
+                      FROM '{SF}/lineitem.parquet'
+                      UNION
+                      SELECT DISTINCT l_partkey + {OFF}
+                      FROM '{SF}/lineitem.parquet'),
+            best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
+            SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
+            ORDER BY n.v"""
+        ).df().reset_index(drop=True)
+        assert got["v"].tolist() == exp["v"].tolist()
+        gm, em = got["depth"].isna(), exp["depth"].isna()
+        assert (gm.to_numpy() == em.to_numpy()).all()
+        assert got["depth"][~gm].tolist() == exp["depth"][~em].tolist()
