@@ -1155,6 +1155,32 @@ def _order_part_bfs(sf_dir: str):
     )
 
 
+def _copurchase_topk(sf_dir: str):
+    """Top-25 node pairs by common-neighbor count over the order–part
+    graph (co-citation link prediction): parts sharing the most orders
+    and orders sharing the most parts, (count DESC, x, y) deterministic
+    — the SQL self-join oracle checks the exact top-k."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.graph import common_neighbors_topk
+
+    OFF = 10_000_000
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+
+    def to_edges(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "a": t.column("l_orderkey").cast(_pa.int64()),
+                "b": _pc.add(t.column("l_partkey").cast(_pa.int64()), OFF),
+            }
+        )
+
+    return common_neighbors_topk(
+        li.map_batches(to_edges, batch_format="pyarrow"), k=25
+    )
+
+
 def _sample_docs(sf_dir: str):
     from grawler_ray.functions.sampling import sample_fraction
 
@@ -2143,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_histogram": _qty_histogram,
         "weighted_sample": _weighted_sample,
         "order_part_bfs": _order_part_bfs,
+        "copurchase_topk": _copurchase_topk,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3267,6 +3294,21 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT l_partkey + 10000000 FROM lineitem),
             best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
             SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
+        """,
+        # common-neighbor top-k as a self-join on the symmetrized deduped
+        # adjacency; (count DESC, x, y) makes the LIMIT deterministic
+        "copurchase_topk": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS s,
+                                       l_partkey + 10000000 AS t
+                       FROM lineitem
+                       UNION
+                       SELECT DISTINCT l_partkey + 10000000, l_orderkey
+                       FROM lineitem)
+            SELECT e1.t AS x, e2.t AS y, count(*)::BIGINT AS n_common
+            FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+            GROUP BY x, y
+            ORDER BY n_common DESC, x, y
+            LIMIT 25
         """,
         # per-group equal-width histogram on scaled integers; values are
         # non-negative so BIGINT // matches numpy floor division

@@ -750,3 +750,164 @@ def bfs_depth(
         return _arrow_out(df["v"].to_numpy(np.int64), df["d"].to_numpy(np.int64))
 
     return state.map_batches(finalize, batch_format="pandas")
+
+
+def common_neighbors_topk(
+    pairs_ds,
+    k: int = 25,
+    pair_cols: tuple = ("a", "b"),
+    num_groups: int = 64,
+    driver_max_edges: int = 2_000_000,
+    driver_max_wedges: int = 2_000_000,
+):
+    """Top-k node pairs by COMMON-NEIGHBOR count (co-citation link
+    prediction, Liben-Nowell & Kleinberg 2003): for every unordered pair
+    (x < y), the number of middle vertices m adjacent to both.  Ordering
+    is (count DESC, x, y) — fully deterministic, so the SQL self-join
+    oracle hash-compares exactly:
+
+        WITH e AS (SELECT a s, b t ... UNION SELECT b, a ...)
+        SELECT e1.t x, e2.t y, count(*) FROM e e1
+        JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+        GROUP BY x, y ORDER BY count(*) DESC, x, y LIMIT k
+
+    Scale shape: symmetrize + dedup the adjacency inside a coarse
+    middle-vertex hash groupby (one exchange), enumerate each m-run's
+    neighbor pairs with the vectorized _wedge_pairs kernel, pre-count
+    per (x, y) INSIDE the group (partials ∝ distinct pairs, not wedges),
+    then one packed-key coarse groupby finishes the counts and each
+    output block emits its local top-k — the driver pull is ≤ k rows per
+    block.  Wedge volume is Σ C(deg(m), 2): hub-heavy graphs need a
+    degree cap / orientation before this operator (same documented
+    assumption as triangle_count); it fails loudly past 2^31 ids.
+
+    Size-adaptive: below (driver_max_edges, driver_max_wedges) the whole
+    thing is driver numpy — identical kernel, asserted equal in tests.
+    The wedge guard is deliberately low (2M): the wedge work is the cost
+    and it PARALLELIZES — at sf0.1 (10M wedges, 8 cpus) the distributed
+    path measured 6.2 s vs 13.6 s driver numpy, so only
+    exchange-latency-dominated small graphs belong on the driver.
+    Output: (x:int64, y:int64, n_common:int64), k rows max.
+    """
+    import ray.data
+
+    a, b = pair_cols
+    pairs_ds = pairs_ds.materialize()
+
+    def _sym_dedup(s: np.ndarray, t: np.ndarray):
+        s2 = np.concatenate([s, t])
+        t2 = np.concatenate([t, s])
+        order = np.lexsort((t2, s2))
+        s2, t2 = s2[order], t2[order]
+        keep = np.concatenate(
+            ([True], (s2[1:] != s2[:-1]) | (t2[1:] != t2[:-1]))
+        ) if len(s2) else np.array([], bool)
+        return s2[keep], t2[keep]
+
+    def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if len(x) and (int(x.max()) >= (1 << 31) or int(y.max()) >= (1 << 31)):
+            raise OverflowError(
+                "common_neighbors_topk id packing needs node ids < 2^31"
+            )
+        return x * np.int64(1 << 31) + y
+
+    def _topk(x: np.ndarray, y: np.ndarray, c: np.ndarray):
+        order = np.lexsort((y, x, -c))[:k]
+        return x[order], y[order], c[order]
+
+    def _out(x, y, c) -> pa.Table:
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "n_common": pa.array(c, pa.int64()),
+            }
+        )
+
+    n_edges = pairs_ds.count()
+    if n_edges <= driver_max_edges:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                _out(np.array([], np.int64), np.array([], np.int64),
+                     np.array([], np.int64))
+            )
+        ep = pairs_ds.select_columns([a, b]).to_pandas()
+        s, t = _sym_dedup(
+            ep[a].to_numpy().astype(np.int64), ep[b].to_numpy().astype(np.int64)
+        )
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        d = np.append(starts[1:], len(s)) - starts
+        n_wedges = int((d * (d - 1) // 2).sum())
+        if n_wedges <= driver_max_wedges:
+            x, y = _wedge_pairs(s, t)
+            key = _pack(x, y)
+            uk, counts = np.unique(key, return_counts=True)
+            ux = uk >> np.int64(31)
+            uy = uk & np.int64((1 << 31) - 1)
+            return ray.data.from_arrow(
+                _out(*_topk(ux, uy, counts.astype(np.int64)))
+            )
+
+    def tag_dir(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.concatenate([df[a].to_numpy(np.int64), df[b].to_numpy(np.int64)])
+        t = np.concatenate([df[b].to_numpy(np.int64), df[a].to_numpy(np.int64)])
+        return pd.DataFrame({"sg": _ghash(s, num_groups), "s": s, "t": t})
+
+    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive ALREADY symmetrized by tag_dir (both directions
+        # emitted before the shuffle) — only sort + dedup here;
+        # re-symmetrizing would fabricate adjacency for middle vertices
+        # that hash to other groups
+        s = df["s"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        order = np.lexsort((t, s))
+        s, t = s[order], t[order]
+        keep = np.concatenate(
+            ([True], (s[1:] != s[:-1]) | (t[1:] != t[:-1]))
+        ) if len(s) else np.array([], bool)
+        s, t = s[keep], t[keep]
+        x, y = _wedge_pairs(s, t)
+        key = _pack(x, y)
+        uk, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "kg": _ghash(uk, num_groups),
+                "key": uk,
+                "cnt": counts.astype(np.int64),
+            }
+        )
+
+    def finish_group(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        if len(key):
+            starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+            uk = key[starts]
+            total = np.add.reduceat(cnt, starts)
+        else:
+            uk = key
+            total = cnt
+        x = uk >> np.int64(31)
+        y = uk & np.int64((1 << 31) - 1)
+        x, y, c = _topk(x, y, total)
+        return pd.DataFrame({"x": x, "y": y, "n_common": c})
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        x, y, c = _topk(
+            df["x"].to_numpy(np.int64),
+            df["y"].to_numpy(np.int64),
+            df["n_common"].to_numpy(np.int64),
+        )
+        return _out(x, y, c)
+
+    return (
+        pairs_ds.map_batches(tag_dir, batch_format="pandas")
+        .groupby("sg")
+        .map_groups(wedge_partials, batch_format="pandas")
+        .groupby("kg")
+        .map_groups(finish_group, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

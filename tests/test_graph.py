@@ -387,3 +387,104 @@ class TestBfsDepth:
         gm, em = got["depth"].isna(), exp["depth"].isna()
         assert (gm.to_numpy() == em.to_numpy()).all()
         assert got["depth"][~gm].tolist() == exp["depth"][~em].tolist()
+
+
+class TestCommonNeighbors:
+    def _toy(self):
+        import pyarrow as pa
+        import ray.data
+
+        # square 1-2-3-4-1 plus diagonal chord 1-3: common neighbors of
+        # (2,4) = {1,3} -> 2; (1,3) = {2,4} -> 2; all other pairs 1
+        return ray.data.from_arrow(
+            pa.table({"a": [1, 2, 3, 4, 1], "b": [2, 3, 4, 1, 3]})
+        )
+
+    def test_square_with_chord(self, ray_session):
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        got = common_neighbors_topk(self._toy(), k=3).to_pandas()
+        assert got[["x", "y", "n_common"]].values.tolist() == [
+            [1, 3, 2],
+            [2, 4, 2],
+            [1, 2, 1],
+        ]
+
+    def test_distributed_equals_driver(self, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        t = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        OFF = 10_000_000
+        pairs_t = pa.table(
+            {
+                "a": t.column("l_orderkey").cast(pa.int64()),
+                "b": pa.array(
+                    t.column("l_partkey").to_numpy().astype(np.int64) + OFF
+                ),
+            }
+        )
+
+        def run(**guards):
+            return (
+                common_neighbors_topk(
+                    ray.data.from_arrow(pairs_t), k=15, **guards
+                )
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+
+        drv = run()
+        dist = run(driver_max_edges=0)
+        pd.testing.assert_frame_equal(drv, dist)
+
+    def test_vs_duckdb_self_join(self, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        t = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        OFF = 10_000_000
+        pairs_t = pa.table(
+            {
+                "a": t.column("l_orderkey").cast(pa.int64()),
+                "b": pa.array(
+                    t.column("l_partkey").to_numpy().astype(np.int64) + OFF
+                ),
+            }
+        )
+        got = common_neighbors_topk(
+            ray.data.from_arrow(pairs_t), k=25
+        ).to_pandas()
+        exp = duckdb.sql(
+            f"""WITH e AS (SELECT DISTINCT l_orderkey AS s,
+                                  l_partkey + {OFF} AS t
+                           FROM '{SF}/lineitem.parquet'
+                           UNION
+                           SELECT DISTINCT l_partkey + {OFF}, l_orderkey
+                           FROM '{SF}/lineitem.parquet')
+            SELECT e1.t AS x, e2.t AS y, count(*)::BIGINT AS n_common
+            FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t
+            GROUP BY x, y ORDER BY n_common DESC, x, y LIMIT 25"""
+        ).df()
+        assert got.values.tolist() == exp.values.tolist()
+
+    def test_empty_edges(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        empty = ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+        assert common_neighbors_topk(empty, k=5).count() == 0
