@@ -1181,6 +1181,48 @@ def _copurchase_topk(sf_dir: str):
     )
 
 
+def _related_docs_topk(sf_dir: str):
+    """Top-25 document pairs sharing the most RARE bigram shingles — the
+    prefix-filtered set-similarity join for near-dup candidate
+    generation (hub shingles excluded exactly via max_group_size=20,
+    mirrored as HAVING count(*) <= 20; the synthetic unigram vocabulary
+    is only ~31 ubiquitous words, so bigrams are the discriminative
+    shingle here)."""
+    import pyarrow as _pa
+
+    from grawler_ray.functions.graph import membership_copair_topk
+    from grawler_ray.textops import _WORD_RE
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def memberships(t: _pa.Table) -> _pa.Table:
+        ids: list = []
+        shingles: list = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = _WORD_RE.findall((txt or "").lower())
+            for bg in set(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ):
+                shingles.append(bg)
+                ids.append(did)
+        return _pa.table(
+            {
+                "shingle": _pa.array(shingles, _pa.string()),
+                "doc_id": _pa.array(ids, _pa.int64()),
+            }
+        )
+
+    return membership_copair_topk(
+        docs.map_batches(memberships, batch_format="pyarrow"),
+        "shingle",
+        "doc_id",
+        k=25,
+        max_group_size=20,
+    )
+
+
 def _sample_docs(sf_dir: str):
     from grawler_ray.functions.sampling import sample_fraction
 
@@ -2170,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _weighted_sample,
         "order_part_bfs": _order_part_bfs,
         "copurchase_topk": _copurchase_topk,
+        "related_docs_topk": _related_docs_topk,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3294,6 +3337,25 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT l_partkey + 10000000 FROM lineitem),
             best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
             SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
+        """,
+        # prefix-filtered set-similarity join: doc pairs sharing the most
+        # rare bigram shingles, hub shingles excluded exactly (HAVING <= cap)
+        "related_docs_topk": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '\\b\\w+\\b') AS ws
+                          FROM documents),
+            m AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
+                  FROM toks, unnest(range(1, len(ws))) t(i)),
+            ok AS (SELECT shingle FROM m GROUP BY shingle
+                   HAVING count(*) <= 20),
+            e AS (SELECT m.shingle, m.doc_id FROM m JOIN ok USING (shingle))
+            SELECT e1.doc_id AS x, e2.doc_id AS y,
+                   count(*)::BIGINT AS n_shared
+            FROM e e1 JOIN e e2
+              ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id
+            GROUP BY x, y
+            ORDER BY n_shared DESC, x, y
+            LIMIT 25
         """,
         # common-neighbor top-k as a self-join on the symmetrized deduped
         # adjacency; (count DESC, x, y) makes the LIMIT deterministic

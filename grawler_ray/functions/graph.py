@@ -759,6 +759,7 @@ def common_neighbors_topk(
     num_groups: int = 64,
     driver_max_edges: int = 2_000_000,
     driver_max_wedges: int = 2_000_000,
+    max_degree: int | None = None,
 ):
     """Top-k node pairs by COMMON-NEIGHBOR count (co-citation link
     prediction, Liben-Nowell & Kleinberg 2003): for every unordered pair
@@ -777,9 +778,15 @@ def common_neighbors_topk(
     per (x, y) INSIDE the group (partials ∝ distinct pairs, not wedges),
     then one packed-key coarse groupby finishes the counts and each
     output block emits its local top-k — the driver pull is ≤ k rows per
-    block.  Wedge volume is Σ C(deg(m), 2): hub-heavy graphs need a
-    degree cap / orientation before this operator (same documented
-    assumption as triangle_count); it fails loudly past 2^31 ids.
+    block.  Wedge volume is Σ C(deg(m), 2): for hub-heavy graphs pass
+    ``max_degree`` — middle vertices whose (deduped, symmetrized) degree
+    exceeds it are excluded from the middle role, the standard
+    prefix-filter mitigation; a vertex's whole adjacency lives in one
+    coarse group (sg is a function of s), so the run length IS the
+    global degree and the cap is exact, mirrored in SQL as
+    ``HAVING count(*) <= max_degree`` on the adjacency CTE.  This is
+    what makes doc–term similarity joins usable: stopword-grade terms
+    are exactly the capped hubs.  Fails loudly past 2^31 ids.
 
     Size-adaptive: below (driver_max_edges, driver_max_wedges) the whole
     thing is driver numpy — identical kernel, asserted equal in tests.
@@ -837,6 +844,13 @@ def common_neighbors_topk(
         )
         starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
         d = np.append(starts[1:], len(s)) - starts
+        if max_degree is not None and len(d):
+            keep_run = np.repeat(d <= max_degree, d)
+            s, t = s[keep_run], t[keep_run]
+            starts = np.flatnonzero(
+                np.concatenate(([True], s[1:] != s[:-1]))
+            ) if len(s) else np.array([], np.int64)
+            d = np.append(starts[1:], len(s)) - starts if len(s) else d[:0]
         n_wedges = int((d * (d - 1) // 2).sum())
         if n_wedges <= driver_max_wedges:
             x, y = _wedge_pairs(s, t)
@@ -866,6 +880,11 @@ def common_neighbors_topk(
             ([True], (s[1:] != s[:-1]) | (t[1:] != t[:-1]))
         ) if len(s) else np.array([], bool)
         s, t = s[keep], t[keep]
+        if max_degree is not None and len(s):
+            rs = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+            rd = np.append(rs[1:], len(s)) - rs
+            keep_run = np.repeat(rd <= max_degree, rd)
+            s, t = s[keep_run], t[keep_run]
         x, y = _wedge_pairs(s, t)
         key = _pack(x, y)
         uk, counts = np.unique(key, return_counts=True)
@@ -906,6 +925,170 @@ def common_neighbors_topk(
         pairs_ds.map_batches(tag_dir, batch_format="pandas")
         .groupby("sg")
         .map_groups(wedge_partials, batch_format="pandas")
+        .groupby("kg")
+        .map_groups(finish_group, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def membership_copair_topk(
+    memberships_ds,
+    group_col: str,
+    member_col: str,
+    k: int = 25,
+    max_group_size: int | None = None,
+    num_groups: int = 64,
+    driver_max_rows: int = 2_000_000,
+    driver_max_wedges: int = 2_000_000,
+):
+    """Bipartite common-membership top-k: given (group, member) rows, the
+    k member pairs (x < y) sharing the most groups — the similarity-join
+    primitive behind "docs sharing the most rare terms" dedup candidate
+    generation (prefix-filtered set-similarity, Chaudhuri et al. 2006's
+    idea in its simplest exact form).  Groups may be ANY dtype (words,
+    hosts); members must be int64 ids (< 2^31 for key packing).
+    ``max_group_size`` excludes hub groups from pairing — the exact
+    SQL-mirrorable prefix filter (``HAVING count(*) <= cap``): stopword-
+    grade terms are precisely the capped groups, and without a cap the
+    pair volume is Σ C(|g|, 2).
+
+    Deterministic output ordering (count DESC, x, y); the DuckDB oracle
+    is a self-join on the deduped membership CTE.  Scale shape: ONE
+    coarse group-hash exchange (a group's rows co-locate, so the run
+    length is the exact global size), vectorized in-run pair enumeration
+    (_wedge_pairs), per-(x, y) partial counts, one packed-key exchange
+    to finish, per-block top-k, ≤ k rows per block to the driver.
+    Size-adaptive driver path below (driver_max_rows,
+    driver_max_wedges); both paths asserted equal in tests.
+    Output: (x:int64, y:int64, n_shared:int64).
+    """
+    import ray.data
+
+    memberships_ds = memberships_ds.materialize()
+
+    def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        if len(x) and (int(x.max()) >= (1 << 31) or int(y.max()) >= (1 << 31)):
+            raise OverflowError(
+                "membership_copair_topk id packing needs member ids < 2^31"
+            )
+        return x * np.int64(1 << 31) + y
+
+    def _topk(x: np.ndarray, y: np.ndarray, c: np.ndarray):
+        order = np.lexsort((y, x, -c))[:k]
+        return x[order], y[order], c[order]
+
+    def _out(x, y, c) -> pa.Table:
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "n_shared": pa.array(c, pa.int64()),
+            }
+        )
+
+    def _run_pairs(gcodes: np.ndarray, v: np.ndarray):
+        """Dedup + size-cap + pair-enumerate one already-factorized
+        membership array; returns packed keys of every in-group pair."""
+        order = np.lexsort((v, gcodes))
+        g, vv = gcodes[order], v[order]
+        keep = np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (vv[1:] != vv[:-1]))
+        ) if len(g) else np.array([], bool)
+        g, vv = g[keep], vv[keep]
+        if max_group_size is not None and len(g):
+            rs = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+            rd = np.append(rs[1:], len(g)) - rs
+            keep_run = np.repeat(rd <= max_group_size, rd)
+            g, vv = g[keep_run], vv[keep_run]
+        x, y = _wedge_pairs(g, vv)
+        return _pack(x, y)
+
+    n_rows = memberships_ds.count()
+    if n_rows <= driver_max_rows:
+        if n_rows == 0:
+            z = np.array([], np.int64)
+            return ray.data.from_arrow(_out(z, z, z))
+        mp = memberships_ds.select_columns([group_col, member_col]).to_pandas()
+        gcodes = pd.factorize(mp[group_col].to_numpy())[0].astype(np.int64)
+        v = mp[member_col].to_numpy().astype(np.int64)
+        # wedge bound check on deduped runs (cheap, before enumeration)
+        order = np.lexsort((v, gcodes))
+        g2, v2 = gcodes[order], v[order]
+        keep = np.concatenate(
+            ([True], (g2[1:] != g2[:-1]) | (v2[1:] != v2[:-1]))
+        )
+        g2 = g2[keep]
+        rs = np.flatnonzero(np.concatenate(([True], g2[1:] != g2[:-1])))
+        rd = np.append(rs[1:], len(g2)) - rs
+        if max_group_size is not None:
+            rd = rd[rd <= max_group_size]
+        if int((rd * (rd - 1) // 2).sum()) <= driver_max_wedges:
+            key = _run_pairs(gcodes, v)
+            uk, counts = np.unique(key, return_counts=True)
+            return ray.data.from_arrow(
+                _out(
+                    *_topk(
+                        uk >> np.int64(31),
+                        uk & np.int64((1 << 31) - 1),
+                        counts.astype(np.int64),
+                    )
+                )
+            )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        g = np.asarray(df[group_col].to_numpy(), dtype=object)
+        return pd.DataFrame(
+            {
+                "gh": (pd.util.hash_array(g) % np.uint64(num_groups)).astype(
+                    np.int32
+                ),
+                "g": df[group_col].to_numpy(),
+                "v": df[member_col].to_numpy(np.int64),
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        gcodes = pd.factorize(df["g"].to_numpy())[0].astype(np.int64)
+        key = _run_pairs(gcodes, df["v"].to_numpy(np.int64))
+        uk, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "kg": _ghash(uk, num_groups),
+                "key": uk,
+                "cnt": counts.astype(np.int64),
+            }
+        )
+
+    def finish_group(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        if len(key):
+            starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+            uk = key[starts]
+            total = np.add.reduceat(cnt, starts)
+        else:
+            uk, total = key, cnt
+        x, y, c = _topk(
+            uk >> np.int64(31), uk & np.int64((1 << 31) - 1), total
+        )
+        return pd.DataFrame({"x": x, "y": y, "n_shared": c})
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return _out(
+            *_topk(
+                df["x"].to_numpy(np.int64),
+                df["y"].to_numpy(np.int64),
+                df["n_shared"].to_numpy(np.int64),
+            )
+        )
+
+    return (
+        memberships_ds.map_batches(tag, batch_format="pandas")
+        .groupby("gh")
+        .map_groups(pair_partials, batch_format="pandas")
         .groupby("kg")
         .map_groups(finish_group, batch_format="pandas")
         .repartition(1)

@@ -488,3 +488,132 @@ class TestCommonNeighbors:
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         )
         assert common_neighbors_topk(empty, k=5).count() == 0
+
+
+class TestMembershipCopair:
+    def _toy(self):
+        import pyarrow as pa
+        import ray.data
+
+        # groups: g1={1,2,3}, g2={1,2}, g3={2,3}, hub={1,2,3,4}
+        g = ["g1"] * 3 + ["g2"] * 2 + ["g3"] * 2 + ["hub"] * 4
+        v = [1, 2, 3, 1, 2, 2, 3, 1, 2, 3, 4]
+        return ray.data.from_arrow(pa.table({"grp": g, "member": v}))
+
+    def test_planted_counts(self, ray_session):
+        from grawler_ray.functions.graph import membership_copair_topk
+
+        got = membership_copair_topk(
+            self._toy(), "grp", "member", k=10
+        ).to_pandas()
+        # (1,2): g1,g2,hub=3; (2,3): g1,g3,hub=3; (1,3): g1,hub=2; ...
+        top = got[["x", "y", "n_shared"]].values.tolist()
+        assert top[0] == [1, 2, 3] and top[1] == [2, 3, 3]
+        assert [1, 3, 2] in top
+
+    def test_group_size_cap(self, ray_session):
+        from grawler_ray.functions.graph import membership_copair_topk
+
+        got = membership_copair_topk(
+            self._toy(), "grp", "member", k=10, max_group_size=3
+        ).to_pandas()
+        # hub (size 4) excluded: (1,2)=2, (2,3)=2, (1,3)=1; no pairs with 4
+        assert 4 not in set(got["x"]).union(got["y"])
+        top = got[["x", "y", "n_shared"]].values.tolist()
+        assert top[0] == [1, 2, 2] and top[1] == [2, 3, 2]
+
+    def test_distributed_equals_driver(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import membership_copair_topk
+
+        rng = np.random.RandomState(7)
+        g = [f"g{int(x)}" for x in rng.randint(0, 200, 5000)]
+        v = rng.randint(0, 300, 5000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"grp": g, "member": v}))
+
+        def run(**kw):
+            return (
+                membership_copair_topk(
+                    ds, "grp", "member", k=30, max_group_size=40, **kw
+                )
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(run(), run(driver_max_rows=0))
+
+    def test_vs_duckdb(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import membership_copair_topk
+
+        rng = np.random.RandomState(11)
+        g = [f"w{int(x)}" for x in rng.randint(0, 50, 2000)]
+        v = rng.randint(0, 100, 2000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"grp": g, "member": v}))
+        got = membership_copair_topk(
+            ds, "grp", "member", k=20, max_group_size=30
+        ).to_pandas()
+        df = pd.DataFrame({"grp": g, "member": v})
+        exp = duckdb.sql(
+            """WITH m AS (SELECT DISTINCT grp, member FROM df),
+            ok AS (SELECT grp FROM m GROUP BY grp HAVING count(*) <= 30),
+            e AS (SELECT m.grp, m.member FROM m JOIN ok USING (grp))
+            SELECT e1.member AS x, e2.member AS y,
+                   count(*)::BIGINT AS n_shared
+            FROM e e1 JOIN e e2
+              ON e1.grp = e2.grp AND e1.member < e2.member
+            GROUP BY x, y ORDER BY n_shared DESC, x, y LIMIT 20"""
+        ).df()
+        assert got.values.tolist() == exp.values.tolist()
+
+
+class TestCommonNeighborsDegreeCap:
+    def test_cap_excludes_hub_middle(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        # star: hub 99 adjacent to 1..5; plus chord 1-2 via middle 7
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": [99, 99, 99, 99, 99, 7, 7],
+                    "b": [1, 2, 3, 4, 5, 1, 2],
+                }
+            )
+        )
+        full = common_neighbors_topk(pairs, k=20).to_pandas()
+        assert [1, 2, 2] in full[["x", "y", "n_common"]].values.tolist()
+        capped = common_neighbors_topk(pairs, k=20, max_degree=3).to_pandas()
+        # hub 99 (deg 5) excluded as the MIDDLE vertex (it may still be an
+        # endpoint): (3,4)/(3,5)/... via middle 99 vanish; what's left is
+        # (7,99) via middles 1 and 2, and (1,2) via middle 7
+        assert capped[["x", "y", "n_common"]].values.tolist() == [
+            [7, 99, 2],
+            [1, 2, 1],
+        ]
+
+    def test_cap_distributed_equals_driver(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import common_neighbors_topk
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 150, 3000).astype(np.int64)
+        b = (rng.randint(0, 150, 3000) + 1000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"a": a, "b": b}))
+
+        def run(**kw):
+            return (
+                common_neighbors_topk(ds, k=15, max_degree=25, **kw)
+                .to_pandas()
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(run(), run(driver_max_edges=0))
