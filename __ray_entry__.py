@@ -706,6 +706,25 @@ def _weighted_sample(sf_dir: str):
     )
 
 
+def _winsorized_spend(sf_dir: str):
+    """Per-priority winsorized order totals (cents clipped at the exact
+    p05/p95 discrete quantiles): exact-histogram shuffle, per-group
+    quantile walk, 2-int-per-group broadcast, stateless clip pass."""
+    from grawler_ray.functions.stats import grouped_winsorize
+
+    return grouped_winsorize(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        ),
+        group_col="o_orderpriority",
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        value_scale=100,
+        lo_pct=5,
+        hi_pct=95,
+    )
+
+
 def _source_lang_rollup(sf_dir: str):
     """Multi-granularity corpus-composition report: docs + chars per
     (source, lang), per-source subtotals, and a grand total — SQL's
@@ -2213,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_part_bfs": _order_part_bfs,
         "copurchase_topk": _copurchase_topk,
         "related_docs_topk": _related_docs_topk,
+        "winsorized_spend": _winsorized_spend,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3337,6 +3357,28 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT l_partkey + 10000000 FROM lineitem),
             best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
             SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
+        """,
+        # per-group winsorization at exact discrete quantiles — the pinned
+        # integer rank (n*q+99)//100 walked over the windowed cumsum
+        "winsorized_spend": """
+            WITH c AS (SELECT o_orderkey, o_orderpriority AS g,
+                              CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS x
+                       FROM orders),
+            h AS (SELECT g, x, count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2),
+            tot AS (SELECT g, sum(cnt)::BIGINT AS nt FROM h GROUP BY 1),
+            cum AS (SELECT h.g, h.x,
+                           sum(h.cnt) OVER (PARTITION BY h.g ORDER BY h.x) AS cn,
+                           t.nt
+                    FROM h JOIN tot t USING (g)),
+            q AS (SELECT g,
+                         min(CASE WHEN cn >= (nt*5+99)//100 THEN x END)::BIGINT AS lo,
+                         min(CASE WHEN cn >= (nt*95+99)//100 THEN x END)::BIGINT AS hi
+                  FROM cum GROUP BY g)
+            SELECT c.o_orderkey, c.g AS o_orderpriority,
+                   CASE WHEN c.x < q.lo THEN q.lo
+                        WHEN c.x > q.hi THEN q.hi
+                        ELSE c.x END AS clipped
+            FROM c JOIN q USING (g)
         """,
         # prefix-filtered set-similarity join: doc pairs sharing the most
         # rare bigram shingles, hub shingles excluded exactly (HAVING <= cap)

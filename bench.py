@@ -137,7 +137,7 @@ def run_subqueries() -> dict[str, float]:
         "prep_corpus", "curate_corpus", "lineitem_moments",
         "qty_discount_corr", "zscore_orders", "bpe_merges",
         "qty_histogram", "weighted_sample", "order_part_bfs",
-        "copurchase_topk", "related_docs_topk",
+        "copurchase_topk", "related_docs_topk", "winsorized_spend",
     ]
     import ray.data
 

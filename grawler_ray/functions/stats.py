@@ -42,6 +42,7 @@ __all__ = [
     "grouped_moments",
     "grouped_corr",
     "grouped_histogram",
+    "grouped_winsorize",
     "zscore_normalize",
     "bpe_train",
 ]
@@ -272,6 +273,131 @@ def grouped_histogram(
         .map_batches(partial, batch_format="pyarrow")
         .groupby([group_col, "bin"])
         .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def grouped_winsorize(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    driver_max_bins: int = 2_000_000,
+):
+    """Per-group winsorization (outlier clipping) at exact discrete
+    quantiles: x = floor(v·scale+0.5) is clipped into [p_lo, p_hi] of its
+    group, where p_q is the pinned integer quantile (smallest value whose
+    cumulative count reaches ``(n·q+99)//100`` — the length_quantiles
+    definition, mirrored verbatim by the oracle's windowed-cumsum SQL).
+
+    Scale shape (the zscore_normalize two-phase pattern): phase 1 builds
+    the exact (group, value) HISTOGRAM — shuffle volume ∝ distinct
+    (group, value) pairs, bounded by the value domain, never the corpus —
+    and walks per-group quantiles on the driver under ``driver_max_bins``
+    (raises naming the sort-based alternative above it); the (lo, hi)
+    bounds table (2 ints per group) broadcasts once via ``ray.put`` and
+    phase 2 is a stateless shuffle-free vectorized clip.
+    Output: (id_col, group_col, clipped:int64).
+    """
+    import ray
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        return _hist_rows(t, _scaled_int(t.column(value_col), value_scale))
+
+    def _hist_rows(t: pa.Table, x: np.ndarray) -> pa.Table:
+        import pandas as pd
+
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        if len(x) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        # packed-key unique, not a bincount: value domains like cents
+        # prices are ~10^7 wide, so a dense per-batch bincount would
+        # allocate GBs; sort-based unique is ∝ batch rows instead
+        if int(x.min()) < 0 or int(x.max()) >= (1 << 48):
+            raise ValueError(
+                "grouped_winsorize needs scaled values in [0, 2^48)"
+            )
+        combo = (gcodes.astype(np.int64) << np.int64(48)) | x
+        uk, counts = np.unique(combo, return_counts=True)
+        g_idx = (uk >> np.int64(48)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array([guniq[i] for i in g_idx], pa.string()),
+                "x": pa.array(uk & np.int64((1 << 48) - 1), pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _sum_partials_nocount(
+            ds.select_columns([group_col, value_col]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            ),
+            [group_col, "x"],
+            "cnt",
+        ).materialize()
+    )
+    n_bins = hist.count()
+    if n_bins > driver_max_bins:
+        raise ValueError(
+            f"histogram has {n_bins} bins (> {driver_max_bins}); "
+            f"{value_col} is not histogram-shaped — winsorize via a "
+            "sort-based per-group quantile instead"
+        )
+    import pandas as pd
+
+    hd = hist.to_pandas().sort_values([group_col, "x"])
+    bounds: dict = {}
+    for grp, sub in hd.groupby(group_col, sort=False):
+        vals = sub["x"].to_numpy(np.int64)
+        cum = sub["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (n * lo_pct + 99) // 100)])
+        hi = int(vals[np.searchsorted(cum, (n * hi_pct + 99) // 100)])
+        bounds[grp] = (lo, hi)
+    b_ref = ray.put(bounds)
+
+    def clip(t: pa.Table) -> pa.Table:
+        bnd = ray.get(b_ref)
+        x = _scaled_int(t.column(value_col), value_scale)
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        lo = np.array([bnd[g][0] for g in guniq], np.int64)[gcodes]
+        hi = np.array([bnd[g][1] for g in guniq], np.int64)[gcodes]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "clipped": pa.array(np.clip(x, lo, hi), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        clip, batch_format="pyarrow"
+    )
+
+
+def _sum_partials_nocount(ds, key_cols: list[str], value_col: str):
+    """groupby(keys).sum(value) over arrow partial blocks, renamed back to
+    ``value_col`` (the arrow-block fast-path discipline of _sum_partials,
+    without the implicit n column)."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(Sum(value_col, alias_name=value_col))
     )
 
 

@@ -279,3 +279,50 @@ def test_grouped_histogram_negative_raises(ray_session):
     )
     with pytest.raises(Exception, match="negative scaled values"):
         grouped_histogram(ds, "g", "v", bin_width=10, value_scale=100).take_all()
+
+
+def test_grouped_winsorize_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_winsorize
+
+    got = (
+        grouped_winsorize(
+            _read(
+                ray_session, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            ),
+            group_col="o_orderpriority",
+            id_col="o_orderkey",
+            value_col="o_totalprice",
+            value_scale=100,
+            lo_pct=5,
+            hi_pct=95,
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH c AS (SELECT o_orderkey, o_orderpriority AS g,
+                      CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS x
+                      FROM '{SF}/orders.parquet'),
+        h AS (SELECT g, x, count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2),
+        tot AS (SELECT g, sum(cnt)::BIGINT AS nt FROM h GROUP BY 1),
+        cum AS (SELECT h.g, h.x,
+                       sum(h.cnt) OVER (PARTITION BY h.g ORDER BY h.x) AS cn,
+                       t.nt
+                FROM h JOIN tot t USING (g)),
+        q AS (SELECT g,
+                     min(CASE WHEN cn >= (nt*5+99)//100 THEN x END)::BIGINT AS lo,
+                     min(CASE WHEN cn >= (nt*95+99)//100 THEN x END)::BIGINT AS hi
+              FROM cum GROUP BY g)
+        SELECT c.o_orderkey, c.g AS o_orderpriority,
+               CASE WHEN c.x < q.lo THEN q.lo
+                    WHEN c.x > q.hi THEN q.hi ELSE c.x END AS clipped
+        FROM c JOIN q USING (g) ORDER BY c.o_orderkey"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # ~90% of rows untouched, tails clipped
+    raw = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert len(got) == raw
