@@ -706,6 +706,19 @@ def _weighted_sample(sf_dir: str):
     )
 
 
+def _transition_counts(sf_dir: str):
+    """First-order Markov event-type transition matrix: consecutive
+    same-user events in (ts, event_id) order — one coarse user-hash
+    shuffle, factorized bincount partials (∝ type-vocab², not events)."""
+    from grawler_ray.functions.events import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]
+        )
+    )
+
+
 def _winsorized_spend(sf_dir: str):
     """Per-priority winsorized order totals (cents clipped at the exact
     p05/p95 discrete quantiles): exact-histogram shuffle, per-group
@@ -2233,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_topk": _copurchase_topk,
         "related_docs_topk": _related_docs_topk,
         "winsorized_spend": _winsorized_spend,
+        "transition_counts": _transition_counts,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -3357,6 +3371,18 @@ def oracle_sql() -> dict[str, str]:
                       SELECT DISTINCT l_partkey + 10000000 FROM lineitem),
             best AS (SELECT v, min(d) AS depth FROM walk GROUP BY v)
             SELECT n.v, b.depth FROM nodes n LEFT JOIN best b USING (v)
+        """,
+        # per-user ordered event-type transitions via lead(); the
+        # (ts, event_id) tiebreak makes consecutive pairs deterministic
+        "transition_counts": """
+            SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+            FROM (SELECT event_type AS prev_type,
+                         lead(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS next_type
+                  FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY prev_type, next_type
         """,
         # per-group winsorization at exact discrete quantiles — the pinned
         # integer rank (n*q+99)//100 walked over the windowed cumsum

@@ -426,3 +426,56 @@ def user_retention(events_ds, num_groups: int = 256):
         .groupby(["cohort_hour", "offset_hours"])
         .aggregate(Sum("pn", alias_name="n_users"))
     )
+
+
+def transition_counts(events_ds, num_groups: int = 256):
+    """Per-user event-type transition counts (the first-order Markov
+    behavior matrix): for consecutive events of the SAME user in
+    (ts, event_id) order, count each (prev_type, next_type) pair.
+    SQL mirror: lead(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id), count non-null pairs.
+
+    Scale shape: ONE coarse user-hash shuffle (a user's events
+    co-locate, so consecutive-pair validity is a run-scan), per-group
+    factorized bincount partials — one row per distinct (prev, next)
+    per group, ∝ type-vocabulary², never events — finished by a tiny
+    two-key arrow aggregate (pandas map_groups output is routed through
+    an arrow pass first: the Ray 2.49 pandas-block aggregate slow path,
+    CLAUDE.md).  Output (prev_type, next_type, n_transitions).
+    """
+    from ray.data.aggregate import Sum
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, _, _ = _user_starts(df)
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"prev_type": [], "next_type": [], "cnt": []}
+            ).astype({"prev_type": str, "next_type": str, "cnt": np.int64})
+        valid = users[1:] == users[:-1]
+        prev = types[:-1][valid]
+        nxt = types[1:][valid]
+        pf, pu = pd.factorize(prev)
+        nf, nu = pd.factorize(nxt)
+        if len(pu) == 0:
+            return pd.DataFrame(
+                {"prev_type": [], "next_type": [], "cnt": []}
+            ).astype({"prev_type": str, "next_type": str, "cnt": np.int64})
+        combo = pf.astype(np.int64) * len(nu) + nf
+        counts = np.bincount(combo, minlength=len(pu) * len(nu))
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "prev_type": [pu[i] for i in nz // len(nu)],
+                "next_type": [nu[i] for i in nz % len(nu)],
+                "cnt": counts[nz].astype(np.int64),
+            }
+        )
+
+    return (
+        _coarse_user_groupby(events_ds, fn)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("cnt", alias_name="n_transitions"))
+    )

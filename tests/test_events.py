@@ -144,3 +144,60 @@ def test_grouped_running_sum_planted(ray_session):
     assert out.loc[13, "cum"] == 7 and out.loc[14, "cum"] == 47
     assert out.loc[15, "cum"] == 500
     assert (out["g"].to_numpy() >= 1).all() and len(out) == 6
+
+
+def test_transition_counts_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grawler_ray.functions.events import transition_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        transition_counts(
+            ray.data.read_parquet(
+                f"{sf}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+        )
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+        FROM (SELECT event_type AS prev_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM '{sf}/events.parquet')
+        WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type ORDER BY prev_type, next_type"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_transition_counts_single_user_chain(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import transition_counts
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+            "user_id": [7, 7, 7, 9, 9],
+            "event_type": ["a", "b", "a", "a", "b"],
+        }
+    )
+    got = (
+        transition_counts(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    # user 7: a->b, b->a; user 9: a->b  (no cross-user 'a'->'a' pair)
+    assert got.values.tolist() == [["a", "b", 2], ["b", "a", 1]]
