@@ -719,6 +719,20 @@ def _transition_counts(sf_dir: str):
     )
 
 
+def _ewma_scores(sf_dir: str):
+    """Per-user exponential-decay recency score (24h halflife) — one
+    coarse user-hash shuffle + run-scan; rows-only (2^x is libm, not
+    SQL-hash-stable); tests/test_events.py holds the serial numpy
+    oracle equality."""
+    from grawler_ray.functions.events import ewma_user_score
+
+    return ewma_user_score(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "value"]
+        )
+    )
+
+
 def _winsorized_spend(sf_dir: str):
     """Per-priority winsorized order totals (cents clipped at the exact
     p05/p95 discrete quantiles): exact-histogram shuffle, per-group
@@ -2247,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_docs_topk": _related_docs_topk,
         "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
+        "ewma_scores": _ewma_scores,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,

@@ -479,3 +479,62 @@ def transition_counts(events_ds, num_groups: int = 256):
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("cnt", alias_name="n_transitions"))
     )
+
+
+def ewma_user_score(
+    events_ds,
+    halflife_hours: float = 24.0,
+    num_groups: int = 256,
+    out_scale: int = 1_000_000,
+):
+    """Per-user exponential-decay recency score: each event's
+    integer-scaled value is decayed to the user's LAST event time,
+
+        score(u) = Σ_i cents_i · 2^(-Δt_i / halflife),
+        Δt_i = t_last(u) − t_i,
+
+    the standard recency-weighted activity feature.  Rows-only check
+    (2^x is a libm call, not SQL-hash-stable); the serial numpy oracle
+    in tests/test_events.py pins the kernel, and determinism holds
+    because each user's sum is computed in ONE kernel in (ts, event_id)
+    order — no cross-partition float accumulation (the user's events
+    co-locate in their coarse group).  Output
+    (user_id, n_events, score_micro:int64) with score_micro =
+    floor(out_scale · score / 100) (micro-dollars from cents).
+
+    Scale shape: ONE coarse user-hash shuffle + a vectorized run-scan
+    (reduceat per user run); output is one row per user.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, start_idx = _user_starts(df)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "score_micro": np.array([], np.int64),
+                }
+            )
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        users = df["user_id"].to_numpy()
+        starts = np.flatnonzero(is_start)
+        ends = np.append(starts[1:], len(df))
+        # t_last per run, broadcast to rows
+        t_last = ts[ends - 1]
+        dt_us = np.repeat(t_last, ends - starts) - ts
+        decay = np.exp2(-dt_us / (halflife_hours * US_PER_HOUR))
+        contrib = cents.astype(np.float64) * decay
+        score = np.add.reduceat(contrib, starts)
+        return pd.DataFrame(
+            {
+                "user_id": users[starts].astype(np.int64),
+                "n_events": (ends - starts).astype(np.int64),
+                "score_micro": np.floor(
+                    score * (out_scale / 100.0)
+                ).astype(np.int64),
+            }
+        )
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)

@@ -201,3 +201,80 @@ def test_transition_counts_single_user_chain(ray_session):
     )
     # user 7: a->b, b->a; user 9: a->b  (no cross-user 'a'->'a' pair)
     assert got.values.tolist() == [["a", "b", 2], ["b", "a", 1]]
+
+
+def test_ewma_user_score_vs_serial_numpy(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from grawler_ray.functions.events import ewma_user_score
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ewma_user_score(
+            ray.data.read_parquet(
+                f"{sf}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"],
+            ),
+            halflife_hours=24.0,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    import numpy as np
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, sub in df.groupby("user_id", sort=True):
+        ts = sub["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        cents = np.floor(sub["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        dt = ts[-1] - ts
+        score = float(
+            np.add.reduceat(
+                cents.astype(np.float64)
+                * np.exp2(-dt / (24.0 * 3_600_000_000)),
+                [0],
+            )[0]
+        )
+        rows.append(
+            {
+                "user_id": int(uid),
+                "n_events": len(sub),
+                "score_micro": int(np.floor(score * (1_000_000 / 100.0))),
+            }
+        )
+    exp = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ewma_decay_direction(ray_session):
+    """An old burst decays; an identical recent burst doesn't."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import ewma_user_score
+
+    H = 3_600_000_000
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pa.array([0, 48 * H, 0, H], pa.timestamp("us")),
+            "user_id": [1, 1, 2, 2],
+            "value": [100.0, 1.0, 100.0, 1.0],
+        }
+    )
+    got = (
+        ewma_user_score(ray.data.from_arrow(t), halflife_hours=24.0)
+        .to_pandas()
+        .set_index("user_id")["score_micro"]
+    )
+    # user 1: $100 (=10000c) decayed 48h (2 halflives -> /4) + $1 (=100c)
+    #   -> 2600 cents -> 26_000_000 micro-dollars
+    # user 2: $100 decayed 1h + $1 -> ~$98.2 -> bigger
+    assert got[2] > got[1]
+    assert abs(got[1] - int((10000 * 0.25 + 100) * 1_000_000 / 100 // 1)) <= 1
