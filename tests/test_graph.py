@@ -617,3 +617,57 @@ class TestCommonNeighborsDegreeCap:
             )
 
         pd.testing.assert_frame_equal(run(), run(driver_max_edges=0))
+
+
+class TestBfsDistributedEdges:
+    def test_distributed_early_exit_isolated_seed(self, ray_session):
+        """Seed with no edges: the distributed loop's first iteration
+        reaches nobody and must break, leaving depth 0 at the seed and
+        NULL everywhere else."""
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import bfs_depth
+
+        pairs = ray.data.from_arrow(pa.table({"a": [2], "b": [3]}))
+        nodes = ray.data.from_arrow(pa.table({"v": [1, 2, 3]}))
+        got = (
+            bfs_depth(
+                pairs_ds=pairs,
+                nodes_ds=nodes,
+                seeds=[1],
+                max_iters=5,
+                driver_max_nodes=0,
+                driver_max_edges=0,
+            )
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert got["v"].tolist() == [1, 2, 3]
+        d = got["depth"].tolist()
+        assert d[0] == 0.0 and np.isnan(d[1]) and np.isnan(d[2])
+
+    def test_distributed_duplicate_node_rows(self, ray_session):
+        """nodes_ds with duplicate rows: the update run-scan must emit one
+        state row per distinct v (both paths)."""
+        import pyarrow as pa
+        import ray.data
+
+        from grawler_ray.functions.graph import bfs_depth
+
+        pairs = ray.data.from_arrow(pa.table({"a": [1], "b": [2]}))
+        nodes = ray.data.from_arrow(pa.table({"v": [1, 1, 2, 2, 2, 3]}))
+
+        def run(**guards):
+            return (
+                bfs_depth(nodes, pairs, seeds=[1], max_iters=2, **guards)
+                .to_pandas()
+                .sort_values("v")
+                .reset_index(drop=True)
+            )
+
+        drv = run()
+        dist = run(driver_max_nodes=0, driver_max_edges=0)
+        assert drv["v"].tolist() == [1, 2, 3]
+        pd.testing.assert_frame_equal(drv, dist)
