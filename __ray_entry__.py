@@ -733,6 +733,19 @@ def _ewma_scores(sf_dir: str):
     )
 
 
+def _winnow_fps(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) per doc —
+    rows-only (rolling hashes aren't SQL-expressible); the brute-force
+    oracle lives in tests/test_textstats_winnow.py."""
+    from grawler_ray.functions.textstats import winnow_fingerprints_batch
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(winnow_fingerprints_batch, batch_format="pyarrow")
+    )
+
+
 def _winsorized_spend(sf_dir: str):
     """Per-priority winsorized order totals (cents clipped at the exact
     p05/p95 discrete quantiles): exact-histogram shuffle, per-group
@@ -2262,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
         "ewma_scores": _ewma_scores,
+        "winnow_fps": _winnow_fps,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,

@@ -138,7 +138,7 @@ def run_subqueries() -> dict[str, float]:
         "qty_discount_corr", "zscore_orders", "bpe_merges",
         "qty_histogram", "weighted_sample", "order_part_bfs",
         "copurchase_topk", "related_docs_topk", "winsorized_spend",
-        "transition_counts", "ewma_scores",
+        "transition_counts", "ewma_scores", "winnow_fps",
     ]
     import ray.data
 

@@ -1240,3 +1240,75 @@ def vocab_coverage(docs_ds, vocab_size: int = 50):
         )
 
     return docs_ds.map_batches(cover, batch_format="pyarrow")
+
+
+def winnow_fingerprints_batch(
+    t: pa.Table, k: int = 5, window: int = 4, mod: int = (1 << 61) - 1, base: int = 257
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    selection rule): hash every k-gram of the lowercased text with the
+    polynomial rolling hash, slide a window of ``window`` consecutive
+    hashes, and select each window's minimum (RIGHTMOST position on ties —
+    the paper's rule); dedupe selected positions.  The selected set is a
+    position-robust ~1/window sample of the k-gram hashes with the
+    guarantee that any shared substring of length >= k + window - 1
+    contributes at least one shared fingerprint.
+
+    Vectorized per doc: one pass builds all rolling hashes (numpy object
+    ops avoided via Python-int Horner on the byte array — k is small),
+    window minima via a sliding-window argmin over a strided view.
+    Rows-only check (rolling hashes aren't SQL-expressible); the oracle in
+    tests/test_textstats_winnow.py is an independent brute-force loop.
+
+    Output per doc: (doc_id, n_fingerprints:int64, min_fp:int64,
+    fp_xor:int64) — the count, minimum and XOR-fold of the selected
+    fingerprint set (set-order-independent digests, so the row is
+    deterministic under any partitioning).  Stateless map — shuffle-free.
+    """
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n_out, mn_out, xor_out = [], [], []
+    top = pow(base, k - 1, mod)
+    for txt in texts:
+        b = (txt or "").lower().encode("utf-8")
+        n = len(b)
+        if n < k:
+            n_out.append(0)
+            mn_out.append(None)
+            xor_out.append(0)
+            continue
+        # rolling k-gram hashes
+        h = 0
+        for c in b[:k]:
+            h = (h * base + c) % mod
+        hs = np.empty(n - k + 1, np.int64)
+        hs[0] = h
+        for i in range(1, n - k + 1):
+            h = ((h - b[i - 1] * top) * base + b[i + k - 1]) % mod
+            hs[i] = h
+        m = len(hs)
+        if m <= window:
+            sel = np.array([int(np.flatnonzero(hs == hs.min())[-1])])
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(hs, window)
+            # rightmost min per window: argmin on the reversed view
+            rev_arg = np.argmin(win[:, ::-1], axis=1)
+            sel = np.unique(np.arange(m - window + 1) + (window - 1 - rev_arg))
+        fps = np.unique(hs[sel])
+        n_out.append(int(len(fps)))
+        mn_out.append(int(fps.min()))
+        x = 0
+        for v in fps.tolist():
+            x ^= v
+        xor_out.append(x)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_fingerprints": pa.array(n_out, pa.int64()),
+            "min_fp": pa.array(mn_out, pa.int64()),
+            "fp_xor": pa.array(xor_out, pa.int64()),
+        }
+    )
