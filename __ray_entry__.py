@@ -733,6 +733,32 @@ def _ewma_scores(sf_dir: str):
     )
 
 
+def _doc_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (token-diversity quality signal)
+    — shuffle-free vectorized map; 2-decimal integer-scaled entropy
+    emitted float64/NaN (empty docs NULL; driver repr rule)."""
+    from grawler_ray.functions.textstats import doc_entropy_batch
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(doc_entropy_batch, batch_format="pyarrow")
+    )
+
+
+def _path_trigrams(sf_dir: str):
+    """Per-user 3-step event-type paths (second-order Markov session
+    mining) — one coarse user-hash shuffle, factorized bincount
+    partials ∝ type-vocab³, tiny arrow three-key aggregate."""
+    from grawler_ray.functions.events import path_trigrams
+
+    return path_trigrams(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]
+        )
+    )
+
+
 def _winnow_fps(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) per doc —
     rows-only (rolling hashes aren't SQL-expressible); the brute-force
@@ -2274,6 +2300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_docs_topk": _related_docs_topk,
         "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
+        "path_trigrams": _path_trigrams,
+        "doc_entropy": _doc_entropy,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3412,6 +3440,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE next_type IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        # per-user 3-step paths via two lead()s; the (ts, event_id)
+        # tiebreak makes consecutive triples deterministic
+        "path_trigrams": """
+            SELECT step1_type, step2_type, step3_type,
+                   count(*)::BIGINT AS n_paths
+            FROM (SELECT event_type AS step1_type,
+                         lead(event_type, 1) OVER w AS step2_type,
+                         lead(event_type, 2) OVER w AS step3_type
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE step2_type IS NOT NULL AND step3_type IS NOT NULL
+            GROUP BY step1_type, step2_type, step3_type
+        """,
+        # per-doc token entropy: H = ln(n) - sum(c·ln c)/n over the
+        # lowercased \b\w+\b counts, 2-decimal-scaled (floor(x*100+0.5)
+        # both sides); empty docs NULL -> float64/NaN
+        "doc_entropy": r"""
+            WITH tok AS (SELECT doc_id,
+                                lower(unnest(regexp_extract_all(text, '\b\w+\b'))) AS w
+                         FROM documents),
+            c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w),
+            s AS (SELECT doc_id, sum(c)::BIGINT AS n,
+                         count(*)::BIGINT AS n_distinct,
+                         sum(c * ln(c)) AS clogc
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n, 0)::BIGINT AS n_words,
+                   coalesce(s.n_distinct, 0)::BIGINT AS n_distinct,
+                   CASE WHEN s.n > 0
+                        THEN floor((ln(s.n) - s.clogc / s.n) * 100 + 0.5)
+                   END AS entropy_c
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # per-group winsorization at exact discrete quantiles — the pinned
         # integer rank (n*q+99)//100 walked over the windowed cumsum

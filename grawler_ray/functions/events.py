@@ -481,6 +481,61 @@ def transition_counts(events_ds, num_groups: int = 256):
     )
 
 
+def path_trigrams(events_ds, num_groups: int = 256):
+    """Per-user 3-step event-type paths (second-order Markov / session
+    path mining): for each run of THREE consecutive same-user events in
+    (ts, event_id) order, count the (step1, step2, step3) type triple.
+    SQL mirror: two lead()s OVER (PARTITION BY user_id ORDER BY ts,
+    event_id), count fully-non-null triples.
+
+    Same scale shape as ``transition_counts``: ONE coarse user-hash
+    shuffle (a user's events co-locate, so triple validity is a
+    run-scan), per-group factorized bincount partials — one row per
+    distinct triple per group, ∝ type-vocabulary³, never events — then
+    the tiny arrow three-key aggregate.  Output
+    (step1_type, step2_type, step3_type, n_paths).
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pd.DataFrame(
+        {"step1_type": [], "step2_type": [], "step3_type": [], "cnt": []}
+    ).astype(
+        {"step1_type": str, "step2_type": str, "step3_type": str, "cnt": np.int64}
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, _, _ = _user_starts(df)
+        if len(df) < 3:
+            return empty.copy()
+        users = df["user_id"].to_numpy()
+        codes, uniq = pd.factorize(df["event_type"].to_numpy())
+        valid = (users[2:] == users[1:-1]) & (users[1:-1] == users[:-2])
+        if not valid.any():
+            return empty.copy()
+        v = len(uniq)
+        a = codes[:-2][valid].astype(np.int64)
+        b = codes[1:-1][valid].astype(np.int64)
+        c = codes[2:][valid].astype(np.int64)
+        combo = (a * v + b) * v + c
+        counts = np.bincount(combo, minlength=v * v * v)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "step1_type": [uniq[i] for i in nz // (v * v)],
+                "step2_type": [uniq[i] for i in (nz // v) % v],
+                "step3_type": [uniq[i] for i in nz % v],
+                "cnt": counts[nz].astype(np.int64),
+            }
+        )
+
+    return (
+        _coarse_user_groupby(events_ds, fn)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(["step1_type", "step2_type", "step3_type"])
+        .aggregate(Sum("cnt", alias_name="n_paths"))
+    )
+
+
 def ewma_user_score(
     events_ds,
     halflife_hours: float = 24.0,

@@ -119,6 +119,71 @@ def doc_stats_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def doc_entropy_batch(t: pa.Table, scale: int = 100) -> pa.Table:
+    """Per-doc unigram Shannon entropy (nats) of the lowercased
+    ``\\b\\w+\\b`` token distribution — the token-diversity quality
+    signal (low entropy = templated/boilerplate text; complements the
+    Gopher repetition rules in ``quality.py``).
+
+        H = ln(n) − (Σ_w c_w·ln c_w) / n
+
+    over the per-doc token counts c_w.  Output
+    (doc_id, n_words:int64, n_distinct:int64, entropy_c:float64) with
+    entropy_c = floor(H·scale + 0.5) — integer-scaled but emitted
+    float64/NaN because empty docs are NULL (driver repr rule,
+    CLAUDE.md: nullable numeric outputs must land float64/NaN).
+
+    Shuffle-free stateless map, vectorized like ``word_freq_batch``:
+    one factorize over the batch's tokens (original case; only uniques
+    are lowered), one np.unique over packed (doc, code) pairs, then two
+    vector ln() calls on the distinct-pair counts.  ln is libm on both
+    sides (numpy / DuckDB); at 2-decimal scaling a hash divergence
+    needs ~1e-12 disagreement within 5e-3 of a rounding boundary — the
+    same accepted risk as every floor(x·100+0.5) oracle in this repo.
+    """
+    import pandas as pd
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    ndocs = len(texts)
+    toks: list = []
+    lens = np.empty(ndocs, np.int64)
+    for i, text in enumerate(texts):
+        ws = _WORD_RE.findall(text or "")
+        toks.extend(ws)
+        lens[i] = len(ws)
+    n_distinct = np.zeros(ndocs, np.int64)
+    clogc = np.zeros(ndocs, np.float64)
+    if toks:
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        lcodes, luniq = pd.factorize(
+            np.asarray([u.lower() for u in uniq], dtype=object)
+        )
+        u = len(luniq)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        ucc, counts = np.unique(doc_idx * u + lcodes[codes], return_counts=True)
+        pair_doc = ucc // u
+        n_distinct = np.bincount(pair_doc, minlength=ndocs).astype(np.int64)
+        clogc = np.bincount(
+            pair_doc, weights=counts * np.log(counts), minlength=ndocs
+        )
+    nonzero = lens > 0
+    ent = np.full(ndocs, np.nan)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent[nonzero] = np.floor(
+            (np.log(lens[nonzero]) - clogc[nonzero] / lens[nonzero]) * scale
+            + 0.5
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(lens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "entropy_c": pa.array(ent, pa.float64()),
+        }
+    )
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Document fingerprint: first 16 hex chars of md5(text) — matches
     DuckDB substring(md5(text),1,16) for the oracle."""

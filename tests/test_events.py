@@ -278,3 +278,66 @@ def test_ewma_decay_direction(ray_session):
     # user 2: $100 decayed 1h + $1 -> ~$98.2 -> bigger
     assert got[2] > got[1]
     assert abs(got[1] - int((10000 * 0.25 + 100) * 1_000_000 / 100 // 1)) <= 1
+
+
+def test_path_trigrams_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grawler_ray.functions.events import path_trigrams
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        path_trigrams(
+            ray.data.read_parquet(
+                f"{sf}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+        )
+        .to_pandas()
+        .sort_values(["step1_type", "step2_type", "step3_type"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT step1_type, step2_type, step3_type,
+                   count(*)::BIGINT AS n_paths
+        FROM (SELECT event_type AS step1_type,
+                     lead(event_type, 1) OVER w AS step2_type,
+                     lead(event_type, 2) OVER w AS step3_type
+              FROM '{sf}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE step2_type IS NOT NULL AND step3_type IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_path_trigrams_user_boundaries(ray_session):
+    """Triples never cross users; a 3-event user yields exactly one."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import path_trigrams
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": pa.array([1, 2, 3, 4, 1, 2, 3], pa.timestamp("us")),
+            "user_id": [7, 7, 7, 7, 9, 9, 9],
+            "event_type": ["a", "b", "a", "b", "a", "a", "a"],
+        }
+    )
+    got = (
+        path_trigrams(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["step1_type", "step2_type", "step3_type"])
+        .reset_index(drop=True)
+    )
+    # user 7: (a,b,a), (b,a,b); user 9: (a,a,a); nothing spans 7->9
+    assert got.values.tolist() == [
+        ["a", "a", "a", 1],
+        ["a", "b", "a", 1],
+        ["b", "a", "b", 1],
+    ]

@@ -403,3 +403,36 @@ def test_bigram_lm_score_planted(ray_session):
         .sort_index()
     )
     assert join_out.equals(out)
+
+
+def test_doc_entropy_batch_hand_cases():
+    """Entropy: 0 for a constant doc, ln(n) for all-distinct, lowercase
+    merge before counting, NaN (not a pandas NA) for empty docs."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from grawler_ray.functions.textstats import doc_entropy_batch
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["x x x x", "a b c d", "", "A a b"],
+        }
+    )
+    out = doc_entropy_batch(t)
+    df = out.to_pandas().set_index("doc_id")
+    assert df["n_words"].tolist() == [4, 4, 0, 3]
+    assert df["n_distinct"].tolist() == [1, 4, 0, 2]
+    assert df.loc[1, "entropy_c"] == 0.0
+    assert df.loc[2, "entropy_c"] == math.floor(math.log(4) * 100 + 0.5)
+    assert np.isnan(df.loc[3, "entropy_c"])
+    # "A a b" -> counts {a:2, b:1}: H = ln3 - (2 ln 2)/3
+    exp = math.floor((math.log(3) - 2 * math.log(2) / 3) * 100 + 0.5)
+    assert df.loc[4, "entropy_c"] == exp
+    # driver repr rule: float64 column, never pandas-nullable
+    assert df["entropy_c"].dtype.kind == "f"
+    # empty batch keeps the schema
+    empty = doc_entropy_batch(t.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema == out.schema
