@@ -746,6 +746,16 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _mirror_sources(sf_dir: str):
+    """Mirror-site detection: top source pairs by shared identical
+    content fingerprints — membership_copair_topk composition with
+    group=md5-prefix fp, member=sorted source code (Bharat & Broder
+    1999's mirror question in its exact form)."""
+    from grawler_ray.functions.dedup import mirror_sources
+
+    return mirror_sources(_read(sf_dir, "documents"), k=25)
+
+
 def _path_trigrams(sf_dir: str):
     """Per-user 3-step event-type paths (second-order Markov session
     mining) — one coarse user-hash shuffle, factorized bincount
@@ -2302,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts": _transition_counts,
         "path_trigrams": _path_trigrams,
         "doc_entropy": _doc_entropy,
+        "mirror_sources": _mirror_sources,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3473,6 +3484,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor((ln(s.n) - s.clogc / s.n) * 100 + 0.5)
                    END AS entropy_c
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # mirror detection: deduped (fingerprint, source) self-join,
+        # total order (n DESC, x, y) so the LIMIT is deterministic
+        "mirror_sources": """
+            WITH m AS (SELECT DISTINCT
+                              substring(md5(substring(text, 1, 64)), 1, 16) AS fp,
+                              source
+                       FROM documents),
+            p AS (SELECT a.source AS source_x, b.source AS source_y,
+                         count(*)::BIGINT AS n_shared
+                  FROM m a JOIN m b ON a.fp = b.fp AND a.source < b.source
+                  GROUP BY a.source, b.source)
+            SELECT source_x, source_y, n_shared
+            FROM p ORDER BY n_shared DESC, source_x, source_y LIMIT 25
         """,
         # per-group winsorization at exact discrete quantiles — the pinned
         # integer rank (n*q+99)//100 walked over the windowed cumsum

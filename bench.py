@@ -139,7 +139,7 @@ def run_subqueries() -> dict[str, float]:
         "qty_histogram", "weighted_sample", "order_part_bfs",
         "copurchase_topk", "related_docs_topk", "winsorized_spend",
         "transition_counts", "ewma_scores", "winnow_fps",
-        "path_trigrams", "doc_entropy",
+        "path_trigrams", "doc_entropy", "mirror_sources",
     ]
     import ray.data
 

@@ -2000,3 +2000,88 @@ def dup_ratio_by_source(docs_ds, num_groups: int = 256):
         .groupby("source")
         .aggregate(Sum("pn", alias_name="n_docs"), Sum("pdup", alias_name="n_dup_docs"))
     )
+
+
+def mirror_sources(
+    docs_ds,
+    k: int = 25,
+    prefix_chars: int = 64,
+    max_sources: int = 1_000_000,
+    max_group_size: int | None = None,
+):
+    """Mirror detection: the k source pairs sharing the most identical
+    content-PREFIX fingerprints (md5 of the first ``prefix_chars``
+    characters) — the classic crawl question "which hosts mirror each
+    other's content" (cf. Bharat & Broder 1999, 'mirror, mirror on the
+    web'); the prefix fingerprint catches templated/mirrored page heads
+    that full-body hashing misses (trailing ads/timestamps differ).
+    Output (source_x, source_y, n_shared), ordered by the total
+    (n_shared DESC, source_x, source_y) rule, ≤ k rows.
+    ``prefix_chars`` counts code points on both sides (Python slicing /
+    DuckDB substring).
+
+    Composition over ``membership_copair_topk`` with group=fingerprint,
+    member=source: the fingerprint-hash exchange moves (16-char fp,
+    int32 source-code) rows, pair enumeration is the vectorized in-run
+    wedge kernel, and ``max_group_size`` is the boilerplate-hub cap (a
+    fingerprint shared by hundreds of sources is a "404 page", not a
+    mirror signal).  The source vocabulary is a driver pull, guarded by
+    ``max_sources`` — sources are provenance tags / hosts (bounded
+    vocabulary), never documents; codes are assigned in sorted order so
+    code comparisons and string comparisons rank identically (the SQL
+    oracle's ``a.source < b.source`` and tie-breaks match exactly).
+    """
+    import ray.data
+
+    from .graph import membership_copair_topk
+
+    srcs = sorted(
+        docs_ds.select_columns(["source"]).unique("source"),
+        key=lambda s: (s is None, s),
+    )
+    if len(srcs) > max_sources:
+        raise ValueError(
+            f"mirror_sources: {len(srcs)} distinct sources exceeds "
+            f"max_sources={max_sources}; use a hashed-code variant "
+            "(xxhash64 source codes + a decode join) at that scale"
+        )
+    src_arr = np.asarray(srcs, dtype=object)
+
+    def fp_code(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        fps = [
+            hashlib.md5((x or "")[:prefix_chars].encode()).hexdigest()[:16]
+            for x in texts
+        ]
+        codes = np.searchsorted(
+            src_arr, np.asarray(t.column("source").to_pylist(), dtype=object)
+        )
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "member": pa.array(codes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = membership_copair_topk(
+        docs_ds.select_columns(["text", "source"]).map_batches(
+            fp_code, batch_format="pyarrow"
+        ),
+        group_col="fp",
+        member_col="member",
+        k=k,
+        max_group_size=max_group_size,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source_x": pa.array(list(src_arr[x]), pa.string()),
+                "source_y": pa.array(list(src_arr[y]), pa.string()),
+                "n_shared": t.column("n_shared"),
+            }
+        )
+
+    return pairs.map_batches(decode, batch_format="pyarrow")

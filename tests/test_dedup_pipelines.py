@@ -435,3 +435,39 @@ def test_minhash_signature_fold_matches_modulo():
     got = minhash_signature(x, a, b)
     prod = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     assert (got == prod.min(axis=1)).all()
+
+
+def test_mirror_sources_planted(ray_session):
+    """Prefix-fingerprint mirror pairs: counts, ordering, and the
+    cross-source-only rule (same-source dups never pair)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.dedup import mirror_sources
+
+    rows = [
+        # "page1"/"page2" mirrored on a+b; "page1" also on c; d is noise
+        ("a", "page1 body"), ("b", "page1 body"), ("c", "page1 body"),
+        ("a", "page2 body"), ("b", "page2 body"),
+        ("a", "only-a"), ("b", "only-b"), ("d", "only-d"),
+        # same-source duplicate must NOT create a pair
+        ("d", "dupe"), ("d", "dupe"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": list(range(len(rows))),
+            "source": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+        }
+    )
+    out = (
+        mirror_sources(ray.data.from_arrow(t), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # (a,b) share page1+page2 = 2; (a,c) and (b,c) share page1 = 1
+    assert out.values.tolist() == [
+        ["a", "b", 2],
+        ["a", "c", 1],
+        ["b", "c", 1],
+    ]
