@@ -746,6 +746,21 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _spend_quantiles(sf_dir: str):
+    """Interpolated per-priority order-value quartiles (PERCENTILE_CONT
+    parity; bit-identical at quarter quantiles) — one distinct-(group,
+    cents) histogram exchange + driver quantile walk."""
+    from grawler_ray.functions.stats import grouped_quantile_cont
+
+    return grouped_quantile_cont(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_totalprice"]
+        ),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+    )
+
+
 def _mirror_sources(sf_dir: str):
     """Mirror-site detection: top source pairs by shared identical
     content fingerprints — membership_copair_topk composition with
@@ -2313,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_trigrams": _path_trigrams,
         "doc_entropy": _doc_entropy,
         "mirror_sources": _mirror_sources,
+        "spend_quantiles": _spend_quantiles,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3484,6 +3500,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor((ln(s.n) - s.clogc / s.n) * 100 + 0.5)
                    END AS entropy_c
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # interpolated quartiles over integer cents: at q ∈ {25,50,75}
+        # the (n-1)·q/100 rank and the lo+(hi-lo)·frac interpolation are
+        # exact binary doubles, so quantile_cont matches bit-identically
+        "spend_quantiles": """
+            WITH c AS (SELECT o_orderpriority AS g,
+                              CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS x
+                       FROM orders)
+            SELECT g AS o_orderpriority, 25::BIGINT AS q_pct,
+                   quantile_cont(x, 0.25) AS value FROM c GROUP BY g
+            UNION ALL
+            SELECT g, 50::BIGINT, quantile_cont(x, 0.50) FROM c GROUP BY g
+            UNION ALL
+            SELECT g, 75::BIGINT, quantile_cont(x, 0.75) FROM c GROUP BY g
         """,
         # mirror detection: deduped (fingerprint, source) self-join,
         # total order (n DESC, x, y) so the LIMIT is deterministic

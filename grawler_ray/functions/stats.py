@@ -276,6 +276,126 @@ def grouped_histogram(
     )
 
 
+def _exact_group_hist(
+    ds,
+    group_col: str,
+    value_col: str,
+    value_scale: int,
+    op_name: str,
+    driver_max_bins: int,
+):
+    """Exact (group, scaled-value) histogram: ONE exchange whose volume
+    is ∝ distinct (group, value) pairs — bounded by the value domain,
+    never the corpus.  Returns a driver pandas frame sorted by
+    (group, x); raises above ``driver_max_bins`` naming the sort-based
+    alternative.  Shared by grouped_winsorize / grouped_quantile_cont.
+    """
+    import pandas as pd
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(value_col), value_scale)
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        if len(x) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        # packed-key unique, not a bincount: value domains like cents
+        # prices are ~10^7 wide, so a dense per-batch bincount would
+        # allocate GBs; sort-based unique is ∝ batch rows instead
+        if int(x.min()) < 0 or int(x.max()) >= (1 << 48):
+            raise ValueError(f"{op_name} needs scaled values in [0, 2^48)")
+        combo = (gcodes.astype(np.int64) << np.int64(48)) | x
+        uk, counts = np.unique(combo, return_counts=True)
+        g_idx = (uk >> np.int64(48)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array([guniq[i] for i in g_idx], pa.string()),
+                "x": pa.array(uk & np.int64((1 << 48) - 1), pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _sum_partials_nocount(
+            ds.select_columns([group_col, value_col]).map_batches(
+                hist_partial, batch_format="pyarrow"
+            ),
+            [group_col, "x"],
+            "cnt",
+        ).materialize()
+    )
+    n_bins = hist.count()
+    if n_bins > driver_max_bins:
+        raise ValueError(
+            f"{op_name}: histogram has {n_bins} bins (> {driver_max_bins}); "
+            f"{value_col} is not histogram-shaped — use a sort-based "
+            "per-group quantile instead"
+        )
+    return hist.to_pandas().sort_values([group_col, "x"])
+
+
+def grouped_quantile_cont(
+    ds,
+    group_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    qs: tuple = (25, 50, 75),
+    driver_max_bins: int = 2_000_000,
+):
+    """Interpolated per-group quantiles — SQL PERCENTILE_CONT / DuckDB
+    quantile_cont parity: over a group's n sorted scaled values, rank
+    r = (n−1)·q/100, output value[⌊r⌋] + (value[⌈r⌉] − value[⌊r⌋])·frac.
+    For q a multiple of 25, q/100 and frac are exact binary fractions
+    and every product/sum stays below 2^53, so the result is
+    BIT-IDENTICAL to the SQL oracle — no rounding-boundary risk; other
+    q values carry the usual float caveat.
+
+    Scale shape: the same single distinct-(group, value) histogram
+    exchange as ``grouped_winsorize`` (volume ∝ value domain, never
+    rows), then a driver quantile walk over ≤ driver_max_bins histogram
+    rows.  Output: (group_col, q_pct:int64, value:float64), one row per
+    group × q.
+    """
+    import ray.data
+
+    hd = _exact_group_hist(
+        ds, group_col, value_col, value_scale, "grouped_quantile_cont",
+        driver_max_bins,
+    )
+    out_g: list = []
+    out_q: list = []
+    out_v: list = []
+    for grp, sub in hd.groupby(group_col, sort=False):
+        vals = sub["x"].to_numpy(np.int64)
+        cum = sub["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            r = (n - 1) * (q / 100.0)
+            i0 = int(np.floor(r))
+            frac = r - i0
+            i1 = i0 if frac == 0.0 else min(i0 + 1, n - 1)
+            lo = float(vals[np.searchsorted(cum, i0 + 1)])
+            hi = float(vals[np.searchsorted(cum, i1 + 1)])
+            out_g.append(grp)
+            out_q.append(q)
+            out_v.append(lo + (hi - lo) * frac)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "q_pct": pa.array(out_q, pa.int64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+    )
+
+
 def grouped_winsorize(
     ds,
     group_col: str,
@@ -302,61 +422,12 @@ def grouped_winsorize(
     Output: (id_col, group_col, clipped:int64).
     """
     import ray
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        return _hist_rows(t, _scaled_int(t.column(value_col), value_scale))
-
-    def _hist_rows(t: pa.Table, x: np.ndarray) -> pa.Table:
-        import pandas as pd
-
-        gcodes, guniq = pd.factorize(
-            np.asarray(t.column(group_col).to_pylist(), dtype=object)
-        )
-        if len(x) == 0:
-            return pa.table(
-                {
-                    group_col: pa.array([], pa.string()),
-                    "x": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                }
-            )
-        # packed-key unique, not a bincount: value domains like cents
-        # prices are ~10^7 wide, so a dense per-batch bincount would
-        # allocate GBs; sort-based unique is ∝ batch rows instead
-        if int(x.min()) < 0 or int(x.max()) >= (1 << 48):
-            raise ValueError(
-                "grouped_winsorize needs scaled values in [0, 2^48)"
-            )
-        combo = (gcodes.astype(np.int64) << np.int64(48)) | x
-        uk, counts = np.unique(combo, return_counts=True)
-        g_idx = (uk >> np.int64(48)).astype(np.int64)
-        return pa.table(
-            {
-                group_col: pa.array([guniq[i] for i in g_idx], pa.string()),
-                "x": pa.array(uk & np.int64((1 << 48) - 1), pa.int64()),
-                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
-            }
-        )
-
-    hist = (
-        _sum_partials_nocount(
-            ds.select_columns([group_col, value_col]).map_batches(
-                hist_partial, batch_format="pyarrow"
-            ),
-            [group_col, "x"],
-            "cnt",
-        ).materialize()
-    )
-    n_bins = hist.count()
-    if n_bins > driver_max_bins:
-        raise ValueError(
-            f"histogram has {n_bins} bins (> {driver_max_bins}); "
-            f"{value_col} is not histogram-shaped — winsorize via a "
-            "sort-based per-group quantile instead"
-        )
     import pandas as pd
 
-    hd = hist.to_pandas().sort_values([group_col, "x"])
+    hd = _exact_group_hist(
+        ds, group_col, value_col, value_scale, "grouped_winsorize",
+        driver_max_bins,
+    )
     bounds: dict = {}
     for grp, sub in hd.groupby(group_col, sort=False):
         vals = sub["x"].to_numpy(np.int64)

@@ -326,3 +326,44 @@ def test_grouped_winsorize_vs_duckdb(ray_session):
         f"SELECT count(*) FROM '{SF}/orders.parquet'"
     ).fetchone()[0]
     assert len(got) == raw
+
+
+def test_grouped_quantile_cont_vs_duckdb(ray_session):
+    """Interpolated quartiles == DuckDB quantile_cont bit-identically
+    (exact binary arithmetic at quarter quantiles), incl. 1- and 2-row
+    groups where rank interpolation degenerates."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_quantile_cont
+
+    rng = np.random.default_rng(7)
+    sizes = {"a": 101, "b": 100, "c": 2, "d": 1, "e": 7}
+    g = np.concatenate([[k] * n for k, n in sizes.items()])
+    v = np.round(rng.uniform(0, 5000, len(g)), 2)
+    t = pa.table({"g": pa.array(list(g), pa.string()),
+                  "v": pa.array(v, pa.float64())})
+    got = (
+        grouped_quantile_cont(
+            ray.data.from_arrow(t), group_col="g", value_col="v"
+        )
+        .to_pandas()
+        .sort_values(["g", "q_pct"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        WITH c AS (SELECT g, CAST(floor(v*100+0.5) AS BIGINT) AS x FROM t)
+        SELECT g, 25::BIGINT AS q_pct, quantile_cont(x, 0.25) AS value FROM c GROUP BY g
+        UNION ALL SELECT g, 50, quantile_cont(x, 0.50) FROM c GROUP BY g
+        UNION ALL SELECT g, 75, quantile_cont(x, 0.75) FROM c GROUP BY g
+        ORDER BY g, q_pct
+    """).df().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # bit-identical, not just close
+    assert (got["value"].to_numpy() == exp["value"].to_numpy()).all()
