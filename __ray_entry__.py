@@ -746,6 +746,29 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _user_paths(sf_dir: str):
+    """Per-user ordered event-type journey strings (head-capped at 50
+    steps — the cap IS the scale story) — one coarse user-hash exchange,
+    string building only over the capped heads."""
+    from grawler_ray.functions.events import user_paths
+
+    return user_paths(
+        _read(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]
+        ),
+        max_steps=50,
+    )
+
+
+def _source_budget(sf_dir: str):
+    """Hamilton largest-remainder apportionment of a 1000-doc sampling
+    budget across sources — exact integer quota arithmetic (sum always
+    equals the budget), one count aggregate + driver allocation."""
+    from grawler_ray.functions.sampling import source_budget
+
+    return source_budget(_read(sf_dir, "documents"), budget=1000)
+
+
 def _spend_quantiles(sf_dir: str):
     """Interpolated per-priority order-value quartiles (PERCENTILE_CONT
     parity; bit-identical at quarter quantiles) — one distinct-(group,
@@ -2329,6 +2352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _doc_entropy,
         "mirror_sources": _mirror_sources,
         "spend_quantiles": _spend_quantiles,
+        "user_paths": _user_paths,
+        "source_budget": _source_budget,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3500,6 +3525,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor((ln(s.n) - s.clogc / s.n) * 100 + 0.5)
                    END AS entropy_c
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # per-user journey strings: head-capped string_agg with the
+        # (ts, event_id) total order mirrored on both sides
+        "user_paths": """
+            WITH o AS (SELECT user_id, event_type, ts, event_id,
+                              row_number() OVER (
+                                  PARTITION BY user_id ORDER BY ts, event_id
+                              ) AS rn
+                       FROM events),
+            n AS (SELECT user_id, count(*)::BIGINT AS n_events
+                  FROM events GROUP BY user_id)
+            SELECT n.user_id, n.n_events,
+                   string_agg(o.event_type, '>' ORDER BY o.ts, o.event_id) AS path
+            FROM n JOIN o ON n.user_id = o.user_id AND o.rn <= 50
+            GROUP BY n.user_id, n.n_events
+        """,
+        # Hamilton largest-remainder apportionment — pure integer
+        # arithmetic (d*B // total, d*B % total), leftover by
+        # (remainder DESC, group ASC) row_number
+        "source_budget": """
+            WITH c AS (SELECT source, count(*)::BIGINT AS d
+                       FROM documents GROUP BY source),
+            t AS (SELECT sum(d)::BIGINT AS total FROM c),
+            q AS (SELECT c.source, c.d,
+                         c.d * 1000 // t.total AS base,
+                         c.d * 1000 % t.total AS rem
+                  FROM c, t),
+            r AS (SELECT *,
+                         row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                         1000 - sum(base) OVER () AS leftover
+                  FROM q)
+            SELECT source, d AS n_rows,
+                   (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+                       AS budget
+            FROM r
         """,
         # interpolated quartiles over integer cents: at q ∈ {25,50,75}
         # the (n-1)·q/100 rank and the lo+(hi-lo)·frac interpolation are

@@ -140,7 +140,7 @@ def run_subqueries() -> dict[str, float]:
         "copurchase_topk", "related_docs_topk", "winsorized_spend",
         "transition_counts", "ewma_scores", "winnow_fps",
         "path_trigrams", "doc_entropy", "mirror_sources",
-        "spend_quantiles",
+        "spend_quantiles", "user_paths", "source_budget",
     ]
     import ray.data
 

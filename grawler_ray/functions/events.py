@@ -593,3 +593,52 @@ def ewma_user_score(
         )
 
     return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
+def user_paths(events_ds, max_steps: int = 50, num_groups: int = 256):
+    """Per-user ordered event-type path string (the clickstream "journey"
+    feature): the user's FIRST ``max_steps`` events in (ts, event_id)
+    order, types joined with '>'.  SQL mirror: row_number() to take the
+    head, then string_agg(event_type, '>' ORDER BY ts, event_id).
+    Output (user_id, n_events:int64 total, path:string).
+
+    Scale shape: ONE coarse user-hash exchange; output is one row per
+    user and path length is hard-capped by ``max_steps`` (an uncapped
+    group-concat would make hot users into megabyte rows — the cap IS
+    the scale story, and the SQL mirrors it exactly).  Inside a group
+    the head-take is a vectorized run-scan; only the ≤ max_steps joined
+    types per user touch Python.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, start_idx = _user_starts(df)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "path": np.array([], object),
+                }
+            )
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        pos = np.arange(len(df)) - start_idx  # 0-based rank within user
+        starts = np.flatnonzero(is_start)
+        run_len = np.append(starts[1:], len(df)) - starts
+        head = pos < max_steps
+        htypes = types[head]
+        hlen = np.minimum(run_len, max_steps)
+        bounds = np.concatenate(([0], hlen.cumsum()))
+        paths = [
+            ">".join(htypes[bounds[i]:bounds[i + 1]])
+            for i in range(len(starts))
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": users[starts].astype(np.int64),
+                "n_events": run_len.astype(np.int64),
+                "path": paths,
+            }
+        )
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)

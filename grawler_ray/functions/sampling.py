@@ -543,3 +543,71 @@ def group_sample_k(
         .groupby("gk")
         .map_groups(rank_groups, batch_format="pyarrow")
     )
+
+
+def source_budget(ds, group_col: str = "source", budget: int = 1000):
+    """Largest-remainder (Hamilton) budget apportionment: split an
+    integer ``budget`` across groups proportionally to their row counts,
+    with the leftover slots going to the largest remainders — the exact
+    integer rule used for crawl fetch-slot allocation and mixture
+    sampling quotas (Σ budget_i == budget always, no float rounding
+    drift).  All arithmetic is integer (d·B // total, d·B % total), so
+    the SQL mirror (windowed row_number over remainder DESC, group ASC)
+    is bit-exact by construction.
+    Output (group_col, n_rows:int64, budget:int64).
+
+    Scale shape: one count-partial aggregate (rows ∝ groups × blocks)
+    plus a driver pass over the group vocabulary — groups are sources /
+    hosts (bounded), never documents; the apportionment itself is a
+    global constrained allocation and genuinely needs the full quota
+    vector in one place.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        cnt = np.bincount(codes)
+        return pa.table(
+            {
+                group_col: pa.array(list(uniq), pa.string()),
+                "pc": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([group_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("pc", alias_name="n_rows"))
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    d = counts["n_rows"].to_numpy(np.int64)
+    total = int(d.sum())
+    if total == 0:
+        alloc = np.zeros(len(d), np.int64)
+    else:
+        base = d * budget // total
+        rem = d * budget % total
+        leftover = budget - int(base.sum())
+        # leftover slots to the largest remainders, group name ascending
+        # on ties (counts is already group-sorted, so stable argsort on
+        # -rem preserves that order within equal remainders)
+        order = np.argsort(-rem, kind="stable")
+        extra = np.zeros(len(d), np.int64)
+        extra[order[:leftover]] = 1
+        alloc = base + extra
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(counts[group_col].tolist(), pa.string()),
+                "n_rows": pa.array(d, pa.int64()),
+                "budget": pa.array(alloc, pa.int64()),
+            }
+        )
+    )

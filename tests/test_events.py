@@ -341,3 +341,66 @@ def test_path_trigrams_user_boundaries(ray_session):
         ["a", "b", "a", 1],
         ["b", "a", "b", 1],
     ]
+
+
+def test_user_paths_cap_and_order(ray_session):
+    """Path follows (ts, event_id) order and max_steps caps the string
+    while n_events stays the true total."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import user_paths
+
+    t = pa.table(
+        {
+            # event 4 ties event 3 on ts; event_id breaks the tie
+            "event_id": [1, 2, 4, 3, 9],
+            "ts": pa.array([10, 20, 30, 30, 5], pa.timestamp("us")),
+            "user_id": [7, 7, 7, 7, 9],
+            "event_type": ["a", "b", "d", "c", "z"],
+        }
+    )
+    out = (
+        user_paths(ray.data.from_arrow(t), max_steps=3)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[7, "path"] == "a>b>c" and out.loc[7, "n_events"] == 4
+    assert out.loc[9, "path"] == "z" and out.loc[9, "n_events"] == 1
+
+
+def test_user_paths_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from grawler_ray.functions.events import user_paths
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        user_paths(
+            ray.data.read_parquet(
+                f"{sf}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"],
+            ),
+            max_steps=7,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM '{sf}/events.parquet'),
+        n AS (SELECT user_id, count(*)::BIGINT AS n_events
+              FROM '{sf}/events.parquet' GROUP BY user_id)
+        SELECT n.user_id, n.n_events,
+               string_agg(o.event_type, '>' ORDER BY o.ts, o.event_id) AS path
+        FROM n JOIN o ON n.user_id = o.user_id AND o.rn <= 7
+        GROUP BY n.user_id, n.n_events ORDER BY n.user_id"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -225,3 +225,35 @@ def test_weighted_sample_k_nonpositive_weight_raises(ray_session):
     ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "n_chars": [5, 0]}))
     with pytest.raises(Exception, match="weights must be positive"):
         weighted_sample_k(ds, k=2).take_all()
+
+
+def test_source_budget_hamilton(ray_session):
+    """Largest-remainder apportionment: sum always equals the budget and
+    leftover slots go by (remainder DESC, group ASC)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.sampling import source_budget
+
+    # counts 3/3/4 with budget 10: quotas 3.0/3.0/4.0 exact -> no leftover
+    # counts 1/1/1 with budget 10: base 3 each, leftover 1 -> 'a' wins tie
+    t = pa.table(
+        {"source": ["a"] * 1 + ["b"] * 1 + ["c"] * 1}
+    )
+    out = (
+        source_budget(ray.data.from_arrow(t), budget=10)
+        .to_pandas()
+        .set_index("source")["budget"]
+    )
+    assert out.sum() == 10
+    assert out.tolist() == [4, 3, 3]
+
+    t2 = pa.table({"source": ["a"] * 2 + ["b"] * 5 + ["c"] * 3})
+    out2 = (
+        source_budget(ray.data.from_arrow(t2), budget=7)
+        .to_pandas()
+        .set_index("source")["budget"]
+    )
+    # quotas 1.4 / 3.5 / 2.1 -> base 1/3/2, leftover 1 -> largest rem = b
+    assert out2.sum() == 7
+    assert out2.tolist() == [1, 4, 2]
