@@ -746,6 +746,46 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _running_revenue(sf_dir: str):
+    """Global (unpartitioned) running revenue total over (o_orderdate,
+    o_orderkey) order — the range-partitioned prefix-sum pattern: one
+    sort, per-block offsets via a blocks-sized driver pass, two scans."""
+    import numpy as np
+    import pyarrow as pa
+
+    from grawler_ray.functions.events import global_running_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return global_running_sum(
+        _read(sf_dir, "orders")
+        .select_columns(["o_orderdate", "o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow"),
+        order_col="o_orderdate",
+        tie_col="o_orderkey",
+        value_col="cents",
+    )
+
+
+def _source_kl(sf_dir: str):
+    """Per-source unigram KL drift from the corpus distribution —
+    (source, word) arrow aggregate, coarse word-hash KL-term kernel,
+    tiny source reduce (micro-nat integer scaling)."""
+    from grawler_ray.functions.textstats import source_kl
+
+    return source_kl(_read(sf_dir, "documents"))
+
+
 def _user_paths(sf_dir: str):
     """Per-user ordered event-type journey strings (head-capped at 50
     steps — the cap IS the scale story) — one coarse user-hash exchange,
@@ -2354,6 +2394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_quantiles": _spend_quantiles,
         "user_paths": _user_paths,
         "source_budget": _source_budget,
+        "source_kl": _source_kl,
+        "running_revenue": _running_revenue,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3525,6 +3567,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor((ln(s.n) - s.clogc / s.n) * 100 + 0.5)
                    END AS entropy_c
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # global running total — no partition key; the BIGINT cast undoes
+        # DuckDB's HUGEINT window-sum (fetchdf would float64 it)
+        "running_revenue": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))
+                        OVER (ORDER BY o_orderdate, o_orderkey)
+                        AS BIGINT) AS cum
+            FROM orders
+        """,
+        # per-source unigram KL drift: term formula mirrored literally
+        # (p = c/ts, q = g/t, p·ln(p/q)), micro-nat scaling both sides
+        "source_kl": r"""
+            WITH tok AS (SELECT source,
+                                lower(unnest(regexp_extract_all(text, '\b\w+\b'))) AS w
+                         FROM documents),
+            c AS (SELECT source, w, count(*)::BIGINT AS c
+                  FROM tok GROUP BY source, w),
+            st AS (SELECT source, sum(c)::BIGINT AS ts FROM c GROUP BY source),
+            tt AS (SELECT sum(c)::BIGINT AS t FROM c),
+            gw AS (SELECT w, sum(c)::BIGINT AS g FROM c GROUP BY w)
+            SELECT c.source, st.ts AS n_tokens,
+                   CAST(floor(sum(
+                       (c.c / CAST(st.ts AS DOUBLE)) *
+                       ln((c.c / CAST(st.ts AS DOUBLE)) /
+                          (gw.g / CAST(tt.t AS DOUBLE)))
+                   ) * 1000000 + 0.5) AS BIGINT) AS kl_micro
+            FROM c JOIN st USING (source) JOIN gw ON c.w = gw.w CROSS JOIN tt
+            GROUP BY c.source, st.ts
         """,
         # per-user journey strings: head-capped string_agg with the
         # (ts, event_id) total order mirrored on both sides

@@ -140,7 +140,8 @@ def run_subqueries() -> dict[str, float]:
         "copurchase_topk", "related_docs_topk", "winsorized_spend",
         "transition_counts", "ewma_scores", "winnow_fps",
         "path_trigrams", "doc_entropy", "mirror_sources",
-        "spend_quantiles", "user_paths", "source_budget",
+        "spend_quantiles", "user_paths", "source_budget", "source_kl",
+        "running_revenue",
     ]
     import ray.data
 

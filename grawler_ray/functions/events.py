@@ -642,3 +642,88 @@ def user_paths(events_ds, max_steps: int = 50, num_groups: int = 256):
         )
 
     return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
+def global_running_sum(ds, order_col: str, tie_col: str, value_col: str):
+    """Global (UNPARTITIONED) cumulative window — ``sum(value) OVER
+    (ORDER BY order, tie ROWS UNBOUNDED PRECEDING)`` — the one window
+    shape ``grouped_running_sum`` can't express: no partition key, one
+    total order over the whole table.  ``tie_col`` must be unique (the
+    SQL total-order requirement) and ``value_col`` already-integer
+    (callers pre-scale money to cents).  Output (tie_col, cum:int64).
+
+    Scale shape — the range-partitioned prefix-sum pattern (the
+    alternative SCALE.md's NTILE note promises): Ray's sort yields
+    totally-ordered, range-partitioned blocks; pass 1 reduces each BLOCK
+    to one (first_key, block_sum) row — driver state ∝ blocks, never
+    rows — and exclusive-prefix-sums the offsets in key order; pass 2
+    re-scans the same materialized sorted dataset adding each block's
+    broadcast offset to its internal cumsum.  Two scans of the sorted
+    data, no per-row driver traffic, no single-partition repartition.
+    """
+    import ray
+
+    sorted_ds = (
+        ds.select_columns([order_col, tie_col, value_col])
+        .sort([order_col, tie_col])
+        .materialize()
+    )
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        # one row per BLOCK: the block's first (order, tie) in NATIVE
+        # types (driver sorts blocks by true key order, not strings) and
+        # the block sum; tie_col is unique table-wide, so the first tie
+        # alone identifies the block for the offset lookup
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    order_col: t.column(order_col),
+                    "first_tie": pa.array([], pa.int64()),
+                    "bsum": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                order_col: t.column(order_col).slice(0, 1),
+                "first_tie": pa.array(
+                    [int(t.column(tie_col)[0].as_py())], pa.int64()
+                ),
+                "bsum": pa.array(
+                    [int(np.sum(t.column(value_col).to_numpy(zero_copy_only=False)))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    meta = (
+        sorted_ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values([order_col, "first_tie"])
+        .reset_index(drop=True)
+    )
+    offsets = np.concatenate(([0], meta["bsum"].to_numpy(np.int64).cumsum()[:-1]))
+    off_map = {
+        int(t): int(x) for t, x in zip(meta["first_tie"], offsets)
+    }
+    off_ref = ray.put(off_map)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    tie_col: pa.array([], pa.int64()),
+                    "cum": pa.array([], pa.int64()),
+                }
+            )
+        om = ray.get(off_ref)
+        key = int(t.column(tie_col)[0].as_py())
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = vals.cumsum() + om[key]
+        return pa.table(
+            {
+                tie_col: t.column(tie_col),
+                "cum": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)

@@ -1377,3 +1377,110 @@ def winnow_fingerprints_batch(
             "fp_xor": pa.array(xor_out, pa.int64()),
         }
     )
+
+
+def source_kl(
+    docs_ds,
+    group_col: str = "source",
+    out_scale: int = 1_000_000,
+    num_groups: int = 256,
+):
+    """Per-source unigram-distribution drift: KL(p_source ‖ p_corpus) =
+    Σ_w p_s(w)·ln(p_s(w)/p(w)) over the ``\\b\\w+\\b`` lowercased token
+    distributions — the mixture-diagnostic statistic behind "which data
+    source diverges most from the corpus" (the DoReMi / DSIR family's
+    domain-drift view).  Output (group_col, n_tokens:int64,
+    kl_micro:int64 = floor(KL·out_scale + 0.5)); sources whose docs have
+    zero tokens emit no row (mirroring the SQL tokenize CTE).
+
+    Scale shape: per-batch factorized (source, word) partials → ONE
+    arrow two-key aggregate (rows ∝ vocab × sources, pre-aggregated per
+    batch); per-source totals are a sources-sized driver pull broadcast
+    once; the KL terms run inside a coarse WORD-hash groupby (a word's
+    rows co-locate, so the global word count is an in-group bincount)
+    with per-source partial sums, finished by a tiny source aggregate.
+    Float caveat (documented, same class as doc_entropy): partial-sum
+    order differs from the SQL engine's, so agreement is ~1e-12 relative
+    — invisible at micro-nat scaling except within ~1e-12 of a rounding
+    boundary.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs_ds.select_columns(["text", group_col])
+        .map_batches(
+            lambda t: word_count_partial(t, group_col=group_col),
+            batch_format="pyarrow",
+        )
+        .groupby([group_col, "word"])
+        .aggregate(Sum("partial", alias_name="c"))
+        .materialize()
+    )
+    totals = (
+        counts.groupby(group_col)
+        .aggregate(Sum("c", alias_name="ts"))
+        .to_pandas()
+    )
+    ts_map = dict(zip(totals[group_col], totals["ts"].astype(int)))
+    t_total = float(sum(ts_map.values()))
+    ts_ref = ray.put(ts_map)
+
+    def tag(tt: pa.Table) -> pa.Table:
+        w = np.asarray(tt.column("word").to_pylist(), dtype=object)
+        gh = (pd.util.hash_array(w) % np.uint64(num_groups)).astype(np.int32)
+        return tt.append_column("wg", pa.array(gh, pa.int32()))
+
+    empty_schema = pa.schema(
+        [pa.field(group_col, pa.string()), pa.field("kl_part", pa.float64())]
+    )
+
+    def kl_parts(tt: pa.Table) -> pa.Table:
+        if tt.num_rows == 0:
+            return empty_schema.empty_table()
+        tm = ray.get(ts_ref)
+        c = tt.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        wcodes, _ = pd.factorize(
+            np.asarray(tt.column("word").to_pylist(), dtype=object)
+        )
+        g = np.bincount(wcodes, weights=c)[wcodes]
+        srcs = np.asarray(tt.column(group_col).to_pylist(), dtype=object)
+        scodes, suniq = pd.factorize(srcs)
+        ts = np.array([float(tm[s]) for s in suniq])[scodes]
+        p = c / ts
+        q = g / t_total
+        term = p * np.log(p / q)
+        parts = np.bincount(scodes, weights=term)
+        return pa.table(
+            {
+                group_col: pa.array(list(suniq), pa.string()),
+                "kl_part": pa.array(parts, pa.float64()),
+            }
+        )
+
+    def finish(tt: pa.Table) -> pa.Table:
+        tm = ray.get(ts_ref)
+        srcs = tt.column(group_col).to_pylist()
+        kl = tt.column("kl").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: pa.array(srcs, pa.string()),
+                "n_tokens": pa.array(
+                    [int(tm[s]) for s in srcs], pa.int64()
+                ),
+                "kl_micro": pa.array(
+                    np.floor(kl * out_scale + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("wg")
+        .map_groups(kl_parts, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("kl_part", alias_name="kl"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -404,3 +404,37 @@ def test_user_paths_vs_duckdb(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_global_running_sum_multiblock(ray_session):
+    """The range-partitioned prefix-sum equals the serial cumsum with
+    MANY blocks in play (per-block offsets actually exercised)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import global_running_sum
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    order = rng.integers(0, 365, n)          # heavy duplicate order keys
+    tie = rng.permutation(n).astype(np.int64)  # unique ties
+    val = rng.integers(-50, 100, n).astype(np.int64)
+    t = pa.table(
+        {
+            "d": pa.array(order, pa.int64()),
+            "k": pa.array(tie, pa.int64()),
+            "v": pa.array(val, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = (
+        global_running_sum(ds, order_col="d", tie_col="k", value_col="v")
+        .to_pandas()
+        .set_index("k")["cum"]
+    )
+    ser = np.lexsort((tie, order))
+    exp_cum = val[ser].cumsum()
+    exp = dict(zip(tie[ser], exp_cum))
+    assert len(got) == n
+    assert all(got[k] == exp[k] for k in exp)

@@ -436,3 +436,42 @@ def test_doc_entropy_batch_hand_cases():
     # empty batch keeps the schema
     empty = doc_entropy_batch(t.slice(0, 0))
     assert empty.num_rows == 0 and empty.schema == out.schema
+
+
+def test_source_kl_vs_duckdb(ray_session):
+    """KL(p_source || p_corpus) micro-nat values match the SQL mirror
+    on real table data (term formula mirrored literally)."""
+    import duckdb
+    import ray.data
+
+    from grawler_ray.functions.textstats import source_kl
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        source_kl(ray.data.read_parquet(f"{sf}/documents.parquet"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        rf"""WITH tok AS (SELECT source,
+                    lower(unnest(regexp_extract_all(text, '\b\w+\b'))) AS w
+             FROM '{sf}/documents.parquet'),
+        c AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        st AS (SELECT source, sum(c)::BIGINT AS ts FROM c GROUP BY 1),
+        tt AS (SELECT sum(c)::BIGINT AS t FROM c),
+        gw AS (SELECT w, sum(c)::BIGINT AS g FROM c GROUP BY 1)
+        SELECT c.source, st.ts AS n_tokens,
+               CAST(floor(sum(
+                   (c.c / CAST(st.ts AS DOUBLE)) *
+                   ln((c.c / CAST(st.ts AS DOUBLE)) /
+                      (gw.g / CAST(tt.t AS DOUBLE)))
+               ) * 1000000 + 0.5) AS BIGINT) AS kl_micro
+        FROM c JOIN st USING (source) JOIN gw ON c.w = gw.w CROSS JOIN tt
+        GROUP BY c.source, st.ts ORDER BY c.source"""
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # KL is non-negative and a uniform corpus would be ~0
+    assert (got["kl_micro"] >= 0).all()
