@@ -786,6 +786,54 @@ def _source_kl(sf_dir: str):
     return source_kl(_read(sf_dir, "documents"))
 
 
+def _spend_ntile(sf_dir: str):
+    """Global NTILE(10) over (o_totalprice, o_orderkey) — the
+    range-partitioned row-offset pattern (blocks-sized driver state)."""
+    from grawler_ray.functions.events import global_ntile
+
+    return global_ntile(
+        _read(sf_dir, "orders").select_columns(["o_totalprice", "o_orderkey"]),
+        order_col="o_totalprice",
+        tie_col="o_orderkey",
+        k=10,
+    )
+
+
+def _date_rank(sf_dir: str):
+    """RANK() over o_orderdate (ties share ranks) — one count aggregate
+    over distinct dates, a dates-sized driver prefix sum broadcast once,
+    stateless lookup pass."""
+    from grawler_ray.functions.events import rank_by_key
+
+    return rank_by_key(
+        _read(sf_dir, "orders").select_columns(["o_orderdate", "o_orderkey"]),
+        key_col="o_orderdate",
+        id_col="o_orderkey",
+    )
+
+
+def _nation_gini(sf_dir: str):
+    """Per-nation Gini concentration of customer account balances —
+    exact integer numerator/denominator, one coarse nation-hash exchange
+    with an in-group lexsort + run-scan kernel."""
+    from grawler_ray.functions.stats import grouped_gini
+
+    return grouped_gini(
+        _read(sf_dir, "customer").select_columns(["c_nationkey", "c_acctbal"]),
+        group_col="c_nationkey",
+        value_col="c_acctbal",
+    )
+
+
+def _vocab_overlap(sf_dir: str):
+    """Pairwise source vocabulary intersection/union sizes — (source,
+    word) arrow aggregate, coarse word-hash M.T@M pair kernel, tiny pair
+    aggregate, sources-sized vocab broadcast."""
+    from grawler_ray.functions.textstats import source_vocab_jaccard
+
+    return source_vocab_jaccard(_read(sf_dir, "documents"))
+
+
 def _user_paths(sf_dir: str):
     """Per-user ordered event-type journey strings (head-capped at 50
     steps — the cap IS the scale story) — one coarse user-hash exchange,
@@ -2396,6 +2444,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_budget": _source_budget,
         "source_kl": _source_kl,
         "running_revenue": _running_revenue,
+        "spend_ntile": _spend_ntile,
+        "date_rank": _date_rank,
+        "nation_gini": _nation_gini,
+        "vocab_overlap": _vocab_overlap,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3576,6 +3628,49 @@ def oracle_sql() -> dict[str, str]:
                         OVER (ORDER BY o_orderdate, o_orderkey)
                         AS BIGINT) AS cum
             FROM orders
+        """,
+        # global equal-height deciles over a unique total order
+        "spend_ntile": """
+            SELECT o_orderkey,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS tile
+            FROM orders
+        """,
+        # rank with ties over a low-cardinality key
+        "date_rank": """
+            SELECT o_orderkey,
+                   CAST(rank() OVER (ORDER BY o_orderdate) AS BIGINT) AS rnk
+            FROM orders
+        """,
+        # per-nation Gini: exact integer numerator/denominator; ties in
+        # the scaled value commute in sum(i*x), so row_number's arbitrary
+        # tie order is immaterial
+        "nation_gini": """
+            WITH x AS (SELECT c_nationkey AS g,
+                              CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS x,
+                              row_number() OVER (PARTITION BY c_nationkey
+                                                 ORDER BY c_acctbal) AS i
+                       FROM customer)
+            SELECT g AS c_nationkey, count(*)::BIGINT AS n_rows,
+                   CAST(2*sum(i*x) - (count(*)+1)*sum(x) AS BIGINT) AS gini_num,
+                   CAST(count(*)*sum(x) AS BIGINT) AS gini_den
+            FROM x GROUP BY g
+        """,
+        # pairwise source vocabulary overlap (pairs sharing >= 1 word)
+        "vocab_overlap": r"""
+            WITH tok AS (SELECT source,
+                                lower(unnest(regexp_extract_all(text, '\b\w+\b'))) AS w
+                         FROM documents),
+            v AS (SELECT DISTINCT source, w FROM tok),
+            vs AS (SELECT source, count(*)::BIGINT AS nv FROM v GROUP BY source),
+            ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                          count(*)::BIGINT AS inter
+                   FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT ix.src_a, ix.src_b, ix.inter,
+                   CAST(va.nv + vb.nv - ix.inter AS BIGINT) AS uni
+            FROM ix JOIN vs va ON va.source = ix.src_a
+                    JOIN vs vb ON vb.source = ix.src_b
         """,
         # per-source unigram KL drift: term formula mirrored literally
         # (p = c/ts, q = g/t, p·ln(p/q)), micro-nat scaling both sides

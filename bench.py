@@ -141,7 +141,8 @@ def run_subqueries() -> dict[str, float]:
         "transition_counts", "ewma_scores", "winnow_fps",
         "path_trigrams", "doc_entropy", "mirror_sources",
         "spend_quantiles", "user_paths", "source_budget", "source_kl",
-        "running_revenue",
+        "running_revenue", "spend_ntile", "date_rank", "nation_gini",
+        "vocab_overlap",
     ]
     import ray.data
 

@@ -727,3 +727,140 @@ def global_running_sum(ds, order_col: str, tie_col: str, value_col: str):
         )
 
     return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def global_ntile(ds, order_col: str, tie_col: str, k: int):
+    """``NTILE(k) OVER (ORDER BY order, tie)`` — equal-height global
+    buckets with SQL's fill rule (the first ``n % k`` tiles get
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)``).  ``tie_col`` must be
+    unique (total order).  Output (tie_col, tile:int64).
+
+    Scale shape: the same range-partitioned prefix pattern as
+    ``global_running_sum``, with ROW COUNTS as the block statistic —
+    Ray's sort range-partitions, pass 1 reduces each block to one
+    (first_key, n_rows) row (driver state ∝ blocks), the exclusive
+    prefix sum gives each block its global row offset, pass 2 assigns
+    tiles from the closed-form index rule.  No single-partition funnel,
+    no per-row driver traffic.
+    """
+    import ray
+
+    sorted_ds = (
+        ds.select_columns([order_col, tie_col])
+        .sort([order_col, tie_col])
+        .materialize()
+    )
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    order_col: t.column(order_col),
+                    "first_tie": pa.array([], pa.int64()),
+                    "nrows": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                order_col: t.column(order_col).slice(0, 1),
+                "first_tie": pa.array(
+                    [int(t.column(tie_col)[0].as_py())], pa.int64()
+                ),
+                "nrows": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    meta = (
+        sorted_ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values([order_col, "first_tie"])
+        .reset_index(drop=True)
+    )
+    counts = meta["nrows"].to_numpy(np.int64)
+    n = int(counts.sum())
+    offsets = np.concatenate(([0], counts.cumsum()[:-1]))
+    off_ref = ray.put(
+        {int(t): int(x) for t, x in zip(meta["first_tie"], offsets)}
+    )
+    q, big = divmod(n, k)  # first `big` tiles hold q+1 rows
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    tie_col: pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        om = ray.get(off_ref)
+        i = om[int(t.column(tie_col)[0].as_py())] + np.arange(
+            t.num_rows, dtype=np.int64
+        )
+        cut = (q + 1) * big  # rows below `cut` sit in the fat tiles
+        if q == 0:
+            tile = i + 1  # n < k: one row per tile
+        else:
+            tile = np.where(i < cut, i // (q + 1), big + (i - cut) // q) + 1
+        return pa.table(
+            {
+                tie_col: t.column(tie_col),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def rank_by_key(ds, key_col: str, id_col: str):
+    """``RANK() OVER (ORDER BY key)`` for a LOW-CARDINALITY key (dates,
+    buckets): every row gets 1 + count of rows with a strictly smaller
+    key; ties share a rank.  Output (id_col, rnk:int64).
+
+    Scale shape: rank depends only on the per-key row counts, so ONE
+    count aggregate (shuffle ∝ distinct keys × blocks) feeds a
+    driver-side prefix sum over the DISTINCT KEYS — driver state ∝ key
+    cardinality, which this operator is documented to require be small
+    (dates: thousands); the rank map broadcasts once via ray.put and the
+    second pass is a stateless lookup.  For high-cardinality keys use
+    ``global_ntile``/``global_running_sum``'s range-partitioned pattern
+    instead.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    keyed = ds.select_columns([key_col, id_col]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column(key_col).cast(pa.int64()),
+                id_col: t.column(id_col),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    counts = (
+        keyed.groupby("k").aggregate(Count(alias_name="n")).to_pandas()
+    ).sort_values("k")
+    ks = counts["k"].to_numpy(np.int64)
+    ns = counts["n"].to_numpy(np.int64)
+    ranks = np.concatenate(([0], ns.cumsum()[:-1])) + 1
+    ref = ray.put((ks, ranks))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        ks_b, ranks_b = ray.get(ref)
+        kv = t.column("k").to_numpy(zero_copy_only=False)
+        rnk = ranks_b[np.searchsorted(ks_b, kv)]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "rnk": pa.array(rnk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return keyed.map_batches(attach, batch_format="pyarrow")

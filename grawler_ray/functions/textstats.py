@@ -1484,3 +1484,123 @@ def source_kl(
         .aggregate(Sum("kl_part", alias_name="kl"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def source_vocab_jaccard(
+    docs_ds,
+    group_col: str = "source",
+    num_groups: int = 256,
+):
+    """Pairwise source VOCABULARY overlap: for every source pair (a < b)
+    that shares at least one distinct lowercased ``\\b\\w+\\b`` token,
+    emit |V_a ∩ V_b| and |V_a ∪ V_b| as exact int64 (callers divide for
+    Jaccard; emitting the quotient would re-open the float-rounding
+    gate).  The corpus-mixture diagnostic next to [[source_kl]]: KL asks
+    "how differently does a source use shared words", this asks "how
+    much vocabulary do two sources even share" (mirror/aggregator
+    detection at the source level).  Output (src_a, src_b, inter:int64,
+    uni:int64).
+
+    Scale shape: per-batch factorized (source, word) partials → ONE
+    arrow two-key aggregate (rows ∝ vocab × sources); the pair
+    intersections run inside a coarse WORD-hash groupby where each
+    word's source set is local — the kernel builds a boolean
+    words×sources matrix and takes ONE M.T@M matmul per group (never a
+    per-word Python pair loop); per-group partial pair counts (≤
+    sources² rows each) meet in a tiny second aggregate, and vocab
+    sizes are a sources-sized driver pull broadcast once.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs_ds.select_columns(["text", group_col])
+        .map_batches(
+            lambda t: word_count_partial(t, group_col=group_col),
+            batch_format="pyarrow",
+        )
+        .groupby([group_col, "word"])
+        .aggregate(Sum("partial", alias_name="c"))
+        .materialize()
+    )
+    # vocab size per source = row count per source of the DISTINCT
+    # (source, word) table — a sources-sized pull
+    from ray.data.aggregate import Count
+
+    vs = (
+        counts.groupby(group_col)
+        .aggregate(Count(alias_name="nv"))
+        .to_pandas()
+    )
+    vs_ref = ray.put(dict(zip(vs[group_col], vs["nv"].astype(int))))
+
+    def tag(tt: pa.Table) -> pa.Table:
+        w = np.asarray(tt.column("word").to_pylist(), dtype=object)
+        gh = (pd.util.hash_array(w) % np.uint64(num_groups)).astype(np.int32)
+        return tt.append_column("wg", pa.array(gh, pa.int32()))
+
+    empty = pa.schema(
+        [
+            pa.field("src_a", pa.string()),
+            pa.field("src_b", pa.string()),
+            pa.field("part", pa.int64()),
+        ]
+    )
+
+    def pair_parts(tt: pa.Table) -> pa.Table:
+        if tt.num_rows == 0:
+            return empty.empty_table()
+        wcodes, _ = pd.factorize(
+            np.asarray(tt.column("word").to_pylist(), dtype=object)
+        )
+        scodes, suniq = pd.factorize(
+            np.asarray(tt.column(group_col).to_pylist(), dtype=object)
+        )
+        ns = len(suniq)
+        m = np.zeros((wcodes.max() + 1, ns), np.int64)
+        m[wcodes, scodes] = 1
+        inter = m.T @ m
+        ia, ib = np.triu_indices(ns, k=1)
+        vals = inter[ia, ib]
+        keep = vals > 0
+        ia, ib, vals = ia[keep], ib[keep], vals[keep]
+        sa = np.asarray(list(suniq), dtype=object)[ia]
+        sb = np.asarray(list(suniq), dtype=object)[ib]
+        swap = sa > sb  # canonical src_a < src_b regardless of factorize order
+        sa2 = np.where(swap, sb, sa)
+        sb2 = np.where(swap, sa, sb)
+        return pa.table(
+            {
+                "src_a": pa.array(list(sa2), pa.string()),
+                "src_b": pa.array(list(sb2), pa.string()),
+                "part": pa.array(vals, pa.int64()),
+            }
+        )
+
+    def finish(tt: pa.Table) -> pa.Table:
+        vm = ray.get(vs_ref)
+        a = tt.column("src_a").to_pylist()
+        b = tt.column("src_b").to_pylist()
+        inter = tt.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = np.array(
+            [vm[x] + vm[y] for x, y in zip(a, b)], np.int64
+        ) - inter
+        return pa.table(
+            {
+                "src_a": pa.array(a, pa.string()),
+                "src_b": pa.array(b, pa.string()),
+                "inter": pa.array(inter, pa.int64()),
+                "uni": pa.array(uni, pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("wg")
+        .map_groups(pair_parts, batch_format="pyarrow")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("part", alias_name="inter"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

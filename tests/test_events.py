@@ -438,3 +438,70 @@ def test_global_running_sum_multiblock(ray_session):
     exp = dict(zip(tie[ser], exp_cum))
     assert len(got) == n
     assert all(got[k] == exp[k] for k in exp)
+
+
+def test_global_ntile_vs_duckdb(ray_session):
+    """SQL NTILE fill rule (first n%k tiles fat) reproduced across many
+    blocks, including duplicate order keys and n not divisible by k."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import global_ntile
+
+    rng = np.random.default_rng(11)
+    n = 4001  # deliberately not divisible by 7
+    df = pd.DataFrame(
+        {
+            "p": rng.integers(0, 500, n).astype(np.int64),
+            "k": rng.permutation(n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(16)
+    got = (
+        global_ntile(ds, order_col="p", tie_col="k", k=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT k, CAST(ntile(7) OVER (ORDER BY p, k) AS BIGINT) AS tile "
+        "FROM df ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"tile": "tile"}), exp, check_dtype=False
+    )
+
+
+def test_rank_by_key_vs_duckdb(ray_session):
+    """RANK() with ties over a low-cardinality key matches SQL."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import rank_by_key
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "d": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+            "id": rng.permutation(n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    got = (
+        rank_by_key(ds, key_col="d", id_col="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT id, CAST(rank() OVER (ORDER BY d) AS BIGINT) AS rnk "
+        "FROM df ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

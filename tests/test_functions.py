@@ -475,3 +475,39 @@ def test_source_kl_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # KL is non-negative and a uniform corpus would be ~0
     assert (got["kl_micro"] >= 0).all()
+
+
+def test_source_vocab_jaccard_vs_duckdb(ray_session):
+    """Pairwise vocabulary intersection/union sizes match the distinct
+    self-join SQL on real documents."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.textstats import source_vocab_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        source_vocab_jaccard(ray.data.read_parquet(f"{sf}/documents.parquet"))
+        .to_pandas()
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        rf"""WITH tok AS (SELECT source,
+                    lower(unnest(regexp_extract_all(text, '\b\w+\b'))) AS w
+             FROM '{sf}/documents.parquet'),
+        v AS (SELECT DISTINCT source, w FROM tok),
+        vs AS (SELECT source, count(*)::BIGINT AS nv FROM v GROUP BY source),
+        ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*)::BIGINT AS inter
+               FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT ix.src_a, ix.src_b, ix.inter,
+               CAST(va.nv + vb.nv - ix.inter AS BIGINT) AS uni
+        FROM ix JOIN vs va ON va.source = ix.src_a
+                JOIN vs vb ON vb.source = ix.src_b
+        ORDER BY src_a, src_b"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["inter"] <= got["uni"]).all()

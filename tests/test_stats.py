@@ -367,3 +367,40 @@ def test_grouped_quantile_cont_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # bit-identical, not just close
     assert (got["value"].to_numpy() == exp["value"].to_numpy()).all()
+
+
+def test_grouped_gini_vs_duckdb(ray_session):
+    """Exact integer Gini numerator/denominator per nation matches the
+    row_number-window SQL on real customer data."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_gini
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        grouped_gini(
+            ray.data.read_parquet(f"{sf}/customer.parquet"),
+            group_col="c_nationkey",
+            value_col="c_acctbal",
+        )
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH x AS (SELECT c_nationkey AS g,
+                          CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS x,
+                          row_number() OVER (PARTITION BY c_nationkey
+                                             ORDER BY c_acctbal) AS i
+                   FROM '{sf}/customer.parquet')
+        SELECT g AS c_nationkey, count(*)::BIGINT AS n_rows,
+               CAST(2*sum(i*x) - (count(*)+1)*sum(x) AS BIGINT) AS gini_num,
+               CAST(count(*)*sum(x) AS BIGINT) AS gini_den
+        FROM x GROUP BY g ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sanity: 0 <= G < 1 when balances are mostly positive
+    g = got["gini_num"] / got["gini_den"]
+    assert ((g >= -0.5) & (g <= 1.5)).all()
