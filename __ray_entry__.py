@@ -834,6 +834,38 @@ def _vocab_overlap(sf_dir: str):
     return source_vocab_jaccard(_read(sf_dir, "documents"))
 
 
+def _nation_spend_quartile(sf_dir: str):
+    """Per-nation NTILE(4) of customer balances (value,tie order) — one
+    coarse nation-hash exchange, in-group lexsort run-scan tiles."""
+    from grawler_ray.functions.stats import grouped_ntile
+
+    return grouped_ntile(
+        _read(sf_dir, "customer").select_columns(
+            ["c_nationkey", "c_acctbal", "c_custkey"]
+        ),
+        group_col="c_nationkey",
+        value_col="c_acctbal",
+        tie_col="c_custkey",
+        k=4,
+    )
+
+
+def _new_users_daily(sf_dir: str):
+    """New-user cohort sizes per day — per-batch min-ts partials, one
+    user Min aggregate, tiny day Sum aggregate."""
+    from grawler_ray.functions.events import new_users_daily
+
+    return new_users_daily(_read(sf_dir, "events"))
+
+
+def _user_gap_moments(sf_dir: str):
+    """Per-user inter-event gap count/Σus/Σs² — one coarse user-hash
+    exchange, run-scan diffs, bincount sums."""
+    from grawler_ray.functions.events import user_gap_moments
+
+    return user_gap_moments(_read(sf_dir, "events"))
+
+
 def _user_paths(sf_dir: str):
     """Per-user ordered event-type journey strings (head-capped at 50
     steps — the cap IS the scale story) — one coarse user-hash exchange,
@@ -2207,6 +2239,70 @@ def _warc_fixture(sf_dir: str) -> str:
 
 
 _JSONL_CACHE: dict[str, str] = {}
+_CSV_CACHE: dict[str, str] = {}
+
+
+def _csv_fixture(sf_dir: str) -> str:
+    """Deterministic quoted-CSV shards synthesized from the documents
+    table (QUOTE_ALL, embedded newlines kept inside quotes) — the same
+    differential-oracle trick as [[_jsonl_fixture]] for the native
+    ray.data.read_csv source."""
+    import csv as _csv
+    import hashlib
+    import os
+
+    if sf_dir in _CSV_CACHE:
+        return _CSV_CACHE[sf_dir]
+    import duckdb
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/grawler_csv_{tag}"
+    if not os.path.exists(os.path.join(d, "shard-3.csv")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards: list[list] = [[] for _ in range(4)]
+        for r in rows:
+            shards[r[0] % 4].append(r)
+        for i, rs in enumerate(shards):
+            with open(os.path.join(d, f"shard-{i}.csv"), "w", newline="") as f:
+                w = _csv.writer(f, quoting=_csv.QUOTE_ALL, lineterminator="\n")
+                w.writerow(["doc_id", "text", "lang", "source"])
+                w.writerows(rs)
+    _CSV_CACHE[sf_dir] = d
+    return d
+
+
+def _csv_ingest(sf_dir: str):
+    """Native ray.data.read_csv over synthesized quoted-CSV shards
+    (newlines_in_values on, exercising the quoting round-trip); the SQL
+    oracle predicts every column from `documents` directly."""
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    d = _csv_fixture(sf_dir)
+    ds = ray.data.read_csv(
+        [f"{d}/shard-{i}.csv" for i in range(4)],
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": _pc.cast(t.column("doc_id"), pa.int64()),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars_csv": _pc.cast(
+                    _pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _jsonl_fixture(sf_dir: str) -> str:
@@ -2448,6 +2544,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_rank": _date_rank,
         "nation_gini": _nation_gini,
         "vocab_overlap": _vocab_overlap,
+        "nation_spend_quartile": _nation_spend_quartile,
+        "new_users_daily": _new_users_daily,
+        "user_gap_moments": _user_gap_moments,
+        "csv_ingest": _csv_ingest,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3671,6 +3771,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(va.nv + vb.nv - ix.inter AS BIGINT) AS uni
             FROM ix JOIN vs va ON va.source = ix.src_a
                     JOIN vs vb ON vb.source = ix.src_b
+        """,
+        # per-group equal-height quartiles (value,tie window order)
+        "nation_spend_quartile": """
+            SELECT c_nationkey, c_custkey,
+                   CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal, c_custkey)
+                        AS BIGINT) AS tile
+            FROM customer
+        """,
+        # daily new-user cohorts from each user's first event
+        "new_users_daily": """
+            WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id)
+            SELECT date_trunc('day', ft) AS day, count(*)::BIGINT AS new_users
+            FROM f GROUP BY 1
+        """,
+        # per-user inter-event gap moments; the second moment is in
+        # floor-seconds (us // 1e6, DuckDB // floors like numpy) so the
+        # square stays far inside BIGINT
+        "user_gap_moments": """
+            WITH d AS (SELECT user_id,
+                              date_diff('microsecond',
+                                        lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id),
+                                        ts) AS g
+                       FROM events)
+            SELECT user_id, count(g)::BIGINT AS n_gaps,
+                   coalesce(sum(g), 0)::BIGINT AS sum_us,
+                   coalesce(sum((g // 1000000) * (g // 1000000)), 0)::BIGINT
+                       AS sumsq_s
+            FROM d GROUP BY user_id
+        """,
+        # CSV round-trip: the oracle predicts the parsed rows straight
+        # from documents (quoting/newlines are what's being checked)
+        "csv_ingest": """
+            SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_csv
+            FROM documents
         """,
         # per-source unigram KL drift: term formula mirrored literally
         # (p = c/ts, q = g/t, p·ln(p/q)), micro-nat scaling both sides

@@ -142,7 +142,8 @@ def run_subqueries() -> dict[str, float]:
         "path_trigrams", "doc_entropy", "mirror_sources",
         "spend_quantiles", "user_paths", "source_budget", "source_kl",
         "running_revenue", "spend_ntile", "date_rank", "nation_gini",
-        "vocab_overlap",
+        "vocab_overlap", "nation_spend_quartile", "new_users_daily",
+        "user_gap_moments", "csv_ingest",
     ]
     import ray.data
 

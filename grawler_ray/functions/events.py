@@ -864,3 +864,115 @@ def rank_by_key(ds, key_col: str, id_col: str):
         )
 
     return keyed.map_batches(attach, batch_format="pyarrow")
+
+
+def new_users_daily(events_ds):
+    """New-user counts per day: each user's FIRST event (ts order)
+    assigns them to a cohort day; output (day:timestamp_us, new_users:
+    int64) — the acquisition-curve statistic next to [[user_retention]].
+
+    Scale shape: per-batch per-user min-ts partials (one row per
+    distinct user per batch) → one user-key arrow Min aggregate (shuffle
+    ∝ users × blocks, pre-aggregated) → per-batch day-count partials →
+    one tiny day-key Sum aggregate (rows ∝ days).  No sort, no driver
+    state.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        m = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, inv, ts)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "ft": pa.array(m, pa.int64()),
+            }
+        )
+
+    firsts = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(min_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ft", alias_name="ft"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        ft = t.column("ft").to_numpy(zero_copy_only=False)
+        day = (ft // US_PER_DAY) * US_PER_DAY
+        dd, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_us": pa.array(dd, pa.int64()),
+                "part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("day_us").cast(pa.timestamp("us")),
+                "new_users": t.column("new_users"),
+            }
+        )
+
+    return (
+        firsts.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(Sum("part", alias_name="new_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def user_gap_moments(events_ds, num_groups: int = 256):
+    """Per-user inter-event-gap moments — burstiness diagnostics: number
+    of gaps, Σgap (microseconds, int64) and Σgap² (SECONDS², the square
+    stays far inside int64; the per-gap second count is the floor of the
+    us gap, mirrored by SQL's integer division).  Single-event users
+    emit (0, 0, 0) rows like SQL's count/coalesce.  Output (user_id,
+    n_gaps, sum_us, sumsq_s).
+
+    Scale shape: ONE coarse user-hash exchange, in-group sort + run-scan
+    diffs (gaps never cross users), per-user sums via bincount.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "sum_us": pd.Series([], dtype=np.int64),
+                    "sumsq_s": pd.Series([], dtype=np.int64),
+                }
+            )
+        df, is_start, _ = _user_starts(df)
+        ts = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        codes = np.cumsum(is_start) - 1
+        k = int(codes[-1]) + 1
+        d = np.diff(ts)
+        same = ~is_start[1:]
+        gaps = d[same]
+        gcodes = codes[1:][same]
+        n_gaps = np.bincount(gcodes, minlength=k).astype(np.int64)
+        s = np.zeros(k, np.int64)
+        np.add.at(s, gcodes, gaps)
+        gs = gaps // 1_000_000
+        s2 = np.zeros(k, np.int64)
+        np.add.at(s2, gcodes, gs * gs)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[is_start],
+                "n_gaps": n_gaps,
+                "sum_us": s,
+                "sumsq_s": s2,
+            }
+        )
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)

@@ -851,3 +851,86 @@ def grouped_gini(
         ),
         batch_format="pyarrow",
     )
+
+
+def grouped_ntile(
+    ds,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    k: int,
+    num_groups: int = 64,
+):
+    """``NTILE(k) OVER (PARTITION BY group ORDER BY value, tie)`` — the
+    per-group equal-height bucket assignment (spend quartiles per
+    nation).  Ordering uses the RAW value plus a unique tie column, so
+    the SQL window's row order is reproduced exactly (no scaling: the
+    value itself is never emitted).  ``group_col``/``tie_col`` must be
+    integer-typed.  Output (group_col, tie_col, tile:int64).
+
+    Scale shape: ONE coarse group-hash exchange; inside a group a single
+    lexsort + run-scan assigns every key's tiles vectorized (per-key
+    n/q/big broadcast through the run codes) — no per-key Python groups,
+    no global sort (contrast ``events.global_ntile``, the unpartitioned
+    variant that needs the range-partitioned row-offset machinery).
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gh = (
+            g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "v": t.column(value_col).cast(pa.float64()),
+                "tie": t.column(tie_col).cast(pa.int64()),
+                "gh": pa.array(gh.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field("g", pa.int64()),
+            pa.field("tie", pa.int64()),
+            pa.field("tile", pa.int64()),
+        ]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        tie = t.column("tie").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tie, v, g))
+        g, tie = g[o], tie[o]
+        starts = np.concatenate(([True], np.diff(g) != 0))
+        start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(len(g)), 0)
+        )
+        i = np.arange(len(g)) - start_idx  # 0-based within-key position
+        codes = np.cumsum(starts) - 1
+        n = np.bincount(codes).astype(np.int64)[codes]  # per-row key size
+        q, big = n // k, n % k
+        cut = (q + 1) * big  # rows below sit in the fat tiles
+        fat = i < cut
+        tile = np.where(fat, i // np.maximum(q + 1, 1), big + (i - cut) // np.maximum(q, 1)) + 1
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "tie": pa.array(tie, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col, tie_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gh")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, tie_col, "tile"]),
+        batch_format="pyarrow",
+    )

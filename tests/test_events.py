@@ -505,3 +505,60 @@ def test_rank_by_key_vs_duckdb(ray_session):
         "FROM df ORDER BY id"
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_new_users_daily_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.events import new_users_daily
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        new_users_daily(ray.data.read_parquet(f"{sf}/events.parquet"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH f AS (SELECT user_id, min(ts) AS ft
+                  FROM '{sf}/events.parquet' GROUP BY user_id)
+        SELECT date_trunc('day', ft) AS day, count(*)::BIGINT AS new_users
+        FROM f GROUP BY 1 ORDER BY 1"""
+    ).df()
+    got["day"] = pd.to_datetime(got["day"])
+    exp["day"] = pd.to_datetime(exp["day"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["new_users"].sum() == duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+
+
+def test_user_gap_moments_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.events import user_gap_moments
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        user_gap_moments(ray.data.read_parquet(f"{sf}/events.parquet"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH d AS (SELECT user_id,
+                          date_diff('microsecond',
+                                    lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                    ts) AS g
+                   FROM '{sf}/events.parquet')
+        SELECT user_id, count(g)::BIGINT AS n_gaps,
+               coalesce(sum(g), 0)::BIGINT AS sum_us,
+               coalesce(sum((g // 1000000) * (g // 1000000)), 0)::BIGINT AS sumsq_s
+        FROM d GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -54,3 +54,35 @@ def test_all_specs_includes_robots_rows():
     assert len(robots_rows) == 2
     assert len(page_rows) == 6
     assert all(s["url"].endswith("/robots.txt") for s in robots_rows)
+
+
+def test_csv_roundtrip_quoting(ray_session, tmp_path):
+    """ray.data.read_csv with newlines_in_values survives embedded
+    commas, quotes, and newlines written QUOTE_ALL (the csv_ingest
+    fixture's format)."""
+    import csv
+
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, inside'),
+        (3, 'quote " inside'),
+        (4, 'newline\ninside'),
+        (5, 'both ",\n" mixed'),
+    ]
+    p = tmp_path / "t.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_ALL, lineterminator="\n")
+        w.writerow(["doc_id", "text"])
+        w.writerows(rows)
+    got = (
+        ray.data.read_csv(
+            [str(p)],
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["text"]) == [r[1] for r in rows]

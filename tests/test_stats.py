@@ -404,3 +404,39 @@ def test_grouped_gini_vs_duckdb(ray_session):
     # sanity: 0 <= G < 1 when balances are mostly positive
     g = got["gini_num"] / got["gini_den"]
     assert ((g >= -0.5) & (g <= 1.5)).all()
+
+
+def test_grouped_ntile_vs_duckdb(ray_session):
+    """Per-group NTILE with the SQL fill rule, heavy value ties broken
+    by the tie column, groups of size < k included."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_ntile
+
+    rng = np.random.default_rng(5)
+    n = 3001
+    df = pd.DataFrame(
+        {
+            "g": np.concatenate(
+                [rng.integers(0, 30, n - 2), [99, 98]]  # two singleton groups
+            ).astype(np.int64),
+            "v": rng.integers(0, 20, n).astype(np.float64),  # heavy ties
+            "t": rng.permutation(n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    got = (
+        grouped_ntile(ds, group_col="g", value_col="v", tie_col="t", k=3)
+        .to_pandas()
+        .sort_values(["g", "t"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT g, t, CAST(ntile(3) OVER (PARTITION BY g ORDER BY v, t) "
+        "AS BIGINT) AS tile FROM df ORDER BY g, t"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
