@@ -866,6 +866,14 @@ def _user_gap_moments(sf_dir: str):
     return user_gap_moments(_read(sf_dir, "events"))
 
 
+def _readability(sf_dir: str):
+    """Per-doc Flesch ingredients (exact word/sentence/vowel-group
+    counts) — stateless map, compiled regexes, zero shuffles."""
+    from grawler_ray.functions.textstats import readability_counts
+
+    return readability_counts(_read(sf_dir, "documents"))
+
+
 def _user_paths(sf_dir: str):
     """Per-user ordered event-type journey strings (head-capped at 50
     steps — the cap IS the scale story) — one coarse user-hash exchange,
@@ -2548,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": _new_users_daily,
         "user_gap_moments": _user_gap_moments,
         "csv_ingest": _csv_ingest,
+        "readability": _readability,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3806,6 +3815,16 @@ def oracle_sql() -> dict[str, str]:
         # from documents (quoting/newlines are what's being checked)
         "csv_ingest": """
             SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_csv
+            FROM documents
+        """,
+        # per-doc Flesch ingredients (both engines run RE2-class ASCII
+        # regexes; lower() parity is the word_freq/source_kl precedent)
+        "readability": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b\w+\b'))::BIGINT AS n_words,
+                   len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sents,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                       AS n_vowel_groups
             FROM documents
         """,
         # per-source unigram KL drift: term formula mirrored literally

@@ -511,3 +511,28 @@ def test_source_vocab_jaccard_vs_duckdb(ray_session):
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["inter"] <= got["uni"]).all()
+
+
+def test_readability_counts_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.textstats import readability_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        readability_counts(ray.data.read_parquet(f"{sf}/documents.parquet"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        rf"""SELECT doc_id,
+               len(regexp_extract_all(text, '\b\w+\b'))::BIGINT AS n_words,
+               len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                   AS n_vowel_groups
+        FROM '{sf}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
