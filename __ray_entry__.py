@@ -967,6 +967,59 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _spend_mad(sf_dir: str):
+    """Per-priority median absolute deviation of order totals (robust
+    dispersion; nested interpolated medians, bit-identical to nested
+    quantile_cont) — one exact-histogram exchange, driver MAD walk."""
+    from grawler_ray.functions.stats import grouped_mad
+
+    return grouped_mad(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_totalprice"]
+        ),
+        group_col="o_orderpriority",
+        value_col="o_totalprice",
+        value_scale=100,
+    )
+
+
+def _balance_percent_rank(sf_dir: str):
+    """PERCENT_RANK of each customer's account balance within its market
+    segment (RANK ties, single IEEE divide) — one coarse segment-hash
+    exchange + run-scan."""
+    from grawler_ray.functions.sampling import grouped_percent_rank
+
+    def cents(t):
+        v = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "c_custkey": t.column("c_custkey"),
+                "bal_cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_percent_rank(
+        _read(sf_dir, "customer")
+        .select_columns(["c_mktsegment", "c_custkey", "c_acctbal"])
+        .map_batches(cents, batch_format="pyarrow"),
+        group_col="c_mktsegment",
+        id_col="c_custkey",
+        value_col="bal_cents",
+    )
+
+
+def _session_stats(sf_dir: str):
+    """Per-user session rollup (count / total events / largest session,
+    30-min gap rule) — sessionize's one coarse user-hash exchange with
+    the rollup fused into the kernel."""
+    from grawler_ray.functions.events import session_stats
+
+    return session_stats(_read(sf_dir, "events"))
+
+
 def _source_lang_rollup(sf_dir: str):
     """Multi-granularity corpus-composition report: docs + chars per
     (source, lang), per-source subtotals, and a grand total — SQL's
@@ -2557,6 +2610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_moments": _user_gap_moments,
         "csv_ingest": _csv_ingest,
         "readability": _readability,
+        "spend_mad": _spend_mad,
+        "balance_percent_rank": _balance_percent_rank,
+        "session_stats": _session_stats,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3826,6 +3882,61 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # nested interpolated medians: every intermediate float is an
+        # exact binary value (ints and int+0.5 halvings), so the double
+        # output is bit-identical (the grouped_quantile_cont argument)
+        "spend_mad": """
+            WITH x AS (
+                SELECT o_orderpriority,
+                       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+                FROM orders
+            ),
+            m AS (
+                SELECT o_orderpriority, quantile_cont(c, 0.5) AS med
+                FROM x GROUP BY o_orderpriority
+            )
+            SELECT x.o_orderpriority,
+                   quantile_cont(abs(x.c - m.med), 0.5) AS mad
+            FROM x JOIN m USING (o_orderpriority)
+            GROUP BY x.o_orderpriority
+        """,
+        # (rank-1)/(n-1): both operands are exact small ints, one IEEE
+        # divide both sides (the weighted_sample precedent)
+        "balance_percent_rank": """
+            SELECT c_mktsegment, c_custkey,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+                   percent_rank() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                   ) AS pr
+            FROM customer
+        """,
+        "session_stats": """
+            WITH lagd AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(CASE WHEN prev_ts IS NULL
+                                OR epoch_us(ts) - epoch_us(prev_ts)
+                                   > 30*60*1000000
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+                FROM lagd
+            ),
+            per AS (
+                SELECT user_id, sid, count(*)::BIGINT AS c
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_sessions,
+                   sum(c)::BIGINT AS n_events,
+                   max(c)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id
         """,
         # per-source unigram KL drift: term formula mirrored literally
         # (p = c/ts, q = g/t, p·ln(p/q)), micro-nat scaling both sides

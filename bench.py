@@ -143,7 +143,8 @@ def run_subqueries() -> dict[str, float]:
         "spend_quantiles", "user_paths", "source_budget", "source_kl",
         "running_revenue", "spend_ntile", "date_rank", "nation_gini",
         "vocab_overlap", "nation_spend_quartile", "new_users_daily",
-        "user_gap_moments", "csv_ingest",
+        "user_gap_moments", "csv_ingest", "readability",
+        "spend_mad", "balance_percent_rank", "session_stats",
     ]
     import ray.data
 

@@ -976,3 +976,45 @@ def user_gap_moments(events_ds, num_groups: int = 256):
         )
 
     return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
+def session_stats(events_ds, gap_minutes: int = 30, num_groups: int = 256):
+    """Per-user session rollup over the gap-based sessions of
+    ``sessionize`` (same 30-min break rule, same (ts, event_id) order):
+    session count, total events, and the largest session's event count —
+    the engagement summary a sessionized events table exists to feed.
+
+    Scale shape: sessionize's ONE coarse user-hash exchange, but the
+    rollup happens INSIDE the kernel (reduceat over session-run lengths
+    at user boundaries), so the operator emits one row per user with no
+    second aggregate.  Output: (user_id, n_sessions, n_events,
+    max_session_events), all int64.
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, is_start, _ = _user_starts(df)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        sess_start = (
+            np.concatenate(([False], np.diff(ts) > gap_us)) & ~is_start
+        ) | is_start
+        sidx = np.flatnonzero(sess_start)
+        slen = np.diff(np.append(sidx, len(df)))
+        first_sess_of_user = is_start[sidx]
+        upos = np.flatnonzero(first_sess_of_user)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[sidx[upos]],
+                "n_sessions": np.diff(
+                    np.append(upos, len(sidx))
+                ).astype(np.int64),
+                "n_events": np.add.reduceat(slen, upos).astype(np.int64),
+                "max_session_events": np.maximum.reduceat(slen, upos).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return _coarse_user_groupby(
+        events_ds.select_columns(["event_id", "user_id", "ts"]), fn, num_groups
+    )

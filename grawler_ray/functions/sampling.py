@@ -611,3 +611,87 @@ def source_budget(ds, group_col: str = "source", budget: int = 1000):
             }
         )
     )
+
+
+def grouped_percent_rank(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    num_groups: int = 64,
+):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY group ORDER BY value)``:
+    (rank − 1) / (n − 1) with RANK tie semantics (every row of a tie run
+    gets the run's FIRST position), 0.0 for single-row partitions per the
+    standard.  The one float is a single IEEE divide of two exact small
+    ints — deterministic and bit-identical to the oracle's window
+    (the weighted_sample single-divide precedent).
+
+    Scale shape: group_ntile's — ONE coarse group-hash shuffle of
+    (group, id, value int64), vectorized sort + run-scan inside
+    ~num_groups kernels; a group's rows must fit one coarse partition
+    (low-cardinality segment/language keys by nature here).
+    Output: (group_col, id_col, value_col, pr float64).
+    """
+    import pandas as pd
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        gv = t.column(group_col)
+        if pa.types.is_integer(gv.type):
+            u = gv.to_numpy(zero_copy_only=False).astype(np.uint64)
+            g = (u * _GOLD) >> np.uint64(33)
+        else:
+            g = pd.util.hash_array(np.asarray(gv.to_pylist(), dtype=object))
+        g = g % np.uint64(num_groups)
+        return pa.table(
+            {
+                group_col: gv,
+                id_col: t.column(id_col),
+                value_col: t.column(value_col).cast(pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(group_col, pa.string()),
+            pa.field(id_col, pa.int64()),
+            pa.field(value_col, pa.int64()),
+            pa.field("pr", pa.float64()),
+        ]
+    )
+
+    def rank_groups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values(
+            [group_col, value_col, id_col], ascending=True
+        )
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        vals = df[value_col].to_numpy(np.int64)
+        idx = np.arange(len(df))
+        is_gstart = np.concatenate(([True], np.diff(codes) != 0))
+        is_tiestart = is_gstart | np.concatenate(([True], np.diff(vals) != 0))
+        g_start = np.maximum.accumulate(np.where(is_gstart, idx, 0))
+        tie_start = np.maximum.accumulate(np.where(is_tiestart, idx, 0))
+        starts = idx[is_gstart]
+        cnt = np.repeat(np.diff(np.append(starts, len(df))), np.diff(np.append(starts, len(df))))
+        rank0 = (tie_start - g_start).astype(np.float64)
+        pr = np.where(cnt > 1, rank0 / np.maximum(cnt - 1, 1), 0.0)
+        return pa.table(
+            {
+                group_col: pa.array(df[group_col].to_numpy().tolist(), pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                value_col: pa.array(vals, pa.int64()),
+                "pr": pa.array(pr, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, id_col, value_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_groups, batch_format="pyarrow")
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "grouped_corr",
     "grouped_histogram",
     "grouped_winsorize",
+    "grouped_mad",
     "zscore_normalize",
     "bpe_train",
 ]
@@ -933,4 +934,65 @@ def grouped_ntile(
     return out.map_batches(
         lambda t: t.rename_columns([group_col, tie_col, "tile"]),
         batch_format="pyarrow",
+    )
+
+
+def grouped_mad(
+    ds,
+    group_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    driver_max_bins: int = 2_000_000,
+):
+    """Per-group median absolute deviation — the robust dispersion
+    statistic (median of |x − median(x)|, interpolated PERCENTILE_CONT
+    medians on both levels, SQL ``quantile_cont`` parity).
+
+    Exactness: x = floor(v·scale+0.5) is int64; an interpolated median of
+    integers is k or k+0.5 (exact binary), |x − med| is therefore exact
+    (m or m+0.5 < 2^53), and the second interpolated median adds one more
+    exact halving — every float involved is exactly representable, so the
+    double output is BIT-IDENTICAL to the oracle's nested quantile_cont
+    (the grouped_quantile_cont q-multiple-of-25 argument, twice).
+
+    Scale shape: the SAME single distinct-(group, value) histogram
+    exchange as grouped_winsorize (volume ∝ value domain, never rows) —
+    the deviation histogram is derived on the driver by re-sorting the
+    value histogram around the median (counts are reused, no second
+    exchange).  Output: (group_col, mad float64), one row per group.
+    """
+    import ray.data
+
+    hd = _exact_group_hist(
+        ds, group_col, value_col, value_scale, "grouped_mad", driver_max_bins
+    )
+
+    def interp_median(vals: np.ndarray, counts: np.ndarray) -> float:
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        r = (n - 1) * 0.5
+        i0 = int(np.floor(r))
+        frac = r - i0
+        i1 = i0 if frac == 0.0 else min(i0 + 1, n - 1)
+        lo = float(vals[np.searchsorted(cum, i0 + 1)])
+        hi = float(vals[np.searchsorted(cum, i1 + 1)])
+        return lo + (hi - lo) * frac
+
+    out_g: list = []
+    out_m: list = []
+    for grp, sub in hd.groupby(group_col, sort=False):
+        vals = sub["x"].to_numpy(np.int64)
+        counts = sub["cnt"].to_numpy(np.int64)
+        med = interp_median(vals.astype(np.float64), counts)
+        dev = np.abs(vals.astype(np.float64) - med)
+        order = np.argsort(dev, kind="stable")
+        out_g.append(grp)
+        out_m.append(interp_median(dev[order], counts[order]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "mad": pa.array(out_m, pa.float64()),
+            }
+        )
     )

@@ -562,3 +562,51 @@ def test_user_gap_moments_vs_duckdb(ray_session):
         FROM d GROUP BY user_id ORDER BY user_id"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_session_stats(ray_session):
+    from grawler_ray.functions.events import session_stats
+
+    out = (
+        session_stats(_events(ray_session), gap_minutes=30)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    # user 1: sessions {e1,e2} and {e3,e5} -> 2 sessions, 4 events, max 2
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "n_events"] == 4
+    assert out.loc[1, "max_session_events"] == 2
+    # user 2: one single-event session
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "n_events"] == 1
+    assert out.loc[2, "max_session_events"] == 1
+
+
+def test_session_stats_agrees_with_sessionize(ray_session):
+    """Rollup consistency on real data: session_stats must equal the
+    groupby of sessionize's per-event output."""
+    import ray.data
+
+    from grawler_ray.functions.events import session_stats, sessionize
+
+    ev = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    got = (
+        session_stats(ev).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    per_event = sessionize(ev).to_pandas()
+    per_sess = (
+        per_event.groupby(["user_id", "session_id"]).size().rename("c").reset_index()
+    )
+    exp = (
+        per_sess.groupby("user_id")
+        .agg(n_sessions=("c", "size"), n_events=("c", "sum"), max_session_events=("c", "max"))
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

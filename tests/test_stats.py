@@ -440,3 +440,104 @@ def test_grouped_ntile_vs_duckdb(ray_session):
         "AS BIGINT) AS tile FROM df ORDER BY g, t"
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_mad_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_mad
+
+    got = (
+        grouped_mad(
+            _read(ray_session, "orders", ["o_orderpriority", "o_totalprice"]),
+            "o_orderpriority",
+            "o_totalprice",
+            value_scale=100,
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH x AS (SELECT o_orderpriority,
+                   CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS c
+               FROM '{SF}/orders.parquet'),
+            m AS (SELECT o_orderpriority, quantile_cont(c, 0.5) AS med
+                  FROM x GROUP BY 1)
+            SELECT x.o_orderpriority, quantile_cont(abs(x.c - m.med), 0.5) AS mad
+            FROM x JOIN m USING (o_orderpriority)
+            GROUP BY x.o_orderpriority ORDER BY x.o_orderpriority"""
+    ).df()
+    # bit-identical, not approx: every intermediate is an exact binary float
+    assert got["o_orderpriority"].tolist() == exp["o_orderpriority"].tolist()
+    assert got["mad"].tolist() == exp["mad"].tolist()
+
+
+def test_grouped_mad_odd_even_interpolation(ray_session):
+    """Hand-checkable odd- and even-count groups (even hits the .5
+    interpolation on both median levels)."""
+    import ray.data
+    import pyarrow as pa
+
+    from grawler_ray.functions.stats import grouped_mad
+
+    t = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": [1.0, 2.0, 3.0, 10.0, 20.0, 1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    got = (
+        grouped_mad(ray.data.from_arrow(t), "g", "v", value_scale=1)
+        .to_pandas()
+        .set_index("g")["mad"]
+    )
+    # a: med=3, |d|={2,1,0,7,17} sorted {0,1,2,7,17} -> mad=2
+    # b: med=3, |d|={2,1,1,5} sorted {1,1,2,5} -> mad=(1+2)/2=1.5
+    assert got["a"] == 2.0
+    assert got["b"] == 1.5
+
+
+def test_grouped_percent_rank_vs_duckdb(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.sampling import grouped_percent_rank
+
+    got = (
+        grouped_percent_rank(
+            ray.data.read_parquet(
+                f"{SF}/customer.parquet",
+                columns=["c_mktsegment", "c_custkey", "c_nationkey"],
+            ),
+            "c_mktsegment",
+            "c_custkey",
+            "c_nationkey",
+        )
+        .to_pandas()
+        .sort_values(["c_mktsegment", "c_custkey"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT c_mktsegment, c_custkey, c_nationkey::BIGINT AS c_nationkey,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_nationkey) AS pr
+            FROM '{SF}/customer.parquet'
+            ORDER BY c_mktsegment, c_custkey"""
+    ).df()
+    # c_nationkey has heavy TIES across 25 values — pins RANK tie semantics
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["pr"] == exp["pr"]).all()  # bit-identical single divide
+
+
+def test_grouped_percent_rank_single_row_partition(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from grawler_ray.functions.sampling import grouped_percent_rank
+
+    t = pa.table({"g": ["solo", "x", "x"], "id": [1, 2, 3], "v": [9, 5, 5]})
+    got = (
+        grouped_percent_rank(ray.data.from_arrow(t), "g", "id", "v")
+        .to_pandas()
+        .set_index("id")["pr"]
+    )
+    assert got[1] == 0.0  # single-row partition: SQL defines 0
+    assert got[2] == 0.0 and got[3] == 0.0  # full tie run: rank 1 for both
