@@ -967,6 +967,16 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _pmi_topk(sf_dir: str):
+    """Top collocations by pointwise mutual information (Church & Hanks):
+    two vocabulary-sized hash aggregates, size-adaptive count broadcast
+    (string-key repartition joins above the guard), lossless top-k tree
+    combine."""
+    from grawler_ray.functions.textstats import pmi_topk
+
+    return pmi_topk(_read(sf_dir, "documents"))
+
+
 def _spend_mad(sf_dir: str):
     """Per-priority median absolute deviation of order totals (robust
     dispersion; nested interpolated medians, bit-identical to nested
@@ -2613,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_mad": _spend_mad,
         "balance_percent_rank": _balance_percent_rank,
         "session_stats": _session_stats,
+        "pmi_topk": _pmi_topk,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3882,6 +3893,33 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # PMI term order mirrored literally (the source_kl precedent:
+        # identical left-to-right IEEE expression on identical exact ints)
+        "pmi_topk": r"""
+            WITH W AS (SELECT regexp_extract_all(lower(text), '\b\w+\b') AS w
+                       FROM documents),
+            toks AS (SELECT unnest(w) AS word FROM W),
+            uni AS (SELECT word, count(*)::BIGINT AS c FROM toks GROUP BY word),
+            tot AS (SELECT count(*)::BIGINT AS t FROM toks),
+            prs AS (SELECT unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS pair FROM W),
+            pc AS (SELECT pair, count(*)::BIGINT AS c_xy FROM prs
+                   GROUP BY pair HAVING count(*) >= 5),
+            ptot AS (SELECT count(*)::BIGINT AS p FROM prs)
+            SELECT pc.pair, pc.c_xy,
+                   CAST(floor((ln(pc.c_xy::DOUBLE)
+                               + 2.0 * ln(tot.t::DOUBLE)
+                               - ln(ptot.p::DOUBLE)
+                               - ln(ux.c::DOUBLE)
+                               - ln(uy.c::DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS pmi_micro
+            FROM pc
+            JOIN uni ux ON ux.word = split_part(pc.pair, ' ', 1)
+            JOIN uni uy ON uy.word = split_part(pc.pair, ' ', 2)
+            CROSS JOIN tot CROSS JOIN ptot
+            ORDER BY pmi_micro DESC, pair ASC
+            LIMIT 100
         """,
         # nested interpolated medians: every intermediate float is an
         # exact binary value (ints and int+0.5 halvings), so the double

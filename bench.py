@@ -144,7 +144,7 @@ def run_subqueries() -> dict[str, float]:
         "running_revenue", "spend_ntile", "date_rank", "nation_gini",
         "vocab_overlap", "nation_spend_quartile", "new_users_daily",
         "user_gap_moments", "csv_ingest", "readability",
-        "spend_mad", "balance_percent_rank", "session_stats",
+        "spend_mad", "balance_percent_rank", "session_stats", "pmi_topk",
     ]
     import ray.data
 

@@ -1646,3 +1646,190 @@ def readability_counts(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def pmi_topk(
+    docs_ds,
+    k: int = 100,
+    min_pair_count: int = 5,
+    pmi_scale: int = 1_000_000,
+    driver_max_words: int = 2_000_000,
+    num_groups: int = 64,
+    combine_parts: int = 8,
+):
+    """Top-k adjacent-pair collocations by pointwise mutual information
+    (Church & Hanks 1990) — the classic collocation-mining statistic over
+    the bigram_counts tokenizer (``\\b\\w+\\b`` on lower(text)):
+
+        pmi = ln(c_xy/P) - ln(c_x/T) - ln(c_y/T)
+            = ln(c_xy) + 2·ln(T) - ln(P) - ln(c_x) - ln(c_y)
+
+    emitted as ``pmi_micro = floor(pmi · pmi_scale + 0.5)`` with the term
+    order mirrored LITERALLY by the SQL oracle (the source_kl precedent:
+    both engines evaluate the identical left-to-right IEEE expression on
+    the same exact integer counts).  Pairs below ``min_pair_count`` are
+    dropped (PMI is noise-dominated at tiny counts).  Ranked
+    (pmi_micro desc, pair asc); output (pair, c_xy, pmi_micro).
+
+    Scale shape: two column-pruned text scans (pair partials + word
+    partials — one row per distinct pair/word per batch, the factorized
+    kernels), each finished by one hash aggregate and MATERIALIZED (each
+    table feeds both a total and the scoring pass; both are
+    vocabulary-sized, never corpus-sized).  Word counts flow back
+    size-adaptively (the bigram_lm_score pattern): below
+    ``driver_max_words`` distinct words the count table broadcasts once
+    via ``ray.put`` and scoring is one stateless map; above it the pair
+    table splits into (x, y) key columns and takes two string-key
+    ``repartition_join`` exchanges.  Both paths end in the lossless
+    per-block top-k tree combine (cooccurrence_topk's tail).
+    """
+    import ray
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    txt = docs_ds.select_columns(["text"])
+
+    pairs = (
+        txt.map_batches(
+            lambda t: _pair_count_partial(t, window=1, out_col="pair"),
+            batch_format="pyarrow",
+        )
+        .groupby("pair")
+        .aggregate(Sum("partial", alias_name="c_xy"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        toks: list = []
+        for s in t.column("text").to_pylist():
+            toks.extend(_WORD_RE.findall((s or "").lower()))
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        if len(uniq) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()), "partial": pa.array(cnt, pa.int64())}
+        )
+
+    words = (
+        txt.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="c_w"))
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    total_tokens = int(words.sum("c_w"))
+    total_pairs = int(pairs.sum("c_xy"))
+    if total_pairs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pair": pa.array([], pa.string()),
+                    "c_xy": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("c_xy"), min_pair_count))
+
+    pairs_f = pairs.map_batches(keep, batch_format="pyarrow")
+
+    def score_arrays(pair_list, c_xy, c_x, c_y) -> pa.Table:
+        # term order mirrored literally by the oracle (left-to-right IEEE)
+        pmi = (
+            np.log(c_xy.astype(np.float64))
+            + 2.0 * np.log(float(total_tokens))
+            - np.log(float(total_pairs))
+            - np.log(c_x.astype(np.float64))
+            - np.log(c_y.astype(np.float64))
+        )
+        return pa.table(
+            {
+                "pair": pa.array(pair_list, pa.string()),
+                "c_xy": pa.array(c_xy, pa.int64()),
+                "pmi_micro": pa.array(
+                    np.floor(pmi * float(pmi_scale) + 0.5).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_words = words.count()
+    if n_words <= driver_max_words:
+        wdf = words.to_pandas()
+        w_ref = ray.put(dict(zip(wdf["word"], wdf["c_w"].astype(np.int64))))
+
+        def score(t: pa.Table) -> pa.Table:
+            wmap = ray.get(w_ref)
+            pair_list = t.column("pair").to_pylist()
+            c_xy = t.column("c_xy").to_numpy(zero_copy_only=False)
+            # tokens are \w+ so the single space splits exactly once
+            xy = [p.split(" ") for p in pair_list]
+            c_x = np.array([wmap[a] for a, _ in xy], np.int64)
+            c_y = np.array([wmap[b] for _, b in xy], np.int64)
+            return score_arrays(pair_list, c_xy, c_x, c_y)
+
+        scored = pairs_f.map_batches(score, batch_format="pyarrow")
+    else:
+        from grawler_ray.functions.joins import repartition_join
+
+        def split(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sp = pc.split_pattern(t.column("pair"), " ")
+            return pa.table(
+                {
+                    "pair": t.column("pair"),
+                    "c_xy": t.column("c_xy"),
+                    "x": pc.list_element(sp, 0),
+                    "y": pc.list_element(sp, 1),
+                }
+            )
+
+        wx = words.map_batches(
+            lambda t: t.rename_columns(["wx", "c_x"]), batch_format="pyarrow"
+        )
+        wy = words.map_batches(
+            lambda t: t.rename_columns(["wy", "c_y"]), batch_format="pyarrow"
+        )
+        joined = repartition_join(
+            repartition_join(
+                pairs_f.map_batches(split, batch_format="pyarrow"),
+                wx, "x", "wx", num_groups=num_groups,
+            ),
+            wy, "y", "wy", num_groups=num_groups,
+        )
+
+        def score_joined(t: pa.Table) -> pa.Table:
+            return score_arrays(
+                t.column("pair").to_pylist(),
+                t.column("c_xy").to_numpy(zero_copy_only=False),
+                t.column("c_x").to_numpy(zero_copy_only=False),
+                t.column("c_y").to_numpy(zero_copy_only=False),
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
+    def head_k(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["pmi_micro", "pair"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        scored.map_batches(head_k, batch_format="pyarrow")
+        .repartition(combine_parts)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(head_k, batch_size=None, batch_format="pyarrow")
+    )

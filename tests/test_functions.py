@@ -536,3 +536,62 @@ def test_readability_counts_vs_duckdb(ray_session):
         FROM '{sf}/documents.parquet' ORDER BY doc_id"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pmi_topk_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.textstats import pmi_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        pmi_topk(
+            ray.data.read_parquet(f"{sf}/documents.parquet"),
+            k=50,
+            min_pair_count=3,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        rf"""WITH W AS (SELECT regexp_extract_all(lower(text), '\b\w+\b') AS w
+                        FROM '{sf}/documents.parquet'),
+            toks AS (SELECT unnest(w) AS word FROM W),
+            uni AS (SELECT word, count(*)::BIGINT AS c FROM toks GROUP BY word),
+            tot AS (SELECT count(*)::BIGINT AS t FROM toks),
+            prs AS (SELECT unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS pair FROM W),
+            pc AS (SELECT pair, count(*)::BIGINT AS c_xy FROM prs
+                   GROUP BY pair HAVING count(*) >= 3),
+            ptot AS (SELECT count(*)::BIGINT AS p FROM prs)
+            SELECT pc.pair, pc.c_xy,
+                   CAST(floor((ln(pc.c_xy::DOUBLE) + 2.0 * ln(tot.t::DOUBLE)
+                               - ln(ptot.p::DOUBLE) - ln(ux.c::DOUBLE)
+                               - ln(uy.c::DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS pmi_micro
+            FROM pc
+            JOIN uni ux ON ux.word = split_part(pc.pair, ' ', 1)
+            JOIN uni uy ON uy.word = split_part(pc.pair, ' ', 2)
+            CROSS JOIN tot CROSS JOIN ptot
+            ORDER BY pmi_micro DESC, pair ASC LIMIT 50"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pmi_topk_join_path_equals_broadcast(ray_session):
+    """Above-guard string-key join path must produce the identical top-k."""
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.textstats import pmi_topk
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet")
+    kw = dict(k=50, min_pair_count=3)
+    bc = pmi_topk(ds, **kw).to_pandas().reset_index(drop=True)
+    jn = (
+        pmi_topk(ds, driver_max_words=0, **kw).to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn)
