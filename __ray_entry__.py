@@ -967,6 +967,15 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _hopping_counts(sf_dir: str):
+    """Overlapping 1h windows hopping every 30min (count + cents sum per
+    window): bounded 2x stateless fan-out folded into per-batch window
+    partials, one tiny exchange."""
+    from grawler_ray.functions.events import hopping_counts
+
+    return hopping_counts(_read(sf_dir, "events"))
+
+
 def _pmi_topk(sf_dir: str):
     """Top collocations by pointwise mutual information (Church & Hanks):
     two vocabulary-sized hash aggregates, size-adaptive count broadcast
@@ -2624,6 +2633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_percent_rank": _balance_percent_rank,
         "session_stats": _session_stats,
         "pmi_topk": _pmi_topk,
+        "hopping_counts": _hopping_counts,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3893,6 +3903,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # hopping windows: each event in exactly window/hop = 2 windows
+        "hopping_counts": """
+            SELECT (epoch_us(ts) // 1800000000 - k.k) * 1800000000 AS w_start,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+            GROUP BY w_start
         """,
         # PMI term order mirrored literally (the source_kl precedent:
         # identical left-to-right IEEE expression on identical exact ints)

@@ -1018,3 +1018,59 @@ def session_stats(events_ds, gap_minutes: int = 30, num_groups: int = 256):
     return _coarse_user_groupby(
         events_ds.select_columns(["event_id", "user_id", "ts"]), fn, num_groups
     )
+
+
+def hopping_counts(
+    events_ds,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 1_800_000_000,
+):
+    """Hopping-window aggregate — the OVERLAPPING streaming-window
+    primitive (hourly_agg is the tumbling special case window == hop):
+    every event lands in ``window_us // hop_us`` windows, so window w
+    covers [w, w + window_us).  ``window_us`` must be a multiple of
+    ``hop_us``.  Output (w_start epoch-µs int64, n, sum_cents).
+
+    Scale shape: stateless per-batch replication (k rows per event,
+    k = window/hop — bounded fan-out, typically 2-4) folded IMMEDIATELY
+    into per-batch (window) partials, so the one exchange carries one
+    row per distinct window per batch, never per event."""
+    from ray.data.aggregate import Sum
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        # numpy floor-division (SQL // parity for negative epochs)
+        w0 = (us // hop_us) * hop_us
+        ws = np.concatenate([w0 - i * hop_us for i in range(k)])
+        cc = np.tile(cents, k)
+        uw, inv = np.unique(ws, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uw), np.int64)
+        np.add.at(s, inv, cc)
+        return pa.table(
+            {
+                "w_start": pa.array(uw, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("w_start")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )

@@ -610,3 +610,50 @@ def test_session_stats_agrees_with_sessionize(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hopping_counts(ray_session):
+    from grawler_ray.functions.events import hopping_counts
+
+    out = (
+        hopping_counts(_events(ray_session))
+        .to_pandas()
+        .set_index("w_start")
+        .sort_index()
+    )
+    HOP = 1_800_000_000
+    t0 = dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp()
+    base = int(t0 * 1_000_000)
+    # events at t0+0,10,50,80min and t0+2h; 1h windows hop 30min: each event
+    # in exactly 2 windows (its half-hour bucket and the one before)
+    # windows cover [w, w+1h): e1@0 e2@10 e3@50 e5@80 e4@120 (minutes)
+    assert out.loc[base - HOP, "n"] == 2      # e1, e2 (tail of the window)
+    assert out.loc[base, "n"] == 3            # e1, e2, e3
+    assert out.loc[base + HOP, "n"] == 2      # e3, e5
+    assert out.loc[base + 2 * HOP, "n"] == 1  # e5 only
+    assert out.loc[base + 4 * HOP, "n"] == 1  # e4 (other user, 2h)
+    assert out["n"].sum() == 2 * 5           # every event exactly twice
+
+
+def test_hopping_counts_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.events import hopping_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        hopping_counts(ray.data.read_parquet(f"{sf}/events.parquet"))
+        .to_pandas()
+        .sort_values("w_start")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT (epoch_us(ts) // 1800000000 - k.k) * 1800000000 AS w_start,
+               count(*)::BIGINT AS n,
+               sum(CAST(floor(value*100.0+0.5) AS BIGINT))::BIGINT AS sum_cents
+            FROM '{sf}/events.parquet' CROSS JOIN (SELECT unnest([0,1]) AS k) k
+            GROUP BY w_start ORDER BY w_start"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
