@@ -967,6 +967,23 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _spend_outliers(sf_dir: str):
+    """Robust per-priority outlier flags on order totals (Iglewicz-Hoaglin
+    modified z via median/MAD): one exact-histogram exchange, driver
+    median/MAD walk, 2-float broadcast, stateless flag pass."""
+    from grawler_ray.functions.stats import grouped_robust_outliers
+
+    return grouped_robust_outliers(
+        _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        ),
+        group_col="o_orderpriority",
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        value_scale=100,
+    )
+
+
 def _hopping_counts(sf_dir: str):
     """Overlapping 1h windows hopping every 30min (count + cents sum per
     window): bounded 2x stateless fan-out folded into per-batch window
@@ -2634,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats": _session_stats,
         "pmi_topk": _pmi_topk,
         "hopping_counts": _hopping_counts,
+        "spend_outliers": _spend_outliers,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3903,6 +3921,38 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # modified z-score: med/mad are exact binary floats (nested
+        # interpolated medians of ints), the multiply/divide/floor chain
+        # is mirrored literally — identical IEEE ops on identical inputs
+        "spend_outliers": """
+            WITH x AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+                FROM orders
+            ),
+            m AS (
+                SELECT o_orderpriority, quantile_cont(c, 0.5) AS med
+                FROM x GROUP BY o_orderpriority
+            ),
+            d AS (
+                SELECT x.o_orderpriority,
+                       quantile_cont(abs(x.c - m.med), 0.5) AS mad
+                FROM x JOIN m USING (o_orderpriority)
+                GROUP BY x.o_orderpriority
+            )
+            SELECT x.o_orderkey, x.o_orderpriority,
+                   CASE WHEN d.mad = 0 THEN NULL
+                        ELSE CAST(floor((0.6745 * (x.c - m.med)) / d.mad
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                   END AS modz_micro,
+                   CASE WHEN d.mad = 0 THEN NULL
+                        ELSE abs(CAST(floor((0.6745 * (x.c - m.med)) / d.mad
+                                            * 1000000.0 + 0.5) AS BIGINT))
+                             > 3500000
+                   END AS is_outlier
+            FROM x JOIN m USING (o_orderpriority)
+                   JOIN d ON d.o_orderpriority = x.o_orderpriority
         """,
         # hopping windows: each event in exactly window/hop = 2 windows
         "hopping_counts": """

@@ -145,7 +145,7 @@ def run_subqueries() -> dict[str, float]:
         "vocab_overlap", "nation_spend_quartile", "new_users_daily",
         "user_gap_moments", "csv_ingest", "readability",
         "spend_mad", "balance_percent_rank", "session_stats", "pmi_topk",
-        "hopping_counts",
+        "hopping_counts", "spend_outliers",
     ]
     import ray.data
 

@@ -44,6 +44,7 @@ __all__ = [
     "grouped_histogram",
     "grouped_winsorize",
     "grouped_mad",
+    "grouped_robust_outliers",
     "zscore_normalize",
     "bpe_train",
 ]
@@ -966,28 +967,11 @@ def grouped_mad(
     hd = _exact_group_hist(
         ds, group_col, value_col, value_scale, "grouped_mad", driver_max_bins
     )
-
-    def interp_median(vals: np.ndarray, counts: np.ndarray) -> float:
-        cum = counts.cumsum()
-        n = int(cum[-1])
-        r = (n - 1) * 0.5
-        i0 = int(np.floor(r))
-        frac = r - i0
-        i1 = i0 if frac == 0.0 else min(i0 + 1, n - 1)
-        lo = float(vals[np.searchsorted(cum, i0 + 1)])
-        hi = float(vals[np.searchsorted(cum, i1 + 1)])
-        return lo + (hi - lo) * frac
-
     out_g: list = []
     out_m: list = []
-    for grp, sub in hd.groupby(group_col, sort=False):
-        vals = sub["x"].to_numpy(np.int64)
-        counts = sub["cnt"].to_numpy(np.int64)
-        med = interp_median(vals.astype(np.float64), counts)
-        dev = np.abs(vals.astype(np.float64) - med)
-        order = np.argsort(dev, kind="stable")
+    for grp, (_, mad) in _med_mad_by_group(hd, group_col).items():
         out_g.append(grp)
-        out_m.append(interp_median(dev[order], counts[order]))
+        out_m.append(mad)
     return ray.data.from_arrow(
         pa.table(
             {
@@ -995,4 +979,99 @@ def grouped_mad(
                 "mad": pa.array(out_m, pa.float64()),
             }
         )
+    )
+
+
+def _interp_median(vals: np.ndarray, counts: np.ndarray) -> float:
+    """Interpolated PERCENTILE_CONT(0.5) over a sorted value histogram —
+    exact binary for integer (or int+0.5) values, bit-identical to
+    DuckDB quantile_cont."""
+    cum = counts.cumsum()
+    n = int(cum[-1])
+    r = (n - 1) * 0.5
+    i0 = int(np.floor(r))
+    frac = r - i0
+    i1 = i0 if frac == 0.0 else min(i0 + 1, n - 1)
+    lo = float(vals[np.searchsorted(cum, i0 + 1)])
+    hi = float(vals[np.searchsorted(cum, i1 + 1)])
+    return lo + (hi - lo) * frac
+
+
+def _med_mad_by_group(hd, group_col: str) -> dict:
+    """(median, MAD) per group from the exact (group, x, cnt) histogram
+    frame — the deviation histogram is a driver re-sort of the value
+    histogram, no second exchange."""
+    out: dict = {}
+    for grp, sub in hd.groupby(group_col, sort=False):
+        vals = sub["x"].to_numpy(np.int64)
+        counts = sub["cnt"].to_numpy(np.int64)
+        med = _interp_median(vals.astype(np.float64), counts)
+        dev = np.abs(vals.astype(np.float64) - med)
+        order = np.argsort(dev, kind="stable")
+        out[grp] = (med, _interp_median(dev[order], counts[order]))
+    return out
+
+
+def grouped_robust_outliers(
+    ds,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    threshold_micro: int = 3_500_000,
+    driver_max_bins: int = 2_000_000,
+):
+    """Robust per-group outlier flags via the MODIFIED Z-SCORE (Iglewicz &
+    Hoaglin 1993): modz = 0.6745·(x − median) / MAD, flagged when
+    |modz| > 3.5 — the outlier rule that survives the outliers it hunts
+    (mean/stddev z-scores are masked by heavy tails).
+
+    Emitted as ``modz_micro = floor((0.6745·(x − med)) / mad · 1e6 + 0.5)``
+    with the expression mirrored LITERALLY by the SQL oracle: med and mad
+    are exact binary floats (the grouped_mad argument), x − med is exact,
+    and both engines run the identical IEEE multiply/divide/floor chain on
+    identical inputs.  Zero-MAD groups emit NULL modz/flag (Arrow
+    int64/bool-with-nulls, the driver repr rule).  The flag comparison is
+    pure integer (micro-units vs threshold_micro).
+
+    Scale shape: grouped_winsorize's two-phase pattern — ONE exact
+    (group, value) histogram exchange + driver median/MAD walk, a
+    2-float-per-group broadcast, then a stateless shuffle-free flag pass.
+    Output: (id_col, group_col, modz_micro int64?, is_outlier bool?).
+    """
+    import ray
+    import pandas as pd
+
+    hd = _exact_group_hist(
+        ds, group_col, value_col, value_scale, "grouped_robust_outliers",
+        driver_max_bins,
+    )
+    mm_ref = ray.put(_med_mad_by_group(hd, group_col))
+
+    def flag(t: pa.Table) -> pa.Table:
+        mm = ray.get(mm_ref)
+        x = _scaled_int(t.column(value_col), value_scale)
+        gcodes, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        med = np.array([mm[g][0] for g in guniq], np.float64)[gcodes]
+        mad = np.array([mm[g][1] for g in guniq], np.float64)[gcodes]
+        ok = mad != 0.0
+        safe_mad = np.where(ok, mad, 1.0)
+        modz = np.floor(
+            (0.6745 * (x - med)) / safe_mad * 1_000_000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                group_col: t.column(group_col),
+                "modz_micro": pa.array(modz, pa.int64(), mask=~ok),
+                "is_outlier": pa.array(
+                    np.abs(modz) > threshold_micro, pa.bool_(), mask=~ok
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        flag, batch_format="pyarrow"
     )

@@ -541,3 +541,72 @@ def test_grouped_percent_rank_single_row_partition(ray_session):
     )
     assert got[1] == 0.0  # single-row partition: SQL defines 0
     assert got[2] == 0.0 and got[3] == 0.0  # full tie run: rank 1 for both
+
+
+def test_grouped_robust_outliers_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_robust_outliers
+
+    got = (
+        grouped_robust_outliers(
+            _read(
+                ray_session, "orders",
+                ["o_orderkey", "o_orderpriority", "o_totalprice"],
+            ),
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH x AS (SELECT o_orderkey, o_orderpriority,
+                   CAST(floor(o_totalprice*100.0+0.5) AS BIGINT) AS c
+               FROM '{SF}/orders.parquet'),
+            m AS (SELECT o_orderpriority, quantile_cont(c, 0.5) AS med
+                  FROM x GROUP BY 1),
+            d AS (SELECT x.o_orderpriority,
+                         quantile_cont(abs(x.c - m.med), 0.5) AS mad
+                  FROM x JOIN m USING (o_orderpriority) GROUP BY 1)
+            SELECT x.o_orderkey, x.o_orderpriority,
+                   CAST(floor((0.6745 * (x.c - m.med)) / d.mad
+                              * 1000000.0 + 0.5) AS BIGINT) AS modz_micro,
+                   abs(CAST(floor((0.6745 * (x.c - m.med)) / d.mad
+                                  * 1000000.0 + 0.5) AS BIGINT)) > 3500000
+                       AS is_outlier
+            FROM x JOIN m USING (o_orderpriority)
+                   JOIN d ON d.o_orderpriority = x.o_orderpriority
+            ORDER BY x.o_orderkey"""
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["modz_micro"].tolist() == exp["modz_micro"].tolist()
+    assert got["is_outlier"].tolist() == exp["is_outlier"].tolist()
+
+
+def test_grouped_robust_outliers_zero_mad_null(ray_session):
+    """Constant groups (MAD = 0) must emit Arrow nulls, not a crash or a
+    division artifact."""
+    import ray.data
+    import pyarrow as pa
+
+    from grawler_ray.functions.stats import grouped_robust_outliers
+
+    t = pa.table(
+        {
+            "g": ["flat"] * 4 + ["var"] * 5,
+            "id": list(range(9)),
+            "v": [7.0] * 4 + [1.0, 2.0, 3.0, 4.0, 100.0],
+        }
+    )
+    got = (
+        grouped_robust_outliers(ray.data.from_arrow(t), "g", "id", "v",
+                                value_scale=1)
+        .to_pandas()
+        .set_index("id")
+    )
+    assert got.loc[0:3, "modz_micro"].isna().all()
+    assert got.loc[0:3, "is_outlier"].isna().all()
+    # var group: med=3, dev={2,1,0,1,97} -> mad=1; x=100 -> modz=65.4 > 3.5
+    assert bool(got.loc[8, "is_outlier"]) is True
+    assert not got.loc[4:7, "is_outlier"].astype(bool).any()
