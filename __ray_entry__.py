@@ -967,6 +967,16 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _source_lang_chi2(sf_dir: str):
+    """Chi-square independence test + Cramér's V on the source x lang
+    contingency table (composition drift): one tiny composite-key
+    exchange, driver grid math, per-cell integer terms so float sum
+    order can't move the hash."""
+    from grawler_ray.functions.stats import contingency_chi2
+
+    return contingency_chi2(_read(sf_dir, "documents"), "source", "lang")
+
+
 def _spend_outliers(sf_dir: str):
     """Robust per-priority outlier flags on order totals (Iglewicz-Hoaglin
     modified z via median/MAD): one exact-histogram exchange, driver
@@ -2652,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _pmi_topk,
         "hopping_counts": _hopping_counts,
         "spend_outliers": _spend_outliers,
+        "source_lang_chi2": _source_lang_chi2,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3921,6 +3932,36 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # chi2: per-cell terms are floored to ints BEFORE the sum (order-
+        # independent); e and the Cramer chain are literal float mirrors
+        "source_lang_chi2": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                       FROM documents GROUP BY source, lang),
+            r AS (SELECT source, sum(n)::BIGINT AS rn FROM c GROUP BY source),
+            l AS (SELECT lang, sum(n)::BIGINT AS cn FROM c GROUP BY lang),
+            t AS (SELECT sum(n)::BIGINT AS nobs FROM c),
+            grid AS (SELECT coalesce(cc.n, 0)::BIGINT AS n,
+                            (r.rn * l.cn)::DOUBLE / t.nobs AS e
+                     FROM r CROSS JOIN l CROSS JOIN t
+                     LEFT JOIN c cc ON cc.source = r.source
+                                   AND cc.lang = l.lang),
+            s AS (SELECT sum(CAST(floor(((n - e) * (n - e)) / e
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                            )::BIGINT AS chi2_micro
+                  FROM grid),
+            dims AS (SELECT (SELECT count(*) FROM r)::BIGINT AS nr,
+                            (SELECT count(*) FROM l)::BIGINT AS nc)
+            SELECT s.chi2_micro,
+                   CAST(floor(sqrt((s.chi2_micro::DOUBLE / 1000000.0)
+                                   / (t.nobs
+                                      * least(dims.nr - 1, dims.nc - 1)
+                                     )::DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT)
+                       AS cramers_v_micro,
+                   ((dims.nr - 1) * (dims.nc - 1))::BIGINT AS dof,
+                   t.nobs AS n_obs
+            FROM s CROSS JOIN dims CROSS JOIN t
         """,
         # modified z-score: med/mad are exact binary floats (nested
         # interpolated medians of ints), the multiply/divide/floor chain

@@ -145,7 +145,7 @@ def run_subqueries() -> dict[str, float]:
         "vocab_overlap", "nation_spend_quartile", "new_users_daily",
         "user_gap_moments", "csv_ingest", "readability",
         "spend_mad", "balance_percent_rank", "session_stats", "pmi_topk",
-        "hopping_counts", "spend_outliers",
+        "hopping_counts", "spend_outliers", "source_lang_chi2",
     ]
     import ray.data
 

@@ -1075,3 +1075,94 @@ def grouped_robust_outliers(
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         flag, batch_format="pyarrow"
     )
+
+
+def contingency_chi2(
+    ds,
+    row_col: str,
+    col_col: str,
+    term_scale: int = 1_000_000,
+):
+    """Chi-square test of independence + Cramér's V over the
+    (row, col) contingency table — the composition-drift statistic
+    ("is language distribution independent of source?").
+
+    Exactness discipline: each cell's term
+    ``floor(((n-e)·(n-e))/e · term_scale + 0.5)`` is floored to an
+    integer BEFORE summation (e = rn·cn/N as double, the literal SQL
+    mirror), so the sum is order-independent — float summation order
+    can never move the value-hash (unlike summing raw double terms).
+    Zero cells of the full row×col grid are included (e > 0 whenever
+    both margins are > 0).  Cramér's V and the p-value-free dof come
+    from the integer chi2 by one mirrored float chain.
+
+    Scale shape: per-batch (row, col) count partials -> ONE tiny
+    composite-key exchange (cells ∝ |rows|×|cols|, e.g. sources×langs)
+    -> all scalar math on the driver grid.  Output one row:
+    (chi2_micro, cramers_v_micro, dof, n_obs).
+    """
+    import math
+
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = np.asarray(t.column(row_col).to_pylist(), dtype=object)
+        cols = np.asarray(t.column(col_col).to_pylist(), dtype=object)
+        rc, runiq = pd.factorize(rows)
+        cc, cuniq = pd.factorize(cols)
+        k = len(cuniq)
+        code = rc * max(k, 1) + cc
+        uk, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                row_col: pa.array([runiq[i] for i in uk // max(k, 1)], pa.string()),
+                col_col: pa.array([cuniq[i] for i in uk % max(k, 1)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rn = cells.groupby(row_col)["n"].sum()
+    cn = cells.groupby(col_col)["n"].sum()
+    n_obs = int(cells["n"].sum())
+    obs = {
+        (r, c): int(v)
+        for r, c, v in zip(cells[row_col], cells[col_col], cells["n"])
+    }
+    chi2_micro = 0
+    for r, rv in rn.items():
+        for c, cv in cn.items():
+            e = float(int(rv) * int(cv)) / n_obs
+            n = obs.get((r, c), 0)
+            chi2_micro += math.floor(
+                ((n - e) * (n - e)) / e * float(term_scale) + 0.5
+            )
+    dof = (len(rn) - 1) * (len(cn) - 1)
+    k = min(len(rn) - 1, len(cn) - 1)
+    v_micro = (
+        math.floor(
+            math.sqrt((chi2_micro / float(term_scale)) / float(n_obs * k))
+            * float(term_scale)
+            + 0.5
+        )
+        if k > 0 and n_obs > 0
+        else None
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "chi2_micro": pa.array([chi2_micro], pa.int64()),
+                "cramers_v_micro": pa.array([v_micro], pa.int64()),
+                "dof": pa.array([dof], pa.int64()),
+                "n_obs": pa.array([n_obs], pa.int64()),
+            }
+        )
+    )

@@ -610,3 +610,43 @@ def test_grouped_robust_outliers_zero_mad_null(ray_session):
     # var group: med=3, dev={2,1,0,1,97} -> mad=1; x=100 -> modz=65.4 > 3.5
     assert bool(got.loc[8, "is_outlier"]) is True
     assert not got.loc[4:7, "is_outlier"].astype(bool).any()
+
+
+def test_contingency_chi2_vs_scipy_formula(ray_session):
+    """Hand-rolled serial chi2 on the same grid (zero cells included)
+    must match the distributed integer-term sum."""
+    import math
+
+    from grawler_ray.functions.stats import contingency_chi2
+
+    got = (
+        contingency_chi2(
+            _read(ray_session, "documents", ["source", "lang"]),
+            "source",
+            "lang",
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    df = duckdb.sql(
+        f"SELECT source, lang FROM '{SF}/documents.parquet'"
+    ).df()
+    ct = pd.crosstab(df["source"], df["lang"])
+    n_obs = int(ct.values.sum())
+    rn = ct.sum(axis=1)
+    cn = ct.sum(axis=0)
+    chi2_micro = 0
+    for r in ct.index:
+        for c in ct.columns:
+            e = float(int(rn[r]) * int(cn[c])) / n_obs
+            n = int(ct.loc[r, c])
+            chi2_micro += math.floor(((n - e) * (n - e)) / e * 1e6 + 0.5)
+    assert got["chi2_micro"] == chi2_micro
+    assert got["n_obs"] == n_obs
+    assert got["dof"] == (len(rn) - 1) * (len(cn) - 1)
+    k = min(len(rn) - 1, len(cn) - 1)
+    assert got["cramers_v_micro"] == math.floor(
+        math.sqrt((chi2_micro / 1e6) / float(n_obs * k)) * 1e6 + 0.5
+    )
+    # sanity: V in [0, 1]
+    assert 0 <= got["cramers_v_micro"] <= 1_000_000
