@@ -967,6 +967,36 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _length_ks_drift(sf_dir: str):
+    """Exact two-sample KS statistic between src0's and src1's doc-length
+    distributions (rational cdf-gap max, one int->double divide at the
+    end): two-group histogram exchange + driver merge-walk."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.stats import ks_two_sample
+
+    def n_chars(t):
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chars": _pc.cast(
+                    _pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return ks_two_sample(
+        _read(sf_dir, "documents")
+        .select_columns(["source", "text"])
+        .map_batches(n_chars, batch_format="pyarrow"),
+        group_col="source",
+        value_col="n_chars",
+        group_a="src0",
+        group_b="src1",
+        value_scale=1,
+    )
+
+
 def _source_lang_chi2(sf_dir: str):
     """Chi-square independence test + Cramér's V on the source x lang
     contingency table (composition drift): one tiny composite-key
@@ -2663,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": _hopping_counts,
         "spend_outliers": _spend_outliers,
         "source_lang_chi2": _source_lang_chi2,
+        "length_ks_drift": _length_ks_drift,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3932,6 +3963,32 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # KS: the cdf-gap max is computed over RATIONALS (cum·n cross
+        # products, all int64); the single divide is the only float
+        "length_ks_drift": """
+            WITH d AS (SELECT source, length(text)::BIGINT AS x
+                       FROM documents WHERE source IN ('src0', 'src1')),
+            tot AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+                              )::BIGINT AS na,
+                           sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+                              )::BIGINT AS nb
+                    FROM d),
+            h AS (SELECT x,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+                            )::BIGINT AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+                            )::BIGINT AS cb
+                  FROM d GROUP BY x),
+            c AS (SELECT sum(ca) OVER (ORDER BY x)::BIGINT AS cum_a,
+                         sum(cb) OVER (ORDER BY x)::BIGINT AS cum_b
+                  FROM h)
+            SELECT max(abs(cum_a * tot.nb - cum_b * tot.na))::BIGINT AS d_num,
+                   (tot.na * tot.nb)::BIGINT AS d_den,
+                   CAST(floor(max(abs(cum_a * tot.nb - cum_b * tot.na)
+                                 )::DOUBLE / (tot.na * tot.nb)
+                              * 1000000.0 + 0.5) AS BIGINT) AS ks_micro
+            FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb
         """,
         # chi2: per-cell terms are floored to ints BEFORE the sum (order-
         # independent); e and the Cramer chain are literal float mirrors

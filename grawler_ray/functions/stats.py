@@ -47,6 +47,8 @@ __all__ = [
     "grouped_robust_outliers",
     "zscore_normalize",
     "bpe_train",
+    "contingency_chi2",
+    "ks_two_sample",
 ]
 
 
@@ -1163,6 +1165,74 @@ def contingency_chi2(
                 "cramers_v_micro": pa.array([v_micro], pa.int64()),
                 "dof": pa.array([dof], pa.int64()),
                 "n_obs": pa.array([n_obs], pa.int64()),
+            }
+        )
+    )
+
+
+def ks_two_sample(
+    ds,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    value_scale: int = 1,
+    driver_max_bins: int = 2_000_000,
+):
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    value distributions — the distribution-drift test (did source A's
+    doc-length profile shift vs source B's?).
+
+    Exactness: D = max |cdf_a - cdf_b| is kept RATIONAL until the last
+    step — d_num = max |cum_a·n_b - cum_b·n_a| over the merged support
+    (all int64), d_den = n_a·n_b, and ``ks_micro = floor(d_num/d_den ·
+    1e6 + 0.5)`` is one mirrored int→double divide; no float compare
+    ever picks the max.
+
+    Scale shape: the grouped_winsorize histogram exchange restricted to
+    the two groups (volume ∝ distinct values, never rows) + a driver
+    merge-walk.  Output one row: (d_num, d_den, ks_micro).
+    """
+    import math
+
+    import ray.data
+
+    two = ds.filter(
+        expr=f"{group_col} == '{group_a}' or {group_col} == '{group_b}'"
+    )
+    hd = _exact_group_hist(
+        two, group_col, value_col, value_scale, "ks_two_sample",
+        driver_max_bins,
+    )
+    ha = hd[hd[group_col] == group_a]
+    hb = hd[hd[group_col] == group_b]
+    na = int(ha["cnt"].sum())
+    nb = int(hb["cnt"].sum())
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"ks_two_sample: empty group ({group_a}: {na}, {group_b}: {nb})"
+        )
+    if max(na, nb) >= (1 << 31):
+        # cum·n products must fit int64; beyond ~2.1e9 rows per group
+        # switch the walk to Python ints (exact, driver-side anyway)
+        raise ValueError("ks_two_sample: group sizes exceed the int64 "
+                         "cross-product bound; use a Python-int walk")
+    support = np.union1d(ha["x"].to_numpy(np.int64), hb["x"].to_numpy(np.int64))
+    ca = np.zeros(len(support), np.int64)
+    cb = np.zeros(len(support), np.int64)
+    ca[np.searchsorted(support, ha["x"].to_numpy(np.int64))] = ha["cnt"].to_numpy(np.int64)
+    cb[np.searchsorted(support, hb["x"].to_numpy(np.int64))] = hb["cnt"].to_numpy(np.int64)
+    cum_a = ca.cumsum()
+    cum_b = cb.cumsum()
+    d_num = int(np.max(np.abs(cum_a * nb - cum_b * na)))
+    d_den = na * nb
+    ks_micro = math.floor(float(d_num) / d_den * 1_000_000.0 + 0.5)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "d_num": pa.array([d_num], pa.int64()),
+                "d_den": pa.array([d_den], pa.int64()),
+                "ks_micro": pa.array([ks_micro], pa.int64()),
             }
         )
     )

@@ -650,3 +650,58 @@ def test_contingency_chi2_vs_scipy_formula(ray_session):
     )
     # sanity: V in [0, 1]
     assert 0 <= got["cramers_v_micro"] <= 1_000_000
+
+
+def test_ks_two_sample_vs_serial(ray_session):
+    """Serial numpy KS (scipy-formula, exact rational comparison) on the
+    same two samples must match."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from grawler_ray.functions.stats import ks_two_sample
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 300)
+    b = np.concatenate([rng.integers(0, 40, 200), rng.integers(30, 80, 100)])
+    t = pa.table(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "v": np.concatenate([a, b]).astype(np.float64),
+        }
+    )
+    got = (
+        ks_two_sample(ray.data.from_arrow(t), "g", "v", "a", "b", value_scale=1)
+        .to_pandas()
+        .iloc[0]
+    )
+    support = np.union1d(a, b)
+    cdf_a = np.searchsorted(np.sort(a), support, side="right")
+    cdf_b = np.searchsorted(np.sort(b), support, side="right")
+    d_num = int(np.max(np.abs(cdf_a * len(b) - cdf_b * len(a))))
+    assert got["d_num"] == d_num
+    assert got["d_den"] == len(a) * len(b)
+    assert got["ks_micro"] == math.floor(
+        d_num / (len(a) * len(b)) * 1e6 + 0.5
+    )
+    # the planted tail shift must register as real drift
+    assert got["ks_micro"] > 200_000
+
+
+def test_ks_two_sample_identical_is_zero(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import ks_two_sample
+
+    t = pa.table(
+        {"g": ["a", "a", "b", "b"], "v": [1.0, 2.0, 1.0, 2.0]}
+    )
+    got = (
+        ks_two_sample(ray.data.from_arrow(t), "g", "v", "a", "b", value_scale=1)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert got["d_num"] == 0 and got["ks_micro"] == 0
