@@ -967,6 +967,24 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _spearman_qty_price(sf_dir: str):
+    """Per-returnflag Spearman rank correlation between quantity and
+    extended price — exact integer double-ranks (tie-averaged), one
+    coarse group-hash exchange, grouped_corr's mirrored float finish."""
+    from grawler_ray.functions.stats import grouped_spearman
+
+    return grouped_spearman(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity", "l_extendedprice"]
+        ),
+        group_col="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+        x_scale=100,
+        y_scale=100,
+    )
+
+
 def _length_ks_drift(sf_dir: str):
     """Exact two-sample KS statistic between src0's and src1's doc-length
     distributions (rational cdf-gap max, one int->double divide at the
@@ -2694,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_outliers": _spend_outliers,
         "source_lang_chi2": _source_lang_chi2,
         "length_ks_drift": _length_ks_drift,
+        "spearman_qty_price": _spearman_qty_price,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3963,6 +3982,38 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # Spearman via integer double-ranks (2·rank + tie_count - 1 =
+        # twice the average rank); HUGEINT sums + grouped_corr's float
+        "spearman_qty_price": """
+            WITH base AS (
+                SELECT l_returnflag AS g,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xv,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yv
+                FROM lineitem
+            ),
+            r AS (
+                SELECT g,
+                       CAST(2 * rank() OVER (PARTITION BY g ORDER BY xv)
+                            + count(*) OVER (PARTITION BY g, xv) - 1
+                            AS HUGEINT) AS drx,
+                       CAST(2 * rank() OVER (PARTITION BY g ORDER BY yv)
+                            + count(*) OVER (PARTITION BY g, yv) - 1
+                            AS HUGEINT) AS dry
+                FROM base
+            ),
+            a AS (
+                SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                       SUM(drx) AS sx, SUM(dry) AS sy,
+                       SUM(drx * drx) AS sxx, SUM(dry * dry) AS syy,
+                       SUM(drx * dry) AS sxy
+                FROM r GROUP BY g
+            )
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CAST(FLOOR(1000000.0 * (n * sxy - sx * sy)
+                        / SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                                    AS DOUBLE))) AS BIGINT) AS spearman_micro
+            FROM a
         """,
         # KS: the cdf-gap max is computed over RATIONALS (cum·n cross
         # products, all int64); the single divide is the only float

@@ -49,6 +49,7 @@ __all__ = [
     "bpe_train",
     "contingency_chi2",
     "ks_two_sample",
+    "grouped_spearman",
 ]
 
 
@@ -1235,4 +1236,128 @@ def ks_two_sample(
                 "ks_micro": pa.array([ks_micro], pa.int64()),
             }
         )
+    )
+
+
+def grouped_spearman(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    out_scale: int = 1_000_000,
+    num_groups: int = 64,
+    max_group_rows: int = 1_200_000,
+):
+    """Per-group Spearman rank correlation — Pearson over AVERAGE ranks,
+    kept exact by working in integer DOUBLE-RANKS: a tie run of length t
+    starting at rank R has average rank R + (t-1)/2, i.e. double-rank
+    dr = 2R + t - 1 (always an integer; SQL mirror:
+    ``2*rank() OVER (...) + count(*) OVER (PARTITION BY g, v) - 1``).
+    All six sums are exact int64 inside the kernel, promoted to Python
+    ints for the n·Σ products, and the single float expression is
+    grouped_corr's (one int→double, sqrt, divide, floor — mirrored by
+    the HUGEINT oracle).  Ties in BOTH columns handled exactly.
+
+    Scale shape: ONE coarse group-hash shuffle of (group, x, y) int64
+    triples; ranks need each group whole, so per-group rows are bounded
+    by ``max_group_rows`` (int64 Σdr² headroom: 4n³ < 2^63 ⇒ n ≲ 1.3e6;
+    raises naming the chunked-HUGEINT alternative).  Output one row per
+    group: (group_col, n_rows, spearman_micro int64-or-null).
+    """
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        g = pd.util.hash_array(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "x": pa.array(_scaled_int(t.column(x_col), x_scale), pa.int64()),
+                "y": pa.array(_scaled_int(t.column(y_col), y_scale), pa.int64()),
+                "gh": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(group_col, pa.string()),
+            pa.field("n_rows", pa.int64()),
+            pa.field("spearman_micro", pa.int64()),
+        ]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        gc, guniq = pd.factorize(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        )
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        n = len(gc)
+        idx = np.arange(n)
+
+        def double_rank(v: np.ndarray) -> np.ndarray:
+            order = np.lexsort((v, gc))
+            gs, vs = gc[order], v[order]
+            g_change = np.concatenate(([True], np.diff(gs) != 0))
+            g_start = np.maximum.accumulate(np.where(g_change, idx, 0))
+            tie_change = g_change | np.concatenate(([True], np.diff(vs) != 0))
+            tie_start = np.maximum.accumulate(np.where(tie_change, idx, 0))
+            starts = idx[tie_change]
+            tlen = np.diff(np.append(starts, n))
+            dr_sorted = (
+                2 * (tie_start - g_start) + np.repeat(tlen, tlen) + 1
+            ).astype(np.int64)
+            out = np.empty(n, np.int64)
+            out[order] = dr_sorted
+            return out
+
+        cnt = np.bincount(gc).astype(np.int64)
+        if int(cnt.max()) > max_group_rows:
+            raise ValueError(
+                f"grouped_spearman: a group has {int(cnt.max())} rows "
+                f"(> {max_group_rows}, the int64 4n^3 bound) — use a "
+                "chunked HUGEINT summation kernel"
+            )
+        drx = double_rank(x)
+        dry = double_rank(y)
+        k = len(guniq)
+        sums = {}
+        for name, arr in (
+            ("sx", drx), ("sy", dry),
+            ("sxx", drx * drx), ("syy", dry * dry), ("sxy", drx * dry),
+        ):
+            s = np.zeros(k, np.int64)
+            np.add.at(s, gc, arr)
+            sums[name] = s
+        out_corr = []
+        for i in range(k):
+            ni = int(cnt[i])
+            sx, sy = int(sums["sx"][i]), int(sums["sy"][i])
+            num = ni * int(sums["sxy"][i]) - sx * sy
+            den2 = (ni * int(sums["sxx"][i]) - sx * sx) * (
+                ni * int(sums["syy"][i]) - sy * sy
+            )
+            out_corr.append(
+                None
+                if den2 <= 0
+                else math.floor(float(out_scale) * num / math.sqrt(den2))
+            )
+        return pa.table(
+            {
+                group_col: pa.array(list(guniq), pa.string()),
+                "n_rows": pa.array(cnt, pa.int64()),
+                "spearman_micro": pa.array(out_corr, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gh")
+        .map_groups(kernel, batch_format="pyarrow")
     )

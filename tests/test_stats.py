@@ -705,3 +705,53 @@ def test_ks_two_sample_identical_is_zero(ray_session):
         .iloc[0]
     )
     assert got["d_num"] == 0 and got["ks_micro"] == 0
+
+
+def test_grouped_spearman_vs_scipy_definition(ray_session):
+    """Tie-averaged Spearman on random int data: compare against pandas'
+    rank(method='average') + Pearson (the textbook definition)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_spearman
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c"], 600).astype(object)
+    x = rng.integers(0, 30, 600).astype(np.float64)     # heavy ties
+    y = (x * 2 + rng.integers(0, 40, 600)).astype(np.float64)
+    t = pa.table({"g": g.tolist(), "x": x, "y": y})
+    got = (
+        grouped_spearman(ray.data.from_arrow(t), "g", "x", "y",
+                         x_scale=1, y_scale=1)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    for grp, sub in df.groupby("g"):
+        rx = sub["x"].rank(method="average")
+        ry = sub["y"].rank(method="average")
+        rho = rx.corr(ry)  # Pearson over average ranks == Spearman
+        # output is FLOORED to micro units (grouped_corr's formula):
+        # |floor(1e6*rho)/1e6 - rho| <= 1e-6
+        assert abs(got.loc[grp, "spearman_micro"] / 1e6 - rho) < 1.01e-6
+        assert got.loc[grp, "n_rows"] == len(sub)
+
+
+def test_grouped_spearman_constant_column_null(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_spearman
+
+    t = pa.table(
+        {"g": ["z"] * 5, "x": [3.0] * 5, "y": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    got = (
+        grouped_spearman(ray.data.from_arrow(t), "g", "x", "y",
+                         x_scale=1, y_scale=1)
+        .to_pandas()
+    )
+    assert got["spearman_micro"].isna().all()  # zero rank variance -> NULL
