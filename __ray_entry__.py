@@ -967,6 +967,51 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _length_rank_auc(sf_dir: str):
+    """Mann-Whitney rank-sum AUC between src0's and src1's doc lengths
+    (tie-corrected P(a>b), doubled-U integer over the merged histogram)
+    — the effect-size companion to length_ks_drift, same exchange."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.stats import rank_sum_auc
+
+    def n_chars(t):
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chars": _pc.cast(
+                    _pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return rank_sum_auc(
+        _read(sf_dir, "documents")
+        .select_columns(["source", "text"])
+        .map_batches(n_chars, batch_format="pyarrow"),
+        group_col="source",
+        value_col="n_chars",
+        group_a="src0",
+        group_b="src1",
+        value_scale=1,
+    )
+
+
+def _qty_mode(sf_dir: str):
+    """Exact per-returnflag mode of quantity (ties -> smallest value,
+    fully specified): one histogram exchange + driver argmax."""
+    from grawler_ray.functions.stats import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity"]
+        ),
+        group_col="l_returnflag",
+        value_col="l_quantity",
+        value_scale=1,
+    )
+
+
 def _spearman_qty_price(sf_dir: str):
     """Per-returnflag Spearman rank correlation between quantity and
     extended price — exact integer double-ranks (tie-averaged), one
@@ -2713,6 +2758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_chi2": _source_lang_chi2,
         "length_ks_drift": _length_ks_drift,
         "spearman_qty_price": _spearman_qty_price,
+        "length_rank_auc": _length_rank_auc,
+        "qty_mode": _qty_mode,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -3982,6 +4029,44 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # Mann-Whitney doubled U is a pure integer over the merged value
+        # histogram; the AUC divide is the only float (mirrored)
+        "length_rank_auc": """
+            WITH d AS (SELECT source, length(text)::BIGINT AS x
+                       FROM documents WHERE source IN ('src0', 'src1')),
+            tot AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+                              )::BIGINT AS na,
+                           sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+                              )::BIGINT AS nb
+                    FROM d),
+            h AS (SELECT x,
+                         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END
+                            )::BIGINT AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END
+                            )::BIGINT AS cb
+                  FROM d GROUP BY x),
+            c AS (SELECT ca, cb,
+                         (sum(cb) OVER (ORDER BY x) - cb)::BIGINT
+                             AS cumb_before
+                  FROM h)
+            SELECT sum(ca * (2 * cumb_before + cb))::BIGINT AS u2,
+                   CAST(floor(sum(ca * (2 * cumb_before + cb))::DOUBLE
+                              / (2 * tot.na * tot.nb) * 1000000.0 + 0.5)
+                        AS BIGINT) AS auc_micro
+            FROM c CROSS JOIN tot GROUP BY tot.na, tot.nb
+        """,
+        # exact mode, ties fully specified (count desc, value asc)
+        "qty_mode": """
+            WITH h AS (SELECT l_returnflag,
+                              CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS x,
+                              count(*)::BIGINT AS c
+                       FROM lineitem GROUP BY l_returnflag, x),
+            r AS (SELECT l_returnflag, x AS mode_value, c AS mode_count,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY c DESC, x ASC) AS rn
+                  FROM h)
+            SELECT l_returnflag, mode_value, mode_count FROM r WHERE rn = 1
         """,
         # Spearman via integer double-ranks (2·rank + tie_count - 1 =
         # twice the average rank); HUGEINT sums + grouped_corr's float

@@ -146,7 +146,8 @@ def run_subqueries() -> dict[str, float]:
         "user_gap_moments", "csv_ingest", "readability",
         "spend_mad", "balance_percent_rank", "session_stats", "pmi_topk",
         "hopping_counts", "spend_outliers", "source_lang_chi2",
-        "length_ks_drift", "spearman_qty_price",
+        "length_ks_drift", "spearman_qty_price", "length_rank_auc",
+        "qty_mode",
     ]
     import ray.data
 

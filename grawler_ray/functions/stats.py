@@ -50,6 +50,8 @@ __all__ = [
     "contingency_chi2",
     "ks_two_sample",
     "grouped_spearman",
+    "rank_sum_auc",
+    "grouped_mode",
 ]
 
 
@@ -1360,4 +1362,120 @@ def grouped_spearman(
         .map_batches(tag, batch_format="pyarrow")
         .groupby("gh")
         .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def _two_group_hist(ds, group_col, value_col, group_a, group_b,
+                    value_scale, op_name, driver_max_bins):
+    """Shared KS / rank-sum front half: filter to the two groups, one
+    histogram exchange, merged-support count arrays.  Returns
+    (support, ca, cb, na, nb)."""
+    two = ds.filter(
+        expr=f"{group_col} == '{group_a}' or {group_col} == '{group_b}'"
+    )
+    hd = _exact_group_hist(
+        two, group_col, value_col, value_scale, op_name, driver_max_bins
+    )
+    ha = hd[hd[group_col] == group_a]
+    hb = hd[hd[group_col] == group_b]
+    na = int(ha["cnt"].sum())
+    nb = int(hb["cnt"].sum())
+    if na == 0 or nb == 0:
+        raise ValueError(f"{op_name}: empty group ({group_a}: {na}, {group_b}: {nb})")
+    if max(na, nb) >= (1 << 31):
+        raise ValueError(f"{op_name}: group sizes exceed the int64 "
+                         "cross-product bound; use a Python-int walk")
+    support = np.union1d(ha["x"].to_numpy(np.int64), hb["x"].to_numpy(np.int64))
+    ca = np.zeros(len(support), np.int64)
+    cb = np.zeros(len(support), np.int64)
+    ca[np.searchsorted(support, ha["x"].to_numpy(np.int64))] = ha["cnt"].to_numpy(np.int64)
+    cb[np.searchsorted(support, hb["x"].to_numpy(np.int64))] = hb["cnt"].to_numpy(np.int64)
+    return support, ca, cb, na, nb
+
+
+def rank_sum_auc(
+    ds,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    value_scale: int = 1,
+    driver_max_bins: int = 2_000_000,
+):
+    """Mann-Whitney U / rank-sum statistic between two groups, reported
+    as the tie-corrected AUC (P(a > b) + P(a = b)/2 — the probability a
+    random A value exceeds a random B value): the effect-size companion
+    to ``ks_two_sample``'s max-gap test.
+
+    Exactness: the DOUBLED U is a pure integer over the merged value
+    histogram — 2U = Σ_x ca(x)·(2·cumb_before(x) + cb(x)) (each A beats
+    every strictly-smaller B, ties count half) — and
+    ``auc_micro = floor(2U / (2·na·nb) · 1e6 + 0.5)`` is one mirrored
+    int→double divide.  Same group-size bound as ks_two_sample.
+
+    Scale shape: the ks_two_sample histogram exchange (volume ∝ distinct
+    values) + a driver walk.  Output one row: (u2, auc_micro).
+    """
+    import math
+
+    import ray.data
+
+    _, ca, cb, na, nb = _two_group_hist(
+        ds, group_col, value_col, group_a, group_b, value_scale,
+        "rank_sum_auc", driver_max_bins,
+    )
+    cumb = cb.cumsum()
+    cumb_before = cumb - cb
+    u2 = int(np.sum(ca * (2 * cumb_before + cb)))
+    auc_micro = math.floor(
+        float(u2) / (2 * na * nb) * 1_000_000.0 + 0.5
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u2": pa.array([u2], pa.int64()),
+                "auc_micro": pa.array([auc_micro], pa.int64()),
+            }
+        )
+    )
+
+
+def grouped_mode(
+    ds,
+    group_col: str,
+    value_col: str,
+    value_scale: int = 1,
+    driver_max_bins: int = 2_000_000,
+):
+    """Exact per-group MODE of the scaled value — most frequent value,
+    ties broken to the SMALLEST value (fully specified, unlike SQL
+    ``mode()``'s arbitrary tie pick; the oracle mirrors the rule with a
+    (count desc, value asc) window).  All integers, no float anywhere.
+
+    Scale shape: the shared exact-histogram exchange + a driver argmax
+    walk.  Output: (group_col, mode_value, mode_count), one row/group.
+    """
+    import ray.data
+
+    hd = _exact_group_hist(
+        ds, group_col, value_col, value_scale, "grouped_mode", driver_max_bins
+    )
+    out_g: list = []
+    out_v: list = []
+    out_c: list = []
+    for grp, sub in hd.groupby(group_col, sort=False):
+        vals = sub["x"].to_numpy(np.int64)
+        counts = sub["cnt"].to_numpy(np.int64)
+        best = int(counts.max())
+        out_g.append(grp)
+        out_v.append(int(vals[counts == best].min()))
+        out_c.append(best)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(out_g, pa.string()),
+                "mode_value": pa.array(out_v, pa.int64()),
+                "mode_count": pa.array(out_c, pa.int64()),
+            }
+        )
     )

@@ -755,3 +755,83 @@ def test_grouped_spearman_constant_column_null(ray_session):
         .to_pandas()
     )
     assert got["spearman_micro"].isna().all()  # zero rank variance -> NULL
+
+
+def test_rank_sum_auc_vs_serial(ray_session):
+    """Tie-corrected AUC vs the O(n*m) brute-force definition."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import rank_sum_auc
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 25, 180)
+    b = rng.integers(5, 35, 240)
+    t = pa.table(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "v": np.concatenate([a, b]).astype(np.float64),
+        }
+    )
+    got = (
+        rank_sum_auc(ray.data.from_arrow(t), "g", "v", "a", "b", value_scale=1)
+        .to_pandas()
+        .iloc[0]
+    )
+    wins = (a[:, None] > b[None, :]).sum()
+    ties = (a[:, None] == b[None, :]).sum()
+    u2 = int(2 * wins + ties)
+    assert got["u2"] == u2
+    assert got["auc_micro"] == math.floor(
+        u2 / (2 * len(a) * len(b)) * 1e6 + 0.5
+    )
+    # B is stochastically larger: AUC for A must sit below 0.5
+    assert got["auc_micro"] < 500_000
+
+
+def test_rank_sum_auc_symmetry(ray_session):
+    """AUC(a,b) + AUC(b,a) == 1 exactly in doubled-U units."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import rank_sum_auc
+
+    t = pa.table(
+        {"g": ["a", "a", "a", "b", "b"], "v": [1.0, 2.0, 2.0, 2.0, 9.0]}
+    )
+    ab = rank_sum_auc(ray.data.from_arrow(t), "g", "v", "a", "b",
+                      value_scale=1).to_pandas().iloc[0]
+    ba = rank_sum_auc(ray.data.from_arrow(t), "g", "v", "b", "a",
+                      value_scale=1).to_pandas().iloc[0]
+    assert ab["u2"] + ba["u2"] == 2 * 3 * 2
+
+
+def test_grouped_mode_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import grouped_mode
+
+    got = (
+        grouped_mode(
+            _read(ray_session, "lineitem", ["l_returnflag", "l_quantity"]),
+            "l_returnflag",
+            "l_quantity",
+            value_scale=1,
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""WITH h AS (SELECT l_returnflag,
+                          CAST(floor(l_quantity*1+0.5) AS BIGINT) AS x,
+                          count(*)::BIGINT AS c
+                   FROM '{SF}/lineitem.parquet' GROUP BY 1, 2),
+            r AS (SELECT l_returnflag, x AS mode_value, c AS mode_count,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY c DESC, x ASC) AS rn
+                  FROM h)
+            SELECT l_returnflag, mode_value, mode_count FROM r
+            WHERE rn = 1 ORDER BY l_returnflag"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
