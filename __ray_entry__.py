@@ -967,6 +967,15 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _centroid_distances(sf_dir: str):
+    """Pairwise inter-label centroid squared distances (rational to the
+    last divide; HUGEINT oracle): label_centroids' one tiny aggregate +
+    a guarded driver pair loop."""
+    from grawler_ray.functions.similarity import centroid_distances
+
+    return centroid_distances(_read(sf_dir, "embeddings"))
+
+
 def _length_rank_auc(sf_dir: str):
     """Mann-Whitney rank-sum AUC between src0's and src1's doc lengths
     (tie-corrected P(a>b), doubled-U integer over the merged histogram)
@@ -2760,6 +2769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": _spearman_qty_price,
         "length_rank_auc": _length_rank_auc,
         "qty_mode": _qty_mode,
+        "centroid_distances": _centroid_distances,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -4029,6 +4039,33 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # centroid pair distances stay RATIONAL (HUGEINT numerator) until
+        # one mirrored float chain; output in raw-units² micro
+        "centroid_distances": """
+            WITH c AS (
+                SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                       sum(CAST(floor(x * 1000000) AS BIGINT))::HUGEINT AS s,
+                       count(*)::HUGEINT AS n
+                FROM (SELECT label,
+                             unnest(CAST(embedding AS DOUBLE[])) AS x,
+                             unnest(range(len(embedding))) AS dim
+                      FROM embeddings)
+                GROUP BY label, dim
+            ),
+            p AS (
+                SELECT a.label AS label_a, b.label AS label_b,
+                       sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n))
+                           AS num,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+                GROUP BY a.label, b.label
+            )
+            SELECT label_a, label_b,
+                   CAST(floor(num::DOUBLE / ((na * nb) * (na * nb))::DOUBLE
+                              / (1000000.0 * 1000000.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS d2_micro
+            FROM p
         """,
         # Mann-Whitney doubled U is a pure integer over the merged value
         # histogram; the AUC divide is the only float (mirrored)

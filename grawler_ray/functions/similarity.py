@@ -1012,3 +1012,77 @@ def label_centroids(embeddings_ds, scale: int = 1_000_000):
         .groupby(["label", "dim"])
         .aggregate(Sum("psum", alias_name="sum_scaled"), Sum("pn", alias_name="n"))
     )
+
+
+def centroid_distances(
+    embeddings_ds,
+    scale: int = 1_000_000,
+    max_labels: int = 10_000,
+):
+    """Pairwise squared Euclidean distances between per-label embedding
+    centroids — the inter-class separation report (which clusters are
+    near-duplicates / merge candidates).  Built on ``label_centroids``'s
+    integer sums and kept RATIONAL to the end:
+
+        ||c_a - c_b||² = Σ_d (sa_d·nb - sb_d·na)² / (na·nb)²
+
+    The numerator is an exact (arbitrary-precision) integer — the driver
+    computes it in Python ints, the oracle in HUGEINT — and the single
+    ``floor(num/den/scale² · 1e6 + 0.5)`` chain is the only float,
+    mirrored literally.  Output is micro-units of the RAW squared
+    distance (scaled-units² would overflow int64 at embedding dims).
+
+    Scale shape: label_centroids' one (label, dim) hash aggregate
+    (cardinality labels × dim, corpus-independent), then a driver pull of
+    that tiny table (guarded by ``max_labels``) and a labels² pair loop.
+    Output: (label_a, label_b, d2_micro), a < b.
+    """
+    import math
+
+    import ray.data
+
+    cent = label_centroids(embeddings_ds, scale=scale).to_pandas()
+    labels = sorted(cent["label"].unique())
+    if len(labels) > max_labels:
+        raise ValueError(
+            f"centroid_distances: {len(labels)} labels (> {max_labels}); "
+            "pairwise output is labels^2 — bucket labels first"
+        )
+    cent = cent.sort_values(["label", "dim"])
+    vecs = {
+        int(lab): [int(v) for v in sub["sum_scaled"]]
+        for lab, sub in cent.groupby("label", sort=True)
+    }
+    ns = {
+        int(lab): int(sub["n"].iloc[0])
+        for lab, sub in cent.groupby("label", sort=True)
+    }
+    out_a: list = []
+    out_b: list = []
+    out_d: list = []
+    for i, a in enumerate(labels):
+        sa, na = vecs[int(a)], ns[int(a)]
+        for b in labels[i + 1:]:
+            sb, nb = vecs[int(b)], ns[int(b)]
+            num = sum(
+                (x * nb - y * na) * (x * nb - y * na) for x, y in zip(sa, sb)
+            )
+            den = (na * nb) * (na * nb)
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_d.append(
+                math.floor(
+                    float(num) / float(den)
+                    / (float(scale) * float(scale))
+                    * 1_000_000.0 + 0.5
+                )
+            )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array(out_a, pa.int64()),
+                "label_b": pa.array(out_b, pa.int64()),
+                "d2_micro": pa.array(out_d, pa.int64()),
+            }
+        )
+    )

@@ -242,3 +242,53 @@ class TestDupSpans:
         )
         pd.testing.assert_frame_equal(crossed, exact)
         assert crossed.loc[4, "n_windows"] == 0
+
+
+def test_centroid_distances_vs_serial(ray_session):
+    """Exact rational pair distances vs a straight numpy recomputation
+    from the raw embeddings (same integer-sum centroid definition)."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.similarity import centroid_distances
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        centroid_distances(ray.data.read_parquet(f"{sf}/embeddings.parquet"))
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    df = duckdb.sql(
+        f"SELECT label, embedding FROM '{sf}/embeddings.parquet'"
+    ).df()
+    V = np.stack(df["embedding"].to_numpy())
+    S = np.floor(V * 1e6).astype(np.int64)
+    labels = sorted(df["label"].unique())
+    sums = {
+        int(g): [int(x) for x in S[df["label"].to_numpy() == g].sum(axis=0)]
+        for g in labels
+    }
+    ns = {int(g): int((df["label"] == g).sum()) for g in labels}
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            num = sum(
+                (x * ns[b] - y * ns[a]) ** 2
+                for x, y in zip(sums[int(a)], sums[int(b)])
+            )
+            den = (ns[a] * ns[b]) ** 2
+            rows.append(
+                (
+                    int(a),
+                    int(b),
+                    math.floor(
+                        float(num) / float(den) / (1e6 * 1e6) * 1e6 + 0.5
+                    ),
+                )
+            )
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+    assert (got["d2_micro"] >= 0).all()
