@@ -967,6 +967,35 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _source_ks_matrix(sf_dir: str):
+    """Top-10 most length-drifted source pairs: ONE histogram exchange
+    amortized across all |S|²/2 exact pairwise KS walks (the rational
+    d_num/d_den discipline of length_ks_drift)."""
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.stats import ks_drift_matrix
+
+    def n_chars(t):
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_chars": _pc.cast(
+                    _pc.utf8_length(t.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return ks_drift_matrix(
+        _read(sf_dir, "documents")
+        .select_columns(["source", "text"])
+        .map_batches(n_chars, batch_format="pyarrow"),
+        group_col="source",
+        value_col="n_chars",
+        k=10,
+        value_scale=1,
+    )
+
+
 def _centroid_distances(sf_dir: str):
     """Pairwise inter-label centroid squared distances (rational to the
     last divide; HUGEINT oracle): label_centroids' one tiny aggregate +
@@ -2770,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank_auc": _length_rank_auc,
         "qty_mode": _qty_mode,
         "centroid_distances": _centroid_distances,
+        "source_ks_matrix": _source_ks_matrix,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -4039,6 +4069,42 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # all-pairs KS: the same rational discipline as length_ks_drift,
+        # one pair-partitioned window cumsum per (sa, sb)
+        "source_ks_matrix": """
+            WITH d AS (SELECT source, length(text)::BIGINT AS x
+                       FROM documents),
+            tot AS (SELECT source, count(*)::BIGINT AS n
+                    FROM d GROUP BY source),
+            pairs AS (SELECT a.source AS sa, b.source AS sb,
+                             a.n AS na, b.n AS nb
+                      FROM tot a JOIN tot b ON a.source < b.source),
+            h2 AS (SELECT p.sa, p.sb, d.x,
+                          sum(CASE WHEN d.source = p.sa THEN 1 ELSE 0 END
+                             )::BIGINT AS ca,
+                          sum(CASE WHEN d.source = p.sb THEN 1 ELSE 0 END
+                             )::BIGINT AS cb
+                   FROM pairs p JOIN d ON d.source IN (p.sa, p.sb)
+                   GROUP BY p.sa, p.sb, d.x),
+            c AS (SELECT sa, sb,
+                         sum(ca) OVER (PARTITION BY sa, sb ORDER BY x
+                                      )::BIGINT AS cum_a,
+                         sum(cb) OVER (PARTITION BY sa, sb ORDER BY x
+                                      )::BIGINT AS cum_b
+                  FROM h2),
+            kk AS (SELECT c.sa AS source_a, c.sb AS source_b,
+                          max(abs(cum_a * p.nb - cum_b * p.na))::BIGINT
+                              AS d_num,
+                          any_value(p.na * p.nb)::BIGINT AS d_den
+                   FROM c JOIN pairs p ON p.sa = c.sa AND p.sb = c.sb
+                   GROUP BY c.sa, c.sb)
+            SELECT source_a, source_b, d_num, d_den,
+                   CAST(floor(d_num::DOUBLE / d_den * 1000000.0 + 0.5)
+                        AS BIGINT) AS ks_micro
+            FROM kk
+            ORDER BY ks_micro DESC, source_a ASC, source_b ASC
+            LIMIT 10
         """,
         # centroid pair distances stay RATIONAL (HUGEINT numerator) until
         # one mirrored float chain; output in raw-units² micro

