@@ -161,6 +161,26 @@ def _cmd_prep(a: argparse.Namespace) -> dict:
     }
 
 
+def _cmd_export(a: argparse.Namespace) -> dict:
+    """Parquet -> JSONL/CSV shard export (the hand-off format most
+    training pipelines ingest): a streaming per-block write — one shard
+    file per block, no driver materialization, resumable by re-running
+    into a fresh dir."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(a.parquet, columns=a.columns or None)
+    if a.format == "jsonl":
+        ds.write_json(a.out)
+    elif a.format == "csv":
+        ds.write_csv(a.out)
+    else:
+        raise SystemExit(f"export: unknown format {a.format}")
+    shards = [f for f in os.listdir(a.out) if not f.startswith(".")]
+    return {"out": a.out, "format": a.format, "shards": len(shards)}
+
+
 def _cmd_compact(a: argparse.Namespace) -> dict:
     from grawler_ray.pipelines.crawl import compact_runs
 
@@ -225,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--holdout-permille", type=int, default=100)
     r.add_argument("--checkpoint-dir", default=None)
     r.set_defaults(fn=_cmd_prep, needs_ray=True)
+
+    e = sub.add_parser("export", help="parquet -> jsonl/csv shards")
+    e.add_argument("--parquet", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    e.add_argument("--columns", nargs="*", default=None)
+    e.set_defaults(fn=_cmd_export, needs_ray=True)
 
     k = sub.add_parser("compact", help="merge several crawl runs, last-wins")
     k.add_argument("--runs", nargs="+", required=True)

@@ -88,3 +88,45 @@ def test_cli_seed_list_and_errors(corpus, tmp_path, capsys, ray_session):
     assert stats["fetched"] > 0
     with pytest.raises(SystemExit):
         main(["crawl", "--corpus", corpus, "--out", out_dir + "x", "--fetch-buckets", "8"])
+
+
+def test_cli_export_jsonl_and_csv(tmp_path, capsys, ray_session):
+    """export round-trip: parquet -> jsonl/csv shards, content-equal via
+    DuckDB readback (the differential-oracle trick of jsonl_ingest)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ['plain', 'with "quotes"', 'multi\nline'],
+            "score": [1.5, -2.0, 0.0],
+        }
+    )
+    pq.write_table(t, src / "part.parquet")
+
+    outj = str(tmp_path / "jsonl")
+    res = _run(capsys, ["export", "--parquet", str(src), "--out", outj])
+    assert res["format"] == "jsonl" and res["shards"] >= 1
+    back = duckdb.sql(
+        f"SELECT doc_id, text, score FROM read_json_auto('{outj}/*') ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(back, t.to_pandas(), check_dtype=False)
+
+    outc = str(tmp_path / "csv")
+    res = _run(
+        capsys,
+        ["export", "--parquet", str(src), "--out", outc, "--format", "csv",
+         "--columns", "doc_id", "score"],
+    )
+    assert res["shards"] >= 1
+    back = duckdb.sql(
+        f"SELECT * FROM read_csv_auto('{outc}/*') ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        back, t.select(["doc_id", "score"]).to_pandas(), check_dtype=False
+    )
