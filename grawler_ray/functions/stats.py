@@ -1201,31 +1201,10 @@ def ks_two_sample(
 
     import ray.data
 
-    two = ds.filter(
-        expr=f"{group_col} == '{group_a}' or {group_col} == '{group_b}'"
+    _, ca, cb, na, nb = _two_group_hist(
+        ds, group_col, value_col, group_a, group_b, value_scale,
+        "ks_two_sample", driver_max_bins,
     )
-    hd = _exact_group_hist(
-        two, group_col, value_col, value_scale, "ks_two_sample",
-        driver_max_bins,
-    )
-    ha = hd[hd[group_col] == group_a]
-    hb = hd[hd[group_col] == group_b]
-    na = int(ha["cnt"].sum())
-    nb = int(hb["cnt"].sum())
-    if na == 0 or nb == 0:
-        raise ValueError(
-            f"ks_two_sample: empty group ({group_a}: {na}, {group_b}: {nb})"
-        )
-    if max(na, nb) >= (1 << 31):
-        # cum·n products must fit int64; beyond ~2.1e9 rows per group
-        # switch the walk to Python ints (exact, driver-side anyway)
-        raise ValueError("ks_two_sample: group sizes exceed the int64 "
-                         "cross-product bound; use a Python-int walk")
-    support = np.union1d(ha["x"].to_numpy(np.int64), hb["x"].to_numpy(np.int64))
-    ca = np.zeros(len(support), np.int64)
-    cb = np.zeros(len(support), np.int64)
-    ca[np.searchsorted(support, ha["x"].to_numpy(np.int64))] = ha["cnt"].to_numpy(np.int64)
-    cb[np.searchsorted(support, hb["x"].to_numpy(np.int64))] = hb["cnt"].to_numpy(np.int64)
     cum_a = ca.cumsum()
     cum_b = cb.cumsum()
     d_num = int(np.max(np.abs(cum_a * nb - cum_b * na)))
