@@ -967,6 +967,18 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _lineitem_profile(sf_dir: str):
+    """Single-pass data-quality profile (rows / nulls / exact min-max)
+    of lineitem's numeric columns — one partial row per column per
+    batch, one tiny column-name aggregate."""
+    from grawler_ray.functions.stats import numeric_profile
+
+    return numeric_profile(
+        _read(sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _source_ks_matrix(sf_dir: str):
     """Top-10 most length-drifted source pairs: ONE histogram exchange
     amortized across all |S|²/2 exact pairwise KS walks (the rational
@@ -2800,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_mode": _qty_mode,
         "centroid_distances": _centroid_distances,
         "source_ks_matrix": _source_ks_matrix,
+        "lineitem_profile": _lineitem_profile,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -4069,6 +4082,27 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # profiling: values pass through untouched (min/max, no math)
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS col_name, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END
+                      )::BIGINT AS n_nulls,
+                   min(l_quantity)::DOUBLE AS min_val,
+                   max(l_quantity)::DOUBLE AS max_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*)::BIGINT,
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END
+                      )::BIGINT,
+                   min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*)::BIGINT,
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END
+                      )::BIGINT,
+                   min(l_discount)::DOUBLE, max(l_discount)::DOUBLE
+            FROM lineitem
         """,
         # all-pairs KS: the same rational discipline as length_ks_drift,
         # one pair-partitioned window cumsum per (sa, sb)

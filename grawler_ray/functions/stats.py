@@ -53,6 +53,7 @@ __all__ = [
     "rank_sum_auc",
     "grouped_mode",
     "ks_drift_matrix",
+    "numeric_profile",
 ]
 
 
@@ -1524,5 +1525,58 @@ def ks_drift_matrix(
                 "d_den": pa.array([r[3] for r in rows], pa.int64()),
                 "ks_micro": pa.array([r[4] for r in rows], pa.int64()),
             }
+        )
+    )
+
+
+def numeric_profile(ds, columns: list[str]):
+    """Single-pass data-quality profile of numeric columns: per column
+    the row count, null count, and exact min/max (no arithmetic — the
+    values pass through untouched, so float parity is trivial).  The
+    ingestion sanity report run before any pipeline trusts a new drop.
+
+    Scale shape: one row PER COLUMN PER BATCH of (n, n_nulls, min, max)
+    partials -> one tiny column-name aggregate; n_distinct is
+    deliberately absent (exact distinct is a per-column all-to-all —
+    use the HLL sketch ops for that at scale).
+    Output: (col_name, n_rows, n_nulls, min_val, max_val).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        names: list = []
+        ns: list = []
+        nulls: list = []
+        mins: list = []
+        maxs: list = []
+        for c in columns:
+            col = t.column(c)
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mn = pc.min(col).as_py()
+            mx = pc.max(col).as_py()
+            mins.append(None if mn is None else float(mn))
+            maxs.append(None if mx is None else float(mx))
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "mn": pa.array(mins, pa.float64()),
+                "mx": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns(columns)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("nulls", alias_name="n_nulls"),
+            Min("mn", alias_name="min_val"),
+            Max("mx", alias_name="max_val"),
         )
     )

@@ -870,3 +870,56 @@ def test_ks_drift_matrix_consistent_with_pairwise(ray_session):
         assert mat.loc[(a, b), "ks_micro"] == solo["ks_micro"]
     # ranking is by ks desc
     assert list(mat["ks_micro"]) == sorted(mat["ks_micro"], reverse=True) or True
+
+
+def test_numeric_profile_with_nulls(ray_session):
+    """Planted nulls and negative extremes (the synthetic tables carry
+    no nulls, so pin the null/extreme paths by hand)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import numeric_profile
+
+    t = pa.table(
+        {
+            "a": pa.array([1.5, None, -7.25, 3.0], pa.float64()),
+            "b": pa.array([None, None, 2.0, 2.0], pa.float64()),
+        }
+    )
+    got = (
+        numeric_profile(ray.data.from_arrow(t), ["a", "b"])
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert got.loc["a", "n_rows"] == 4 and got.loc["a", "n_nulls"] == 1
+    assert got.loc["a", "min_val"] == -7.25 and got.loc["a", "max_val"] == 3.0
+    assert got.loc["b", "n_nulls"] == 2
+    assert got.loc["b", "min_val"] == 2.0 and got.loc["b", "max_val"] == 2.0
+
+
+def test_numeric_profile_vs_duckdb(ray_session):
+    from grawler_ray.functions.stats import numeric_profile
+
+    got = (
+        numeric_profile(
+            _read(ray_session, "lineitem",
+                  ["l_quantity", "l_extendedprice", "l_discount"]),
+            ["l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .to_pandas()
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT col_name, count(v)::BIGINT + sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_rows,
+                   sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+                   min(v)::DOUBLE AS min_val, max(v)::DOUBLE AS max_val
+            FROM (
+              SELECT 'l_quantity' AS col_name, l_quantity AS v FROM '{SF}/lineitem.parquet'
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM '{SF}/lineitem.parquet'
+              UNION ALL
+              SELECT 'l_discount', l_discount FROM '{SF}/lineitem.parquet'
+            ) GROUP BY col_name ORDER BY col_name"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
