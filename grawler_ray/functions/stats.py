@@ -1190,9 +1190,10 @@ def ks_two_sample(
 
     Exactness: D = max |cdf_a - cdf_b| is kept RATIONAL until the last
     step — d_num = max |cum_a·n_b - cum_b·n_a| over the merged support
-    (all int64), d_den = n_a·n_b, and ``ks_micro = floor(d_num/d_den ·
-    1e6 + 0.5)`` is one mirrored int→double divide; no float compare
-    ever picks the max.
+    (int64, automatically falling back to exact Python ints beyond the
+    2^31-rows-per-group bound), d_den = n_a·n_b, and ``ks_micro =
+    floor(d_num/d_den · 1e6 + 0.5)`` is one mirrored int→double divide;
+    no float compare ever picks the max.
 
     Scale shape: the grouped_winsorize histogram exchange restricted to
     the two groups (volume ∝ distinct values, never rows) + a driver
@@ -1346,6 +1347,9 @@ def grouped_spearman(
     )
 
 
+_INT64_WALK_BOUND = 1 << 31  # cum*n cross products must fit int64
+
+
 def _two_group_hist(ds, group_col, value_col, group_a, group_b,
                     value_scale, op_name, driver_max_bins):
     """Shared KS / rank-sum front half: filter to the two groups, one
@@ -1363,14 +1367,17 @@ def _two_group_hist(ds, group_col, value_col, group_a, group_b,
     nb = int(hb["cnt"].sum())
     if na == 0 or nb == 0:
         raise ValueError(f"{op_name}: empty group ({group_a}: {na}, {group_b}: {nb})")
-    if max(na, nb) >= (1 << 31):
-        raise ValueError(f"{op_name}: group sizes exceed the int64 "
-                         "cross-product bound; use a Python-int walk")
     support = np.union1d(ha["x"].to_numpy(np.int64), hb["x"].to_numpy(np.int64))
     ca = np.zeros(len(support), np.int64)
     cb = np.zeros(len(support), np.int64)
     ca[np.searchsorted(support, ha["x"].to_numpy(np.int64))] = ha["cnt"].to_numpy(np.int64)
     cb[np.searchsorted(support, hb["x"].to_numpy(np.int64))] = hb["cnt"].to_numpy(np.int64)
+    if max(na, nb) >= _INT64_WALK_BOUND:
+        # cum·n cross products would overflow int64 — fall back to the
+        # arbitrary-precision Python-int walk (driver-side, exact; ~10x
+        # slower per bin, irrelevant against the histogram exchange)
+        ca = ca.astype(object)
+        cb = cb.astype(object)
     return support, ca, cb, na, nb
 
 
@@ -1392,7 +1399,8 @@ def rank_sum_auc(
     histogram — 2U = Σ_x ca(x)·(2·cumb_before(x) + cb(x)) (each A beats
     every strictly-smaller B, ties count half) — and
     ``auc_micro = floor(2U / (2·na·nb) · 1e6 + 0.5)`` is one mirrored
-    int→double divide.  Same group-size bound as ks_two_sample.
+    int→double divide.  Beyond the int64 cum·n bound the walk
+    falls back to Python ints automatically (exact, driver-side).
 
     Scale shape: the ks_two_sample histogram exchange (volume ∝ distinct
     values) + a driver walk.  Output one row: (u2, auc_micro).
@@ -1476,7 +1484,7 @@ def ks_drift_matrix(
     amortized across ALL |G|²/2 pairs; the pairwise merge-walks run on
     the driver over the histogram (∝ distinct values), never touching
     rows again.  Same rational d_num/d_den discipline and the same
-    2^31-per-group bound as ks_two_sample.  Ranked (ks_micro desc,
+    automatic Python-int fallback as ks_two_sample.  Ranked (ks_micro desc,
     source_a asc, source_b asc), ties at the k-boundary deterministic.
     Output: (group_col+'_a', group_col+'_b', d_num, d_den, ks_micro).
     """
@@ -1493,10 +1501,10 @@ def ks_drift_matrix(
         xs = sub["x"].to_numpy(np.int64)
         cs = sub["cnt"].to_numpy(np.int64)
         n = int(cs.sum())
-        if n >= (1 << 31):
-            raise ValueError("ks_drift_matrix: group exceeds the int64 "
-                             "cross-product bound; use a Python-int walk")
         groups[grp] = (xs, cs, n)
+    # beyond the int64 cum·n bound, walk in Python ints (exact, slower)
+    use_obj = any(n >= _INT64_WALK_BOUND for _, _, n in groups.values())
+    dtype = object if use_obj else np.int64
     names = sorted(groups)
     rows = []
     for i, a in enumerate(names):
@@ -1504,8 +1512,8 @@ def ks_drift_matrix(
         for b in names[i + 1:]:
             xb, cb_c, nb = groups[b]
             support = np.union1d(xa, xb)
-            ca = np.zeros(len(support), np.int64)
-            cb = np.zeros(len(support), np.int64)
+            ca = np.zeros(len(support), dtype)
+            cb = np.zeros(len(support), dtype)
             ca[np.searchsorted(support, xa)] = ca_c
             cb[np.searchsorted(support, xb)] = cb_c
             d_num = int(np.max(np.abs(ca.cumsum() * nb - cb.cumsum() * na)))

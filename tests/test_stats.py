@@ -923,3 +923,35 @@ def test_numeric_profile_vs_duckdb(ray_session):
             ) GROUP BY col_name ORDER BY col_name"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ks_and_auc_python_int_fallback(ray_session, monkeypatch):
+    """Force the arbitrary-precision walk (bound -> 1) and assert it is
+    bit-identical to the int64 path on the same data."""
+    import pyarrow as pa
+    import ray.data
+
+    import grawler_ray.functions.stats as stats_mod
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 50, 200)
+    b = rng.integers(20, 70, 160)
+    t = pa.table(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "v": np.concatenate([a, b]).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    ks_fast = stats_mod.ks_two_sample(ds, "g", "v", "a", "b", value_scale=1).to_pandas()
+    auc_fast = stats_mod.rank_sum_auc(ds, "g", "v", "a", "b", value_scale=1).to_pandas()
+    mat_fast = stats_mod.ks_drift_matrix(ds, "g", "v", value_scale=1).to_pandas()
+
+    monkeypatch.setattr(stats_mod, "_INT64_WALK_BOUND", 1)
+    ks_obj = stats_mod.ks_two_sample(ds, "g", "v", "a", "b", value_scale=1).to_pandas()
+    auc_obj = stats_mod.rank_sum_auc(ds, "g", "v", "a", "b", value_scale=1).to_pandas()
+    mat_obj = stats_mod.ks_drift_matrix(ds, "g", "v", value_scale=1).to_pandas()
+
+    pd.testing.assert_frame_equal(ks_fast, ks_obj)
+    pd.testing.assert_frame_equal(auc_fast, auc_obj)
+    pd.testing.assert_frame_equal(mat_fast, mat_obj)
