@@ -1100,8 +1100,11 @@ def contingency_chi2(
     mirror), so the sum is order-independent — float summation order
     can never move the value-hash (unlike summing raw double terms).
     Zero cells of the full row×col grid are included (e > 0 whenever
-    both margins are > 0).  Cramér's V and the p-value-free dof come
-    from the integer chi2 by one mirrored float chain.
+    both margins are > 0); NULL keys are excluded on both sides by
+    convention (factorize drops them — pass non-null keys, unlike SQL
+    GROUP BY which would keep a NULL group).  Cramér's V and the
+    p-value-free dof come from the integer chi2 by one mirrored float
+    chain.
 
     Scale shape: per-batch (row, col) count partials -> ONE tiny
     composite-key exchange (cells ∝ |rows|×|cols|, e.g. sources×langs)
@@ -1245,10 +1248,10 @@ def grouped_spearman(
     the HUGEINT oracle).  Ties in BOTH columns handled exactly.
 
     Scale shape: ONE coarse group-hash shuffle of (group, x, y) int64
-    triples; ranks need each group whole, so per-group rows are bounded
-    by ``max_group_rows`` (int64 Σdr² headroom: 4n³ < 2^63 ⇒ n ≲ 1.3e6;
-    raises naming the chunked-HUGEINT alternative).  Output one row per
-    group: (group_col, n_rows, spearman_micro int64-or-null).
+    triples; ranks need each group whole.  Above ``max_group_rows``
+    (the int64 Σdr² headroom: 4n³ < 2^63 ⇒ n ≲ 1.3e6) the kernel's six
+    sums fall back AUTOMATICALLY to exact Python ints.  Output one row
+    per group: (group_col, n_rows, spearman_micro int64-or-null).
     """
     import pandas as pd
 
@@ -1301,21 +1304,22 @@ def grouped_spearman(
             return out
 
         cnt = np.bincount(gc).astype(np.int64)
-        if int(cnt.max()) > max_group_rows:
-            raise ValueError(
-                f"grouped_spearman: a group has {int(cnt.max())} rows "
-                f"(> {max_group_rows}, the int64 4n^3 bound) — use a "
-                "chunked HUGEINT summation kernel"
-            )
         drx = double_rank(x)
         dry = double_rank(y)
+        if int(cnt.max()) > max_group_rows:
+            # beyond the int64 4n^3 bound: exact Python-int sums (the
+            # KS walk's automatic fallback pattern; slower, still one
+            # pass per kernel)
+            drx = drx.astype(object)
+            dry = dry.astype(object)
         k = len(guniq)
+        sum_dtype = object if drx.dtype == object else np.int64
         sums = {}
         for name, arr in (
             ("sx", drx), ("sy", dry),
             ("sxx", drx * drx), ("syy", dry * dry), ("sxy", drx * dry),
         ):
-            s = np.zeros(k, np.int64)
+            s = np.zeros(k, sum_dtype)
             np.add.at(s, gc, arr)
             sums[name] = s
         out_corr = []

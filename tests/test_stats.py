@@ -955,3 +955,29 @@ def test_ks_and_auc_python_int_fallback(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(ks_fast, ks_obj)
     pd.testing.assert_frame_equal(auc_fast, auc_obj)
     pd.testing.assert_frame_equal(mat_fast, mat_obj)
+
+
+def test_grouped_spearman_python_int_fallback(ray_session):
+    """max_group_rows=1 forces the exact Python-int sums — results must
+    be bit-identical to the int64 path."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_spearman
+
+    rng = np.random.default_rng(17)
+    g = rng.choice(["a", "b"], 300).astype(object)
+    x = rng.integers(0, 20, 300).astype(np.float64)
+    y = rng.integers(0, 20, 300).astype(np.float64)
+    t = pa.table({"g": g.tolist(), "x": x, "y": y})
+    ds = ray.data.from_arrow(t)
+    fast = (
+        grouped_spearman(ds, "g", "x", "y", x_scale=1, y_scale=1)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    obj = (
+        grouped_spearman(ds, "g", "x", "y", x_scale=1, y_scale=1,
+                         max_group_rows=1)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, obj)
