@@ -967,6 +967,15 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _script_ratios(sf_dir: str):
+    """Per-doc Unicode script composition (Latin/Cyrillic/CJK/digit
+    code-point counts): one UTF-32 decode per doc, vectorized range
+    masks, zero shuffles."""
+    from grawler_ray.functions.textstats import script_counts
+
+    return script_counts(_read(sf_dir, "documents"))
+
+
 def _lineitem_profile(sf_dir: str):
     """Single-pass data-quality profile (rows / nulls / exact min-max)
     of lineitem's numeric columns — one partial row per column per
@@ -2813,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distances": _centroid_distances,
         "source_ks_matrix": _source_ks_matrix,
         "lineitem_profile": _lineitem_profile,
+        "script_ratios": _script_ratios,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -4081,6 +4091,21 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sents,
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
+            FROM documents
+        """,
+        # script composition: code-point range counts (RE2 \x{...}
+        # classes mirror the numpy uint32 range masks; length() = code
+        # points on both sides)
+        "script_ratios": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_cp,
+                   len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+                       AS n_latin,
+                   len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')
+                      )::BIGINT AS n_cyrillic,
+                   len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')
+                      )::BIGINT AS n_cjk,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit
             FROM documents
         """,
         # profiling: values pass through untouched (min/max, no math)

@@ -1833,3 +1833,50 @@ def pmi_topk(
         .repartition(1)
         .map_batches(head_k, batch_size=None, batch_format="pyarrow")
     )
+
+
+def script_counts(docs_ds):
+    """Per-doc Unicode SCRIPT composition — exact code-point counts of
+    Latin letters, Cyrillic (U+0400-04FF), CJK unified ideographs
+    (U+4E00-9FFF) and ASCII digits, plus the total code-point length:
+    the multilingual corpus-composition signal (script mix flags
+    mislabeled/mixed documents long before a language model would).
+    All integers; callers derive ratios.
+
+    Kernel: each doc is decoded ONCE to a uint32 code-point array
+    (``encode('utf-32-le')`` + ``np.frombuffer``) and every script test
+    is a vectorized range mask — no per-character Python, no regex.
+    Output (doc_id, n_cp, n_latin, n_cyrillic, n_cjk, n_digit);
+    stateless map, zero shuffles.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        tot = np.empty(n, np.int64)
+        lat = np.empty(n, np.int64)
+        cyr = np.empty(n, np.int64)
+        cjk = np.empty(n, np.int64)
+        dig = np.empty(n, np.int64)
+        for i, s in enumerate(texts):
+            cp = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32)
+            tot[i] = len(cp)
+            lat[i] = int((((cp >= 65) & (cp <= 90))
+                          | ((cp >= 97) & (cp <= 122))).sum())
+            cyr[i] = int(((cp >= 0x0400) & (cp <= 0x04FF)).sum())
+            cjk[i] = int(((cp >= 0x4E00) & (cp <= 0x9FFF)).sum())
+            dig[i] = int(((cp >= 48) & (cp <= 57)).sum())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_cp": pa.array(tot, pa.int64()),
+                "n_latin": pa.array(lat, pa.int64()),
+                "n_cyrillic": pa.array(cyr, pa.int64()),
+                "n_cjk": pa.array(cjk, pa.int64()),
+                "n_digit": pa.array(dig, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -595,3 +595,54 @@ def test_pmi_topk_join_path_equals_broadcast(ray_session):
         pmi_topk(ds, driver_max_words=0, **kw).to_pandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_script_counts_unicode_edges(ray_session):
+    """Mixed-script fixture incl. an astral (non-BMP) char: astral chars
+    are ONE code point in both engines (no surrogate splitting)."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.textstats import script_counts
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello Привет 你好 42", "𝔘nicode astral", ""],
+        }
+    )
+    got = (
+        script_counts(ray.data.from_arrow(t)).to_pandas().set_index("doc_id")
+    )
+    assert got.loc[1, "n_latin"] == 5
+    assert got.loc[1, "n_cyrillic"] == 6
+    assert got.loc[1, "n_cjk"] == 2
+    assert got.loc[1, "n_digit"] == 2
+    assert got.loc[1, "n_cp"] == len("Hello Привет 你好 42")
+    # 𝔘 (U+1D518) is one code point, not Latin
+    assert got.loc[2, "n_cp"] == len("𝔘nicode astral") == 14
+    assert got.loc[2, "n_latin"] == 12  # 'nicode' + 'astral'
+    assert got.loc[3, "n_cp"] == 0 and got.loc[3, "n_latin"] == 0
+
+
+def test_script_counts_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.textstats import script_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        script_counts(ray.data.read_parquet(f"{sf}/documents.parquet"))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        rf"""SELECT doc_id, length(text)::BIGINT AS n_cp,
+               len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+               len(regexp_extract_all(text, '[\x{{0400}}-\x{{04FF}}]'))::BIGINT AS n_cyrillic,
+               len(regexp_extract_all(text, '[\x{{4E00}}-\x{{9FFF}}]'))::BIGINT AS n_cjk,
+               len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit
+            FROM '{sf}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
