@@ -967,6 +967,15 @@ def _winsorized_spend(sf_dir: str):
     )
 
 
+def _benford_spend(sf_dir: str):
+    """Benford first-digit screen over order totals (string-derived
+    leading digit of the scaled integer — no float bucket decisions):
+    9-bucket partials, one tiny exchange."""
+    from grawler_ray.functions.stats import benford_digits
+
+    return benford_digits(_read(sf_dir, "orders"), "o_totalprice")
+
+
 def _script_ratios(sf_dir: str):
     """Per-doc Unicode script composition (Latin/Cyrillic/CJK/digit
     code-point counts): one UTF-32 decode per doc, vectorized range
@@ -2823,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ks_matrix": _source_ks_matrix,
         "lineitem_profile": _lineitem_profile,
         "script_ratios": _script_ratios,
+        "benford_spend": _benford_spend,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         # rows-only
@@ -4092,6 +4102,26 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
                        AS n_vowel_groups
             FROM documents
+        """,
+        # Benford: leading digit via the decimal STRING of the scaled
+        # int (both sides); log10 expectation is one mirrored chain
+        "benford_spend": """
+            WITH x AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT) AS c FROM orders),
+            h AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                             AS digit,
+                         count(*)::BIGINT AS n_obs
+                  FROM x WHERE c > 0 GROUP BY digit),
+            d AS (SELECT unnest(range(1, 10))::BIGINT AS digit),
+            h2 AS (SELECT d.digit, coalesce(h.n_obs, 0)::BIGINT AS n_obs
+                   FROM d LEFT JOIN h USING (digit)),
+            t AS (SELECT sum(n_obs)::BIGINT AS total FROM h2)
+            SELECT h2.digit, h2.n_obs,
+                   CAST(floor(t.total::DOUBLE
+                              * log10(1.0 + 1.0 / h2.digit)
+                              * 1000000.0 + 0.5) AS BIGINT)
+                       AS expected_micro
+            FROM h2 CROSS JOIN t
         """,
         # script composition: code-point range counts (RE2 \x{...}
         # classes mirror the numpy uint32 range masks; length() = code

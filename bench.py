@@ -148,7 +148,7 @@ def run_subqueries() -> dict[str, float]:
         "hopping_counts", "spend_outliers", "source_lang_chi2",
         "length_ks_drift", "spearman_qty_price", "length_rank_auc",
         "qty_mode", "centroid_distances", "source_ks_matrix",
-        "lineitem_profile", "script_ratios",
+        "lineitem_profile", "script_ratios", "benford_spend",
     ]
     import ray.data
 

@@ -54,6 +54,7 @@ __all__ = [
     "grouped_mode",
     "ks_drift_matrix",
     "numeric_profile",
+    "benford_digits",
 ]
 
 
@@ -1590,5 +1591,69 @@ def numeric_profile(ds, columns: list[str]):
             Sum("nulls", alias_name="n_nulls"),
             Min("mn", alias_name="min_val"),
             Max("mx", alias_name="max_val"),
+        )
+    )
+
+
+def benford_digits(
+    ds,
+    value_col: str,
+    value_scale: int = 100,
+    expected_scale: int = 1_000_000,
+):
+    """First-significant-digit distribution vs Benford's law — the
+    classic bulk-numeric quality/fraud screen.  The digit is taken from
+    the DECIMAL STRING of the scaled integer (leading digit of
+    floor(v·scale+0.5); zero values are excluded) — string-derived on
+    both sides, so no log10 float ever decides a bucket.  The Benford
+    expectation n·log10(1+1/d) is emitted as a floor-scaled integer by
+    one mirrored float chain per digit row.
+
+    Scale shape: per-batch 9-bucket bincount partials -> one 9-row
+    exchange.  Output: (digit, n_obs, expected_micro), digits 1-9.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(value_col), value_scale)
+        x = x[x > 0]
+        # leading decimal digit without float log10: digits of the
+        # base-10 string, vectorized via astype('U')
+        first = np.char.ljust(x.astype("U"), 1).astype(np.int64)
+        cnt = np.bincount(first, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_obs"))
+        .to_pandas()
+        .sort_values("digit")
+    )
+    total = int(agg["n_obs"].sum())
+    exp = [
+        math.floor(
+            float(total) * math.log10(1.0 + 1.0 / d)
+            * float(expected_scale) + 0.5
+        )
+        for d in agg["digit"]
+    ]
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(agg["digit"].to_numpy(np.int64), pa.int64()),
+                "n_obs": pa.array(agg["n_obs"].to_numpy(np.int64), pa.int64()),
+                "expected_micro": pa.array(exp, pa.int64()),
+            }
         )
     )

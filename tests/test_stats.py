@@ -981,3 +981,38 @@ def test_grouped_spearman_python_int_fallback(ray_session):
         .to_pandas().sort_values("g").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, obj)
+
+
+def test_benford_digits_known_values(ray_session):
+    """Hand-built values with known leading digits incl. zeros (excluded)
+    and a Benford-conforming expectation check."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import benford_digits
+
+    t = pa.table(
+        {"v": [1.0, 19.99, 0.0, 2.5, 35.0, 9.11, 0.01, 100.0, 777.0]}
+    )
+    got = (
+        benford_digits(ray.data.from_arrow(t), "v", value_scale=100)
+        .to_pandas()
+        .set_index("digit")
+    )
+    # scaled cents: 100,1999,0,250,3500,911,1,10000,77700 -> first digits
+    # 1,1,(drop),2,3,9,1,1,7
+    assert got.loc[1, "n_obs"] == 4
+    assert got.loc[2, "n_obs"] == 1
+    assert got.loc[3, "n_obs"] == 1
+    assert got.loc[7, "n_obs"] == 1
+    assert got.loc[9, "n_obs"] == 1
+    assert got["n_obs"].sum() == 8  # the 0.0 row is excluded
+    total = 8
+    for d in range(1, 10):
+        assert got.loc[d, "expected_micro"] == math.floor(
+            float(total) * math.log10(1.0 + 1.0 / d) * 1e6 + 0.5
+        )
+    # Benford expectations sum to ~total (within rounding of 9 floors)
+    assert abs(got["expected_micro"].sum() - total * 1_000_000) <= 9
