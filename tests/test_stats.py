@@ -1016,3 +1016,24 @@ def test_benford_digits_known_values(ray_session):
         )
     # Benford expectations sum to ~total (within rounding of 9 floors)
     assert abs(got["expected_micro"].sum() - total * 1_000_000) <= 9
+
+
+def test_interp_median_matches_numpy_property():
+    """Property: the histogram-walk PERCENTILE_CONT(0.5) equals numpy's
+    linear-interpolation percentile on the expanded sample, bit-exact
+    (both compute lo + (hi-lo)*frac on exact binary values)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grawler_ray.functions.stats import _interp_median
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300))
+    def check(vals):
+        x = np.asarray(sorted(vals), np.int64)
+        u, c = np.unique(x, return_counts=True)
+        got = _interp_median(u.astype(np.float64), c.astype(np.int64))
+        exp = float(np.percentile(x.astype(np.float64), 50, method="linear"))
+        assert got == exp
+
+    check()
