@@ -657,3 +657,43 @@ def test_hopping_counts_vs_duckdb(ray_session):
             GROUP BY w_start ORDER BY w_start"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hopping_counts_random_brute_force(ray_session):
+    """Random timestamps vs a brute-force membership check: every event
+    lands in exactly the windows [w, w+size) that contain it."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.events import hopping_counts
+
+    rng = np.random.default_rng(9)
+    base = 1_700_000_000_000_000  # epoch us
+    ts_us = base + rng.integers(0, 12 * 3_600_000_000, 400)
+    vals = rng.uniform(0, 50, 400).round(2)
+    t = pa.table(
+        {
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    SIZE, HOP = 3_600_000_000, 1_800_000_000
+    got = (
+        hopping_counts(ray.data.from_arrow(t), SIZE, HOP)
+        .to_pandas()
+        .set_index("w_start")
+        .sort_index()
+    )
+    exp_n: collections.Counter = collections.Counter()
+    exp_s: collections.Counter = collections.Counter()
+    for u, v in zip(ts_us.tolist(), vals.tolist()):
+        w = (u // HOP) * HOP
+        while w > u - SIZE:
+            exp_n[w] += 1
+            exp_s[w] += int(np.floor(v * 100.0 + 0.5))
+            w -= HOP
+    assert dict(zip(got.index, got["n"])) == dict(exp_n)
+    assert dict(zip(got.index, got["sum_cents"])) == dict(exp_s)
