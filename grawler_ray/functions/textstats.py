@@ -1671,11 +1671,13 @@ def pmi_topk(
     dropped (PMI is noise-dominated at tiny counts).  Ranked
     (pmi_micro desc, pair asc); output (pair, c_xy, pmi_micro).
 
-    Scale shape: two column-pruned text scans (pair partials + word
-    partials — one row per distinct pair/word per batch, the factorized
-    kernels), each finished by one hash aggregate and MATERIALIZED (each
-    table feeds both a total and the scoring pass; both are
-    vocabulary-sized, never corpus-sized).  Word counts flow back
+    Scale shape: ONE column-pruned text scan emits pair AND word
+    partials from a single tokenize+factorize (a tagged union table,
+    one row per distinct pair/word per batch), MATERIALIZED once
+    (vocabulary-sized, never corpus-sized) and split by tag into the
+    two hash aggregates — the text is read exactly once.  Each
+    aggregate feeds both its total and the scoring pass (also
+    materialized).  Word counts flow back
     size-adaptively (the bigram_lm_score pattern): below
     ``driver_max_words`` distinct words the count table broadcasts once
     via ``ray.put`` and scoring is one stateless map; above it the pair
@@ -1689,9 +1691,51 @@ def pmi_topk(
 
     txt = docs_ds.select_columns(["text"])
 
+    def both_partials(t: pa.Table) -> pa.Table:
+        """One tokenize+factorize pass emits BOTH distinct-pair and
+        distinct-word counts, tagged 'p'/'w' — the text is read once."""
+        toks: list = []
+        for s in t.column("text").to_pylist():
+            toks.extend(_WORD_RE.findall((s or "").lower()))
+            toks.append(None)  # sentinel: no pair straddles documents
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
+        u = max(len(uniq), 1)
+        keys: list = []
+        kinds: list = []
+        counts: list = []
+        if len(uniq):
+            wcnt = np.bincount(codes[codes >= 0], minlength=len(uniq))
+            keys.extend(list(uniq))
+            kinds.extend(["w"] * len(uniq))
+            counts.extend(wcnt.astype(np.int64).tolist())
+        if len(codes) > 1:
+            a, b = codes[:-1], codes[1:]
+            m = (a >= 0) & (b >= 0)
+            if m.any():
+                upc, cnt = np.unique(
+                    a[m].astype(np.int64) * u + b[m], return_counts=True
+                )
+                keys.extend(
+                    uniq[x] + " " + uniq[y] for x, y in zip(upc // u, upc % u)
+                )
+                kinds.extend(["p"] * len(upc))
+                counts.extend(cnt.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "partial": pa.array(counts, pa.int64()),
+            }
+        )
+
+    combined = txt.map_batches(both_partials, batch_format="pyarrow").materialize()
+
     pairs = (
-        txt.map_batches(
-            lambda t: _pair_count_partial(t, window=1, out_col="pair"),
+        combined.filter(expr="kind == 'p'")
+        .map_batches(
+            lambda t: pa.table(
+                {"pair": t.column("key"), "partial": t.column("partial")}
+            ),
             batch_format="pyarrow",
         )
         .groupby("pair")
@@ -1699,23 +1743,14 @@ def pmi_topk(
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
-
-    def word_partial(t: pa.Table) -> pa.Table:
-        toks: list = []
-        for s in t.column("text").to_pylist():
-            toks.extend(_WORD_RE.findall((s or "").lower()))
-        codes, uniq = pd.factorize(np.asarray(toks, dtype=object))
-        if len(uniq) == 0:
-            return pa.table(
-                {"word": pa.array([], pa.string()), "partial": pa.array([], pa.int64())}
-            )
-        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        return pa.table(
-            {"word": pa.array(list(uniq), pa.string()), "partial": pa.array(cnt, pa.int64())}
-        )
-
     words = (
-        txt.map_batches(word_partial, batch_format="pyarrow")
+        combined.filter(expr="kind == 'w'")
+        .map_batches(
+            lambda t: pa.table(
+                {"word": t.column("key"), "partial": t.column("partial")}
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("word")
         .aggregate(Sum("partial", alias_name="c_w"))
         .map_batches(lambda t: t, batch_format="pyarrow")
