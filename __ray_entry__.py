@@ -1546,6 +1546,19 @@ def _ngram_containment_pairs(sf_dir: str):
     return ngram_containment_pairs(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def _ssjoin_pairs(sf_dir: str):
+    """Prefix-filtered EXACT set-similarity self-join (AllPairs, Bayardo et
+    al. WWW'07): same pair set as ngram_jaccard_pairs without the O(n²/B)
+    comparison — candidates ∝ prefix-shingle co-occurrence, verified
+    exactly through the one-repartition-join blob fan-out.  Shares the
+    all-pairs oracle SQL, so the gate checks the two plans agree."""
+    from grawler_ray.functions.dedup import ssjoin_pairs
+
+    return ssjoin_pairs(_read(sf_dir, "documents"), threshold=0.5).select_columns(
+        ["a", "b"]
+    )
+
+
 def _dup_ratio_by_source(sf_dir: str):
     from grawler_ray.functions.dedup import dup_ratio_by_source
 
@@ -2748,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": _user_retention,
         "dup_ratio_by_source": _dup_ratio_by_source,
         "ngram_containment_pairs": _ngram_containment_pairs,
+        "ssjoin_pairs": _ssjoin_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -3394,6 +3408,26 @@ def oracle_sql() -> dict[str, str]:
                        ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
                             NULLIF(least(len(s1.s), len(s2.s)), 0)
                   END >= 0.8
+        """,
+        # the prefix-filter plan must produce the SAME pairs as the
+        # all-pairs baseline: identical oracle to ngram_jaccard_pairs
+        "ssjoin_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            )
+            SELECT s1.doc_id AS a, s2.doc_id AS b
+            FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+            WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                       ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                            NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
+                  END >= 0.5
         """,
         "dup_ratio_by_source": """
             WITH d AS (SELECT source, md5(text) AS h FROM documents),

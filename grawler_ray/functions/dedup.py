@@ -533,6 +533,34 @@ def minhash_dedup(
         .materialize()
     )
 
+    return verify_pairs_join(
+        docs_ds,
+        pairs,
+        threshold,
+        num_partitions=num_partitions,
+        driver_max_members=driver_max_members,
+    )
+
+
+def verify_pairs_join(
+    docs_ds,
+    pairs,
+    threshold: float,
+    k: int = 3,
+    num_partitions: int = 16,
+    driver_max_members: int = 2_000_000,
+):
+    """Exact-Jaccard verification of candidate ``(a, b)`` pairs via ONE
+    repartition join (union docs + pair-side requests, groupby doc-id
+    hash): each candidate doc's shingle blob is computed once and fanned
+    out to its pair sides; a final coarse pair-key groupby computes the
+    exact Jaccard and filters by ``threshold``.  Returns (a, b, jaccard)
+    with a < b.  Factored out of ``minhash_dedup(verify="join")`` — see
+    its docstring for the member-filter sizing and the union-livelock
+    rationale — so the prefix-filter ``ssjoin_pairs`` reuses the same
+    tested machinery.  ``pairs`` must be a Dataset with int64 columns
+    a, b (a < b, already unique).
+    """
     # repartition join 1: docs ∪ pair-side requests, grouped by doc id hash.
     # Schema: (did, pa, pb, text); request rows carry text=None.
     def requests(t: pa.Table) -> pa.Table:
@@ -574,7 +602,7 @@ def minhash_dedup(
             for s, e in zip(starts[:-1], starts[1:])
             if pas[s] == -1 and e - s >= 2
         ]
-        blobs_arr = shingles_batch([texts[s] or "" for s, _ in blob_runs])
+        blobs_arr = shingles_batch([texts[s] or "" for s, _ in blob_runs], k)
         out = {"pa": [], "pb": [], "side_did": [], "sh": []}
         for (s, e), sh in zip(blob_runs, blobs_arr):
             blob = sh.tobytes()  # sorted-unique already
@@ -807,9 +835,203 @@ def ngram_containment_pairs(docs_ds, threshold: float = 0.8, k: int = 3,
     )
 
 
-# ---------------------------------------------------------------------------
-# SimHash
-# ---------------------------------------------------------------------------
+def ssjoin_pairs(
+    docs_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_groups: int = 256,
+    num_partitions: int = 16,
+    driver_max_members: int = 2_000_000,
+    max_empty_docs: int = 100_000,
+):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07): the same (a, b) pair set as
+    ``ngram_jaccard_pairs`` at the same ``threshold``/``k``, WITHOUT the
+    O(n²/B) block-replicated comparison — work scales with actual shingle
+    co-occurrence in prefixes, so this is the exact 100-TB path the
+    all-pairs baseline is benchmarked against (and the exact complement of
+    the approximate ``minhash_dedup``).
+
+    Prefix theorem (canonical order = the uint64 shingle-hash order that
+    ``shingles_batch`` already emits): if J(A,B) >= t then
+    |A∩B| >= ceil(t·max(|A|,|B|)) >= ceil(t·|X|) for X in {A,B}, so A and B
+    must share a shingle among the first |X| - ceil(t·|X|) + 1 of each —
+    pairing docs within shared-prefix-shingle runs finds every qualifying
+    pair.  Hash order is a uniform-random canonical order; the classic
+    rare-first (global DF) order would prune harder but needs a corpus-wide
+    DF join — documented trade, not taken (candidates are verified exactly
+    either way, so ordering affects cost only, never the answer).
+
+    Plan: one light prefix explode (24 B rows: shingle, doc_id, size) →
+    coarse shingle-hash groupby with in-group run-scan + size filter
+    (|small| >= ceil(t·|large|)) → (a,b) candidate dedup → exact-Jaccard
+    verification through ``verify_pairs_join`` (text moves ONCE, ∝
+    candidate members).  Both-empty docs pair at J=1.0 by the module
+    convention; they have no shingles so they're paired directly (guarded
+    by ``max_empty_docs`` — empty docs should be filtered far upstream of
+    any similarity join at real scale).
+
+    Requires ``threshold > 0`` (prefix filtering is meaningless at t=0 and
+    the empty/non-empty separation below relies on J(empty, non-empty)=0
+    never qualifying).  Output: (a, b) int64, a < b — same schema as
+    ``ngram_jaccard_pairs`` so the two share one SQL oracle.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+
+    def prefix_explode(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        shs = shingles_batch(tb.column("text").to_pylist(), k)
+        toks, dids, sizes = [], [], []
+        n_empty_ids = []
+        for did, sh in zip(ids.tolist(), shs):
+            s = len(sh)
+            if s == 0:
+                n_empty_ids.append(did)
+                continue
+            # conservative ceil: float t*s can round UP past the true
+            # product (0.1*10 -> 1.0000000000000002, ceil 2 not 1) which
+            # would SHORTEN the prefix and miss pairs; the 1e-9 slack can
+            # only lengthen it (extra candidates die in verification)
+            p = s - math.ceil(t * s - 1e-9) + 1
+            toks.append(sh[:p])
+            dids.append(np.full(p, did, dtype=np.int64))
+            sizes.append(np.full(p, s, dtype=np.int64))
+        tok = np.concatenate(toks) if toks else np.array([], dtype=np.uint64)
+        did = np.concatenate(dids) if dids else np.array([], dtype=np.int64)
+        size = np.concatenate(sizes) if sizes else np.array([], dtype=np.int64)
+        # coarse shuffle key: ~num_groups vectorized groups, true shingle
+        # runs re-found by sort inside the group (tiny-group groupby rule)
+        g = ((tok * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(num_groups)
+        emp = np.asarray(n_empty_ids, dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(
+                    np.concatenate([g.astype(np.int64), np.full(len(emp), -1)]),
+                    pa.int64(),
+                ),
+                "tok": pa.array(
+                    np.concatenate([tok, np.zeros(len(emp), np.uint64)]), pa.uint64()
+                ),
+                "doc_id": pa.array(np.concatenate([did, emp]), pa.int64()),
+                "size": pa.array(
+                    np.concatenate([size, np.zeros(len(emp), np.int64)]), pa.int64()
+                ),
+            }
+        )
+
+    def candidate_group(tb: pa.Table) -> pa.Table:
+        # one coarse group: sort by (tok), run-scan equal-shingle runs, emit
+        # size-filtered candidate pairs.  g == -1 is the empty-doc group:
+        # all-pairs at J=1.0 by convention, emitted as pre-verified rows
+        # (flag v=1) so the verify join never sees shingle-less docs.
+        out_a, out_b, out_v = [], [], []
+        if tb.num_rows:
+            gval = int(tb.column("g")[0].as_py())
+            toks = tb.column("tok").to_numpy(zero_copy_only=False)
+            dids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+            sizes = tb.column("size").to_numpy(zero_copy_only=False)
+            if gval == -1:
+                if len(dids) > max_empty_docs:
+                    raise RuntimeError(
+                        f"{len(dids)} empty docs exceed max_empty_docs="
+                        f"{max_empty_docs}; filter empty documents before a "
+                        "similarity join at this scale"
+                    )
+                d = np.sort(dids)
+                ai, bi = np.triu_indices(len(d), k=1)
+                out_a, out_b = d[ai], d[bi]
+                out_v = np.ones(len(out_a), dtype=np.int64)
+            else:
+                order = np.lexsort((dids, toks))
+                toks, dids, sizes = toks[order], dids[order], sizes[order]
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(toks) != 0) + 1, [len(toks)])
+                )
+                packed = []
+                for s, e in zip(starts[:-1], starts[1:]):
+                    if e - s < 2:
+                        continue
+                    ai, bi = np.triu_indices(e - s, k=1)
+                    sa, sb = sizes[s:e][ai], sizes[s:e][bi]
+                    # J >= t needs min >= t * max; 1e-9 slack so float
+                    # rounding can only ADMIT borderline candidates (the
+                    # exact verify kills them), never drop a true pair
+                    ok = np.minimum(sa, sb) >= t * np.maximum(sa, sb) - 1e-9
+                    da, db = dids[s:e][ai[ok]], dids[s:e][bi[ok]]
+                    lo, hi = np.minimum(da, db), np.maximum(da, db)
+                    keep = lo != hi  # same doc via dup rows can't pair
+                    packed.append(np.stack([lo[keep], hi[keep]], axis=1))
+                if packed:
+                    ab = np.unique(np.concatenate(packed), axis=0)
+                    out_a, out_b = ab[:, 0], ab[:, 1]
+                    out_v = np.zeros(len(out_a), dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+                "b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+                "v": pa.array(np.asarray(out_v, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    # candidate dedup: the same (a, b) is found once per shared prefix
+    # shingle.  v rides the key — it is functionally determined by (a, b)
+    # (an empty doc has no shingles so it can never appear in a g>=0 pair),
+    # so grouping by (a, b, v) dedupes exactly like (a, b).
+    cands = (
+        docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(prefix_explode, batch_format="pyarrow")
+        .groupby("g")
+        # pyarrow map_groups: sparse key space can emit empty partitions and
+        # they must match downstream block types (CLAUDE.md rule)
+        .map_groups(candidate_group, batch_format="pyarrow")
+        .groupby(["a", "b", "v"])
+        .aggregate(Count(alias_name="_nc"))
+        .select_columns(["a", "b", "v"])
+        .materialize()  # same sequencing rationale as minhash verify="join"
+    )
+
+    def split(flag: int):
+        def fn(tb: pa.Table) -> pa.Table:
+            m = pc.equal(tb.column("v"), flag)
+            return tb.filter(m).select(["a", "b"])
+
+        return fn
+
+    to_verify = cands.map_batches(split(0), batch_format="pyarrow")
+    verified = verify_pairs_join(
+        docs_ds,
+        to_verify,
+        t,
+        k=k,
+        num_partitions=num_partitions,
+        driver_max_members=driver_max_members,
+    )
+
+    def empty_final(tb: pa.Table) -> pa.Table:
+        m = pc.equal(tb.column("v"), 1)
+        sub = tb.filter(m)
+        return pa.table(
+            {
+                "a": sub.column("a"),
+                "b": sub.column("b"),
+                "jaccard": pa.array(np.ones(sub.num_rows), pa.float64()),
+            }
+        )
+
+    empty_pairs = cands.map_batches(empty_final, batch_format="pyarrow")
+    # one block type across the union (verify's tail is pandas map_groups)
+    return (
+        verified.map_batches(lambda t: t, batch_format="pyarrow")
+        .union(empty_pairs)
+    )
 
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS)

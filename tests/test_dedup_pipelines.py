@@ -89,6 +89,74 @@ def test_ngram_jaccard_exact_baseline(docs_ds):
     assert set(zip(got.a, got.b)) == _exact_jaccard_pairs(0.5)
 
 
+def test_ssjoin_prefix_filter_matches_exact_baseline(docs_ds):
+    """AllPairs prefix filtering must reproduce the all-pairs answer at
+    every threshold — including t=1.0 (prefix length 1, exact dups only)
+    and the both-empty J=1.0 convention pair."""
+    from grawler_ray.functions.dedup import jaccard, shingles, ssjoin_pairs
+
+    rows = _docs_table()
+    shs = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    for t in (0.5, 0.8, 1.0):
+        got = ssjoin_pairs(docs_ds, threshold=t).to_pandas()
+        pairs = set(zip(got.a, got.b))
+        assert pairs == _exact_jaccard_pairs(t), f"t={t}"
+        assert len(got) == len(pairs)  # candidate dedup: no repeated rows
+        # reported jaccard is the exact value (1.0 for the empty pair)
+        for a, b, j in zip(got.a, got.b, got.jaccard):
+            assert j == pytest.approx(jaccard(shs[a], shs[b]), abs=0), (a, b)
+    assert (200, 201) in set(
+        zip(*ssjoin_pairs(docs_ds, threshold=1.0).to_pandas()[["a", "b"]].T.values)
+    )
+
+
+def test_ssjoin_random_corpus_and_rounding_thresholds(ray_session):
+    """Fixed-seed corpus built from a SHARED sentence pool (dense borderline
+    trigram overlaps — docs are random sentence subsets) at thresholds whose
+    t*s products hit float rounding (0.1, 0.3): the conservative ceil/slack
+    must never DROP a qualifying pair, and extra candidates must die in the
+    exact verify."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import jaccard, shingles, ssjoin_pairs
+
+    rng = np.random.default_rng(7)
+    sentences = [
+        " ".join(f"s{i}w{j}" for j in range(6)) for i in range(10)
+    ]
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 6))
+        picks = rng.choice(len(sentences), size=n, replace=False)
+        text = " ".join(sentences[p] for p in picks)
+        if rng.random() < 0.3:
+            text += f" unique{i} tail{i} token{i}"
+        rows.append({"doc_id": i, "text": text})
+    shs = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    ds = ray.data.from_items(rows).repartition(5)
+    for t in (0.1, 0.3, 0.6):
+        exact = {
+            (a, b)
+            for a in shs
+            for b in shs
+            if a < b and jaccard(shs[a], shs[b]) >= t
+        }
+        assert len(exact) >= 10, f"fixture too sparse at t={t}"
+        got = ssjoin_pairs(ds, threshold=t).to_pandas()
+        assert set(zip(got.a, got.b)) == exact, f"t={t}"
+        assert len(got) == len(exact)
+
+
+def test_ssjoin_guards(docs_ds):
+    from grawler_ray.functions.dedup import ssjoin_pairs
+
+    with pytest.raises(ValueError, match="threshold"):
+        ssjoin_pairs(docs_ds, threshold=0.0)
+    # the fixture has 2 empty docs; a cap of 1 must refuse loudly
+    with pytest.raises(Exception, match="max_empty_docs"):
+        ssjoin_pairs(docs_ds, threshold=0.5, max_empty_docs=1).to_pandas()
+
+
 def test_simhash_pairs_match_bruteforce(docs_ds):
     from grawler_ray.functions.dedup import hamming64, simhash64, simhash_pairs
 
