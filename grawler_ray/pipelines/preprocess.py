@@ -538,12 +538,15 @@ def curate_corpus(
     weights = dsir_weights(surv_text, target_ds, num_buckets=dsir_num_buckets)
     t0 = _mark(collect_timings, "dsir", t0)
 
-    # attach (lang, tile) to the weights — int-key join of two narrow tables
+    # attach (lang, tile) to the weights — int-key join of two narrow tables.
+    # Materialized ONLY when a second consumer exists (the parquet sink);
+    # the summary-only path streams straight through (one fewer pin pass).
     curated = repartition_join(
         weights, kept.select_columns(["doc_id", "pred_lang", "tile"]),
         on_left="doc_id", on_right="doc_id", num_groups=num_groups,
-    ).materialize()
+    )
     if out_dir is not None:
+        curated = curated.materialize()
         curated.write_parquet(out_dir, partition_cols=["pred_lang"])
     t0 = _mark(collect_timings, "attach", t0)
 
