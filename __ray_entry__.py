@@ -1546,6 +1546,16 @@ def _ngram_containment_pairs(sf_dir: str):
     return ngram_containment_pairs(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def _fuzzy_name_pairs(sf_dir: str):
+    """Levenshtein-distance<=1 key pairs over supplier names via EXACT
+    deletion-neighborhood blocking (SymSpell/FastSS) — candidates ∝
+    shared deletion variants, never the O(n²) cross join the oracle
+    runs; every candidate exactly verified in-group."""
+    from grawler_ray.functions.dedup import edit1_pairs
+
+    return edit1_pairs(_read(sf_dir, "supplier"), "s_suppkey", "s_name")
+
+
 def _ssjoin_pairs(sf_dir: str):
     """Prefix-filtered EXACT set-similarity self-join (AllPairs, Bayardo et
     al. WWW'07): same pair set as ngram_jaccard_pairs without the O(n²/B)
@@ -2762,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ratio_by_source": _dup_ratio_by_source,
         "ngram_containment_pairs": _ngram_containment_pairs,
         "ssjoin_pairs": _ssjoin_pairs,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -3408,6 +3419,12 @@ def oracle_sql() -> dict[str, str]:
                        ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
                             NULLIF(least(len(s1.s), len(s2.s)), 0)
                   END >= 0.8
+        """,
+        # deletion-neighborhood blocking vs the brute-force cross join
+        "fuzzy_name_pairs": """
+            SELECT t1.s_suppkey AS a, t2.s_suppkey AS b
+            FROM supplier t1 JOIN supplier t2 ON t1.s_suppkey < t2.s_suppkey
+            WHERE levenshtein(t1.s_name, t2.s_name) <= 1
         """,
         # the prefix-filter plan must produce the SAME pairs as the
         # all-pairs baseline: identical oracle to ngram_jaccard_pairs

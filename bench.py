@@ -113,7 +113,7 @@ def run_subqueries() -> dict[str, float]:
         "ann_pq_topk", "label_centroids",
         "minhash_pairs", "minhash_incremental", "simhash",
         "simhash_pairs", "embedding_dup_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
-        "ssjoin_pairs",
+        "ssjoin_pairs", "fuzzy_name_pairs",
         "dedup_clusters", "dedup_keep_longest", "snapshot_diff", "dup_ratio_by_source", "token_count",
         "top_words_per_lang",
         "sessionize", "rolling_sum", "events_hourly", "user_retention",

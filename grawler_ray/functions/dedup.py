@@ -1033,6 +1033,146 @@ def ssjoin_pairs(
         .union(empty_pairs)
     )
 
+
+def _edit1(s1: str, s2: str) -> bool:
+    """Exact Levenshtein-distance <= 1 check (O(len), no DP needed at
+    radius 1): equal; same length with <= 1 substitution; or length-diff 1
+    with one skipped char in the longer."""
+    if s1 == s2:
+        return True
+    l1, l2 = len(s1), len(s2)
+    if abs(l1 - l2) > 1:
+        return False
+    if l1 == l2:
+        return sum(1 for a, b in zip(s1, s2) if a != b) <= 1
+    if l1 > l2:
+        s1, s2, l1, l2 = s2, s1, l2, l1
+    # s2 = s1 plus one inserted char?
+    i = 0
+    while i < l1 and s1[i] == s2[i]:
+        i += 1
+    return s1[i:] == s2[i + 1:]
+
+
+def edit1_pairs(
+    ds,
+    key_col: str,
+    str_col: str,
+    num_groups: int = 256,
+    max_len: int = 512,
+):
+    """All unordered key pairs whose strings are at Levenshtein distance
+    <= 1 — EXACT, via deletion-neighborhood blocking (the SymSpell /
+    FastSS construction, public algorithm): each string emits hashes of
+    itself and its len(s) single-char-deletion variants; two strings at
+    distance <= 1 ALWAYS share a variant (equal -> s itself; substitution
+    at i -> del_i both sides; insertion/deletion -> the shorter string ==
+    a deletion variant of the longer), so candidate generation is
+    complete and every in-group candidate is verified with the exact
+    radius-1 check.  Fuzzy key dedup for crawl/catalog tables (URL
+    near-misses, sequence-numbered names) without the O(n²) cross join
+    the SQL oracle runs.
+
+    Shape: one explode of ~(len+1) rows per string (8 B variant hash +
+    the string payload riding to its group), one coarse variant-hash
+    exchange, in-run pairing + verification (both strings are at hand),
+    then one (a, b) hash-aggregate dedup (a pair is found once per
+    shared variant).  Payload is len(s)·(len(s)+1) bytes per string —
+    fine for names/URLs; for LONG strings route candidates through a
+    ``verify_pairs_join``-style blob-request plan instead (documented,
+    not needed at key lengths).  ``max_len`` guards the quadratic payload
+    loudly.  Hash collisions only ADD candidates (exact verify kills
+    them).  NULL strings never pair (SQL levenshtein(NULL, ·) semantics).
+
+    Output: (a, b) int64 key pairs, a < b.
+    """
+    from ray.data.aggregate import Count
+
+    from ..urlops import xxhash64_batch
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        strs = t.column(str_col).to_pylist()
+        variants: list[str] = []
+        out_key: list[int] = []
+        out_s: list[str] = []
+        for kid, s in zip(keys.tolist(), strs):
+            if s is None:
+                continue
+            if len(s) > max_len:
+                raise ValueError(
+                    f"edit1_pairs: string of length {len(s)} exceeds "
+                    f"max_len={max_len}; the deletion-neighborhood payload "
+                    "is quadratic in length — route long strings through a "
+                    "candidate+blob-join plan instead"
+                )
+            vs = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            variants.extend(vs)
+            out_key.extend([kid] * len(vs))
+            out_s.extend([s] * len(vs))
+        h = xxhash64_batch(variants).astype(np.uint64)
+        g = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+            num_groups
+        )
+        return pa.table(
+            {
+                "g": pa.array(g.astype(np.int64), pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "kid": pa.array(np.asarray(out_key, np.int64), pa.int64()),
+                "s": pa.array(out_s, pa.string()),
+            }
+        )
+
+    def pair_group(t: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        if t.num_rows:
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            kid = t.column("kid").to_numpy(zero_copy_only=False)
+            ss = t.column("s").to_pylist()
+            order = np.lexsort((kid, h))
+            h, kid = h[order], kid[order]
+            ss = [ss[i] for i in order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(h) != 0) + 1, [len(h)])
+            )
+            seen_local: set[tuple[int, int]] = set()
+            for s_, e_ in zip(starts[:-1], starts[1:]):
+                if e_ - s_ < 2:
+                    continue
+                for i in range(s_, e_):
+                    for j in range(i + 1, e_):
+                        if kid[i] == kid[j]:
+                            continue
+                        a, b = (
+                            (int(kid[i]), int(kid[j]))
+                            if kid[i] < kid[j]
+                            else (int(kid[j]), int(kid[i]))
+                        )
+                        if (a, b) in seen_local:
+                            continue
+                        seen_local.add((a, b))
+                        if _edit1(ss[i], ss[j]):
+                            out_a.append(a)
+                            out_b.append(b)
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(out_a, np.int64), pa.int64()),
+                "b": pa.array(np.asarray(out_b, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, str_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(pair_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+
+
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 _BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS)
 

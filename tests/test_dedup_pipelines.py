@@ -147,6 +147,64 @@ def test_ssjoin_random_corpus_and_rounding_thresholds(ray_session):
         assert len(got) == len(exact)
 
 
+def test_edit1_kernel():
+    from grawler_ray.functions.dedup import _edit1
+
+    assert _edit1("abc", "abc")          # distance 0
+    assert _edit1("abc", "abd")          # substitution
+    assert _edit1("abc", "abcd")         # insertion at end
+    assert _edit1("abc", "xabc")         # insertion at front
+    assert _edit1("abc", "ac")           # deletion
+    assert _edit1("", "a") and _edit1("", "")
+    assert not _edit1("abc", "adc_x")    # len diff 2
+    assert not _edit1("abc", "ayz")      # two substitutions
+    assert not _edit1("abcd", "abdc")    # transposition is distance 2
+
+
+def test_edit1_pairs_match_bruteforce(ray_session):
+    """Fixed-seed strings engineered for every radius-1 shape (equal,
+    substitution, insert/delete at each position) plus nulls and empties,
+    verified against the O(n²) brute force."""
+    import itertools
+
+    import ray.data
+
+    from grawler_ray.functions.dedup import _edit1, edit1_pairs
+
+    rng = np.random.default_rng(3)
+    base = ["crawl", "craw", "crXwl", "trawl", "crawler", "", "a", "b", "ab"]
+    rows = []
+    kid = 0
+    for s in base:
+        for _ in range(int(rng.integers(1, 3))):
+            rows.append({"k": kid, "s": s})
+            kid += 1
+    # random digit-suffix names (the sequential-key shape)
+    for i in range(40):
+        rows.append({"k": kid, "s": f"name#{int(rng.integers(0, 30)):03d}"})
+        kid += 1
+    rows.append({"k": kid, "s": None})  # null never pairs
+    exact = {
+        (r1["k"], r2["k"])
+        for r1, r2 in itertools.combinations(rows, 2)
+        if r1["s"] is not None and r2["s"] is not None and _edit1(r1["s"], r2["s"])
+    }
+    ds = ray.data.from_items(rows).repartition(4)
+    got = edit1_pairs(ds, "k", "s").to_pandas()
+    assert set(zip(got.a, got.b)) == exact
+    assert len(got) == len(exact)
+
+
+def test_edit1_pairs_max_len_guard(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.dedup import edit1_pairs
+
+    ds = ray.data.from_items([{"k": 0, "s": "x" * 40}, {"k": 1, "s": "y"}])
+    with pytest.raises(Exception, match="max_len"):
+        edit1_pairs(ds, "k", "s", max_len=10).to_pandas()
+
+
 def test_ssjoin_guards(docs_ds):
     from grawler_ray.functions.dedup import ssjoin_pairs
 
