@@ -199,6 +199,23 @@ def _rolling_sum(sf_dir: str):
     return rolling_sum(_read(sf_dir, "events"), window=4)
 
 
+def _last_touch(sf_dir: str):
+    """Last-touch attribution: purchase -> most recent strictly-prior
+    view/click by the same user; NULL when untouched (Arrow
+    int64-with-nulls -> float64/NaN, the nullable-int invariant)."""
+    from grawler_ray.functions.events import last_touch_attribution
+
+    return last_touch_attribution(_read(sf_dir, "events"))
+
+
+def _rolling_median(sf_dir: str):
+    """Exact per-user ROWS-window median (interpolated even windows) —
+    the lag-matrix row-sort kernel; one coarse user-hash exchange."""
+    from grawler_ray.functions.events import rolling_median
+
+    return rolling_median(_read(sf_dir, "events"), window=4)
+
+
 def _events_hourly(sf_dir: str):
     from grawler_ray.functions.events import hourly_agg
 
@@ -2738,6 +2755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first": _events_first,
         "sessionize": _sessionize,
         "rolling_sum": _rolling_sum,
+        "rolling_median": _rolling_median,
+        "last_touch": _last_touch,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
         "politeness_slots": _politeness_slots,
@@ -3095,6 +3114,28 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT
                      AS roll_cents
             FROM events
+        """,
+        # windowed median over BIGINT interpolates (mean of the two
+        # middles, DOUBLE) — integral-or-.5, exactly representable
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   median(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::DOUBLE
+                     AS med_cents
+            FROM events
+        """,
+        "last_touch": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type,
+                     last_value(CASE WHEN event_type IN ('view', 'click')
+                                     THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch_event_id
+              FROM events)
+            SELECT event_id, user_id, touch_event_id
+            FROM w WHERE event_type = 'purchase'
         """,
         "events_hourly": """
             SELECT event_type,

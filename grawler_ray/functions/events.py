@@ -105,6 +105,120 @@ def rolling_sum(events_ds, window: int = 4, num_groups: int = 256):
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def rolling_median(events_ds, window: int = 4, num_groups: int = 256):
+    """Exact rolling MEDIAN per user in (ts, event_id) order over the last
+    ``window`` rows (ROWS window, current row inclusive) of the
+    integer-scaled ``value`` — ``median(cents) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``.
+    Even windows interpolate (mean of the two middles, DuckDB/quantile_cont
+    semantics); the mean of two int64 cents is either integral or .5 —
+    exactly representable, so the float output is hash-safe.
+
+    Vectorized across the whole coarse user-hash group (rolling_sum's
+    shape: ONE narrow exchange, run-scan kernels): build the (n, window)
+    lag matrix, mask lags that cross the row's user-run start with +inf,
+    one row-sort, then pick the two middle ranks from each row's true
+    window count.  O(n·w log w) per group, no per-row Python.
+    Output (event_id, user_id, med_cents float64)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, _, start_idx = _user_starts(df)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = len(cents)
+        idx = np.arange(n)
+        lo = np.maximum(idx - window + 1, start_idx)
+        cnt = idx - lo + 1
+        # lag matrix: column j = value j rows back, +inf when outside the
+        # user-run (sorts to the tail, never reaches a middle rank)
+        mat = np.full((n, window), np.inf)
+        vals = cents.astype(np.float64)
+        for j in range(window):
+            src = idx - j
+            ok = src >= lo
+            mat[ok, j] = vals[src[ok]]
+        mat.sort(axis=1)
+        mid_lo = (cnt - 1) // 2
+        mid_hi = cnt // 2
+        med = (mat[idx, mid_lo] + mat[idx, mid_hi]) / 2.0
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "med_cents": med,
+            }
+        )
+
+    return _coarse_user_groupby(events_ds, fn, num_groups)
+
+
+def last_touch_attribution(
+    events_ds,
+    convert_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    num_groups: int = 256,
+):
+    """Last-touch marketing attribution: for every conversion event, the
+    event_id of the user's most recent STRICTLY-PRIOR touch event (ts,
+    event_id order) — ``last_value(CASE WHEN type IN touches THEN id END
+    IGNORE NULLS) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    filtered to conversions.  Conversions with no prior touch attribute
+    to NULL.
+
+    One coarse user-hash exchange; inside the group a vectorized
+    forward-fill (maximum.accumulate over touch indices, shifted one row,
+    clamped at user-run starts) — no per-row Python.  Output (event_id,
+    user_id, touch_event_id) with touch_event_id as ARROW int64-with-nulls
+    (lands as float64/NaN — the repo's nullable-int invariant; never
+    pandas-nullable Int64).  pyarrow map_groups per the empty-partition
+    rule."""
+    touches = set(touch_types)
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = (u * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(33)) % np.uint64(num_groups)
+        return t.append_column("ug", pa.array(g.astype(np.int32), pa.int32()))
+
+    empty = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("user_id", pa.int64()),
+            pa.field("touch_event_id", pa.int64()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas()
+        df, _, start_idx = _user_starts(df)
+        eids = df["event_id"].to_numpy().astype(np.int64)
+        etypes = df["event_type"].to_numpy()
+        idx = np.arange(len(df))
+        is_touch = np.isin(etypes, list(touches))
+        acc = np.maximum.accumulate(np.where(is_touch, idx, -1))
+        prev = np.concatenate(([-1], acc[:-1]))
+        prev = np.where(prev >= start_idx, prev, -1)  # never cross users
+        conv = etypes == convert_type
+        p = prev[conv]
+        touch_ids = np.where(p >= 0, eids[np.maximum(p, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eids[conv], pa.int64()),
+                "user_id": pa.array(
+                    df["user_id"].to_numpy().astype(np.int64)[conv], pa.int64()
+                ),
+                "touch_event_id": pa.array(touch_ids, pa.int64(), mask=p < 0),
+            }
+        )
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("ug")
+        .map_groups(fn, batch_format="pyarrow")
+    )
+
+
 def grouped_running_sum(
     ds,
     group_col: str,

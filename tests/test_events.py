@@ -45,6 +45,88 @@ def test_rolling_sum(ray_session):
     assert roll[4] == 40
 
 
+def test_rolling_median_hand_fixture(ray_session):
+    from grawler_ray.functions.events import rolling_median
+
+    out = rolling_median(_events(ray_session), window=2).to_pandas()
+    med = dict(zip(out.event_id, out.med_cents))
+    assert med[1] == 100.0                 # window of one
+    assert med[2] == (100 + 201) / 2.0     # even window interpolates: 150.5
+    assert med[3] == (201 + 300) / 2.0
+    assert med[5] == (300 + 400) / 2.0
+    assert med[4] == 40.0                  # other user: run start clamps
+
+
+def test_rolling_median_random_vs_bruteforce(ray_session):
+    """Fixed-seed multi-user stream at windows 1/3/4 vs a per-row Python
+    brute force (sort the true trailing slice, interpolate middles)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for eid in range(300):
+        rows.append(
+            {
+                "event_id": eid,
+                "user_id": int(rng.integers(0, 12)),
+                "ts": t0 + dt.timedelta(seconds=int(rng.integers(0, 5000))),
+                "event_type": "view",
+                "value": float(np.round(rng.uniform(0, 50), 3)),
+                "props": "{}",
+            }
+        )
+    ds = ray.data.from_items(rows).repartition(4)
+    from grawler_ray.functions.events import rolling_median
+
+    for w in (1, 3, 4):
+        got = rolling_median(ds, window=w).to_pandas()
+        med = dict(zip(got.event_id, got.med_cents))
+        # brute force
+        per_user: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            hist = per_user.setdefault(r["user_id"], [])
+            hist.append((r["event_id"], int(np.floor(r["value"] * 100.0 + 0.5))))
+            win = sorted(c for _, c in hist[-w:])
+            exp = (win[(len(win) - 1) // 2] + win[len(win) // 2]) / 2.0
+            assert med[r["event_id"]] == exp, (w, r["event_id"])
+
+
+def test_last_touch_attribution(ray_session):
+    """Hand stream covering: touch before conversion, conversion with NO
+    prior touch (null), touch AFTER conversion not counted, cross-user
+    isolation, and the nullable-int representation invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": t0, "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "user_id": 1, "ts": t0 + dt.timedelta(minutes=1), "event_type": "purchase", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "user_id": 1, "ts": t0 + dt.timedelta(minutes=2), "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 4, "user_id": 1, "ts": t0 + dt.timedelta(minutes=3), "event_type": "purchase", "value": 0.0, "props": "{}"},
+        # user 2 converts FIRST (null), then touches, then converts again
+        {"event_id": 5, "user_id": 2, "ts": t0, "event_type": "purchase", "value": 0.0, "props": "{}"},
+        {"event_id": 6, "user_id": 2, "ts": t0 + dt.timedelta(minutes=1), "event_type": "signup", "value": 0.0, "props": "{}"},
+        {"event_id": 7, "user_id": 2, "ts": t0 + dt.timedelta(minutes=2), "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 8, "user_id": 2, "ts": t0 + dt.timedelta(minutes=3), "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    from grawler_ray.functions.events import last_touch_attribution
+
+    out = last_touch_attribution(ray.data.from_items(rows).repartition(3)).to_pandas()
+    assert len(out) == 4
+    # nullable-int invariant: float64/NaN, never pandas-nullable Int64
+    assert out["touch_event_id"].dtype.kind == "f"
+    m = dict(zip(out.event_id, out.touch_event_id))
+    assert m[2] == 1.0
+    assert m[4] == 3.0          # latest touch wins
+    assert pd.isna(m[5])        # converted before any touch
+    assert m[8] == 7.0          # signup is not a touch type
+    assert np.isnan(m[5])
+
+
 def test_hourly_agg(ray_session):
     from grawler_ray.functions.events import hourly_agg
 
