@@ -199,6 +199,14 @@ def _rolling_sum(sf_dir: str):
     return rolling_sum(_read(sf_dir, "events"), window=4)
 
 
+def _user_distinct_types(sf_dir: str):
+    """Cumulative exact distinct-count window (first-occurrence flag +
+    running sum — the count(DISTINCT) OVER derivation, mirrored)."""
+    from grawler_ray.functions.events import cumulative_distinct_types
+
+    return cumulative_distinct_types(_read(sf_dir, "events"))
+
+
 def _last_touch(sf_dir: str):
     """Last-touch attribution: purchase -> most recent strictly-prior
     view/click by the same user; NULL when untouched (Arrow
@@ -1716,6 +1724,53 @@ def _order_part_bfs(sf_dir: str):
     )
 
 
+def _kcore(sf_dir: str):
+    """k-core (k=4) of the order–part bipartite graph: iterative peel to
+    the TRUE fixpoint (size-adaptive driver/distributed paths asserted
+    equal in tests); the oracle unrolls the peel 8 rounds — fixpoint on
+    this data is reached in 2, and the engine peels to convergence, so
+    any unroll >= the data's true depth matches exactly."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.graph import kcore
+
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+
+    def to_edges(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "a": t.column("l_orderkey").cast(_pa.int64()),
+                "b": _pc.add(t.column("l_partkey").cast(_pa.int64()), 10_000_000),
+            }
+        )
+
+    return kcore(li.map_batches(to_edges, batch_format="pyarrow"), k=4)
+
+
+def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
+    # MATERIALIZED is load-bearing: each round references the previous CTE
+    # three times, so default inline expansion is 3^rounds plan blowup
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey::BIGINT AS s,
+                    (l_partkey + 10000000)::BIGINT AS t FROM lineitem
+             UNION
+             SELECT DISTINCT (l_partkey + 10000000)::BIGINT,
+                    l_orderkey::BIGINT FROM lineitem
+           )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", a{i} AS MATERIALIZED"
+            f" (SELECT s FROM e{i} GROUP BY s HAVING count(*) >= {k})"
+            f", e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e"
+            f" JOIN a{i} x ON e.s = x.s JOIN a{i} y ON e.t = y.s)"
+        )
+    parts.append(f" SELECT DISTINCT s AS v FROM e{rounds}")
+    return "".join(parts)
+
+
 def _copurchase_topk(sf_dir: str):
     """Top-25 node pairs by common-neighbor count over the order–part
     graph (co-citation link prediction): parts sharing the most orders
@@ -2757,6 +2812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum": _rolling_sum,
         "rolling_median": _rolling_median,
         "last_touch": _last_touch,
+        "user_distinct_types": _user_distinct_types,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
         "politeness_slots": _politeness_slots,
@@ -2841,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _weighted_sample,
         "order_part_bfs": _order_part_bfs,
         "copurchase_topk": _copurchase_topk,
+        "kcore_nodes": _kcore,
         "related_docs_topk": _related_docs_topk,
         "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
@@ -3125,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
                      AS med_cents
             FROM events
         """,
+        "user_distinct_types": """
+            WITH f AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN row_number() OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) = 1
+                          THEN 1 ELSE 0 END AS is_first
+              FROM events)
+            SELECT event_id, user_id,
+                   sum(is_first) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)::BIGINT
+                     AS n_distinct_types
+            FROM f
+        """,
         "last_touch": """
             WITH w AS (
               SELECT event_id, user_id, event_type,
@@ -3286,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point PageRank over the embedding near-dup graph, 5
         # unrolled iterations (graph.py pins the integer recurrence)
         "pagerank": _pagerank_sql(),
+        "kcore_nodes": _kcore_sql(),
         # exact-substring duplication (Lee et al. window approximation):
         # 40-char windows at stride 10; a window position is duplicated
         # when its exact text occurs at >= 2 (doc, pos) sites corpus-wide.

@@ -151,6 +151,53 @@ def rolling_median(events_ds, window: int = 4, num_groups: int = 256):
     return _coarse_user_groupby(events_ds, fn, num_groups)
 
 
+def cumulative_distinct_types(events_ds, num_groups: int = 256):
+    """Exact cumulative DISTINCT count per user — how many distinct
+    event types the user has seen up to and including each event ((ts,
+    event_id) order).  ``count(DISTINCT x) OVER`` isn't a supported
+    window; the standard derivation is a first-occurrence flag
+    (row_number() = 1 per (user, type)) running-summed per user — the
+    same trick mirrored in the SQL oracle, and the shape of a corpus
+    vocabulary-growth curve.
+
+    One coarse user-hash exchange; inside the group two lexsorts: by
+    (user, type, ts, id) to flag first occurrences vectorized, back to
+    (user, ts, id) to run-rebase the cumsum.  Output (event_id, user_id,
+    n_distinct_types int64)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, _, start_idx = _user_starts(df)
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        n = len(df)
+        # first occurrence of (user, type) in (ts, id) order: since df is
+        # already (user, ts, id)-sorted, a STABLE sort by (user, type)
+        # keeps time order inside each (user, type) run
+        tcodes = pd.factorize(types)[0]
+        order = np.lexsort((np.arange(n), tcodes, users))
+        su, st = users[order], tcodes[order]
+        first_sorted = np.concatenate(
+            ([True], (np.diff(su) != 0) | (np.diff(st) != 0))
+        ) if n else np.array([], bool)
+        is_first = np.empty(n, dtype=np.int64)
+        is_first[order] = first_sorted.astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(is_first)))
+        cum = csum[1:] - csum[start_idx]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": users,
+                "n_distinct_types": cum,
+            }
+        )
+
+    return _coarse_user_groupby(
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        fn,
+        num_groups,
+    )
+
+
 def last_touch_attribution(
     events_ds,
     convert_type: str = "purchase",

@@ -529,6 +529,180 @@ def pagerank(
     return ranks.map_batches(finalize, batch_format="pandas")
 
 
+def kcore(
+    pairs_ds,
+    k: int = 2,
+    pair_cols: tuple = ("a", "b"),
+    num_groups: int | None = None,
+    driver_max_edges: int = 2_000_000,
+    max_iters: int = 100_000,
+):
+    """Nodes of the k-CORE (Seidman 1983): the maximal subgraph in which
+    every node has (symmetrized, deduplicated, self-loop-free) degree
+    >= k, computed by iterative peeling to the TRUE fixpoint.  Isolated
+    nodes are in no k>=1 core by definition (nodes derive from edges).
+    Output: one (v int64) row per member node.
+
+    Size-adaptive (the pagerank/dedup_components pattern): below
+    ``driver_max_edges`` deduped directed edges the peel runs as driver
+    numpy (sorted alive array + searchsorted membership — exchanges
+    would dominate small graphs); above it, a distributed loop of TWO
+    exchanges per round — (1) coarse s-hash groupby: per-source degree
+    is the run length (sg is a function of s), drop edges whose SOURCE
+    died, emit the alive-node table from the same kernel; (2) union
+    alive-nodes + surviving edges keyed by t-hash: drop edges whose
+    DESTINATION died.  Per-round shuffle volume ∝ surviving edges (3
+    ints/row) and blocks are re-bounded each round (the 2^k
+    block-compounding rule).  Terminates when a round removes nothing
+    (count unchanged); peel depth is data-bounded (<= n rounds — a path
+    graph at k=2 peels one layer per round from each end, the test's
+    deep-iteration fixture)."""
+    import ray.data
+
+    a, b = pair_cols
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        aa = df[a].to_numpy(np.int64)
+        bb = df[b].to_numpy(np.int64)
+        keep = aa != bb  # self-loops never count toward core degree
+        aa, bb = aa[keep], bb[keep]
+        s = np.concatenate([aa, bb])
+        t = np.concatenate([bb, aa])
+        return pd.DataFrame({"s": s, "t": t})
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        st = np.unique(
+            np.stack([df["s"].to_numpy(np.int64), df["t"].to_numpy(np.int64)], 1),
+            axis=0,
+        )
+        return pd.DataFrame({"s": st[:, 0], "t": st[:, 1]})
+
+    def tag_sg(df: pd.DataFrame, groups: int) -> pd.DataFrame:
+        df = df.copy()
+        df["sg"] = _ghash(df["s"].to_numpy(np.int64), groups)
+        return df
+
+    # dedup inside a coarse s-hash group: all copies of a directed edge
+    # share s, hence the group
+    pre_groups = 64
+    edges = (
+        pairs_ds.map_batches(symmetrize, batch_format="pandas")
+        .map_batches(lambda d: tag_sg(d, pre_groups), batch_format="pandas")
+        .groupby("sg")
+        .map_groups(dedup_group, batch_format="pandas")
+        .materialize()
+    )
+    n_edges = edges.count()
+    if num_groups is None:
+        num_groups = 8 if n_edges < 10_000_000 else 64
+
+    if n_edges <= driver_max_edges:
+        if n_edges:
+            ep = edges.to_pandas()
+            s = ep["s"].to_numpy(np.int64)
+            t = ep["t"].to_numpy(np.int64)
+        else:
+            s = t = np.array([], np.int64)
+        for _ in range(max_iters):
+            if not len(s):
+                break
+            nv, deg = np.unique(s, return_counts=True)
+            alive = nv[deg >= k]
+            if len(alive) == len(nv):
+                break
+            pos_s = np.searchsorted(alive, s)
+            ok_s = (pos_s < len(alive)) & (
+                alive[np.minimum(pos_s, max(len(alive) - 1, 0))] == s
+            ) if len(alive) else np.zeros(len(s), bool)
+            pos_t = np.searchsorted(alive, t)
+            ok_t = (pos_t < len(alive)) & (
+                alive[np.minimum(pos_t, max(len(alive) - 1, 0))] == t
+            ) if len(alive) else np.zeros(len(s), bool)
+            keep = ok_s & ok_t
+            s, t = s[keep], t[keep]
+        members = np.unique(s)
+        return ray.data.from_pandas(pd.DataFrame({"v": members.astype(np.int64)}))
+
+    # ---- distributed peel ----
+    edges = edges.map_batches(
+        lambda d: tag_sg(d[["s", "t"]], num_groups), batch_format="pandas"
+    ).repartition(num_groups).materialize()
+    prev = n_edges
+
+    def degree_filter(df: pd.DataFrame) -> pd.DataFrame:
+        """Exchange-1 kernel: degree = s-run length; drop dead-source
+        edges; emit surviving edges (is_edge=1, keyed by t-hash for the
+        next exchange) AND the alive-node table (is_edge=0)."""
+        df = df.sort_values("s")
+        s = df["s"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        if not len(s):
+            return pd.DataFrame(
+                {
+                    "tg": np.array([], np.int32),
+                    "s": np.array([], np.int64),
+                    "t": np.array([], np.int64),
+                    "is_edge": np.array([], np.int8),
+                }
+            )
+        start = np.concatenate(([True], s[1:] != s[:-1]))
+        run = np.cumsum(start) - 1
+        deg = np.bincount(run)[run]
+        keep = deg >= k
+        alive = np.unique(s[keep])
+        return pd.DataFrame(
+            {
+                "tg": np.concatenate(
+                    [_ghash(t[keep], num_groups), _ghash(alive, num_groups)]
+                ).astype(np.int32),
+                "s": np.concatenate([s[keep], alive]),
+                "t": np.concatenate([t[keep], np.full(len(alive), -1, np.int64)]),
+                "is_edge": np.concatenate(
+                    [np.ones(int(keep.sum()), np.int8), np.zeros(len(alive), np.int8)]
+                ),
+            }
+        )
+
+    def dest_filter(df: pd.DataFrame) -> pd.DataFrame:
+        """Exchange-2 kernel: drop edges whose destination is not in the
+        alive table; re-key survivors by s-hash for the next round."""
+        ise = df["is_edge"].to_numpy() == 1
+        alive = np.sort(df.loc[~ise, "s"].to_numpy(np.int64))
+        es = df.loc[ise, "s"].to_numpy(np.int64)
+        et = df.loc[ise, "t"].to_numpy(np.int64)
+        if len(alive) and len(es):
+            pos = np.searchsorted(alive, et)
+            ok = (pos < len(alive)) & (alive[np.minimum(pos, len(alive) - 1)] == et)
+            es, et = es[ok], et[ok]
+        else:
+            es = et = np.array([], np.int64)
+        return pd.DataFrame(
+            {"sg": _ghash(es, num_groups).astype(np.int32), "s": es, "t": et}
+        )
+
+    for _ in range(max_iters):
+        if prev == 0:
+            break
+        edges = (
+            edges.groupby("sg")
+            .map_groups(degree_filter, batch_format="pandas")
+            .groupby("tg")
+            .map_groups(dest_filter, batch_format="pandas")
+            .repartition(num_groups)
+            .materialize()
+        )
+        cur = edges.count()
+        if cur == prev:
+            break
+        prev = cur
+
+    def members_out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": np.unique(df["s"].to_numpy(np.int64))})
+
+    # one row per member: every edge of a source lives in one sg group
+    return edges.groupby("sg").map_groups(members_out, batch_format="pandas")
+
+
 def bfs_depth(
     nodes_ds,
     pairs_ds,

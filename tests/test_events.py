@@ -127,6 +127,43 @@ def test_last_touch_attribution(ray_session):
     assert np.isnan(m[5])
 
 
+def test_cumulative_distinct_types(ray_session):
+    """Hand fixture + fixed-seed random stream vs per-row brute force."""
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.events import cumulative_distinct_types
+
+    out = cumulative_distinct_types(_events(ray_session)).to_pandas()
+    m = dict(zip(out.event_id, out.n_distinct_types))
+    # user 1: view, click, view, view -> 1, 2, 2, 2; user 2: 1
+    assert (m[1], m[2], m[3], m[5]) == (1, 2, 2, 2)
+    assert m[4] == 1
+
+    rng = np.random.default_rng(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": eid,
+            "user_id": int(rng.integers(0, 9)),
+            "ts": t0 + dt.timedelta(seconds=int(rng.integers(0, 3000))),
+            "event_type": str(rng.choice(["a", "b", "c", "d", "e"])),
+            "value": 0.0,
+            "props": "{}",
+        }
+        for eid in range(250)
+    ]
+    got = cumulative_distinct_types(
+        ray.data.from_items(rows).repartition(4)
+    ).to_pandas()
+    gm = dict(zip(got.event_id, got.n_distinct_types))
+    seen: dict[int, set] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        s = seen.setdefault(r["user_id"], set())
+        s.add(r["event_type"])
+        assert gm[r["event_id"]] == len(s), r["event_id"]
+
+
 def test_hourly_agg(ray_session):
     from grawler_ray.functions.events import hourly_agg
 

@@ -671,3 +671,63 @@ class TestBfsDistributedEdges:
         dist = run(driver_max_nodes=0, driver_max_edges=0)
         assert drv["v"].tolist() == [1, 2, 3]
         pd.testing.assert_frame_equal(drv, dist)
+
+
+def _serial_kcore(pairs, k):
+    """Straight-line peel: the executable spec for graph.kcore."""
+    edges = {(a, b) for a, b in pairs if a != b}
+    edges |= {(b, a) for a, b in edges}
+    while True:
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        kept = {(s, t) for s, t in edges if s in alive and t in alive}
+        if kept == edges:
+            return sorted({s for s, _ in edges})
+        edges = kept
+
+
+class TestKCore:
+    def _run(self, ray_session, pairs, k, **kw):
+        import ray.data
+
+        from grawler_ray.functions.graph import kcore
+
+        ds = ray.data.from_items([{"a": a, "b": b} for a, b in pairs]).repartition(3)
+        out = kcore(ds, k=k, **kw).to_pandas()
+        return sorted(out["v"].tolist()) if len(out.columns) else []
+
+    def test_deep_peel_path_graph(self, ray_session):
+        """A 12-node path at k=2 peels ONE layer per round from each end
+        all the way to empty — the deep-iteration case the dense gate
+        graph (fixpoint in 2) cannot exercise."""
+        pairs = [(i, i + 1) for i in range(11)]
+        assert self._run(ray_session, pairs, 2) == []
+        assert _serial_kcore(pairs, 2) == []
+
+    def test_cycle_with_tail(self, ray_session):
+        # 5-cycle (all deg 2) + a 3-node tail: k=2 core is the cycle only
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (4, 10), (10, 11), (11, 12)]
+        assert self._run(ray_session, pairs, 2) == [0, 1, 2, 3, 4]
+        assert _serial_kcore(pairs, 2) == [0, 1, 2, 3, 4]
+
+    def test_clique_thresholds_and_self_loops(self, ray_session):
+        import itertools
+
+        clique = list(itertools.combinations(range(5), 2))
+        noisy = clique + [(2, 2), (7, 7)]  # self-loops never add degree
+        assert self._run(ray_session, noisy, 4) == [0, 1, 2, 3, 4]
+        assert self._run(ray_session, noisy, 5) == []
+
+    def test_distributed_equals_driver_random(self, ray_session):
+        rng = np.random.default_rng(19)
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 40, size=(150, 2))
+        ]
+        exp = _serial_kcore(pairs, 3)
+        drv = self._run(ray_session, pairs, 3)
+        dist = self._run(ray_session, pairs, 3, driver_max_edges=0)
+        assert drv == exp
+        assert dist == exp
