@@ -199,6 +199,14 @@ def _rolling_sum(sf_dir: str):
     return rolling_sum(_read(sf_dir, "events"), window=4)
 
 
+def _rolling_distinct(sf_dir: str):
+    """Trailing-window exact distinct count (lag-matrix kernel; windowed
+    list_distinct mirror)."""
+    from grawler_ray.functions.events import rolling_distinct_types
+
+    return rolling_distinct_types(_read(sf_dir, "events"), window=4)
+
+
 def _user_distinct_types(sf_dir: str):
     """Cumulative exact distinct-count window (first-occurrence flag +
     running sum — the count(DISTINCT) OVER derivation, mirrored)."""
@@ -2813,6 +2821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _rolling_median,
         "last_touch": _last_touch,
         "user_distinct_types": _user_distinct_types,
+        "rolling_distinct": _rolling_distinct,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
         "politeness_slots": _politeness_slots,
@@ -3180,6 +3189,14 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::DOUBLE
                      AS med_cents
+            FROM events
+        """,
+        "rolling_distinct": """
+            SELECT event_id, user_id,
+                   len(list_distinct(list(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)))::BIGINT
+                     AS n_distinct
             FROM events
         """,
         "user_distinct_types": """

@@ -116,7 +116,7 @@ def run_subqueries() -> dict[str, float]:
         "ssjoin_pairs", "fuzzy_name_pairs",
         "dedup_clusters", "dedup_keep_longest", "snapshot_diff", "dup_ratio_by_source", "token_count",
         "top_words_per_lang",
-        "sessionize", "rolling_sum", "rolling_median", "last_touch", "user_distinct_types", "events_hourly", "user_retention",
+        "sessionize", "rolling_sum", "rolling_median", "last_touch", "user_distinct_types", "rolling_distinct", "events_hourly", "user_retention",
         "tfidf_topk", "line_dedup", "decontaminate", "inverted_index", "pack_manifest",
         "quality_filter", "asof_join", "range_join_count",
         "time_window_sum", "length_quantiles", "pagerank", "dup_spans",

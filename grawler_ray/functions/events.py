@@ -198,6 +198,48 @@ def cumulative_distinct_types(events_ds, num_groups: int = 256):
     )
 
 
+def rolling_distinct_types(events_ds, window: int = 4, num_groups: int = 256):
+    """Exact DISTINCT count over a trailing ROWS window per user: how many
+    distinct event types occur among the last ``window`` rows ((ts,
+    event_id) order, current inclusive) — mirrored in SQL as
+    ``len(list_distinct(list(type) OVER (ROWS w-1 PRECEDING)))``.
+
+    rolling_median's lag-matrix kernel over factorized type codes (pad
+    -1 outside the user run, one row-sort, count value changes among
+    non-pad entries) — O(n·w log w), no per-row Python.  Output
+    (event_id, user_id, n_distinct int64)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df, _, start_idx = _user_starts(df)
+        codes = pd.factorize(df["event_type"].to_numpy())[0].astype(np.int64)
+        n = len(codes)
+        idx = np.arange(n)
+        lo = np.maximum(idx - window + 1, start_idx)
+        mat = np.full((n, window), -1, dtype=np.int64)
+        for j in range(window):
+            src = idx - j
+            ok = src >= lo
+            mat[ok, j] = codes[src[ok]]
+        mat.sort(axis=1)  # pads (-1) sort to the front of each row
+        nonpad = mat != -1
+        neq = np.ones_like(nonpad)
+        neq[:, 1:] = mat[:, 1:] != mat[:, :-1]
+        cnt = (nonpad & neq).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "n_distinct": cnt,
+            }
+        )
+
+    return _coarse_user_groupby(
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"]),
+        fn,
+        num_groups,
+    )
+
+
 def last_touch_attribution(
     events_ds,
     convert_type: str = "purchase",

@@ -164,6 +164,44 @@ def test_cumulative_distinct_types(ray_session):
         assert gm[r["event_id"]] == len(s), r["event_id"]
 
 
+def test_rolling_distinct_types(ray_session):
+    """Hand fixture + fixed-seed random stream vs trailing-slice brute
+    force at windows 1/2/5."""
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.events import rolling_distinct_types
+
+    out = rolling_distinct_types(_events(ray_session), window=2).to_pandas()
+    m = dict(zip(out.event_id, out.n_distinct))
+    # user 1 types: view, click, view, view -> w2: 1, 2, 2, 1
+    assert (m[1], m[2], m[3], m[5]) == (1, 2, 2, 1)
+    assert m[4] == 1
+
+    rng = np.random.default_rng(23)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": eid,
+            "user_id": int(rng.integers(0, 8)),
+            "ts": t0 + dt.timedelta(seconds=int(rng.integers(0, 2000))),
+            "event_type": str(rng.choice(["a", "b", "c", "d"])),
+            "value": 0.0,
+            "props": "{}",
+        }
+        for eid in range(220)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    for w in (1, 2, 5):
+        got = rolling_distinct_types(ds, window=w).to_pandas()
+        gm = dict(zip(got.event_id, got.n_distinct))
+        hist: dict[int, list] = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            h = hist.setdefault(r["user_id"], [])
+            h.append(r["event_type"])
+            assert gm[r["event_id"]] == len(set(h[-w:])), (w, r["event_id"])
+
+
 def test_hourly_agg(ray_session):
     from grawler_ray.functions.events import hourly_agg
 
