@@ -1579,6 +1579,29 @@ def _ngram_containment_pairs(sf_dir: str):
     return ngram_containment_pairs(_read(sf_dir, "documents"), threshold=0.8)
 
 
+def _cross_dedup_pairs(sf_dir: str):
+    """Fuzzy decontamination: exact Jaccard>=0.5 pairs between the corpus
+    and a derived benchmark (doc_id % 20 == 0 rows) via the cross-side
+    prefix-filter join — within-side candidates pruned at the boundary
+    before any verification."""
+    import numpy as _np
+
+    from grawler_ray.functions.dedup import cross_ssjoin_pairs
+
+    docs = _read(sf_dir, "documents")
+    bench = docs.map_batches(
+        lambda t: t.filter(
+            _np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False))
+            % 20
+            == 0
+        ),
+        batch_format="pyarrow",
+    )
+    return cross_ssjoin_pairs(docs, bench, threshold=0.5).select_columns(
+        ["left_id", "right_id"]
+    )
+
+
 def _fuzzy_name_pairs(sf_dir: str):
     """Levenshtein-distance<=1 key pairs over supplier names via EXACT
     deletion-neighborhood blocking (SymSpell/FastSS) — candidates ∝
@@ -2857,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _ngram_containment_pairs,
         "ssjoin_pairs": _ssjoin_pairs,
         "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "cross_dedup_pairs": _cross_dedup_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
@@ -3549,6 +3573,26 @@ def oracle_sql() -> dict[str, str]:
                        ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
                             NULLIF(least(len(s1.s), len(s2.s)), 0)
                   END >= 0.8
+        """,
+        # cross-corpus near-dup (fuzzy decontamination): same shingle CTE,
+        # cross join corpus x derived benchmark, both-empty pairs at 1.0
+        "cross_dedup_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          WHEN len(w) >= 1 THEN [array_to_string(w, ' ')]
+                          ELSE [] END AS s
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b\w+\b') AS w
+                    FROM documents)
+            )
+            SELECT s1.doc_id AS left_id, s2.doc_id AS right_id
+            FROM sh s1 JOIN sh s2 ON s2.doc_id % 20 = 0
+            WHERE CASE WHEN len(s1.s) = 0 AND len(s2.s) = 0 THEN 1.0
+                       ELSE len(list_intersect(s1.s, s2.s))::DOUBLE /
+                            NULLIF(len(list_distinct(list_concat(s1.s, s2.s))), 0)
+                  END >= 0.5
         """,
         # deletion-neighborhood blocking vs the brute-force cross join
         "fuzzy_name_pairs": """

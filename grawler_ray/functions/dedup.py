@@ -843,6 +843,7 @@ def ssjoin_pairs(
     num_partitions: int = 16,
     driver_max_members: int = 2_000_000,
     max_empty_docs: int = 100_000,
+    cross_boundary: int | None = None,
 ):
     """EXACT set-similarity self-join via prefix filtering (AllPairs,
     Bayardo/Ma/Srikant WWW'07): the same (a, b) pair set as
@@ -948,6 +949,9 @@ def ssjoin_pairs(
                 d = np.sort(dids)
                 ai, bi = np.triu_indices(len(d), k=1)
                 out_a, out_b = d[ai], d[bi]
+                if cross_boundary is not None:
+                    x = (out_a < cross_boundary) != (out_b < cross_boundary)
+                    out_a, out_b = out_a[x], out_b[x]
                 out_v = np.ones(len(out_a), dtype=np.int64)
             else:
                 order = np.lexsort((dids, toks))
@@ -968,6 +972,10 @@ def ssjoin_pairs(
                     da, db = dids[s:e][ai[ok]], dids[s:e][bi[ok]]
                     lo, hi = np.minimum(da, db), np.maximum(da, db)
                     keep = lo != hi  # same doc via dup rows can't pair
+                    if cross_boundary is not None:
+                        # cross-dataset mode: only pairs straddling the id
+                        # boundary are candidates (train x benchmark)
+                        keep &= (lo < cross_boundary) != (hi < cross_boundary)
                     packed.append(np.stack([lo[keep], hi[keep]], axis=1))
                 if packed:
                     ab = np.unique(np.concatenate(packed), axis=0)
@@ -1032,6 +1040,71 @@ def ssjoin_pairs(
         verified.map_batches(lambda t: t, batch_format="pyarrow")
         .union(empty_pairs)
     )
+
+
+def cross_ssjoin_pairs(
+    left_ds,
+    right_ds,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_offset: int = 1 << 40,
+    **kw,
+):
+    """EXACT near-dup pairs ACROSS two corpora (left doc, right doc with
+    Jaccard >= threshold) — the "dedup the training set against the
+    benchmark" operator (fuzzy decontamination: the exact complement of
+    `quality.decontaminate`'s 13-gram containment rule).  Built on
+    ``ssjoin_pairs``: the right side's doc_ids are offset into a disjoint
+    id space, the union is prefix-filter joined with
+    ``cross_boundary=id_offset`` so WITHIN-side candidates are pruned
+    before any verification work, and the output is mapped back to
+    (left_id, right_id, jaccard).  Same scale shape as ssjoin_pairs; the
+    boundary prune means candidate work ∝ true cross-side prefix
+    co-occurrence only."""
+
+    def shift(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= id_offset:
+            raise ValueError(
+                f"right-side doc_id {ids.max()} >= id_offset {id_offset}"
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + id_offset, pa.int64()),
+                "text": tb.column("text"),
+            }
+        )
+
+    def check_left(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= id_offset:
+            raise ValueError(
+                f"left-side doc_id {ids.max()} >= id_offset {id_offset}"
+            )
+        return tb.select(["doc_id", "text"])
+
+    union = left_ds.select_columns(["doc_id", "text"]).map_batches(
+        check_left, batch_format="pyarrow"
+    ).union(right_ds.select_columns(["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow"
+    ))
+    pairs = ssjoin_pairs(
+        union, threshold=threshold, k=k, cross_boundary=id_offset, **kw
+    )
+
+    def unshift(tb: pa.Table) -> pa.Table:
+        a = tb.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tb.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # a < b and exactly one side >= id_offset, so b is always right
+        return pa.table(
+            {
+                "left_id": pa.array(a, pa.int64()),
+                "right_id": pa.array(b - id_offset, pa.int64()),
+                "jaccard": tb.column("jaccard"),
+            }
+        )
+
+    return pairs.map_batches(unshift, batch_format="pyarrow")
 
 
 def _edit1(s1: str, s2: str) -> bool:

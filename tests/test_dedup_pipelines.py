@@ -147,6 +147,50 @@ def test_ssjoin_random_corpus_and_rounding_thresholds(ray_session):
         assert len(got) == len(exact)
 
 
+def test_cross_ssjoin_matches_brute_force(docs_ds, ray_session):
+    """cross_ssjoin_pairs must return exactly the cross-side pairs of the
+    brute-force left x right Jaccard baseline — within-side near-dups
+    (e.g. the planted 100/101/102 triangle when all three land on one
+    side) must NOT appear; self-texts shared across sides must (J=1.0)."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        cross_ssjoin_pairs,
+        jaccard,
+        shingles,
+    )
+
+    rows = _docs_table()
+    # right side: every 3rd doc (includes near-dup 102 and empty 201)
+    right_rows = [r for i, r in enumerate(rows) if i % 3 == 0]
+    right = ray.data.from_items(right_rows)
+    shs = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    for t in (0.5, 1.0):
+        exact = {
+            (l["doc_id"], r["doc_id"])
+            for l in rows
+            for r in right_rows
+            if jaccard(shs[l["doc_id"]], shs[r["doc_id"]]) >= t
+        }
+        got = cross_ssjoin_pairs(docs_ds, right, threshold=t).to_pandas()
+        assert set(zip(got.left_id, got.right_id)) == exact, f"t={t}"
+        assert len(got) == len(exact)
+        for a, b, j in zip(got.left_id, got.right_id, got.jaccard):
+            assert j == pytest.approx(jaccard(shs[a], shs[b]), abs=0)
+
+
+def test_cross_ssjoin_id_offset_guard(docs_ds, ray_session):
+    import ray.data
+
+    from grawler_ray.functions.dedup import cross_ssjoin_pairs
+
+    big = ray.data.from_items([{"doc_id": 1 << 41, "text": "x y z w"}])
+    with pytest.raises(Exception, match="id_offset"):
+        cross_ssjoin_pairs(docs_ds, big, threshold=0.5).to_pandas()
+    with pytest.raises(Exception, match="id_offset"):
+        cross_ssjoin_pairs(big, docs_ds, threshold=0.5).to_pandas()
+
+
 def test_edit1_kernel():
     from grawler_ray.functions.dedup import _edit1
 
