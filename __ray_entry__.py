@@ -122,6 +122,22 @@ def _exact_dedup(sf_dir: str):
     )
 
 
+def _normalized_dedup(sf_dir: str):
+    """C4-style near-exact dedup: first-wins per NFC+whitespace-normalized
+    md5 (coarse-hash groups, payload never shuffles)."""
+    from grawler_ray.functions.dedup import normalized_dedup
+
+    return normalized_dedup(_read(sf_dir, "documents"))
+
+
+def _shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle-to-shards: Knuth-hash shard id +
+    within-shard position (the reproducible training-order assignment)."""
+    from grawler_ray.functions.sampling import shuffle_shards
+
+    return shuffle_shards(_read(sf_dir, "documents"), num_shards=16)
+
+
 def _lang_count(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2835,6 +2851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _fingerprint,
         "token_count": _token_count,
         "exact_dedup": _exact_dedup,
+        "normalized_dedup": _normalized_dedup,
+        "shuffle_shards": _shuffle_shards,
         "lang_count": _lang_count,
         "top_words": _top_words,
         "top_words_per_lang": _top_words_per_lang,
@@ -3741,6 +3759,31 @@ def oracle_sql() -> dict[str, str]:
         # RE2's ASCII \s (pinned in textstats._ASCII_WS_RUN_RE — Python's
         # Unicode \s would diverge on NBSP); a plain '...' literal passes
         # the backslashes through to RE2 uninterpreted
+        # near-exact dedup: first-wins per normalized md5 (same norm
+        # expression as normalize_text's oracle)
+        "normalized_dedup": r"""
+            SELECT md5(norm) AS norm_md5,
+                   min(doc_id) AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(nfc_normalize(text),
+                                             '[ \t\n\r\f\v]+', ' ', 'g'),
+                              ' ') AS norm
+                  FROM documents)
+            GROUP BY norm_md5
+        """,
+        # deterministic shuffle: Knuth bucket (HUGEINT mirror per
+        # sample_docs) -> shard = hk % 16, pos = row_number within shard
+        "shuffle_shards": """
+            SELECT doc_id,
+                   (hk % 16)::BIGINT AS shard,
+                   (row_number() OVER (PARTITION BY hk % 16
+                                       ORDER BY hk, doc_id) - 1) AS pos
+            FROM (SELECT doc_id,
+                         ((doc_id::HUGEINT * 2654435761) % 4294967296)::BIGINT
+                             AS hk
+                  FROM documents)
+        """,
         "normalize_text": r"""
             SELECT doc_id,
                    length(norm)::BIGINT AS n_chars_norm,

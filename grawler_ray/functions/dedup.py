@@ -1420,6 +1420,73 @@ def exact_dedup_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def normalized_dedup(docs_ds, num_groups: int = 256):
+    """Exact dedup AFTER canonicalization (the C4/CCNet "near-exact" rule:
+    differently-encoded accents or whitespace runs must not defeat
+    exact-hash dedup): NFC + ASCII-whitespace-run collapse + trim (the
+    `textstats.normalize_text_batch` kernel, whose md5 is already pinned
+    against DuckDB's nfc_normalize mirror by the normalize_text gate),
+    then first-wins per normalized hash.  Output (norm_md5, keep_doc_id,
+    n_dups) — the normalized analogue of exact_dedup's row shape.
+
+    Scale shape: unlike exact_dedup's per-hash map_groups (one tiny group
+    per distinct text), this groups by a COARSE hash of the md5
+    (~num_groups vectorized run-scans; CLAUDE.md tiny-groups rule) — the
+    shuffle ships (32-hex, int64) pairs only, the payload never moves."""
+    from grawler_ray.functions.textstats import normalize_text_batch
+
+    def tag(t: pa.Table) -> pa.Table:
+        n = normalize_text_batch(t)
+        g = pd.util.hash_array(
+            np.asarray(n.column("norm_md5").to_pylist(), dtype=object)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "doc_id": n.column("doc_id"),
+                "norm_md5": n.column("norm_md5"),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field("norm_md5", pa.string()),
+            pa.field("keep_doc_id", pa.int64()),
+            pa.field("n_dups", pa.int64()),
+        ]
+    )
+
+    def dedup_runs(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values(["norm_md5", "doc_id"])
+        codes = pd.factorize(df["norm_md5"].to_numpy())[0]
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0))
+        starts = idx[is_start]
+        run_len = np.diff(np.append(starts, len(df)))
+        return pa.table(
+            {
+                "norm_md5": pa.array(
+                    df["norm_md5"].to_numpy()[starts].tolist(), pa.string()
+                ),
+                # runs are (md5, id)-sorted, so the run head IS the min id
+                "keep_doc_id": pa.array(
+                    df["doc_id"].to_numpy()[starts], pa.int64()
+                ),
+                "n_dups": pa.array(run_len.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(dedup_runs, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------

@@ -470,6 +470,76 @@ def weighted_sample_k(
     )
 
 
+def shuffle_shards(ds, id_col: str = "doc_id", num_shards: int = 16):
+    """Deterministic global shuffle-to-shards — the training-order
+    assignment step: every row gets a shard id and a 0-based position
+    inside that shard, both derived from the Knuth id-hash (odd
+    multiplier: bijective mod 2^32, id tie-break above), so the
+    "random" training order is reproducible across runs and input
+    partitionings and exactly SQL-mirrorable (``random_shuffle()`` could
+    only ever be rows-only checked).  Output (id_col, shard, pos) —
+    a writer joins this tiny table back and writes one file per shard
+    in pos order.
+
+    SQL mirror (HUGEINT for the multiply, see sample_fraction):
+      row_number() OVER (PARTITION BY hk % S ORDER BY hk, id) - 1.
+
+    Scale shape: the payload NEVER moves — one exchange of (id, hkey,
+    shard) int64 triples grouped by shard id (num_shards is bounded:
+    shards are output files, 10^2-10^4 at 100 TB, so a shard's triples
+    are ~24 B x rows/num_shards per group), one vectorized lexsort per
+    group.  No corpus-wide sort, no driver materialization."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("shuffle id column must be non-negative")
+        hk = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "hkey": pa.array(hk.astype(np.int64), pa.int64()),
+                "shard": pa.array(
+                    (hk % np.uint64(num_shards)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("shard", pa.int64()),
+            pa.field("pos", pa.int64()),
+        ]
+    )
+
+    def rank_shard(t: pa.Table) -> pa.Table:
+        # pyarrow-format map_groups: empty partitions of the sparse key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return empty.empty_table()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hk = t.column("hkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hk))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "shard": pa.array(
+                    np.full(len(ids), t.column("shard")[0].as_py(), np.int64),
+                    pa.int64(),
+                ),
+                "pos": pa.array(np.arange(len(ids), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
+
+
 def group_sample_k(
     ds,
     group_col: str = "source",

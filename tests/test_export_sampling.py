@@ -257,3 +257,67 @@ def test_source_budget_hamilton(ray_session):
     # quotas 1.4 / 3.5 / 2.1 -> base 1/3/2, leftover 1 -> largest rem = b
     assert out2.sum() == 7
     assert out2.tolist() == [1, 4, 2]
+
+
+def test_shuffle_shards_serial_oracle_and_partition_invariance(ray_session):
+    """shuffle_shards must equal the serial numpy recurrence (shard = Knuth
+    bucket % S, pos = rank of (hash, id) within shard) and be invariant to
+    the input partitioning; positions are a 0..n_s-1 permutation per shard."""
+    import ray.data
+
+    from grawler_ray.functions.sampling import shuffle_shards
+
+    ids = np.arange(157, dtype=np.int64)
+    hk = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    shard = (hk % np.uint64(8)).astype(np.int64)
+    expect = {}
+    for s in np.unique(shard):
+        m = shard == s
+        order = np.lexsort((ids[m], hk[m]))
+        for pos, i in enumerate(ids[m][order]):
+            expect[int(i)] = (int(s), pos)
+
+    rows = [{"doc_id": int(i), "text": f"t{i}"} for i in ids]
+    for parts in (1, 7):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = shuffle_shards(ds, num_shards=8).to_pandas()
+        assert len(got) == len(ids)
+        assert {
+            int(r.doc_id): (int(r.shard), int(r.pos)) for r in got.itertuples()
+        } == expect
+    # per-shard positions are exactly 0..n_s-1
+    for s, grp in got.groupby("shard"):
+        assert sorted(grp.pos) == list(range(len(grp)))
+
+
+def test_shuffle_shards_rejects_negative_ids(ray_session):
+    import ray.data
+
+    from grawler_ray.functions.sampling import shuffle_shards
+
+    ds = ray.data.from_items([{"doc_id": -1}])
+    with pytest.raises(Exception, match="non-negative"):
+        shuffle_shards(ds).to_pandas()
+
+
+def test_normalized_dedup_nfc_and_whitespace_planted(ray_session):
+    """Docs that differ only by NFC composition or ASCII-whitespace runs
+    must land in one group (first-wins min id, correct count); genuinely
+    different docs must not; NBSP is NOT ASCII whitespace and survives."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import normalized_dedup
+
+    rows = [
+        {"doc_id": 0, "text": "café au lait"},        # composed é
+        {"doc_id": 1, "text": "café au lait"},       # decomposed e+́
+        {"doc_id": 2, "text": "  café\t\tau\nlait "}, # ws runs + trim
+        {"doc_id": 3, "text": "café au lait!"},        # different
+        {"doc_id": 4, "text": "café au lait"},    # NBSP: distinct
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": "   "},                        # trims to ""
+    ]
+    got = normalized_dedup(ray.data.from_items(rows)).to_pandas()
+    by_keep = {int(r.keep_doc_id): int(r.n_dups) for r in got.itertuples()}
+    assert by_keep == {0: 3, 3: 1, 4: 1, 5: 2}
+    assert len(got) == got.norm_md5.nunique()
