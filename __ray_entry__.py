@@ -1714,6 +1714,26 @@ def _embedding_dup_pairs(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _cross_embedding_dups(sf_dir: str):
+    """Embedding-side decontamination: cosine>=0.45 pairs between the
+    corpus and a derived benchmark (vec_id % 10 == 0 rows) via the
+    broadcast-right matmul stream."""
+    import numpy as _np
+
+    from grawler_ray.functions.similarity import cross_embedding_dups
+
+    emb = _read(sf_dir, "embeddings")
+    bench = emb.map_batches(
+        lambda t: t.filter(
+            _np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+            % 10
+            == 0
+        ),
+        batch_format="pyarrow",
+    )
+    return cross_embedding_dups(emb, bench, threshold=0.45)
+
+
 def _pagerank(sf_dir: str):
     """Centrality over the embedding near-dup similarity graph: nodes =
     all vec_ids, edges = the SQL-checked embedding_dup_pairs edge set
@@ -2900,6 +2920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _fuzzy_name_pairs,
         "cross_dedup_pairs": _cross_dedup_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
+        "cross_embedding_dups": _cross_embedding_dups,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
         "train_split_counts": _train_split_counts,
@@ -3558,6 +3579,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # embedding decontamination: full corpus x derived benchmark cross
+        "cross_embedding_dups": """
+            SELECT e1.vec_id AS left_id, e2.vec_id AS right_id
+            FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id % 10 = 0
             WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                          CAST(e2.embedding AS DOUBLE[])) >= 0.45
         """,

@@ -973,6 +973,68 @@ def ann_pq_topk(embeddings_ds, query_ids: list[int], k: int = 10,
     )
 
 
+def cross_embedding_dups(
+    left_ds,
+    right_ds,
+    threshold: float = 0.45,
+    broadcast_max_vectors: int = 200_000,
+):
+    """Embedding-side cross-corpus decontamination: EXACT (left, right)
+    pairs with cosine >= threshold between two embedding tables — the
+    vector analogue of ``dedup.cross_ssjoin_pairs`` (train x benchmark).
+
+    Scale shape — the canonical broadcast join: the RIGHT side (the
+    benchmark — small by nature) is pulled once, L2-normalized, and
+    shipped to every task via ONE ``ray.put`` (read per task, never
+    re-serialized per batch); the left corpus then STREAMS through a
+    stateless ``map_batches`` doing one numpy matmul per batch.  Zero
+    shuffles, left payload never moves, memory per task is
+    batch x right float64.  A right side above ``broadcast_max_vectors``
+    raises naming the alternative (the block-replicated theta join of
+    ``embedding_dup_pairs``) rather than silently OOMing the workers.
+
+    Output (left_id, right_id), integer-only so the DuckDB
+    ``list_cosine_similarity`` oracle hash-compares exactly; the
+    float-boundary caveat of ``embedding_dup_pairs`` applies (keep the
+    threshold clear of data modes)."""
+    import ray
+
+    rt = right_ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    if len(rt) > broadcast_max_vectors:
+        raise ValueError(
+            f"right side has {len(rt)} vectors > broadcast_max_vectors="
+            f"{broadcast_max_vectors}; use the block-replicated theta-join "
+            "(embedding_dup_pairs's explode) for large-x-large"
+        )
+    rids = rt["vec_id"].to_numpy().astype(np.int64)
+    R = np.array(rt["embedding"].tolist(), dtype=np.float64)
+    if len(R):
+        R = R / np.linalg.norm(R, axis=1, keepdims=True)
+    ref = ray.put((rids, R.T.copy()))
+
+    def match(t: pa.Table) -> pa.Table:
+        r_ids, RnT = ray.get(ref)
+        vids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.schema(
+            [pa.field("left_id", pa.int64()), pa.field("right_id", pa.int64())]
+        )
+        if not len(vids) or RnT.shape[1] == 0:
+            return out.empty_table()
+        V = _to_matrix(t.column("embedding"))
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        li, ri = np.nonzero(Vn @ RnT >= threshold)
+        return pa.table(
+            {
+                "left_id": pa.array(vids[li], pa.int64()),
+                "right_id": pa.array(r_ids[ri], pa.int64()),
+            }
+        )
+
+    return left_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 def label_centroids(embeddings_ds, scale: int = 1_000_000):
     """Per-label embedding centroid statistics: for every (label, dim),
     the integer-scaled coordinate sum ``sum(floor(x * scale))`` and member

@@ -293,6 +293,34 @@ def test_embedding_dup_pairs_exact(ray_session):
     assert (10, 50) in exact
 
 
+def test_cross_embedding_dups_exact_and_guard(ray_session):
+    """Broadcast-right cross cosine join must equal the brute-force left x
+    right baseline (including left==right identity pairs at cosine 1.0)
+    and refuse a right side beyond the broadcast guard."""
+    import ray.data
+
+    from grawler_ray.functions.similarity import cross_embedding_dups
+
+    rng = np.random.default_rng(13)
+    V = rng.standard_normal((60, 12))
+    V[40] = V[7] + 0.02 * rng.standard_normal(12)  # planted cross near-dup
+    left = ray.data.from_items(
+        [{"vec_id": i, "embedding": V[i].tolist()} for i in range(60)]
+    ).repartition(4)
+    ridx = [7, 40, 3, 11, 55]
+    right = ray.data.from_items(
+        [{"vec_id": i, "embedding": V[i].tolist()} for i in ridx]
+    )
+    got = cross_embedding_dups(left, right, threshold=0.9).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn[ridx].T
+    exact = {(int(l), int(ridx[r])) for l, r in zip(*np.nonzero(S >= 0.9))}
+    assert set(zip(got.left_id, got.right_id)) == exact
+    assert (7, 40) in exact and (7, 7) in exact  # planted + identity
+    with pytest.raises(ValueError, match="broadcast_max_vectors"):
+        cross_embedding_dups(left, right, broadcast_max_vectors=2)
+
+
 def test_ann_lsh_recall_on_clustered_data(ray_session):
     import ray.data
 
