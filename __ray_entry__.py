@@ -2797,6 +2797,74 @@ def _jsonl_ingest(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+_SITEMAP_CACHE: dict[str, str] = {}
+
+
+def _sitemap_fixture(sf_dir: str) -> str:
+    """Deterministic sitemap urlset files synthesized from `documents`
+    (4 segments, two of them gzipped per the .xml.gz convention) — the
+    warc_ingest differential-oracle trick: the Ray path parses REAL spec
+    XML, the SQL oracle predicts the same rows from doc_id arithmetic.
+    Optional fields are OMITTED on arithmetic patterns so the
+    nullable-column path is exercised end-to-end."""
+    import hashlib
+    import os
+
+    if sf_dir in _SITEMAP_CACHE:
+        return _SITEMAP_CACHE[sf_dir]
+    import duckdb
+
+    from grawler_ray.sources.sitemap import write_sitemap
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/grawler_sitemap_{tag}"
+    if not os.path.exists(os.path.join(d, "seg-3.xml.gz")):
+        os.makedirs(d, exist_ok=True)
+        ids = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+            ).fetchall()
+        ]
+        freqs = ["daily", "weekly", "monthly"]
+        for seg in range(4):
+            entries = []
+            for doc_id in ids[seg::4]:
+                entries.append(
+                    {
+                        "url": f"http://site.test/page/{doc_id}",
+                        "lastmod": None
+                        if doc_id % 11 == 0
+                        else f"2024-01-{(doc_id % 28) + 1:02d}",
+                        "changefreq": None
+                        if doc_id % 5 == 0
+                        else freqs[doc_id % 3],
+                        "priority": None
+                        if doc_id % 7 == 0
+                        else (doc_id % 10) / 10,
+                    }
+                )
+            gz = seg >= 2
+            write_sitemap(
+                os.path.join(d, f"seg-{seg}.xml" + (".gz" if gz else "")),
+                entries,
+                gzipped=gz,
+            )
+    _SITEMAP_CACHE[sf_dir] = d
+    return d
+
+
+def _sitemap_ingest(sf_dir: str):
+    """Parse the synthesized sitemap segments; the SQL oracle predicts
+    every column (incl. the omitted-field NULLs) from doc_id arithmetic."""
+    from grawler_ray.sources.sitemap import read_sitemaps
+
+    d = _sitemap_fixture(sf_dir)
+    return read_sitemaps(
+        [f"{d}/seg-0.xml", f"{d}/seg-1.xml", f"{d}/seg-2.xml.gz", f"{d}/seg-3.xml.gz"]
+    )
+
+
 def _warc_ingest(sf_dir: str):
     """Parse the synthesized WARC segments back to the pages schema; the
     SQL oracle predicts every column from `documents` directly."""
@@ -2938,6 +3006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_per_lang": _distinct_words_per_lang,
         "funnel_counts": _funnel_counts,
         "warc_ingest": _warc_ingest,
+        "sitemap_ingest": _sitemap_ingest,
         "jsonl_ingest": _jsonl_ingest,
         "redact_pii": _redact_pii,
         "normalize_text": _normalize_text,
@@ -3598,6 +3667,24 @@ def oracle_sql() -> dict[str, str]:
                    200::BIGINT AS status_code,
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
+            FROM documents
+        """,
+        # differential oracle for the sitemap reader: predicts every parsed
+        # column (incl. omitted-field NULLs) from doc_id arithmetic
+        "sitemap_ingest": """
+            SELECT 'http://site.test/page/' || doc_id AS url,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE '2024-01-' ||
+                             lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                   END AS lastmod,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        WHEN doc_id % 3 = 0 THEN 'daily'
+                        WHEN doc_id % 3 = 1 THEN 'weekly'
+                        ELSE 'monthly'
+                   END AS changefreq,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE (doc_id % 10)::DOUBLE / 10
+                   END AS priority
             FROM documents
         """,
         # same shingle CTE as dedup_clusters; containment = inter/min sizes,

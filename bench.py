@@ -150,6 +150,8 @@ def run_subqueries() -> dict[str, float]:
         "length_ks_drift", "spearman_qty_price", "length_rank_auc",
         "qty_mode", "centroid_distances", "source_ks_matrix",
         "lineitem_profile", "script_ratios", "benford_spend",
+        "cross_dedup_pairs", "normalized_dedup", "shuffle_shards",
+        "cross_embedding_dups", "sitemap_ingest",
     ]
     import ray.data
 

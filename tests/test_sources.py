@@ -86,3 +86,90 @@ def test_csv_roundtrip_quoting(ray_session, tmp_path):
         .sort_values("doc_id")
     )
     assert list(got["text"]) == [r[1] for r in rows]
+
+
+def test_sitemap_parse_namespaced_bare_and_gzip(tmp_path):
+    import gzip as _gzip
+
+    from grawler_ray.sources.sitemap import parse_sitemap_bytes, write_sitemap
+
+    # writer output (default-namespaced) round-trips, escapes &, keeps NULLs
+    p = tmp_path / "s.xml"
+    write_sitemap(
+        str(p),
+        [
+            {"url": "http://a.test/?x=1&y=2", "lastmod": "2024-01-02",
+             "changefreq": "daily", "priority": 0.8},
+            {"url": "http://a.test/b"},  # all optionals omitted
+        ],
+    )
+    doc = parse_sitemap_bytes(p.read_bytes())
+    assert doc["kind"] == "urlset"
+    assert doc["entries"][0] == {
+        "url": "http://a.test/?x=1&y=2", "lastmod": "2024-01-02",
+        "changefreq": "daily", "priority": 0.8,
+    }
+    assert doc["entries"][1] == {
+        "url": "http://a.test/b", "lastmod": None,
+        "changefreq": None, "priority": None,
+    }
+    # bare (un-namespaced) tags, entry without <loc> dropped, empty priority
+    bare = b"""<?xml version="1.0"?><urlset>
+      <url><loc>http://b.test/</loc><priority></priority></url>
+      <url><lastmod>2024-01-01</lastmod></url>
+    </urlset>"""
+    doc2 = parse_sitemap_bytes(bare)
+    assert len(doc2["entries"]) == 1
+    assert doc2["entries"][0]["priority"] is None
+    # gzip magic detection
+    doc3 = parse_sitemap_bytes(_gzip.compress(bare))
+    assert doc3["entries"] == doc2["entries"]
+    # non-sitemap root raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap_bytes(b"<html></html>")
+
+
+def test_sitemap_index_parse_and_reader_refusal(tmp_path, ray_session):
+    from grawler_ray.sources.sitemap import (
+        parse_sitemap_bytes,
+        read_sitemaps,
+        write_sitemap,
+    )
+
+    idx = tmp_path / "index.xml"
+    write_sitemap(
+        str(idx),
+        [{"url": "http://c.test/s1.xml", "lastmod": "2024-02-01"},
+         {"url": "http://c.test/s2.xml"}],
+        kind="sitemapindex",
+    )
+    doc = parse_sitemap_bytes(idx.read_bytes())
+    assert doc["kind"] == "sitemapindex"
+    assert [e["url"] for e in doc["entries"]] == [
+        "http://c.test/s1.xml", "http://c.test/s2.xml"
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="sitemapindex"):
+        read_sitemaps([str(idx)]).to_pandas()
+
+
+def test_sitemap_reader_dataset(tmp_path, ray_session):
+    from grawler_ray.sources.sitemap import read_sitemaps, write_sitemap
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"u{i}.xml"
+        write_sitemap(
+            str(p),
+            [{"url": f"http://d.test/{i}/{j}", "priority": j / 10}
+             for j in range(3)],
+        )
+        paths.append(str(p))
+    df = read_sitemaps(paths).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(df) == 6
+    assert df.url[0] == "http://d.test/0/0"
+    assert df.priority.tolist() == [0.0, 0.1, 0.2, 0.0, 0.1, 0.2]
+    assert df.lastmod.isna().all() and df.changefreq.isna().all()
