@@ -1972,6 +1972,45 @@ def _langid(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(langid_batch, batch_format="pyarrow")
 
 
+def _langid_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of the heuristic
+    prediction vs the labeled lang column — per-batch pair partials,
+    one tiny (true, pred) aggregate (<= 5x5 keys)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from grawler_ray.functions.textstats import langid_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = langid_batch(t)
+        df = pd.DataFrame(
+            {
+                "true_lang": t.column("lang").to_pylist(),
+                "pred_lang": p.column("pred_lang").to_pylist(),
+            }
+        )
+        g = df.groupby(["true_lang", "pred_lang"], sort=False).size()
+        return pa.table(
+            {
+                "true_lang": pa.array(
+                    g.index.get_level_values(0).tolist(), pa.string()
+                ),
+                "pred_lang": pa.array(
+                    g.index.get_level_values(1).tolist(), pa.string()
+                ),
+                "pc": pa.array(g.to_numpy().astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(Sum("pc", alias_name="n"))
+    )
+
+
 def _minhash_pairs(sf_dir: str):
     from grawler_ray.functions.dedup import minhash_dedup
 
@@ -3086,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": _decontaminate_bloom,
         "multimodal_features": _multimodal_features,
         "langid": _langid,
+        "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
         "prep_corpus": _prep_corpus,
         "minhash_incremental": _minhash_incremental,
@@ -3668,6 +3708,69 @@ def oracle_sql() -> dict[str, str]:
                    'text/html' AS content_type,
                    octet_length(encode(text))::BIGINT AS n_html_bytes
             FROM documents
+        """,
+        # heuristic langid is exactly SQL-expressible (ASCII \w tokens +
+        # ASCII stopword profiles; distinct-hit counts, greatest() argmax
+        # with code-sorted first-wins tie-break, 'und' at zero hits)
+        "langid": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_extract_all(lower(text), '\b\w+\b'))) AS w
+                FROM documents
+            ), hits AS (
+                SELECT d.doc_id,
+                       count(*) FILTER (w IN ('der','die','und','das','ist',
+                           'nicht','ein','mit','auf','zu')) AS s_de,
+                       count(*) FILTER (w IN ('the','and','of','to','in',
+                           'is','that','it','for','on')) AS s_en,
+                       count(*) FILTER (w IN ('el','la','de','que','y',
+                           'los','en','un','por','con')) AS s_es,
+                       count(*) FILTER (w IN ('le','la','et','les','des',
+                           'est','une','dans','que','pour')) AS s_fr
+                FROM documents d LEFT JOIN tok USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr'
+                   END AS pred_lang,
+                   greatest(s_de, s_en, s_es, s_fr)::BIGINT AS score
+            FROM hits
+        """,
+        # langid's CTE joined back to the labeled lang column
+        "langid_confusion": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           regexp_extract_all(lower(text), '\b\w+\b'))) AS w
+                FROM documents
+            ), hits AS (
+                SELECT d.doc_id, d.lang,
+                       count(*) FILTER (w IN ('der','die','und','das','ist',
+                           'nicht','ein','mit','auf','zu')) AS s_de,
+                       count(*) FILTER (w IN ('the','and','of','to','in',
+                           'is','that','it','for','on')) AS s_en,
+                       count(*) FILTER (w IN ('el','la','de','que','y',
+                           'los','en','un','por','con')) AS s_es,
+                       count(*) FILTER (w IN ('le','la','et','les','des',
+                           'est','une','dans','que','pour')) AS s_fr
+                FROM documents d LEFT JOIN tok USING (doc_id)
+                GROUP BY d.doc_id, d.lang
+            )
+            SELECT lang AS true_lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr'
+                   END AS pred_lang,
+                   count(*)::BIGINT AS n
+            FROM hits
+            GROUP BY true_lang, pred_lang
         """,
         # differential oracle for the sitemap reader: predicts every parsed
         # column (incl. omitted-field NULLs) from doc_id arithmetic

@@ -151,7 +151,7 @@ def run_subqueries() -> dict[str, float]:
         "qty_mode", "centroid_distances", "source_ks_matrix",
         "lineitem_profile", "script_ratios", "benford_spend",
         "cross_dedup_pairs", "normalized_dedup", "shuffle_shards",
-        "cross_embedding_dups", "sitemap_ingest",
+        "cross_embedding_dups", "sitemap_ingest", "langid_confusion",
     ]
     import ray.data
 

@@ -202,8 +202,12 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 
 
 def langid_batch(t: pa.Table) -> pa.Table:
-    """Heuristic language ID: stopword-profile hit counts, deterministic
-    tie-break by language code.  Non-SQL-expressible (rows-only oracle)."""
+    """Heuristic language ID: distinct-stopword hit counts per profile,
+    winner = first language (code-sorted) reaching the max, 'und' when no
+    profile hits.  ASCII tokenization (_WORD_RE is re.ASCII) + ASCII
+    profiles make this exactly SQL-expressible — the gate checks it
+    against a FILTERed-count + greatest() DuckDB mirror (upgraded from
+    rows-only in r4)."""
     ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
     langs, scores = [], []

@@ -1037,3 +1037,26 @@ def test_interp_median_matches_numpy_property():
         assert got == exp
 
     check()
+
+
+def test_langid_tiebreak_und_and_distinct_hits():
+    """Pin the langid rules the SQL oracle mirrors: distinct-token hits
+    (repeats don't add), code-sorted first-wins tie-break, 'und' at zero."""
+    import pyarrow as pa
+
+    from grawler_ray.functions.textstats import langid_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the the the the and",      # en: 2 DISTINCT hits, not 5
+                "la la la",                  # la is in BOTH es and fr -> tie
+                "zzz qqq",                   # no hits -> und, score 0
+                "der THE und and ist of",    # de 3 vs en 3 -> de (sorted first)
+            ],
+        }
+    )
+    got = langid_batch(t).to_pandas()
+    assert got.pred_lang.tolist() == ["en", "es", "und", "de"]
+    assert got.score.tolist() == [2, 1, 0, 3]
