@@ -5168,4 +5168,8 @@ def oracle_sql() -> dict[str, str]:
     # broadcast counterparts — same oracle, separately gated
     sql["dup_spans_join"] = sql["dup_spans"]
     sql["line_dedup_join"] = sql["line_dedup"]
+    # the "join"-strategy variants are semantics-identical scale plans of
+    # their broadcast twins — same oracle, so the gate proves BOTH paths
+    sql["line_dedup_join"] = sql["line_dedup"]
+    sql["dup_spans_join"] = sql["dup_spans"]
     return sql
