@@ -795,6 +795,15 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _concurrent_users(sf_dir: str):
+    """Sweep-line concurrency: active-user count at every span boundary
+    (bounded user aggregate -> delta partials -> range-partitioned
+    prefix sum)."""
+    from grawler_ray.functions.events import concurrent_users
+
+    return concurrent_users(_read(sf_dir, "events"))
+
+
 def _running_revenue(sf_dir: str):
     """Global (unpartitioned) running revenue total over (o_orderdate,
     o_orderkey) order — the range-partitioned prefix-sum pattern: one
@@ -3089,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_budget": _source_budget,
         "source_kl": _source_kl,
         "running_revenue": _running_revenue,
+        "concurrent_users": _concurrent_users,
         "spend_ntile": _spend_ntile,
         "date_rank": _date_rank,
         "nation_gini": _nation_gini,
@@ -4493,6 +4503,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global running total — no partition key; the BIGINT cast undoes
         # DuckDB's HUGEINT window-sum (fetchdf would float64 it)
+        # sweep-line concurrency: +1 at span start, -1 at end+1µs, global
+        # running sum over the boundary axis
+        "concurrent_users": """
+            WITH s AS (SELECT user_id,
+                              min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b
+                       FROM events GROUP BY user_id),
+            ev AS (SELECT a AS t_us, 1 AS d FROM s
+                   UNION ALL
+                   SELECT b + 1, -1 FROM s),
+            agg AS (SELECT t_us, sum(d)::BIGINT AS dd FROM ev GROUP BY t_us)
+            SELECT t_us,
+                   (sum(dd) OVER (ORDER BY t_us))::BIGINT AS n_open
+            FROM agg
+        """,
         "running_revenue": """
             SELECT o_orderkey,
                    CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT))

@@ -866,11 +866,11 @@ def global_running_sum(ds, order_col: str, tie_col: str, value_col: str):
     """
     import ray
 
-    sorted_ds = (
-        ds.select_columns([order_col, tie_col, value_col])
-        .sort([order_col, tie_col])
-        .materialize()
-    )
+    # order_col == tie_col is allowed when the order key is itself unique
+    # (e.g. a pre-aggregated timestamp axis)
+    cols = list(dict.fromkeys([order_col, tie_col, value_col]))
+    keys = list(dict.fromkeys([order_col, tie_col]))
+    sorted_ds = ds.select_columns(cols).sort(keys).materialize()
 
     def block_meta(t: pa.Table) -> pa.Table:
         # one row per BLOCK: the block's first (order, tie) in NATIVE
@@ -1277,3 +1277,78 @@ def hopping_counts(
         .groupby("w_start")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
     )
+
+
+def concurrent_users(events_ds):
+    """Sweep-line concurrency — ``n_open`` active users at every boundary
+    timestamp, where a user is "active" over their [first event, last
+    event] span (inclusive, epoch µs).  The classic interval-concurrency
+    metric (peak simultaneous sessions / connections), computed without
+    ever materializing intervals against each other: each span becomes a
+    +1 delta at its start and a -1 at end+1µs, and the answer is the
+    global running sum of deltas in time order.
+
+    Scale shape: (1) per-batch partial min/max per user -> ONE bounded
+    user-key aggregate (users, never events, cross the exchange); (2)
+    boundary deltas pre-summed per batch -> ONE tiny t-key aggregate
+    (rows ∝ distinct boundaries); (3) the range-partitioned prefix-sum
+    (``global_running_sum``: driver state ∝ blocks, two scans, no
+    single-partition funnel).  Output (t_us:int64, n_open:int64).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def span_partial(t: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        pmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        pmax = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(pmin, inv, ts)
+        np.maximum.at(pmax, inv, ts)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "pmin": pa.array(pmin, pa.int64()),
+                "pmax": pa.array(pmax, pa.int64()),
+            }
+        )
+
+    spans = (
+        events_ds.select_columns(["user_id", "ts"])
+        .map_batches(span_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("pmin", alias_name="a"), Max("pmax", alias_name="b"))
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = np.concatenate([a, b + 1])
+        d = np.concatenate(
+            [np.ones(len(a), np.int64), -np.ones(len(b), np.int64)]
+        )
+        uniq, inv = np.unique(ts, return_inverse=True)
+        dd = np.zeros(len(uniq), np.int64)
+        np.add.at(dd, inv, d)
+        return pa.table(
+            {
+                "t_us": pa.array(uniq, pa.int64()),
+                "pd": pa.array(dd, pa.int64()),
+            }
+        )
+
+    agg = (
+        spans.map_batches(deltas, batch_format="pyarrow")
+        .groupby("t_us")
+        .aggregate(Sum("pd", alias_name="dd"))
+    )
+    out = global_running_sum(agg, order_col="t_us", tie_col="t_us", value_col="dd")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["t_us", "n_open"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

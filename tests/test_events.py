@@ -854,3 +854,58 @@ def test_hopping_counts_random_brute_force(ray_session):
             w -= HOP
     assert dict(zip(got.index, got["n"])) == dict(exp_n)
     assert dict(zip(got.index, got["sum_cents"])) == dict(exp_s)
+
+
+def test_concurrent_users_sweep_line_serial_oracle(ray_session):
+    """Distributed sweep-line concurrency must equal the serial recurrence
+    on a random fixture with overlapping spans, nested spans, touching
+    endpoints and single-event users; peak must be > 1 and the final
+    boundary must close everything (n_open == 0)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.events import concurrent_users
+
+    rng = np.random.default_rng(23)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        n = int(rng.integers(1, 6))  # some single-event users
+        start = int(rng.integers(0, 500))
+        tss = start + np.sort(rng.integers(0, 300, size=n))
+        for t in tss:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(int(t) * 1_000_000, unit="us"),
+                    "user_id": uid,
+                    "event_type": "x",
+                    "value": 1.0,
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    got = (
+        concurrent_users(ray.data.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("t_us")
+        .reset_index(drop=True)
+    )
+    # serial sweep
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    spans = (
+        pd.DataFrame({"u": df.user_id, "t": us}).groupby("u")["t"].agg(["min", "max"])
+    )
+    deltas = {}
+    for a, b in zip(spans["min"], spans["max"]):
+        deltas[a] = deltas.get(a, 0) + 1
+        deltas[b + 1] = deltas.get(b + 1, 0) - 1
+    ts_sorted = sorted(deltas)
+    run, expect = 0, []
+    for t in ts_sorted:
+        run += deltas[t]
+        expect.append((t, run))
+    assert list(zip(got.t_us, got.n_open)) == expect
+    assert got.n_open.max() > 1
+    assert got.n_open.iloc[-1] == 0
