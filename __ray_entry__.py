@@ -795,6 +795,14 @@ def _doc_entropy(sf_dir: str):
     )
 
 
+def _span_overlap_counts(sf_dir: str):
+    """Interval x interval co-activity WITHOUT pair explosion: two sorted
+    boundary arrays broadcast once, two searchsorted per user."""
+    from grawler_ray.functions.events import span_overlap_counts
+
+    return span_overlap_counts(_read(sf_dir, "events"))
+
+
 def _concurrent_users(sf_dir: str):
     """Sweep-line concurrency: active-user count at every span boundary
     (bounded user aggregate -> delta partials -> range-partitioned
@@ -3099,6 +3107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _source_kl,
         "running_revenue": _running_revenue,
         "concurrent_users": _concurrent_users,
+        "span_overlap_counts": _span_overlap_counts,
         "spend_ntile": _spend_ntile,
         "date_rank": _date_rank,
         "nation_gini": _nation_gini,
@@ -4503,6 +4512,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global running total — no partition key; the BIGINT cast undoes
         # DuckDB's HUGEINT window-sum (fetchdf would float64 it)
+        # interval x interval overlap cardinality; the O(n²) cross join is
+        # the oracle, the engine answers it with two rank lookups
+        "span_overlap_counts": """
+            WITH s AS (SELECT user_id,
+                              min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b
+                       FROM events GROUP BY user_id)
+            SELECT s1.user_id,
+                   (count(*) FILTER (s2.a <= s1.b AND s2.b >= s1.a
+                                     AND s2.user_id != s1.user_id))::BIGINT
+                       AS n_overlap
+            FROM s s1 CROSS JOIN s s2
+            GROUP BY s1.user_id
+        """,
         # sweep-line concurrency: +1 at span start, -1 at end+1µs, global
         # running sum over the boundary axis
         "concurrent_users": """

@@ -1279,23 +1279,11 @@ def hopping_counts(
     )
 
 
-def concurrent_users(events_ds):
-    """Sweep-line concurrency — ``n_open`` active users at every boundary
-    timestamp, where a user is "active" over their [first event, last
-    event] span (inclusive, epoch µs).  The classic interval-concurrency
-    metric (peak simultaneous sessions / connections), computed without
-    ever materializing intervals against each other: each span becomes a
-    +1 delta at its start and a -1 at end+1µs, and the answer is the
-    global running sum of deltas in time order.
-
-    Scale shape: (1) per-batch partial min/max per user -> ONE bounded
-    user-key aggregate (users, never events, cross the exchange); (2)
-    boundary deltas pre-summed per batch -> ONE tiny t-key aggregate
-    (rows ∝ distinct boundaries); (3) the range-partitioned prefix-sum
-    (``global_running_sum``: driver state ∝ blocks, two scans, no
-    single-partition funnel).  Output (t_us:int64, n_open:int64).
-    """
-    from ray.data.aggregate import Max, Min, Sum
+def user_spans(events_ds):
+    """Per-user activity span (first event, last event, inclusive epoch
+    µs) — one bounded user-key aggregate over per-batch min/max partials
+    (users cross the exchange, never events).  Output (user_id, a, b)."""
+    from ray.data.aggregate import Max, Min
 
     def span_partial(t: pa.Table) -> pa.Table:
         ts = (
@@ -1317,12 +1305,83 @@ def concurrent_users(events_ds):
             }
         )
 
-    spans = (
+    return (
         events_ds.select_columns(["user_id", "ts"])
         .map_batches(span_partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Min("pmin", alias_name="a"), Max("pmax", alias_name="b"))
     )
+
+
+def span_overlap_counts(events_ds, broadcast_max_spans: int = 50_000_000):
+    """For every user, how many OTHER users' activity spans overlap theirs
+    ([a,b] inclusive interval intersection) — the co-activity cardinality,
+    the interval×interval join done WITHOUT pair explosion: overlap(u) =
+    n − |{v: b_v < a_u}| − |{v: a_v > b_u}| − 1 (self), so two sorted
+    boundary arrays answer every user with two searchsorted calls.
+
+    Scale shape: spans are a USER-bounded table (never events); the two
+    sorted int64 boundary arrays broadcast once via ``ray.put`` (16 B per
+    user — the guard raises above ``broadcast_max_spans`` naming the
+    range-partitioned rank-join alternative) and the spans stream through
+    a stateless map.  No shuffle beyond the span aggregate, no O(n²)
+    anywhere.  Output (user_id, n_overlap:int64)."""
+    import ray
+
+    spans = user_spans(events_ds).materialize()
+    n = spans.count()
+    if n > broadcast_max_spans:
+        raise ValueError(
+            f"{n} spans > broadcast_max_spans={broadcast_max_spans}; use a "
+            "range-partitioned rank join (sort boundaries, per-block "
+            "offsets) instead of the broadcast"
+        )
+    bounds = spans.select_columns(["a", "b"]).to_pandas()
+    ref = ray.put(
+        (
+            np.sort(bounds["a"].to_numpy(np.int64)),
+            np.sort(bounds["b"].to_numpy(np.int64)),
+        )
+    )
+
+    def count_overlaps(t: pa.Table) -> pa.Table:
+        a_sorted, b_sorted = ray.get(ref)
+        total = len(a_sorted)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ended_before = np.searchsorted(b_sorted, a, side="left")
+        starts_after = total - np.searchsorted(a_sorted, b, side="right")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_overlap": pa.array(
+                    total - ended_before - starts_after - 1, pa.int64()
+                ),
+            }
+        )
+
+    return spans.map_batches(count_overlaps, batch_format="pyarrow")
+
+
+def concurrent_users(events_ds):
+    """Sweep-line concurrency — ``n_open`` active users at every boundary
+    timestamp, where a user is "active" over their [first event, last
+    event] span (inclusive, epoch µs).  The classic interval-concurrency
+    metric (peak simultaneous sessions / connections), computed without
+    ever materializing intervals against each other: each span becomes a
+    +1 delta at its start and a -1 at end+1µs, and the answer is the
+    global running sum of deltas in time order.
+
+    Scale shape: (1) per-batch partial min/max per user -> ONE bounded
+    user-key aggregate (users, never events, cross the exchange); (2)
+    boundary deltas pre-summed per batch -> ONE tiny t-key aggregate
+    (rows ∝ distinct boundaries); (3) the range-partitioned prefix-sum
+    (``global_running_sum``: driver state ∝ blocks, two scans, no
+    single-partition funnel).  Output (t_us:int64, n_open:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    spans = user_spans(events_ds)
 
     def deltas(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)

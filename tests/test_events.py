@@ -909,3 +909,51 @@ def test_concurrent_users_sweep_line_serial_oracle(ray_session):
     assert list(zip(got.t_us, got.n_open)) == expect
     assert got.n_open.max() > 1
     assert got.n_open.iloc[-1] == 0
+
+
+def test_span_overlap_counts_vs_brute_force(ray_session):
+    """Rank-lookup overlap counts must equal the brute-force pairwise
+    check, including non-overlapping isolated spans (count 0) and
+    touching endpoints (inclusive overlap); the broadcast guard raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+
+    from grawler_ray.functions.events import span_overlap_counts
+
+    rng = np.random.default_rng(31)
+    rows, eid = [], 0
+    for uid in range(30):
+        if uid == 29:  # isolated span far away
+            tss = [10_000_000, 10_000_500]
+        elif uid == 28:  # touches uid 0's start exactly (inclusive)
+            tss = [0, 0]
+        else:
+            start = int(rng.integers(0, 400))
+            tss = (start + np.sort(rng.integers(0, 200, size=3))).tolist()
+        for t in tss:
+            rows.append(
+                {"event_id": eid, "ts": pd.Timestamp(int(t), unit="us"),
+                 "user_id": uid, "event_type": "x", "value": 1.0}
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        span_overlap_counts(ds).to_pandas().set_index("user_id")["n_overlap"]
+    )
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    sp = pd.DataFrame({"u": df.user_id, "t": us}).groupby("u")["t"].agg(["min", "max"])
+    for u in sp.index:
+        brute = sum(
+            1
+            for v in sp.index
+            if v != u
+            and sp["min"][v] <= sp["max"][u]
+            and sp["max"][v] >= sp["min"][u]
+        )
+        assert got[u] == brute, u
+    assert got[29] == 0
+    with _pytest.raises(ValueError, match="broadcast_max_spans"):
+        span_overlap_counts(ds, broadcast_max_spans=3)
