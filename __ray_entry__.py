@@ -803,6 +803,89 @@ def _span_overlap_counts(sf_dir: str):
     return span_overlap_counts(_read(sf_dir, "events"))
 
 
+def _pdf_ingest(sf_dir: str):
+    """S8 (ReadPdfFromBytes) through the gate: one minimal PDF per doc
+    synthesized from `text` (FlateDecode on even ids, hex-encoded string
+    on ids % 3 == 0, literal escaping otherwise), extracted back with the
+    real parser — the oracle predicts length/md5 straight from `text`,
+    so the whole build-escape-compress-extract round-trip is SQL-checked.
+    Stateless per-doc map, no shuffle."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from grawler_ray.functions.pdf import build_simple_pdf, read_pdf_from_bytes
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        lens, md5s = [], []
+        for i, txt in zip(ids, texts):
+            data = build_simple_pdf(
+                txt or "", flate=i % 2 == 0, hex_encode=i % 3 == 0
+            )
+            got = read_pdf_from_bytes(data)
+            lens.append(len(got))
+            md5s.append(hashlib.md5(got.encode("latin-1")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars_pdf": pa.array(lens, pa.int64()),
+                "pdf_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
+def _robots_eval(sf_dir: str):
+    """Drive the Google-semantics robots matcher (grawler_ray.robots,
+    the reference's grobotstxt gate, src/crawler.go:249) through the
+    driver gate: each doc_id selects one of 8 hand-derived semantic
+    corners (specific-group-over-*, longest-match, allow-beats at
+    length, $ anchor, * wildcard, agent-prefix match, case-insensitive
+    keys + query target, empty body); the oracle is the RFC 9309 truth
+    table of those corners.  Stateless map — the matcher compiles no
+    state worth an actor pool at this rule size."""
+    import pyarrow as pa
+
+    from grawler_ray.robots import agent_allowed
+
+    cases = [
+        # (robots body, url path) -> expected per the RFC; the oracle
+        # pins the same expectations by doc_id % 8
+        ("User-agent: grawler\nAllow: /\n\nUser-agent: *\nDisallow: /", "/a"),
+        ("User-agent: *\nDisallow: /private", "/private/x"),
+        ("User-agent: *\nDisallow: /private", "/public/x"),
+        ("User-agent: *\nDisallow: /p*e\nAllow: /priv", "/private"),
+        ("User-agent: *\nDisallow: /*.pdf$", "/doc.pdf"),
+        ("User-agent: graw\nDisallow: /x", "/x"),
+        ("uSeR-aGeNt: *\ndIsAlLoW: /q", "/q?a=1"),
+        ("", "/anything"),
+    ]
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            body, path = cases[i % 8]
+            out.append(
+                1 if agent_allowed(body, "grawler", "http://h.test" + path) else 0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "allowed": pa.array(out, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
 def _concurrent_users(sf_dir: str):
     """Sweep-line concurrency: active-user count at every span boundary
     (bounded user aggregate -> delta partials -> range-partitioned
@@ -3108,6 +3191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": _running_revenue,
         "concurrent_users": _concurrent_users,
         "span_overlap_counts": _span_overlap_counts,
+        "robots_eval": _robots_eval,
+        "pdf_ingest": _pdf_ingest,
         "spend_ntile": _spend_ntile,
         "date_rank": _date_rank,
         "nation_gini": _nation_gini,
@@ -4512,6 +4597,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global running total — no partition key; the BIGINT cast undoes
         # DuckDB's HUGEINT window-sum (fetchdf would float64 it)
+        # PDF round-trip differential: extracted text must equal the
+        # source text byte-for-byte across flate/hex/literal variants
+        "pdf_ingest": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_pdf,
+                   md5(text) AS pdf_md5
+            FROM documents
+        """,
+        # RFC 9309 truth table of the 8 robots-matcher corners the Ray
+        # side evaluates with the real parser (differential oracle)
+        "robots_eval": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 1  -- specific group beats *
+                        WHEN 1 THEN 0  -- prefix disallow
+                        WHEN 2 THEN 1  -- non-matching disallow
+                        WHEN 3 THEN 1  -- longer allow beats shorter disallow
+                        WHEN 4 THEN 0  -- wildcard + $ anchor
+                        WHEN 5 THEN 0  -- agent-prefix group applies
+                        WHEN 6 THEN 0  -- case-insensitive keys, query target
+                        ELSE 1         -- empty body => allowed
+                   END::BIGINT AS allowed
+            FROM documents
+        """,
         # interval x interval overlap cardinality; the O(n²) cross join is
         # the oracle, the engine answers it with two rank lookups
         "span_overlap_counts": """

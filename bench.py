@@ -152,7 +152,8 @@ def run_subqueries() -> dict[str, float]:
         "lineitem_profile", "script_ratios", "benford_spend",
         "cross_dedup_pairs", "normalized_dedup", "shuffle_shards",
         "cross_embedding_dups", "sitemap_ingest", "langid_confusion",
-        "concurrent_users", "span_overlap_counts",
+        "concurrent_users", "span_overlap_counts", "robots_eval",
+        "pdf_ingest",
     ]
     import ray.data
 

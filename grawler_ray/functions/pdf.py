@@ -119,9 +119,18 @@ def extract_pdf_text(data: bytes) -> str:
     out: list[str] = []
     for m in _STREAM_RE.finditer(data):
         d, body = m.group(1), m.group(2)
+        # honor the declared /Length (the spec's byte count) — stripping
+        # EOLs instead corrupts compressed bodies whose deflate bytes end
+        # in 0x0a/0x0d (~0.6% of real streams); indirect lengths
+        # (/Length 5 0 R) don't match and fall back to the strip
+        mlen = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", d)
+        if mlen is not None and int(mlen.group(1)) <= len(body):
+            body = body[: int(mlen.group(1))]
+        else:
+            body = body.strip(b"\r\n")
         if b"/FlateDecode" in d:
             try:
-                body = zlib.decompress(body.strip(b"\r\n"))
+                body = zlib.decompress(body)
             except zlib.error:
                 continue
         elif re.search(rb"/Filter", d):
@@ -148,3 +157,31 @@ def read_pdf_from_bytes(b: bytes, fake: bool = False) -> str:
     except ImportError:
         pass
     return extract_pdf_text(b)
+
+
+def build_simple_pdf(text: str, flate: bool = False, hex_encode: bool = False) -> bytes:
+    """Fixture writer: a minimal one-stream PDF whose extracted text is
+    EXACTLY ``text`` (single Tj, literal escaping or hex encoding,
+    optional FlateDecode) — the differential-oracle counterpart of
+    write_warc/write_sitemap.  Latin-1-encodable text only."""
+    raw = text.encode("latin-1")
+    if hex_encode:
+        s = b"<" + raw.hex().encode("ascii") + b">"
+    else:
+        esc = (
+            raw.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+        )
+        s = b"(" + esc + b")"
+    content = b"BT /F1 12 Tf 72 700 Td " + s + b" Tj ET"
+    if flate:
+        body = zlib.compress(content)
+        d = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
+    else:
+        body = content
+        d = b"<< /Length %d >>" % len(body)
+    return (
+        b"%PDF-1.4\n1 0 obj\n" + d + b"\nstream\n" + body + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )

@@ -70,3 +70,25 @@ def test_read_pdf_from_bytes_real_and_fake():
     pdf = _pdf_with_stream(CONTENT, flate=True)
     assert "Hello World" in read_pdf_from_bytes(pdf)
     assert read_pdf_from_bytes(b"x" * 3000, fake=True) == "page0 page1"
+
+
+def test_length_honored_over_eol_strip():
+    """A FlateDecode body whose compressed bytes END in 0x0a must survive:
+    /Length is the byte count, trailing-EOL stripping would truncate it."""
+    import itertools
+
+    from grawler_ray.functions.pdf import build_simple_pdf
+
+    # find a text whose deflate output ends with \n (brute-force suffix)
+    for n in itertools.count():
+        txt = "padpad" * 3 + "x" * (n % 17) + f" tail{n}"
+        content = b"BT /F1 12 Tf 72 700 Td (" + txt.encode() + b") Tj ET"
+        if zlib.compress(content).endswith((b"\n", b"\r")):
+            break
+    data = build_simple_pdf(txt, flate=True)
+    assert extract_pdf_text(data) == txt
+    # indirect /Length reference falls back to the strip heuristic
+    data2 = _pdf_with_stream(CONTENT).replace(
+        b"<< /Length %d >>" % len(CONTENT), b"<< /Length 5 0 R >>"
+    )
+    assert extract_pdf_text(data2) == "Hello World\nsecond line"
