@@ -838,6 +838,14 @@ def _pdf_ingest(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def _token_budget_cap(sf_dir: str):
+    """Per-source TOKEN budget (running n_chars sum <= 3000 in doc_id
+    order) — mixtures are specified in tokens, not rows."""
+    from grawler_ray.functions.sampling import token_budget_cap
+
+    return token_budget_cap(_read(sf_dir, "documents"), budget=3000)
+
+
 def _robots_eval(sf_dir: str):
     """Drive the Google-semantics robots matcher (grawler_ray.robots,
     the reference's grobotstxt gate, src/crawler.go:249) through the
@@ -3193,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_overlap_counts": _span_overlap_counts,
         "robots_eval": _robots_eval,
         "pdf_ingest": _pdf_ingest,
+        "token_budget_cap": _token_budget_cap,
         "spend_ntile": _spend_ntile,
         "date_rank": _date_rank,
         "nation_gini": _nation_gini,
@@ -4597,6 +4606,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # global running total — no partition key; the BIGINT cast undoes
         # DuckDB's HUGEINT window-sum (fetchdf would float64 it)
+        # per-group running-weight budget: the inclusive cumulative window
+        "token_budget_cap": """
+            SELECT doc_id, source, n_chars, cum
+            FROM (SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+                         (sum(n_chars) OVER (PARTITION BY source
+                                             ORDER BY doc_id))::BIGINT AS cum
+                  FROM documents)
+            WHERE cum <= 3000
+        """,
         # PDF round-trip differential: extracted text must equal the
         # source text byte-for-byte across flate/hex/literal variants
         "pdf_ingest": """

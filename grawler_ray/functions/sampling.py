@@ -615,6 +615,86 @@ def group_sample_k(
     )
 
 
+def token_budget_cap(
+    ds,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    budget: int = 10_000,
+    num_groups: int = 256,
+):
+    """Per-group TOKEN budget (the unit mixtures are actually specified
+    in): keep each group's rows, in ``order_col`` order, while the
+    running ``weight_col`` sum (current row inclusive) stays <= budget —
+    ``sum(w) OVER (PARTITION BY group ORDER BY order) <= budget``.
+    cap_per_group counts ROWS; this weighs them.  A single row larger
+    than the whole budget is dropped (strict <=, SQL-identical).
+    Output (order_col, group_col, weight_col, cum:int64).
+
+    Scale shape: cap_per_group's — ONE coarse group-hash shuffle of
+    three int/string columns (payload never moves), one sort +
+    run-rebased cumsum per ~num_groups vectorized kernels."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.util.hash_array(
+            np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                order_col: t.column(order_col),
+                group_col: t.column(group_col).cast(pa.string()),
+                weight_col: t.column(weight_col).cast(pa.int64()),
+                "gk": pa.array(g.astype(np.int32), pa.int32()),
+            }
+        )
+
+    empty = pa.schema(
+        [
+            pa.field(order_col, pa.int64()),
+            pa.field(group_col, pa.string()),
+            pa.field(weight_col, pa.int64()),
+            pa.field("cum", pa.int64()),
+        ]
+    )
+
+    def cap_groups(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # pyarrow-format map_groups: empty partitions of the sparse gk key
+        # space emit ARROW blocks (CLAUDE.md block-type rule)
+        if t.num_rows == 0:
+            return empty.empty_table()
+        df = t.to_pandas().sort_values([group_col, order_col])
+        codes = pd.factorize(df[group_col].to_numpy())[0]
+        w = df[weight_col].to_numpy(np.int64)
+        idx = np.arange(len(df))
+        is_start = np.concatenate(([True], np.diff(codes) != 0))
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        csum = np.cumsum(w)
+        base = np.where(start_idx > 0, csum[start_idx - 1], 0)
+        cum = csum - base  # run-rebased inclusive running sum
+        keep = cum <= budget
+        return pa.table(
+            {
+                order_col: pa.array(df[order_col].to_numpy()[keep], pa.int64()),
+                group_col: pa.array(
+                    df[group_col].to_numpy()[keep].tolist(), pa.string()
+                ),
+                weight_col: pa.array(w[keep], pa.int64()),
+                "cum": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([order_col, group_col, weight_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(cap_groups, batch_format="pyarrow")
+    )
+
+
 def source_budget(ds, group_col: str = "source", budget: int = 1000):
     """Largest-remainder (Hamilton) budget apportionment: split an
     integer ``budget`` across groups proportionally to their row counts,

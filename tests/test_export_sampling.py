@@ -321,3 +321,39 @@ def test_normalized_dedup_nfc_and_whitespace_planted(ray_session):
     by_keep = {int(r.keep_doc_id): int(r.n_dups) for r in got.itertuples()}
     assert by_keep == {0: 3, 3: 1, 4: 1, 5: 2}
     assert len(got) == got.norm_md5.nunique()
+
+
+def test_token_budget_cap_vs_serial(ray_session):
+    """Grouped running-weight cap must equal the serial window rule,
+    including a first row bigger than the whole budget (dropped) and a
+    zero-weight row (kept for free)."""
+    import pandas as pd
+    import ray.data
+
+    from grawler_ray.functions.sampling import token_budget_cap
+
+    rows = [
+        {"doc_id": 0, "source": "a", "n_chars": 40},
+        {"doc_id": 1, "source": "a", "n_chars": 50},   # cum 90 <= 100
+        {"doc_id": 2, "source": "a", "n_chars": 11},   # cum 101 > 100
+        {"doc_id": 3, "source": "a", "n_chars": 5},    # cum 106 > 100
+        {"doc_id": 4, "source": "b", "n_chars": 500},  # first row too big
+        {"doc_id": 5, "source": "b", "n_chars": 1},    # cum 501: dropped too
+        {"doc_id": 6, "source": "c", "n_chars": 0},    # zero weight kept
+        {"doc_id": 7, "source": "c", "n_chars": 100},  # cum 100 == budget
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = (
+        token_budget_cap(ds, budget=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [0, 1, 6, 7]
+    assert got.cum.tolist() == [40, 90, 0, 100]
+    # serial window equality on the full fixture
+    df = pd.DataFrame(rows)
+    df["cum"] = df.sort_values("doc_id").groupby("source")["n_chars"].cumsum()
+    exp = df[df.cum <= 100].sort_values("doc_id")
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.cum.tolist() == exp.cum.tolist()
