@@ -2160,6 +2160,57 @@ def _minhash_incremental(sf_dir: str):
     )
 
 
+def _minhash_index_update(sf_dir: str):
+    """Continuous-crawl index maintenance: index docs < 200, APPEND
+    200-249 in place (update_minhash_index), probe with docs >= 250 —
+    the probe must see both the original corpus and the appended
+    increment (build(A)+update(B) == build(A∪B) is pinned in tests)."""
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+        update_minhash_index,
+    )
+
+    docs = _read(sf_dir, "documents")
+    idx_dir = _MH_UPD_CACHE.get(sf_dir)
+    if idx_dir is None:
+        idx_dir = f"/tmp/grawler_mh_upd_{abs(hash(sf_dir))}"
+        build_minhash_index(
+            docs.map_batches(
+                lambda t: t.filter(pc.less(t.column("doc_id"), 200)),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+        )
+        update_minhash_index(
+            docs.map_batches(
+                lambda t: t.filter(
+                    pc.and_(
+                        pc.greater_equal(t.column("doc_id"), 200),
+                        pc.less(t.column("doc_id"), 250),
+                    )
+                ),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+            "increment1",
+        )
+        _MH_UPD_CACHE[sf_dir] = idx_dir
+    return minhash_dedup_incremental(
+        docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 250)),
+            batch_format="pyarrow",
+        ),
+        idx_dir,
+        threshold=0.5,
+    )
+
+
+_MH_UPD_CACHE: dict[str, str] = {}
+
+
 def _prep_corpus(sf_dir: str):
     """Flagship webtext prep chain (quality -> exact dedup -> minhash
     components -> tokens -> split); per-stage summary.  No SQL oracle (the
@@ -3242,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "prep_corpus": _prep_corpus,
         "minhash_incremental": _minhash_incremental,
+        "minhash_index_update": _minhash_index_update,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh_topk": _ann_lsh_topk,

@@ -153,7 +153,7 @@ def run_subqueries() -> dict[str, float]:
         "cross_dedup_pairs", "normalized_dedup", "shuffle_shards",
         "cross_embedding_dups", "sitemap_ingest", "langid_confusion",
         "concurrent_users", "span_overlap_counts", "robots_eval",
-        "pdf_ingest", "token_budget_cap",
+        "pdf_ingest", "token_budget_cap", "minhash_index_update",
     ]
     import ray.data
 

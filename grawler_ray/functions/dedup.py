@@ -1714,6 +1714,128 @@ def dedup_components(
 # incremental near-dup: new docs vs a persisted MinHash index
 # ---------------------------------------------------------------------------
 
+def _index_explode(
+    t: pa.Table, a: np.ndarray, b: np.ndarray, num_bands: int, num_buckets: int
+) -> pa.Table:
+    """Shared build/update kernel: one doc batch -> tagged band rows
+    (kind 0, bucketed by hash(band, band_hash)) + blob rows (kind 1,
+    bucketed by hash(doc_id))."""
+    doc_ids = t.column("doc_id").to_pylist()
+    sig_rows, blobs = [], []
+    for sh in shingles_batch(t.column("text").to_pylist()):
+        sig_rows.append(minhash_signature(sh, a, b))
+        blobs.append(sh.tobytes())  # sorted-unique already
+    n = len(doc_ids)
+    if n == 0:
+        return pa.table(
+            {
+                "kind": pa.array([], pa.int8()),
+                "gk": pa.array([], pa.int32()),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.binary()),
+            }
+        )
+    ids = np.asarray(doc_ids, np.int64)
+    bh, gk = band_hash_matrix(np.vstack(sig_rows), num_bands, num_buckets)
+    blob_gk = (
+        (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    ) % np.uint64(num_buckets)
+    n_band = n * num_bands
+    return pa.table(
+        {
+            "kind": pa.array(
+                np.concatenate([np.zeros(n_band, np.int8), np.ones(n, np.int8)]),
+                pa.int8(),
+            ),
+            "gk": pa.array(
+                np.concatenate([gk.ravel(), blob_gk.astype(np.int32)]), pa.int32()
+            ),
+            "band": pa.array(
+                np.concatenate(
+                    [np.tile(np.arange(num_bands, dtype=np.int32), n), np.zeros(n, np.int32)]
+                ),
+                pa.int32(),
+            ),
+            "band_hash": pa.array(
+                np.concatenate([bh.ravel(), np.zeros(n, np.int64)]), pa.int64()
+            ),
+            "doc_id": pa.array(
+                np.concatenate([np.repeat(ids, num_bands), ids]), pa.int64()
+            ),
+            "sh": pa.array([None] * n_band + blobs, pa.binary()),
+        }
+    )
+
+
+def update_minhash_index(new_docs_ds, index_dir: str, run_tag: str) -> dict:
+    """Append an increment to a persisted MinHash index IN PLACE — the
+    continuous-crawl maintenance step: the corpus is indexed ONCE
+    (build_minhash_index), each later increment is first deduped against
+    it (minhash_dedup_incremental) and then appended here, so the index
+    always covers corpus ∪ increments without ever reprocessing the
+    corpus.  Parameters come from the index's meta.json (they MUST — a
+    different seed/band count would make the increment unfindable).
+
+    Each touched bucket gains one ``part-{run_tag}.parquet`` with the
+    build's sort order; the probes read bucket DIRECTORIES, so
+    multi-file buckets need no compaction, and the deterministic name
+    makes retried/re-run updates overwrite rather than duplicate.
+    Re-adding an already-indexed doc_id wastes space but cannot corrupt
+    results (probe candidates dedup on (new_id, doc_id); blob lookups
+    key by doc_id).  meta.json counts are updated and the tag recorded.
+    Returns the new meta dict."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if "/" in run_tag or not run_tag:
+        raise ValueError("run_tag must be a non-empty path-safe token")
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    if run_tag in meta.get("updates", []):
+        raise ValueError(f"run_tag {run_tag!r} already applied to this index")
+    num_bands, num_buckets = meta["num_bands"], meta["num_buckets"]
+    a, b = _perm_params(meta["num_perm"], meta["seed"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        return _index_explode(t, a, b, num_bands, num_buckets)
+
+    def write_group(t: pa.Table) -> pa.Table:
+        kind = int(t.column("kind")[0].as_py())
+        k = int(t.column("gk")[0].as_py())
+        if kind == 0:
+            sub = (
+                t.select(["band", "band_hash", "doc_id"])
+                .sort_by([("band", "ascending"), ("band_hash", "ascending")])
+            )
+            d = _os.path.join(index_dir, "bands", f"bucket={k}")
+        else:
+            sub = t.select(["doc_id", "sh"]).sort_by("doc_id")
+            d = _os.path.join(index_dir, "blobs", f"bucket={k}")
+        _os.makedirs(d, exist_ok=True)
+        _pq.write_table(sub, _os.path.join(d, f"part-{run_tag}.parquet"))
+        return pa.table(
+            {"kind": pa.array([kind], pa.int8()), "rows": pa.array([sub.num_rows], pa.int64())}
+        )
+
+    manifest = (
+        new_docs_ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["kind", "gk"])
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta["band_rows"] += int(manifest[manifest["kind"] == 0]["rows"].sum())
+    meta["docs"] += int(manifest[manifest["kind"] == 1]["rows"].sum())
+    meta.setdefault("updates", []).append(run_tag)
+    with open(_os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
 def build_minhash_index(
     docs_ds,
     index_dir: str,
@@ -1749,53 +1871,7 @@ def build_minhash_index(
     _os.makedirs(index_dir, exist_ok=True)
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids = t.column("doc_id").to_pylist()
-        sig_rows, blobs = [], []
-        for sh in shingles_batch(t.column("text").to_pylist()):
-            sig_rows.append(minhash_signature(sh, a, b))
-            blobs.append(sh.tobytes())  # sorted-unique already
-        n = len(doc_ids)
-        if n == 0:
-            return pa.table(
-                {
-                    "kind": pa.array([], pa.int8()),
-                    "gk": pa.array([], pa.int32()),
-                    "band": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "sh": pa.array([], pa.binary()),
-                }
-            )
-        ids = np.asarray(doc_ids, np.int64)
-        bh, gk = band_hash_matrix(np.vstack(sig_rows), num_bands, num_buckets)
-        blob_gk = (
-            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ) % np.uint64(num_buckets)
-        n_band = n * num_bands
-        return pa.table(
-            {
-                "kind": pa.array(
-                    np.concatenate([np.zeros(n_band, np.int8), np.ones(n, np.int8)]),
-                    pa.int8(),
-                ),
-                "gk": pa.array(
-                    np.concatenate([gk.ravel(), blob_gk.astype(np.int32)]), pa.int32()
-                ),
-                "band": pa.array(
-                    np.concatenate(
-                        [np.tile(np.arange(num_bands, dtype=np.int32), n), np.zeros(n, np.int32)]
-                    ),
-                    pa.int32(),
-                ),
-                "band_hash": pa.array(
-                    np.concatenate([bh.ravel(), np.zeros(n, np.int64)]), pa.int64()
-                ),
-                "doc_id": pa.array(
-                    np.concatenate([np.repeat(ids, num_bands), ids]), pa.int64()
-                ),
-                "sh": pa.array([None] * n_band + blobs, pa.binary()),
-            }
-        )
+        return _index_explode(t, a, b, num_bands, num_buckets)
 
     def write_group(t: pa.Table) -> pa.Table:
         kind = int(t.column("kind")[0].as_py())

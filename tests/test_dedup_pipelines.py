@@ -417,6 +417,55 @@ def test_minhash_incremental_vs_bruteforce(docs_ds, tmp_path):
     assert got[(got.new_id == 1000) & (got.old_id == 100)].jaccard.iloc[0] == 1.0
 
 
+def test_update_minhash_index_equals_fresh_build(docs_ds, tmp_path, ray_session):
+    """build(A) + update(B) must answer probes exactly like build(A ∪ B):
+    same pair set AND same jaccards for a probe set hitting both the
+    original corpus and the appended increment; duplicate run_tag and
+    bad tags are refused; meta counts track the append."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        build_minhash_index,
+        minhash_dedup_incremental,
+        update_minhash_index,
+    )
+
+    b_rows = [
+        {"doc_id": 500, "text": BASE + " newly appended doc about rivers"},
+        {"doc_id": 501, "text": ""},  # empty doc joins the empty family
+    ]
+    probe_rows = [
+        {"doc_id": 9000, "text": BASE + " alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 9001, "text": BASE + " newly appended doc about rivers"},
+        {"doc_id": 9002, "text": ""},
+    ]
+    probes = ray.data.from_items(probe_rows)
+
+    idx_inc = str(tmp_path / "idx_inc")
+    meta0 = build_minhash_index(docs_ds, idx_inc)
+    meta1 = update_minhash_index(ray.data.from_items(b_rows), idx_inc, "day2")
+    assert meta1["docs"] == meta0["docs"] + 2
+    assert meta1["updates"] == ["day2"]
+
+    idx_full = str(tmp_path / "idx_full")
+    build_minhash_index(docs_ds.union(ray.data.from_items(b_rows)), idx_full)
+
+    def pairs_of(idx):
+        df = minhash_dedup_incremental(probes, idx, threshold=0.8).to_pandas()
+        return {(n, o): round(j, 12) for n, o, j in zip(df.new_id, df.old_id, df.jaccard)}
+
+    got_inc, got_full = pairs_of(idx_inc), pairs_of(idx_full)
+    assert got_inc == got_full and len(got_inc) > 0
+    assert (9001, 500) in got_inc and got_inc[(9001, 500)] == 1.0
+    assert (9002, 501) in got_inc  # appended empty doc found at J=1.0
+    assert (9000, 100) in got_inc  # original corpus still answered
+
+    with pytest.raises(ValueError, match="already applied"):
+        update_minhash_index(ray.data.from_items(b_rows), idx_inc, "day2")
+    with pytest.raises(ValueError, match="path-safe"):
+        update_minhash_index(ray.data.from_items(b_rows), idx_inc, "a/b")
+
+
 def test_ann_pq_recall_on_clustered_data(ray_session):
     """PQ + exact re-rank must reach >= 0.9 recall vs the exact baseline on
     the same clustered regime the LSH test uses."""
