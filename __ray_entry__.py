@@ -2284,6 +2284,51 @@ def _ann_ivf_topk(sf_dir: str):
     return ann_ivf_topk(idx_dir, q_ids, Q, k=10, nprobe=16)
 
 
+def _ann_ivf_update_topk(sf_dir: str):
+    """Continuous-ingest IVF: index vec_id < 80% once, APPEND the rest
+    in place (frozen quantizer), probe — appended vectors must be
+    reachable (reachability + unchanged-answer invariants pinned in
+    tests/test_ann_index.py)."""
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = _read(sf_dir, "embeddings")
+    idx_dir = _IVF_UPD_CACHE.get(sf_dir)
+    if idx_dir is None:
+        n = emb.count()
+        cut = int(n * 0.8)
+        idx_dir = f"/tmp/grawler_ivf_upd_{abs(hash(sf_dir))}"
+        build_ivf_index(
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t.column("vec_id"), cut)),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+            k=64,
+            iters=5,
+            seed=3,
+        )
+        update_ivf_index(
+            emb.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("vec_id"), cut)),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+            "increment1",
+        )
+        _IVF_UPD_CACHE[sf_dir] = idx_dir
+    q_ids, Q = _ann_query_matrix(sf_dir)
+    return ann_ivf_topk(idx_dir, q_ids, Q, k=10, nprobe=16)
+
+
+_IVF_UPD_CACHE: dict[str, str] = {}
+
+
 def _ann_indexed_topk(sf_dir: str):
     """Bucket-partitioned ANN (the 100-TB path): build the bucket=...
     partitioned index once per process, then answer probes reading ONLY the
@@ -3300,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _ann_pq_topk,
         "ann_indexed_topk": _ann_indexed_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_update_topk": _ann_ivf_update_topk,
         "lsh_buckets": _lsh_buckets,
         "crawl_documents": _crawl_documents,
         "crawl_documents_upsert": _crawl_documents_upsert,

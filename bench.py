@@ -154,6 +154,7 @@ def run_subqueries() -> dict[str, float]:
         "cross_embedding_dups", "sitemap_ingest", "langid_confusion",
         "concurrent_users", "span_overlap_counts", "robots_eval",
         "pdf_ingest", "token_budget_cap", "minhash_index_update",
+        "ann_ivf_update_topk",
     ]
     import ray.data
 

@@ -645,6 +645,70 @@ def build_ivf_index(
     return meta
 
 
+def update_ivf_index(new_embeddings_ds, index_dir: str, run_tag: str) -> dict:
+    """Append new vectors to a persisted IVF index IN PLACE — the ANN
+    counterpart of ``dedup.update_minhash_index`` (continuous ingest:
+    index once, each increment assigned and appended, corpus never
+    re-partitioned).  The coarse quantizer is FROZEN (standard IVF
+    practice — retraining centroids on increments would re-home existing
+    partitions); new vectors are assigned to the EXISTING centroids from
+    meta.json and each touched ``list={c}`` dir gains one
+    ``part-{run_tag}.parquet``.  Probes read partition DIRECTORIES, so
+    multi-file lists need no compaction; the deterministic name makes
+    retried updates overwrite, and duplicate tags are refused.  Heavy
+    drift between increments and the original centroid fit degrades
+    recall, not correctness — rebuild when the drift shows.  Returns the
+    updated meta."""
+    import ray
+
+    if "/" in run_tag or not run_tag:
+        raise ValueError("run_tag must be a non-empty path-safe token")
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if run_tag in meta.get("updates", []):
+        raise ValueError(f"run_tag {run_tag!r} already applied to this index")
+    C = np.array(meta["centroids"], dtype=np.float64)
+    c_ref = ray.put(C)
+
+    def tag(t: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        V = _to_matrix(t.column("embedding"))
+        if V.shape[1] != C_.shape[1]:
+            raise ValueError(
+                f"increment dim {V.shape[1]} != index dim {C_.shape[1]}"
+            )
+        d = -2.0 * (V @ C_.T) + (C_ * C_).sum(axis=1)[None, :]
+        return t.append_column(
+            "list_id", pa.array(np.argmin(d, axis=1).astype(np.int64), pa.int64())
+        )
+
+    def write_group(t: pa.Table) -> pa.Table:
+        c = int(t.column("list_id")[0].as_py())
+        d = os.path.join(index_dir, f"list={c}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t, os.path.join(d, f"part-{run_tag}.parquet"))
+        return pa.table(
+            {"list_id": pa.array([c], pa.int64()), "rows": pa.array([t.num_rows], pa.int64())}
+        )
+
+    manifest = (
+        new_embeddings_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("list_id")
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta["rows"] += int(manifest["rows"].sum()) if len(manifest) else 0
+    meta["n_lists"] = sum(
+        1 for c in range(meta["k"])
+        if os.path.isdir(os.path.join(index_dir, f"list={c}"))
+    )
+    meta.setdefault("updates", []).append(run_tag)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def ivf_probe_paths(index_dir: str, Q: np.ndarray, nprobe: int = 4) -> list[str]:
     """The `nprobe` nearest centroid partitions per query (union, existing
     dirs only) — exposed so tests can assert read volume ∝ probes."""

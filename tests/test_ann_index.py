@@ -154,3 +154,53 @@ def test_ivf_build_deterministic(ivf_index):
         ray.data.from_items(items), "/tmp/gr_ivf_index2", k=16, iters=5, seed=3
     )
     assert meta["centroids"] == meta2["centroids"]
+
+
+def test_ivf_update_append_and_reachability(index_ds, tmp_path, ray_session):
+    """update_ivf_index: appended vectors must be probe-reachable (a
+    planted near-identical neighbor becomes rank-1), existing answers
+    survive, meta counts track, duplicate tags refused.  The quantizer is
+    frozen, so pre-update probe paths are unchanged."""
+    import ray.data
+
+    from grawler_ray.functions.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        ivf_probe_paths,
+        update_ivf_index,
+    )
+
+    ds, items, _ = index_ds
+    d = str(tmp_path / "ivf_upd")
+    meta0 = build_ivf_index(ds, d, k=16, iters=5, seed=3)
+    qids = [0, 1]
+    Q = np.array([items[q]["embedding"] for q in qids], dtype=np.float64)
+    before = ann_ivf_topk(d, qids, Q, k=5, nprobe=4).to_pandas()
+    paths_before = ivf_probe_paths(d, Q, nprobe=4)
+
+    # planted: near-identical to query 0, plus an unrelated far vector
+    new = [
+        {"vec_id": 9000,
+         "embedding": (np.array(items[0]["embedding"]) + 0.001).tolist()},
+        {"vec_id": 9001,
+         "embedding": (np.array(items[1]["embedding"]) * -50).tolist()},
+    ]
+    meta1 = update_ivf_index(ray.data.from_items(new), d, "inc1")
+    assert meta1["rows"] == meta0["rows"] + 2
+    assert meta1["updates"] == ["inc1"]
+    assert ivf_probe_paths(d, Q, nprobe=4) == paths_before  # frozen quantizer
+
+    after = ann_ivf_topk(d, qids, Q, k=5, nprobe=4).to_pandas()
+    top1 = after[(after.query_id == 0) & (after["rank"] == 1)].vec_id.iloc[0]
+    assert top1 == 9000  # appended near-dup wins
+    # query 1's answers are unchanged (its appended vector is anti-aligned)
+    b1 = before[before.query_id == 1].vec_id.tolist()
+    a1 = after[after.query_id == 1].vec_id.tolist()
+    assert a1 == b1
+
+    with pytest.raises(ValueError, match="already applied"):
+        update_ivf_index(ray.data.from_items(new), d, "inc1")
+    with pytest.raises(Exception, match="dim"):
+        update_ivf_index(
+            ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 2.0]}]), d, "inc2"
+        )
