@@ -1836,6 +1836,68 @@ def update_minhash_index(new_docs_ds, index_dir: str, run_tag: str) -> dict:
     return meta
 
 
+def compact_index_dir(index_dir: str, subdirs: tuple = ("bands", "blobs"), sort_keys: dict | None = None) -> dict:
+    """Merge each bucket's accumulated ``part-*.parquet`` increments back
+    into one sorted ``part.parquet`` — the read-amplification fix after
+    many ``update_*_index`` appends (every probe opens every file in its
+    bucket; N daily increments = N× file opens until compacted).
+
+    Runs as a Ray task per bucket (``flat_map`` over the bucket list —
+    buckets are independent, so compaction parallelizes and a re-run is
+    idempotent: single-file buckets are skipped).  The rewrite is
+    write-then-swap per bucket (new file written as part.parquet.tmp,
+    os.replace, then increments unlinked), so a killed compaction never
+    leaves a bucket unreadable.  ``sort_keys`` maps subdir name ->
+    sort_by spec (defaults to the minhash layouts).  Returns
+    {"compacted": n, "skipped": n}."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data
+
+    if sort_keys is None:
+        sort_keys = {
+            "bands": [("band", "ascending"), ("band_hash", "ascending")],
+            "blobs": [("doc_id", "ascending")],
+        }
+    work = []
+    for sub in subdirs:
+        base = _os.path.join(index_dir, sub)
+        if not _os.path.isdir(base):
+            continue
+        for bucket in sorted(_os.listdir(base)):
+            d = _os.path.join(base, bucket)
+            if _os.path.isdir(d):
+                work.append({"dir": d, "sub": sub})
+    if not work:
+        return {"compacted": 0, "skipped": 0}
+
+    def compact_one(row: dict) -> list[dict]:
+        d, sub = row["dir"], row["sub"]
+        files = sorted(
+            f for f in _os.listdir(d) if f.endswith(".parquet")
+        )
+        if len(files) <= 1:
+            return [{"compacted": 0, "skipped": 1}]
+        merged = pa.concat_tables(
+            [_pq.read_table(_os.path.join(d, f)) for f in files]
+        ).sort_by(sort_keys[sub])
+        tmp = _os.path.join(d, "part.parquet.tmp")
+        _pq.write_table(merged, tmp)
+        _os.replace(tmp, _os.path.join(d, "part.parquet"))
+        for f in files:
+            if f != "part.parquet":
+                _os.unlink(_os.path.join(d, f))
+        return [{"compacted": 1, "skipped": 0}]
+
+    out = ray.data.from_items(work).flat_map(compact_one).to_pandas()
+    return {
+        "compacted": int(out["compacted"].sum()),
+        "skipped": int(out["skipped"].sum()),
+    }
+
+
 def build_minhash_index(
     docs_ds,
     index_dir: str,

@@ -709,6 +709,17 @@ def update_ivf_index(new_embeddings_ds, index_dir: str, run_tag: str) -> dict:
     return meta
 
 
+def compact_ivf_index(index_dir: str) -> dict:
+    """Merge each IVF list's accumulated increment files back to one
+    sorted part.parquet (see dedup.compact_index_dir — same write-then-
+    swap per-bucket machinery, IVF's flat ``list={c}`` layout)."""
+    from grawler_ray.functions.dedup import compact_index_dir
+
+    return compact_index_dir(
+        index_dir, subdirs=("",), sort_keys={"": [("vec_id", "ascending")]}
+    )
+
+
 def ivf_probe_paths(index_dir: str, Q: np.ndarray, nprobe: int = 4) -> list[str]:
     """The `nprobe` nearest centroid partitions per query (union, existing
     dirs only) — exposed so tests can assert read volume ∝ probes."""

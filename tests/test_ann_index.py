@@ -204,3 +204,41 @@ def test_ivf_update_append_and_reachability(index_ds, tmp_path, ray_session):
         update_ivf_index(
             ray.data.from_items([{"vec_id": 1, "embedding": [1.0, 2.0]}]), d, "inc2"
         )
+
+
+def test_compact_ivf_index_preserves_answers(index_ds, tmp_path, ray_session):
+    import glob as _glob
+
+    import ray.data
+
+    from grawler_ray.functions.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        compact_ivf_index,
+        update_ivf_index,
+    )
+
+    ds, items, _ = index_ds
+    d = str(tmp_path / "ivf_c")
+    build_ivf_index(ds, d, k=16, iters=5, seed=3)
+    new = [{"vec_id": 9000 + i,
+            "embedding": (np.array(items[i]["embedding"]) + 0.001).tolist()}
+           for i in range(6)]
+    update_ivf_index(ray.data.from_items(new), d, "inc1")
+    qids = [0, 1, 2]
+    Q = np.array([items[q]["embedding"] for q in qids], dtype=np.float64)
+
+    def answers():
+        df = ann_ivf_topk(d, qids, Q, k=5, nprobe=4).to_pandas()
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    before = answers()
+    assert (before.vec_id >= 9000).any()  # appended vectors in play
+    multi = [p for p in _glob.glob(f"{d}/list=*")
+             if len(_glob.glob(p + "/*.parquet")) > 1]
+    assert multi
+    stats = compact_ivf_index(d)
+    assert stats["compacted"] == len(multi)
+    assert all(len(_glob.glob(p + "/*.parquet")) == 1
+               for p in _glob.glob(f"{d}/list=*"))
+    assert answers().equals(before)

@@ -718,3 +718,52 @@ def test_mirror_sources_planted(ray_session):
         ["a", "c", 1],
         ["b", "c", 1],
     ]
+
+
+def test_compact_index_dir_preserves_answers(docs_ds, tmp_path, ray_session):
+    """After two appends + compaction every bucket is single-file again
+    and probe answers are unchanged; a second compaction is a no-op."""
+    import glob as _glob
+
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        build_minhash_index,
+        compact_index_dir,
+        minhash_dedup_incremental,
+        update_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx_c")
+    build_minhash_index(docs_ds, idx)
+    update_minhash_index(
+        ray.data.from_items([{"doc_id": 500, "text": BASE + " river doc"}]),
+        idx, "d1",
+    )
+    update_minhash_index(
+        ray.data.from_items([{"doc_id": 501, "text": BASE + " river doc two"}]),
+        idx, "d2",
+    )
+    probes = ray.data.from_items(
+        [{"doc_id": 9000, "text": BASE + " river doc"},
+         {"doc_id": 9001, "text": BASE + " alpha beta gamma delta epsilon zeta"}]
+    )
+
+    def answers():
+        df = minhash_dedup_incremental(probes, idx, threshold=0.6).to_pandas()
+        return {(n, o): round(j, 12) for n, o, j in zip(df.new_id, df.old_id, df.jaccard)}
+
+    before = answers()
+    assert any(o == 500 for _, o in before)  # appended doc reachable
+    multi = [d for d in _glob.glob(f"{idx}/*/bucket=*")
+             if len(_glob.glob(d + "/*.parquet")) > 1]
+    assert multi  # appends actually created multi-file buckets
+    stats = compact_index_dir(idx)
+    assert stats["compacted"] == len(multi)
+    assert all(
+        len(_glob.glob(d + "/*.parquet")) == 1
+        for d in _glob.glob(f"{idx}/*/bucket=*")
+    )
+    assert answers() == before
+    again = compact_index_dir(idx)
+    assert again["compacted"] == 0 and again["skipped"] > 0
