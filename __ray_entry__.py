@@ -1805,6 +1805,45 @@ def _snapshot_diff(sf_dir: str):
     return snapshot_diff(docs, snap_b)
 
 
+def _change_rate(sf_dir: str):
+    """Recrawl change-frequency estimation (Cho & Garcia-Molina X/n),
+    fully SQL-checked: K=4 snapshots are derived from `documents`
+    deterministically in BOTH engines (cumulative ' r{k}' suffixes at
+    doc_id%3/%5/%7 from runs 1/2/3; doc_id%17 docs discovered late at
+    run 2), so the interval statistics compare exactly — change_ratio
+    is a single IEEE double division of the same ints on both sides."""
+    from grawler_ray.functions.dedup import change_rate
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_id, out_run, out_txt = [], [], []
+        for i, tx in zip(ids, texts):
+            tx = tx or ""
+            for run in range(4):
+                if i % 17 == 0 and run < 2:
+                    continue  # late discovery
+                s = tx
+                for k, m in ((1, 3), (2, 5), (3, 7)):
+                    if run >= k and i % m == 0:
+                        s += f" r{k}"
+                out_id.append(int(i))
+                out_run.append(run)
+                out_txt.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "run": pa.array(out_run, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    snaps = docs.map_batches(derive, batch_format="pyarrow")
+    return change_rate(snaps)
+
+
 def _dedup_keep_longest(sf_dir: str):
     """Keep-longest representative per near-dup component (the policy
     variant of dedup_clusters); SQL-checked via the same recursive-CTE
@@ -3222,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_longest": _dedup_keep_longest,
         "snapshot_diff": _snapshot_diff,
+        "change_rate": _change_rate,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4146,6 +4186,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
                         ELSE 'unchanged' END AS change
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        # derived K=4 snapshots mirror _change_rate.derive exactly; LAG
+        # per (doc_id, run) is the interval/change-count semantics
+        "change_rate": """
+            WITH snaps AS (
+                SELECT d.doc_id, r.run,
+                       coalesce(d.text, '')
+                       || CASE WHEN r.run >= 1 AND d.doc_id % 3 = 0
+                               THEN ' r1' ELSE '' END
+                       || CASE WHEN r.run >= 2 AND d.doc_id % 5 = 0
+                               THEN ' r2' ELSE '' END
+                       || CASE WHEN r.run >= 3 AND d.doc_id % 7 = 0
+                               THEN ' r3' ELSE '' END AS text
+                FROM documents d CROSS JOIN range(4) AS r(run)
+                WHERE NOT (d.doc_id % 17 = 0 AND r.run < 2)
+            ),
+            lagd AS (
+                SELECT doc_id, run, text,
+                       LAG(text) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS ptext,
+                       LAG(run) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS prun
+                FROM snaps
+            ),
+            per AS (
+                SELECT doc_id,
+                       count(prun)::BIGINT AS n_intervals,
+                       coalesce(sum(CASE WHEN prun IS NOT NULL
+                                              AND text <> ptext
+                                         THEN 1 ELSE 0 END), 0)::BIGINT
+                           AS n_changes,
+                       coalesce(max(CASE WHEN prun IS NOT NULL
+                                              AND text <> ptext
+                                         THEN run END),
+                                min(run))::BIGINT AS last_change_run,
+                       max(run)::BIGINT AS max_run
+                FROM lagd GROUP BY doc_id
+            )
+            SELECT doc_id, n_intervals, n_changes,
+                   CASE WHEN n_intervals = 0 THEN 0.0
+                        ELSE CAST(n_changes AS DOUBLE) / n_intervals
+                        END AS change_ratio,
+                   last_change_run,
+                   (max_run - last_change_run)::BIGINT AS stale_runs
+            FROM per
         """,
         "jsonl_ingest": """
             SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_json

@@ -2563,6 +2563,119 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id", payload_col: str = "text"
     return both.groupby("gk").map_groups(classify, batch_format="pyarrow")
 
 
+def change_rate(ds, key_col: str = "doc_id", payload_col: str = "text",
+                run_col: str = "run", num_groups: int = 256):
+    """Per-key change-frequency estimation across K crawl snapshots — the
+    freshness statistic a recrawl scheduler orders the frontier by (Cho &
+    Garcia-Molina, "Estimating Frequency of Change", ACM TOIT 2003: the
+    X/n change-ratio estimator over n observed intervals).  Reference
+    parity: Grawler recrawls blindly (src/crawler.go has no snapshot
+    memory); this is the operator that makes its continuous mode
+    bandwidth-proportional to what actually changes.
+
+    Input: a union of K snapshots, one row per (key, run, payload); a key
+    may be absent from early runs (late discovery).  Output per key:
+
+    - ``n_intervals``  adjacent observed-run pairs (0 if seen once)
+    - ``n_changes``    intervals whose payload differs
+    - ``change_ratio`` n_changes / n_intervals as float64 (0.0 when
+      n_intervals = 0) — the X/n estimator
+    - ``last_change_run``  run of the most recent observed change
+      (first-seen run when the key never changed)
+    - ``stale_runs``   max observed run − last_change_run: rounds since
+      the page last moved, the recrawl-priority axis
+
+    Shape (100-TB path): payloads collapse to xxhash64 digests in the map
+    stage — 8 B/row crosses the wire, text never does — then ONE coarse
+    key-hash shuffle (~num_groups vectorized groups, never per-key) and a
+    (key, run)-lexsort run-scan per group: segment boundaries from
+    np.diff, per-key change counts via cumsum differences, last-change
+    positions via searchsorted into the changed-pair index.  Change
+    detection is digest equality (xxhash64 collisions, p ~ 2^-64/pair,
+    are the standard trade for not shipping payloads).
+    """
+    from ..urlops import xxhash64_batch
+    from .joins import _key_hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        h = xxhash64_batch(
+            [x or "" for x in t.column(payload_col).to_pylist()]
+        ).view(np.int64)
+        gk = ((_key_hash64(keys) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(33)) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                key_col: t.column(key_col),
+                run_col: t.column(run_col),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, pa.int64()),
+            pa.field("n_intervals", pa.int64()),
+            pa.field("n_changes", pa.int64()),
+            pa.field("change_ratio", pa.float64()),
+            pa.field("last_change_run", pa.int64()),
+            pa.field("stale_runs", pa.int64()),
+        ]
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        runs = t.column(run_col).to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((runs, keys))
+        keys, runs, h = keys[order], runs[order], h[order]
+        n = len(keys)
+        is_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(is_start)
+        counts = np.diff(np.append(starts, n))
+        last = starts + counts - 1
+        # pair i joins rows (i, i+1); valid only inside a segment
+        same_key = keys[1:] == keys[:-1]
+        changed = same_key & (h[1:] != h[:-1])
+        cs = np.concatenate(([0], np.cumsum(changed)))
+        n_intervals = counts - 1
+        n_changes = cs[last] - cs[starts]
+        ratio = n_changes / np.maximum(n_intervals, 1)
+        # most recent changed pair per segment: searchsorted into the
+        # sorted changed-pair index (runs ascend within a segment, so the
+        # last changed pair carries the max run)
+        pos = np.flatnonzero(changed)
+        lo = np.searchsorted(pos, starts)
+        hi = np.searchsorted(pos, last)  # pairs strictly below `last`
+        has_change = hi > lo
+        if pos.size:
+            last_pair = np.where(has_change, pos[np.maximum(hi - 1, 0)], 0)
+        else:
+            last_pair = np.zeros(len(starts), np.int64)
+        last_change_run = np.where(
+            has_change, runs[np.minimum(last_pair + 1, n - 1)], runs[starts]
+        )
+        stale_runs = runs[last] - last_change_run
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.int64()),
+                "n_intervals": pa.array(n_intervals, pa.int64()),
+                "n_changes": pa.array(n_changes, pa.int64()),
+                "change_ratio": pa.array(ratio, pa.float64()),
+                "last_change_run": pa.array(
+                    np.asarray(last_change_run, np.int64), pa.int64()
+                ),
+                "stale_runs": pa.array(np.asarray(stale_runs, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("gk").map_groups(estimate, batch_format="pyarrow")
+
+
 def dup_ratio_by_source(docs_ds, num_groups: int = 256):
     """Per-source duplication report: for every ``source``, the doc count
     and how many of its docs are exact duplicates (md5 appearing more than

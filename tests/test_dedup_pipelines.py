@@ -567,6 +567,45 @@ def test_snapshot_diff_classification(ray_session):
     assert len(got) == 21
 
 
+def test_change_rate_matches_serial_oracle(ray_session):
+    """change_rate vs a per-key serial walk on a random snapshot history:
+    late discovery, observation gaps, single-observation keys (0
+    intervals), never-changed keys (empty changed-pair index), and keys
+    whose last change is mid-history (stale_runs > 0)."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import change_rate
+
+    rng = np.random.default_rng(7)
+    rows, truth = [], {}
+    for key in range(60):
+        runs = sorted(
+            rng.choice(10, size=int(rng.integers(1, 8)), replace=False).tolist()
+        )
+        texts, cur = [], f"base {key}"
+        for j, r in enumerate(runs):
+            if j > 0 and rng.random() < 0.4:
+                cur = cur + f" v{r}"
+            texts.append(cur)
+            rows.append({"doc_id": key, "run": int(r), "text": cur})
+        n_int = len(runs) - 1
+        changes = [(runs[j], texts[j] != texts[j - 1]) for j in range(1, len(runs))]
+        n_chg = sum(c for _, c in changes)
+        last = max((r for r, c in changes if c), default=runs[0])
+        truth[key] = (n_int, n_chg, n_chg / max(n_int, 1), last, runs[-1] - last)
+    rng.shuffle(rows)  # the op's lexsort must do the ordering work
+    ds = ray.data.from_items(rows).repartition(5)
+    df = change_rate(ds).to_pandas()
+    assert len(df) == 60
+    assert (df.n_intervals == 0).any() and (df.n_changes == 0).any()
+    assert (df.stale_runs > 0).any()
+    for rec in df.itertuples():
+        n_int, n_chg, ratio, last, stale = truth[rec.doc_id]
+        assert rec.n_intervals == n_int and rec.n_changes == n_chg, rec
+        assert rec.change_ratio == pytest.approx(ratio)
+        assert rec.last_change_run == last and rec.stale_runs == stale, rec
+
+
 def test_containment_catches_subset_jaccard_misses(ray_session):
     """A short doc fully contained in a long one: containment 1.0, Jaccard
     far below 0.5 — the containment operator must report it, the Jaccard
