@@ -1844,6 +1844,34 @@ def _change_rate(sf_dir: str):
     return change_rate(snaps)
 
 
+def _url_trap_score(sf_dir: str):
+    """Spider-trap detection via URL-template collapse, fully SQL-checked:
+    per-doc URLs are synthesized deterministically in BOTH engines (host
+    = doc_id%20, three path branches cycling on doc_id//20%3: a digit-
+    heavy /article/<id>/page/<k> generated space, /item<id>, and a static
+    /static/<k>/about), so per-host n_urls / n_templates / trap_score
+    compare exactly (one IEEE division of the same ints)."""
+    from grawler_ray.functions.urlstats import url_template_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids:
+            host = f"https://site{i % 20}.test"
+            b = (i // 20) % 3
+            if b == 0:
+                urls.append(f"{host}/article/{i}/page/{i % 7}")
+            elif b == 1:
+                urls.append(f"{host}/item{i}")
+            else:
+                urls.append(f"{host}/static/{i % 10}/about")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
+
+
 def _dedup_keep_longest(sf_dir: str):
     """Keep-longest representative per near-dup component (the policy
     variant of dedup_clusters); SQL-checked via the same recursive-CTE
@@ -3262,6 +3290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_longest": _dedup_keep_longest,
         "snapshot_diff": _snapshot_diff,
         "change_rate": _change_rate,
+        "url_trap_score": _url_trap_score,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4235,6 +4264,37 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest": """
             SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_json
             FROM documents
+        """,
+        # synthesized URLs mirror _url_trap_score.mk_urls exactly; both
+        # engines run RE2-compatible digit-run collapse on the path
+        "url_trap_score": """
+            WITH urls AS (
+                SELECT 'https://site' || (doc_id % 20) || '.test'
+                       || CASE (doc_id // 20) % 3
+                          WHEN 0 THEN '/article/' || doc_id || '/page/'
+                                      || (doc_id % 7)
+                          WHEN 1 THEN '/item' || doc_id
+                          ELSE '/static/' || (doc_id % 10) || '/about'
+                          END AS url
+                FROM documents
+            ),
+            ext AS (
+                SELECT regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+                       regexp_replace(
+                           regexp_replace(url,
+                               '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+                           '[0-9]+', 'N', 'g') AS tmpl
+                FROM urls
+            ),
+            per AS (
+                SELECT host, count(*)::BIGINT AS n_urls,
+                       count(DISTINCT tmpl)::BIGINT AS n_templates
+                FROM ext GROUP BY host
+            )
+            SELECT host, n_urls, n_templates,
+                   CAST(n_urls AS DOUBLE) / n_templates AS trap_score
+            FROM per
         """,
         # PII scrub: same RE2 patterns (both engines run RE2), same 3-stage
         # sequential order (emails -> phones on the email-redacted string ->

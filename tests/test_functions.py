@@ -646,3 +646,39 @@ def test_script_counts_vs_duckdb(ray_session):
             FROM '{sf}/documents.parquet' ORDER BY doc_id"""
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_url_template_stats_trap_detection(ray_session):
+    """A digit-generated URL space collapses to few templates (high trap
+    score); a hand-authored site does not.  Query strings and hosts with
+    ports stay part of the grouping; digitless paths are their own
+    template."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import url_template_stats
+
+    rows = (
+        # trap: 60 URLs, ONE template /cal/N/N?d=N
+        [{"url": f"https://trap.test/cal/{y}/{m}?d={m * y}"}
+         for y in range(2010, 2020) for m in range(1, 7)]
+        # diverse: 4 URLs, 4 templates (one digitless)
+        + [{"url": "https://ok.test/about"},
+           {"url": "https://ok.test/team/alice"},
+           {"url": "https://ok.test/post/12"},
+           {"url": "https://ok.test/archive/3/page/4"}]
+        # port kept in the host key
+        + [{"url": "https://ok.test:8080/about"}]
+    )
+    df = (
+        url_template_stats(ray.data.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index("host")
+    )
+    assert df.loc["trap.test"].n_urls == 60
+    assert df.loc["trap.test"].n_templates == 1
+    assert df.loc["trap.test"].trap_score == 60.0
+    assert df.loc["ok.test"].n_urls == 4
+    assert df.loc["ok.test"].n_templates == 4
+    assert df.loc["ok.test"].trap_score == 1.0
+    assert df.loc["ok.test:8080"].n_urls == 1
+    assert len(df) == 3
