@@ -1872,6 +1872,17 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _source_apportion(sf_dir: str):
+    """Largest-remainder (Hamilton) crawl-budget apportionment across
+    sources, fully SQL-checked: exact integer quotas (floor(B*w/W), +1
+    for the L largest (B*w) mod W remainders, ties by key asc) in BOTH
+    engines — no float ranking anywhere, sum(alloc) == budget."""
+    from grawler_ray.functions.urlstats import apportion_budget
+
+    docs = _read(sf_dir, "documents").select_columns(["source"])
+    return apportion_budget(docs, key_col="source", budget=1000)
+
+
 def _dedup_keep_longest(sf_dir: str):
     """Keep-longest representative per near-dup component (the policy
     variant of dedup_clusters); SQL-checked via the same recursive-CTE
@@ -3291,6 +3302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _snapshot_diff,
         "change_rate": _change_rate,
         "url_trap_score": _url_trap_score,
+        "source_apportion": _source_apportion,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4295,6 +4307,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, n_urls, n_templates,
                    CAST(n_urls AS DOUBLE) / n_templates AS trap_score
             FROM per
+        """,
+        # Hamilton apportionment in exact integers: floor(B*w/W) + 1 for
+        # the (B - sum(floor)) largest (B*w) % W remainders, ties key asc
+        "source_apportion": """
+            WITH w AS (
+                SELECT source, count(*)::BIGINT AS weight
+                FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+            q AS (
+                SELECT source, weight,
+                       ((1000 * weight) // W)::BIGINT AS base,
+                       ((1000 * weight) % W)::BIGINT AS rem
+                FROM w, tot
+            )
+            SELECT source, weight,
+                   (base + CASE WHEN row_number() OVER
+                                     (ORDER BY rem DESC, source ASC)
+                                <= 1000 - (SELECT sum(base) FROM q)
+                           THEN 1 ELSE 0 END)::BIGINT AS alloc
+            FROM q
         """,
         # PII scrub: same RE2 patterns (both engines run RE2), same 3-stage
         # sequential order (emails -> phones on the email-redacted string ->

@@ -97,3 +97,146 @@ def url_template_stats(ds, url_col: str = "url", num_groups: int = 64):
 
     tagged = ds.map_batches(partial, batch_format="pyarrow")
     return tagged.groupby("gk").map_groups(combine, batch_format="pyarrow")
+
+
+def apportion_budget(ds, key_col: str = "source", budget: int = 1000,
+                     num_groups: int = 64):
+    """Allocate an integer crawl/recrawl ``budget`` across keys (hosts,
+    sources) proportionally to their row counts, by the largest-remainder
+    (Hamilton) method: ``alloc_k = floor(B*w_k/W) + 1`` for the keys with
+    the ``B - sum(floor)`` largest remainders (ties broken by key asc).
+    The reference has no budget model (src/crawler.go crawls until
+    max_urls); this is the operator that turns a politeness-bounded
+    frontier into a *planned* one.  Exact integer arithmetic throughout:
+    remainders are ``(B*w) % W`` — no float ranking, so results are
+    deterministic and SQL-hash-exact.  Requires ``B * max(w) < 2^63``
+    (asserted); B and W up to ~10^9 x 10^9 need the int128 variant.
+
+    Output: (key, weight, alloc) with sum(alloc) == budget.
+
+    Shape (100-TB path): per-batch key counts pre-aggregate (wire carries
+    the batch's key vocabulary), ONE coarse key-hash shuffle builds the
+    per-key weight table (rows = keys, not corpus rows); two tiny
+    aggregates (W, sum of floors); then ONE distributed sort of the
+    weight table by (remainder desc, key) and a range-partitioned
+    prefix-count two-pass (block meta -> driver offsets ∝ blocks ->
+    re-scan attaching ranks) hands +1 to the first L rows — the same
+    pattern as events.global_running_sum, generalized to string keys.
+    """
+    import ray
+
+    from .joins import _key_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(key_col).to_pylist(), dtype="object").fillna("")
+        g = s.value_counts(sort=False)
+        keys = g.index.to_numpy()
+        gk = (
+            (_key_hash64(keys) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                key_col: pa.array(keys, pa.string()),
+                "w": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    w_schema = pa.schema([pa.field(key_col, pa.string()), pa.field("w", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return w_schema.empty_table()
+        g = (
+            t.select([key_col, "w"])
+            .to_pandas()
+            .groupby(key_col, sort=True)["w"]
+            .sum()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g.index.to_numpy(), pa.string()),
+                "w": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    weights = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(combine, batch_format="pyarrow")
+        .materialize()
+    )
+    W = int(weights.sum("w"))
+    B = int(budget)
+    assert W > 0, "apportion_budget: empty input"
+
+    def quotas(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w):
+            assert B <= (2**63 - 1) // max(int(w.max()), 1), (
+                "apportion_budget: B*w overflows int64; use a smaller budget "
+                "or pre-scale weights"
+            )
+        prod = B * w
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "w": t.column("w"),
+                "base": pa.array(prod // W, pa.int64()),
+                "rem": pa.array(prod % W, pa.int64()),
+            }
+        )
+
+    q = weights.map_batches(quotas, batch_format="pyarrow").materialize()
+    L = B - int(q.sum("base"))
+    ranked = q.sort(["rem", key_col], descending=[True, False]).materialize()
+
+    def block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "first_key": pa.array([], pa.string()),
+                    "first_rem": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_key": t.column(key_col).slice(0, 1),
+                "first_rem": t.column("rem").slice(0, 1),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    meta = (
+        ranked.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values(["first_rem", "first_key"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    offsets = np.concatenate(([0], meta["n"].to_numpy(np.int64).cumsum()[:-1]))
+    off_ref = ray.put({k: int(o) for k, o in zip(meta["first_key"], offsets)})
+
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, pa.string()),
+            pa.field("weight", pa.int64()),
+            pa.field("alloc", pa.int64()),
+        ]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        off = ray.get(off_ref)[t.column(key_col)[0].as_py()]
+        idx = off + np.arange(t.num_rows, dtype=np.int64)
+        base = t.column("base").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "weight": t.column("w"),
+                "alloc": pa.array(base + (idx < L), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(attach, batch_format="pyarrow", batch_size=None)

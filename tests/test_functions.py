@@ -682,3 +682,39 @@ def test_url_template_stats_trap_detection(ray_session):
     assert df.loc["ok.test"].trap_score == 1.0
     assert df.loc["ok.test:8080"].n_urls == 1
     assert len(df) == 3
+
+
+def test_apportion_budget_matches_serial_hamilton(ray_session):
+    """Largest-remainder apportionment vs a serial Hamilton walk on a
+    skewed random weight distribution: sum(alloc) == budget exactly,
+    every alloc within floor/ceil of its exact quota (quota property),
+    zero-remainder ties broken by key asc."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import apportion_budget
+
+    rng = np.random.default_rng(11)
+    counts = {f"s{i:02d}": int(c) for i, c in
+              enumerate(rng.zipf(1.7, 30).clip(1, 500))}
+    rows = [{"source": k} for k, c in counts.items() for _ in range(c)]
+    rng.shuffle(rows)
+    B = 97
+    df = (
+        apportion_budget(ray.data.from_items(rows).repartition(6),
+                         key_col="source", budget=B)
+        .to_pandas()
+        .set_index("source")
+    )
+    W = sum(counts.values())
+    # serial Hamilton
+    base = {k: B * c // W for k, c in counts.items()}
+    rem = {k: B * c % W for k, c in counts.items()}
+    order = sorted(counts, key=lambda k: (-rem[k], k))
+    L = B - sum(base.values())
+    expect = {k: base[k] + (1 if order.index(k) < L else 0) for k in counts}
+    assert df.alloc.sum() == B
+    for k, c in counts.items():
+        assert df.loc[k].weight == c
+        assert df.loc[k].alloc == expect[k], (k, df.loc[k].alloc, expect[k])
+        exact = B * c / W
+        assert np.floor(exact) <= df.loc[k].alloc <= np.ceil(exact)
