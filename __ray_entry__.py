@@ -1872,6 +1872,33 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _anchor_texts(sf_dir: str):
+    """Incoming anchor-text top-k per link target over the crawl corpus
+    (rows-only: the corpus lives outside the DuckDB views, like every
+    crawl-family query; semantics pinned by tests/test_functions.py's
+    hand-built fixture and the corpus-spec differential test)."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import anchor_topk
+
+    out = _ensure_crawl()
+    corpus = os.path.join(os.path.dirname(out), "corpus")
+    pages = ray.data.read_parquet(
+        corpus, columns=["url", "html", "content_type", "status_code"]
+    )
+
+    def admit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.equal(t.column("content_type"), "text/html"),
+            pc.less(t.column("status_code"), 400),
+        )
+        return t.filter(mask).select(["url", "html"])
+
+    return anchor_topk(pages.map_batches(admit, batch_format="pyarrow"), k=3)
+
+
 def _source_apportion(sf_dir: str):
     """Largest-remainder (Hamilton) crawl-budget apportionment across
     sources, fully SQL-checked: exact integer quotas (floor(B*w/W), +1
@@ -3303,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_rate": _change_rate,
         "url_trap_score": _url_trap_score,
         "source_apportion": _source_apportion,
+        "anchor_texts": _anchor_texts,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

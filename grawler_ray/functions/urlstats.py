@@ -240,3 +240,119 @@ def apportion_budget(ds, key_col: str = "source", budget: int = 1000,
         )
 
     return ranked.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def anchor_topk(pages_ds, k: int = 3, num_groups: int = 256,
+                url_col: str = "url", html_col: str = "html"):
+    """Incoming anchor-text aggregation: for every link TARGET, the top-k
+    anchor texts pointing at it with their reference counts — the classic
+    off-page relevance/label signal (Brin & Page, WWW 1998 §2.2 index
+    anchor text against the target).  The reference extracts hrefs only
+    (src/parsers/html.go:69-82); this adds what it never kept.
+
+    Input: pages (url, html bytes).  Hrefs resolve against the page's
+    scheme://host with the reference's childUrlAllowed semantics (same
+    drops: fragments, bare relatives pass-through, invalid escapes), so
+    targets line up with the crawl frontier's URL space.
+
+    Output: (url, anchor, n_refs, rank) — rank 1..k per target, ordered
+    by (n_refs desc, anchor asc); ties deterministic.
+
+    Shape (100-TB path): the map stage tokenizes each page ONCE (the
+    per-document scan is the irreducible cost) and pre-aggregates the
+    batch's (target, anchor) counts — the wire carries anchor vocabulary,
+    not per-link rows; ONE coarse target-hash shuffle; per-group pandas
+    combine (sum, sort, head-k) over ~num_groups vectorized buckets.
+    Anchor strings are capped at 256 chars to bound shuffle width on
+    adversarial pages.
+    """
+    from ..htmlparse import extract_anchors
+    from ..textops import to_valid_utf8
+    from ..urlops import (
+        UrlError,
+        child_url_allowed,
+        extract_url_components,
+        url_allowed,
+    )
+    from .joins import _key_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        bodies = t.column(html_col).to_pylist()
+        tgt, anc = [], []
+        for u, b in zip(urls, bodies):
+            if b is None:
+                continue
+            try:
+                scheme, host, _ = extract_url_components(u)
+            except UrlError:
+                continue
+            base = f"{scheme}://{host}"
+            for href, text in extract_anchors(to_valid_utf8(b)):
+                child = child_url_allowed(href, base)
+                if child is None:
+                    continue
+                # frontier admission parity: bare relatives / bad schemes
+                # die at urlAllowed in the crawl (M12 -> M2), so they are
+                # not link targets here either
+                try:
+                    c_scheme, _c_host, c_path = extract_url_components(child)
+                except UrlError:
+                    continue
+                if not url_allowed(c_scheme, _c_host, c_path):
+                    continue
+                tgt.append(child)
+                anc.append(text[:256])
+        g = (
+            pd.DataFrame({"target": tgt, "anchor": anc})
+            .groupby(["target", "anchor"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        gk = (
+            (_key_hash64(g["target"].to_numpy()) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                "target": pa.array(g["target"], pa.string()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("anchor", pa.string()),
+            pa.field("n_refs", pa.int64()),
+            pa.field("rank", pa.int64()),
+        ]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            t.select(["target", "anchor", "cnt"])
+            .to_pandas()
+            .groupby(["target", "anchor"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .sort_values(["target", "cnt", "anchor"],
+                         ascending=[True, False, True], kind="mergesort")
+        )
+        df["rank"] = df.groupby("target", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "url": pa.array(df["target"], pa.string()),
+                "anchor": pa.array(df["anchor"], pa.string()),
+                "n_refs": pa.array(df["cnt"].to_numpy(np.int64), pa.int64()),
+                "rank": pa.array(df["rank"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = pages_ds.map_batches(partial, batch_format="pyarrow")
+    return tagged.groupby("gk").map_groups(combine, batch_format="pyarrow")

@@ -260,6 +260,81 @@ def extract_html(content: str) -> tuple[str, list[str], dict[str, str]]:
     return " ".join(ex.text_parts), ex.hrefs, meta
 
 
+class _AnchorExtractor(HTMLParser):
+    """Anchor-text extraction: (href, link text) per ``<a href>``.
+
+    Separate from :class:`_Extractor` on purpose — the Go-parity text
+    extractor is pinned byte-identical by the crawl e2e golden and must
+    not grow behavior.  The reference never extracts anchor text
+    (src/parsers/html.go:69-82 takes hrefs only); this is the classic
+    web-scale addition — anchor text is the strongest off-page relevance
+    /label signal (Brin & Page, WWW 1998 §2.2 use it directly).
+
+    Semantics (documented, not WHATWG-complete): link text is every text
+    node between ``<a href>`` and its ``</a>`` — including nested inline
+    markup — whitespace-collapsed; script/style/svg/iframe/noscript
+    content is skipped; entities decode; a new ``<a>`` implies closing an
+    open one (browsers auto-close; nested <a> is invalid HTML); an
+    unclosed ``<a>`` at EOF still emits.  Anchors with no href attribute
+    (named anchors) are ignored.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+        self._skip_depth = 0
+
+    def _close_a(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, " ".join("".join(self._parts).split())))
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _TEXT_SKIP:
+            self._skip_depth += 1
+            return
+        if tag == "a":
+            self._close_a()
+            for k, v in attrs:
+                if k == "href":
+                    self._href = v if v is not None else ""
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _TEXT_SKIP:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a":
+            self._close_a()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":  # <a ... /> — void form carries no text
+            self._close_a()
+            for k, v in attrs:
+                if k == "href":
+                    self.anchors.append((v if v is not None else "", ""))
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and self._skip_depth == 0 and not self.cdata_elem:
+            self._parts.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._close_a()
+
+
+def extract_anchors(content: str) -> list[tuple[str, str]]:
+    """(href, collapsed link text) for every ``<a href>`` in document
+    order, duplicates kept (same href policy as ``extract_html``)."""
+    ex = _AnchorExtractor()
+    ex.feed(content)
+    ex.close()
+    return ex.anchors
+
+
 def _fill_meta(meta: dict[str, str], content_bytes: bytes, host: str, base_url: str) -> dict[str, str]:
     """utils.FillTextDocEmptyMetaData (src/utils/utils.go:123-141).
 

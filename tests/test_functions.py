@@ -718,3 +718,87 @@ def test_apportion_budget_matches_serial_hamilton(ray_session):
         assert df.loc[k].alloc == expect[k], (k, df.loc[k].alloc, expect[k])
         exact = B * c / W
         assert np.floor(exact) <= df.loc[k].alloc <= np.ceil(exact)
+
+
+def test_anchor_topk_hand_fixture(ray_session):
+    """Incoming anchor aggregation on hand-built pages: counts sum across
+    source pages, rank orders by (n_refs desc, anchor asc), childUrlAllowed
+    + urlAllowed admission drops fragments/bare relatives/robots.txt."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import anchor_topk
+
+    p1 = (b'<a href="/t">buy widgets</a><a href="/t">buy widgets</a>'
+          b'<a href="/t">cheap widgets</a><a href="#frag">skip</a>'
+          b'<a href="other.html">skip too</a><a href="/robots.txt">blocked</a>')
+    p2 = (b'<a href="https://b.test/t">buy widgets</a>'
+          b'<a href="/u">about us</a>')
+    ds = ray.data.from_items(
+        [{"url": "https://b.test/p1", "html": p1},
+         {"url": "https://b.test/p2", "html": p2}]
+    ).repartition(2)
+    df = anchor_topk(ds, k=2).to_pandas()
+    t = df[df.url == "https://b.test/t"].sort_values("rank")
+    assert list(zip(t.anchor, t.n_refs, t["rank"])) == [
+        ("buy widgets", 3, 1), ("cheap widgets", 1, 2)]
+    u = df[df.url == "https://b.test/u"]
+    assert list(zip(u.anchor, u.n_refs, u["rank"])) == [("about us", 1, 1)]
+    assert set(df.url) == {"https://b.test/t", "https://b.test/u"}
+
+
+def test_anchor_topk_matches_corpus_spec(ray_session):
+    """Differential test over the synthetic corpus: the distributed top-k
+    must equal a serial walk of the same pages through the same extraction
+    + admission, aggregated in plain Python."""
+    import collections
+
+    import ray.data
+
+    from grawler_ray.functions.urlstats import anchor_topk
+    from grawler_ray.htmlparse import extract_anchors
+    from grawler_ray.sources.corpus import generate_corpus
+    from grawler_ray.textops import to_valid_utf8
+    from grawler_ray.urlops import (
+        UrlError,
+        child_url_allowed,
+        extract_url_components,
+        url_allowed,
+    )
+
+    corpus = "/tmp/grawler_anchor_corpus"
+    generate_corpus(corpus, n_hosts=4, pages_per_host=8, seed=9, num_buckets=2)
+    pages = ray.data.read_parquet(corpus, columns=["url", "html", "content_type"])
+
+    tbl = pages.filter(lambda r: r["content_type"] == "text/html").materialize()
+    counts: collections.Counter = collections.Counter()
+    for row in tbl.take_all():
+        scheme, host, _ = extract_url_components(row["url"])
+        for href, text in extract_anchors(to_valid_utf8(row["html"])):
+            child = child_url_allowed(href, f"{scheme}://{host}")
+            if child is None:
+                continue
+            try:
+                cs, ch, cp = extract_url_components(child)
+            except UrlError:
+                continue
+            if url_allowed(cs, ch, cp):
+                counts[(child, text[:256])] += 1
+    expect = collections.defaultdict(list)
+    for (u, a), c in counts.items():
+        expect[u].append((a, c))
+    K = 3
+    want = {}
+    for u, pairs in expect.items():
+        pairs.sort(key=lambda p: (-p[1], p[0]))
+        for r, (a, c) in enumerate(pairs[:K], 1):
+            want[(u, a)] = (c, r)
+
+    df = anchor_topk(
+        pages.filter(lambda r: r["content_type"] == "text/html")
+             .map_batches(lambda t: t.select(["url", "html"]),
+                          batch_format="pyarrow"),
+        k=K,
+    ).to_pandas()
+    got = {(u, a): (int(n), int(r))
+           for u, a, n, r in zip(df.url, df.anchor, df.n_refs, df["rank"])}
+    assert got == want and len(got) > 20

@@ -243,3 +243,27 @@ class TestWhatwgTreeConstruction:
         # "x" both move before the table, arrival order kept: "x y a b"
         t, _, _ = extract_html("<table><tr>x<td>a</td>y<td>b</td></tr></table>")
         assert t == "x y a b"
+
+
+def test_extract_anchors_semantics():
+    """Anchor-text extraction corners: nested inline markup, implied close
+    on a new <a>, rawtext skip, entities, named anchors (no href), EOF
+    unclosed, whitespace collapse, svg subtree skip."""
+    from grawler_ray.htmlparse import extract_anchors
+
+    cases = [
+        ('<a href="/x">hello <b>world</b></a>', [("/x", "hello world")]),
+        ('<a href="/1">one<a href="/2">two</a>', [("/1", "one"), ("/2", "two")]),
+        ('<a href="/s"><script>var a=1;</script>text</a>', [("/s", "text")]),
+        ('<a href="/e">a &amp; b</a>', [("/e", "a & b")]),
+        ('<a name="top">skip</a><a href="/k">keep</a>', [("/k", "keep")]),
+        ('<a href="/u">unclosed at eof', [("/u", "unclosed at eof")]),
+        ('<a href="/w">  lots\n of   space </a>', [("/w", "lots of space")]),
+        ("<p>no links</p>", []),
+        ('<a href="/svg"><svg><text>icon</text></svg>go</a>', [("/svg", "go")]),
+        ('<a href="">empty href kept</a>', [("", "empty href kept")]),
+        ('<a href="/d">x</a><a href="/d">x</a>',
+         [("/d", "x"), ("/d", "x")]),  # duplicates kept, like extract_html
+    ]
+    for html, want in cases:
+        assert extract_anchors(html) == want, html
