@@ -1910,6 +1910,32 @@ def _source_apportion(sf_dir: str):
     return apportion_budget(docs, key_col="source", budget=1000)
 
 
+def _recrawl_schedule(sf_dir: str):
+    """The scheduling story end-to-end, fully SQL-checked: change_rate
+    over the K=4 derived snapshots -> per-host change mass (sum of
+    n_changes + 1, additive smoothing so static hosts keep a floor) ->
+    Hamilton apportionment of a 500-fetch recrawl budget.  Hosts are the
+    deterministic doc_id%20 synthesis shared with url_trap_score."""
+    from grawler_ray.functions.urlstats import apportion_budget
+
+    cr = _change_rate(sf_dir)
+
+    def to_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ch = t.column("n_changes").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{i % 20}.test" for i in ids], pa.string()
+                ),
+                "w": pa.array(ch + 1, pa.int64()),
+            }
+        )
+
+    hosts = cr.map_batches(to_host, batch_format="pyarrow")
+    return apportion_budget(hosts, key_col="host", budget=500, weight_col="w")
+
+
 def _dedup_keep_longest(sf_dir: str):
     """Keep-longest representative per near-dup component (the policy
     variant of dedup_clusters); SQL-checked via the same recursive-CTE
@@ -3331,6 +3357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_trap_score": _url_trap_score,
         "source_apportion": _source_apportion,
         "anchor_texts": _anchor_texts,
+        "recrawl_schedule": _recrawl_schedule,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4354,6 +4381,56 @@ def oracle_sql() -> dict[str, str]:
                    (base + CASE WHEN row_number() OVER
                                      (ORDER BY rem DESC, source ASC)
                                 <= 1000 - (SELECT sum(base) FROM q)
+                           THEN 1 ELSE 0 END)::BIGINT AS alloc
+            FROM q
+        """,
+        # change_rate's snapshot CTEs -> per-host change mass -> Hamilton
+        # apportionment of 500 fetches; mirrors _recrawl_schedule exactly
+        "recrawl_schedule": """
+            WITH snaps AS (
+                SELECT d.doc_id, r.run,
+                       coalesce(d.text, '')
+                       || CASE WHEN r.run >= 1 AND d.doc_id % 3 = 0
+                               THEN ' r1' ELSE '' END
+                       || CASE WHEN r.run >= 2 AND d.doc_id % 5 = 0
+                               THEN ' r2' ELSE '' END
+                       || CASE WHEN r.run >= 3 AND d.doc_id % 7 = 0
+                               THEN ' r3' ELSE '' END AS text
+                FROM documents d CROSS JOIN range(4) AS r(run)
+                WHERE NOT (d.doc_id % 17 = 0 AND r.run < 2)
+            ),
+            lagd AS (
+                SELECT doc_id, text,
+                       LAG(text) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS ptext,
+                       LAG(run) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS prun
+                FROM snaps
+            ),
+            per AS (
+                SELECT doc_id,
+                       coalesce(sum(CASE WHEN prun IS NOT NULL
+                                              AND text <> ptext
+                                         THEN 1 ELSE 0 END), 0)::BIGINT
+                           AS n_changes
+                FROM lagd GROUP BY doc_id
+            ),
+            w AS (
+                SELECT 'site' || (doc_id % 20) || '.test' AS host,
+                       sum(n_changes + 1)::BIGINT AS weight
+                FROM per GROUP BY 1
+            ),
+            tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+            q AS (
+                SELECT host, weight,
+                       ((500 * weight) // W)::BIGINT AS base,
+                       ((500 * weight) % W)::BIGINT AS rem
+                FROM w, tot
+            )
+            SELECT host, weight,
+                   (base + CASE WHEN row_number() OVER
+                                     (ORDER BY rem DESC, host ASC)
+                                <= 500 - (SELECT sum(base) FROM q)
                            THEN 1 ELSE 0 END)::BIGINT AS alloc
             FROM q
         """,

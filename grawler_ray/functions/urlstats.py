@@ -100,9 +100,10 @@ def url_template_stats(ds, url_col: str = "url", num_groups: int = 64):
 
 
 def apportion_budget(ds, key_col: str = "source", budget: int = 1000,
-                     num_groups: int = 64):
+                     num_groups: int = 64, weight_col: str | None = None):
     """Allocate an integer crawl/recrawl ``budget`` across keys (hosts,
-    sources) proportionally to their row counts, by the largest-remainder
+    sources) proportionally to their row counts (or, with ``weight_col``,
+    to the per-key sum of that integer column), by the largest-remainder
     (Hamilton) method: ``alloc_k = floor(B*w_k/W) + 1`` for the keys with
     the ``B - sum(floor)`` largest remainders (ties broken by key asc).
     The reference has no budget model (src/crawler.go crawls until
@@ -129,7 +130,16 @@ def apportion_budget(ds, key_col: str = "source", budget: int = 1000,
 
     def partial(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(key_col).to_pylist(), dtype="object").fillna("")
-        g = s.value_counts(sort=False)
+        if weight_col is None:
+            g = s.value_counts(sort=False)  # weight = row count per key
+        else:
+            g = (
+                pd.Series(
+                    t.column(weight_col).to_numpy(zero_copy_only=False), name="w"
+                )
+                .groupby(s, sort=False)
+                .sum()
+            )
         keys = g.index.to_numpy()
         gk = (
             (_key_hash64(keys) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)

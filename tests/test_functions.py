@@ -802,3 +802,21 @@ def test_anchor_topk_matches_corpus_spec(ray_session):
     got = {(u, a): (int(n), int(r))
            for u, a, n, r in zip(df.url, df.anchor, df.n_refs, df["rank"])}
     assert got == want and len(got) > 20
+
+
+def test_apportion_budget_weight_col(ray_session):
+    """weight_col sums the column per key instead of counting rows."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import apportion_budget
+
+    rows = [{"host": "a", "w": 9}, {"host": "a", "w": 1},
+            {"host": "b", "w": 10}, {"host": "c", "w": 80}]
+    df = (
+        apportion_budget(ray.data.from_items(rows).repartition(2),
+                         key_col="host", budget=10, weight_col="w")
+        .to_pandas().set_index("host")
+    )
+    assert df.loc["a"].weight == 10 and df.loc["a"].alloc == 1
+    assert df.loc["b"].alloc == 1 and df.loc["c"].alloc == 8
+    assert df.alloc.sum() == 10
