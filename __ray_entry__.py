@@ -1872,6 +1872,17 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _cdc_chunks(sf_dir: str):
+    """Content-defined (Gear CDC) chunk table over documents (rows-only:
+    the rolling-hash boundary rule is not SQL-expressible; semantics are
+    pinned by the per-byte serial oracle and the insertion-
+    resynchronization test in tests/test_dedup_pipelines.py)."""
+    from grawler_ray.functions.dedup import cdc_chunks
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return cdc_chunks(docs)
+
+
 def _anchor_texts(sf_dir: str):
     """Incoming anchor-text top-k per link target over the crawl corpus
     (rows-only: the corpus lives outside the DuckDB views, like every
@@ -3358,6 +3369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_apportion": _source_apportion,
         "anchor_texts": _anchor_texts,
         "recrawl_schedule": _recrawl_schedule,
+        "cdc_chunks": _cdc_chunks,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

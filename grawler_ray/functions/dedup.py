@@ -2838,3 +2838,122 @@ def mirror_sources(
         )
 
     return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+# --- content-defined chunking (Gear CDC) ------------------------------------
+
+# deterministic 256-entry gear table (seeded PRNG; pinned by tests — the
+# chunking is only stable across runs/machines if this never changes)
+_GEAR_TABLE = np.random.default_rng(0x67656172).integers(
+    0, 2**64, size=256, dtype=np.uint64
+)
+# boundary mask sits above bit 16 so the judged bits depend on a ~(16 +
+# log2(avg))-byte trailing window, not just the last few bytes (the
+# classic low-bit Gear weakness FastCDC §3.2 points out; Xia et al.,
+# USENIX ATC 2016).  _cdc_boundaries documents the exact variant we pin.
+_CDC_SHIFT = 16
+
+
+def _cdc_boundaries(data: bytes, min_size: int, avg_size: int,
+                    max_size: int) -> np.ndarray:
+    """Cut offsets (excluding 0, including len) for Gear content-defined
+    chunking: h_i = sum_{k>=0} gear[b_{i-k}] << k (the closed form of
+    h = (h << 1) + gear[b]); cut after byte i when
+    ``(h_i >> _CDC_SHIFT) & (avg_size - 1) == 0``, subject to min_size
+    (candidates closer than min_size to the last cut are skipped) and
+    max_size (a forced cut).  Boundaries depend only on a trailing byte
+    window, so an insertion resynchronizes within ~one chunk — the
+    property fixed-size chunking lacks and the reason CDC is the
+    storage-dedup standard (LBFS, Muthitacharoen et al., SOSP 2001).
+
+    Vectorized: the judged bits need only k < _CDC_SHIFT + log2(avg)
+    terms (higher shifts land above the mask), so the hash is that many
+    shifted adds over the whole array; the min/max walk then visits only
+    the sparse candidate list (~n/avg entries).
+    """
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    assert avg_size & (avg_size - 1) == 0, "avg_size must be a power of two"
+    assert 0 < min_size <= avg_size <= max_size
+    b = np.frombuffer(data, np.uint8)
+    g = _GEAR_TABLE[b]
+    nk = _CDC_SHIFT + int(avg_size).bit_length()  # terms affecting judged bits
+    h = g.copy()
+    for k in range(1, min(nk, n)):
+        h[k:] += g[:-k] << np.uint64(k)
+    mask = np.uint64((avg_size - 1) << _CDC_SHIFT)
+    cand = np.flatnonzero((h & mask) == 0) + 1  # cut AFTER byte i
+    cuts = []
+    last = 0
+    for p in cand.tolist():
+        while p - last > max_size:
+            last += max_size
+            cuts.append(last)
+        if p - last < min_size:
+            continue
+        cuts.append(p)
+        last = p
+    while n - last > max_size:
+        last += max_size
+        cuts.append(last)
+    if last < n:
+        cuts.append(n)
+    return np.asarray(cuts, np.int64)
+
+
+def cdc_chunks(docs_ds, min_size: int = 64, avg_size: int = 256,
+               max_size: int = 1024, payload_col: str = "text"):
+    """Per-document content-defined chunk table: (doc_id, chunk_idx,
+    offset, length, chunk_hash) over the UTF-8 bytes of ``payload_col``.
+    chunk_hash is xxhash64 of the chunk bytes (int64 view) — equal hashes
+    across documents are the storage-level duplicate units a byte-range
+    dedup (or delta-encoding tier) works from; near-identical documents
+    share most chunks even when edits shift offsets, because boundaries
+    are content-defined (see _cdc_boundaries).
+
+    Shape (100-TB path): pure per-document map — NO shuffle; the chunk
+    table is the input to whatever aggregate follows (e.g. a coarse
+    chunk-hash groupby for a dedup ratio, same discipline as exact_dedup).
+    """
+    from ..urlops import xxhash64_batch
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("chunk_idx", pa.int64()),
+            pa.field("offset", pa.int64()),
+            pa.field("length", pa.int64()),
+            pa.field("chunk_hash", pa.int64()),
+        ]
+    )
+
+    def chunk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column(payload_col).to_pylist()
+        out_id, out_idx, out_off, out_len, blobs = [], [], [], [], []
+        for i, tx in zip(ids, texts):
+            data = (tx or "").encode("utf-8")
+            cuts = _cdc_boundaries(data, min_size, avg_size, max_size)
+            prev = 0
+            for j, c in enumerate(cuts.tolist()):
+                out_id.append(int(i))
+                out_idx.append(j)
+                out_off.append(prev)
+                out_len.append(c - prev)
+                blobs.append(data[prev:c])
+                prev = c
+        hashes = xxhash64_batch(blobs).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "offset": pa.array(out_off, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(chunk, batch_format="pyarrow")

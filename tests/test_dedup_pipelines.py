@@ -806,3 +806,82 @@ def test_compact_index_dir_preserves_answers(docs_ds, tmp_path, ray_session):
     assert answers() == before
     again = compact_index_dir(idx)
     assert again["compacted"] == 0 and again["skipped"] > 0
+
+
+def _serial_cdc(data: bytes, mn: int, av: int, mx: int) -> list:
+    """Per-byte reference implementation of the pinned Gear-CDC spec:
+    h = (h<<1) + gear[b] (never reset at cuts), judge bits
+    (h >> 16) & (av-1), min-skip, lazy forced max cuts, tail cut."""
+    from grawler_ray.functions.dedup import _GEAR_TABLE
+
+    G = [int(x) for x in _GEAR_TABLE]
+    M64 = (1 << 64) - 1
+    mask = (av - 1) << 16
+    h, last, cuts, n = 0, 0, [], len(data)
+    for i, bt in enumerate(data):
+        h = ((h << 1) + G[bt]) & M64
+        if (h & mask) == 0:
+            p = i + 1
+            while p - last > mx:
+                last += mx
+                cuts.append(last)
+            if p - last >= mn:
+                cuts.append(p)
+                last = p
+    while n - last > mx:
+        last += mx
+        cuts.append(last)
+    if last < n:
+        cuts.append(n)
+    return cuts
+
+
+def test_cdc_boundaries_match_serial_oracle():
+    import numpy as np
+
+    from grawler_ray.functions.dedup import _cdc_boundaries
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n = int(rng.integers(1, 20000))
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        got = _cdc_boundaries(data, 64, 256, 1024).tolist()
+        assert got == _serial_cdc(data, 64, 256, 1024), trial
+    assert _cdc_boundaries(b"", 64, 256, 1024).tolist() == []
+    assert _cdc_boundaries(b"x", 64, 256, 1024).tolist() == [1]
+    # all-same-byte input: no judged zeros is fine, max cuts must kick in
+    flat = _cdc_boundaries(b"a" * 5000, 64, 256, 1024).tolist()
+    assert flat == _serial_cdc(b"a" * 5000, 64, 256, 1024)
+
+
+def test_cdc_chunks_resynchronize_after_insertion(ray_session):
+    """THE content-defined property: inserting bytes near the front shifts
+    only the first chunk(s); the chunk-hash suffix sequence re-aligns —
+    fixed-size chunking would shift every chunk."""
+    import numpy as np
+    import ray.data
+
+    from grawler_ray.functions.dedup import cdc_chunks
+
+    rng = np.random.default_rng(23)
+    base = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 8000))
+    edited = base[:10] + "INSERTED" + base[10:]
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": base}, {"doc_id": 2, "text": edited}]
+    )
+    df = cdc_chunks(ds).to_pandas()
+    h1 = df[df.doc_id == 1].sort_values("chunk_idx").chunk_hash.tolist()
+    h2 = df[df.doc_id == 2].sort_values("chunk_idx").chunk_hash.tolist()
+    assert len(h1) > 8
+    # suffix re-alignment: all but the first few chunks shared
+    k = 0
+    while k < min(len(h1), len(h2)) and h1[-1 - k] == h2[-1 - k]:
+        k += 1
+    assert k >= len(h1) - 3, (len(h1), len(h2), k)
+    # invariants: contiguous offsets, length bounds, utf-8 byte conservation
+    for did, txt in ((1, base), (2, edited)):
+        d = df[df.doc_id == did].sort_values("chunk_idx")
+        assert (d.offset.to_numpy() ==
+                np.concatenate(([0], d.length.cumsum().to_numpy()[:-1]))).all()
+        assert d.length.sum() == len(txt.encode())
+        assert (d.length <= 1024).all() and (d.length >= 1).all()
