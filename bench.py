@@ -155,6 +155,8 @@ def run_subqueries() -> dict[str, float]:
         "concurrent_users", "span_overlap_counts", "robots_eval",
         "pdf_ingest", "token_budget_cap", "minhash_index_update",
         "ann_ivf_update_topk",
+        "change_rate", "url_trap_score", "source_apportion",
+        "recrawl_schedule", "cdc_chunks",
     ]
     import ray.data
 
