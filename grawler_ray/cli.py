@@ -10,7 +10,9 @@ Subcommands:
     gen-corpus   write the deterministic bucketed page corpus
     crawl        run the frontier crawl (resumable with --resume)
     prep         crawl output / parquet docs -> quality -> dedup -> splits
+    export       parquet -> JSONL/CSV shard hand-off
     compact      merge + last-wins-compact several crawl runs
+    plan         recrawl plan (per-URL change rates + per-host budget)
     report       print a finished crawl's manifest metrics as JSON
 
 Ray-session ownership: inside a `ray job submit` entrypoint (or any
@@ -181,6 +183,75 @@ def _cmd_export(a: argparse.Namespace) -> dict:
     return {"out": a.out, "format": a.format, "shards": len(shards)}
 
 
+def _cmd_plan(a: argparse.Namespace) -> dict:
+    """Recrawl planning over a RUN SEQUENCE: per-URL change statistics
+    (Cho & Garcia-Molina X/n over the runs' document payloads) and a
+    per-host Hamilton apportionment of --budget fetches, weighted by
+    each host's change mass (+1 smoothing).  Writes out/urls (url,
+    n_intervals, n_changes, change_ratio, last_change_run, stale_runs)
+    and out/hosts (host, weight, alloc) as parquet."""
+    import pyarrow as pa
+
+    from grawler_ray.functions.dedup import change_rate
+    from grawler_ray.functions.urlstats import apportion_budget
+    from grawler_ray.pipelines.crawl import read_documents
+    from grawler_ray.urlops import UrlError, extract_url_components
+
+    snaps = None
+    for run_idx, run_dir in enumerate(a.runs):
+
+        def tag_run(t: pa.Table, _r=run_idx) -> pa.Table:
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "run": pa.array([_r] * t.num_rows, pa.int64()),
+                    "content": t.column("content"),
+                }
+            )
+
+        part = read_documents(run_dir).map_batches(tag_run, batch_format="pyarrow")
+        snaps = part if snaps is None else snaps.union(part)
+
+    cr = change_rate(
+        snaps, key_col="url", payload_col="content", run_col="run"
+    ).materialize()
+    cr.write_parquet(os.path.join(a.out, "urls"))
+
+    def to_host(t: pa.Table) -> pa.Table:
+        hosts, w = [], []
+        ch = t.column("n_changes").to_numpy(zero_copy_only=False)
+        for u, c in zip(t.column("url").to_pylist(), ch):
+            try:
+                _s, host, _p = extract_url_components(u)
+            except UrlError:
+                host = ""
+            hosts.append(host)
+            w.append(int(c) + 1)
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "w": pa.array(w, pa.int64())}
+        )
+
+    hosts = apportion_budget(
+        cr.map_batches(to_host, batch_format="pyarrow"),
+        key_col="host",
+        budget=a.budget,
+        weight_col="w",
+    ).materialize()
+    hosts.write_parquet(os.path.join(a.out, "hosts"))
+    hp = hosts.to_pandas()
+    return {
+        "out": a.out,
+        "runs": len(a.runs),
+        "urls": cr.count(),
+        "hosts": len(hp),
+        "budget": a.budget,
+        "allocated": int(hp["alloc"].sum()),
+        "top_hosts": hp.sort_values(
+            ["alloc", "host"], ascending=[False, True]
+        ).head(5).to_dict(orient="records"),
+    }
+
+
 def _cmd_compact(a: argparse.Namespace) -> dict:
     from grawler_ray.pipelines.crawl import compact_runs
 
@@ -258,6 +329,13 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--dest", required=True)
     k.add_argument("--buckets", type=int, default=64)
     k.set_defaults(fn=_cmd_compact, needs_ray=True)
+
+    n = sub.add_parser("plan", help="recrawl plan from a crawl run sequence")
+    n.add_argument("--runs", nargs="+", required=True,
+                   help="crawl out_dirs in snapshot order (oldest first)")
+    n.add_argument("--out", required=True)
+    n.add_argument("--budget", type=int, default=10_000)
+    n.set_defaults(fn=_cmd_plan, needs_ray=True)
 
     t = sub.add_parser("report", help="print a crawl's manifest metrics")
     t.add_argument("--out", required=True)

@@ -2613,9 +2613,22 @@ def change_rate(ds, key_col: str = "doc_id", payload_col: str = "text",
             }
         )
 
+    # int64 AND string keys both work (np.lexsort compares object arrays);
+    # resolve the output key type like snapshot_diff does for pandas blocks
+    def _to_pa(typ):
+        if isinstance(typ, pa.DataType):
+            return typ
+        typ = np.dtype(typ)
+        return pa.string() if typ == np.dtype("O") else pa.from_numpy_dtype(typ)
+
+    key_type = pa.int64()
+    sch = ds.schema()
+    for nm, typ in zip(sch.names, sch.types):
+        if nm == key_col:
+            key_type = _to_pa(typ)
     out_schema = pa.schema(
         [
-            pa.field(key_col, pa.int64()),
+            pa.field(key_col, key_type),
             pa.field("n_intervals", pa.int64()),
             pa.field("n_changes", pa.int64()),
             pa.field("change_ratio", pa.float64()),
@@ -2661,7 +2674,7 @@ def change_rate(ds, key_col: str = "doc_id", payload_col: str = "text",
         stale_runs = runs[last] - last_change_run
         return pa.table(
             {
-                key_col: pa.array(keys[starts], pa.int64()),
+                key_col: pa.array(keys[starts]).cast(key_type),
                 "n_intervals": pa.array(n_intervals, pa.int64()),
                 "n_changes": pa.array(n_changes, pa.int64()),
                 "change_ratio": pa.array(ratio, pa.float64()),

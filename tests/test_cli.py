@@ -130,3 +130,36 @@ def test_cli_export_jsonl_and_csv(tmp_path, capsys, ray_session):
     pd.testing.assert_frame_equal(
         back, t.select(["doc_id", "score"]).to_pandas(), check_dtype=False
     )
+
+
+def test_cli_plan_recrawl(corpus, tmp_path, capsys, ray_session):
+    """Two crawl runs over the SAME corpus (identical payloads) -> every
+    URL has n_changes == 0, per-host budget still apportions to the full
+    amount; output parquet layout written."""
+    import pyarrow.parquet as pq
+
+    r1 = str(tmp_path / "run1")
+    r2 = str(tmp_path / "run2")
+    for out_dir in (r1, r2):
+        _run(
+            capsys,
+            [
+                "crawl", "--corpus", corpus, "--out", out_dir,
+                "--auto-seeds", "2", "--fetch-buckets", "8",
+                "--max-rounds", "3", "--seen-shards", "2",
+            ],
+        )
+    plan_out = str(tmp_path / "plan")
+    plan = _run(
+        capsys,
+        ["plan", "--runs", r1, r2, "--out", plan_out, "--budget", "100"],
+    )
+    assert plan["allocated"] == 100 and plan["urls"] > 0 and plan["hosts"] >= 1
+    urls = pq.read_table(os.path.join(plan_out, "urls")).to_pandas()
+    assert (urls.n_changes == 0).all() and (urls.n_intervals == 1).all()
+    assert (urls.change_ratio == 0.0).all()
+    hosts = pq.read_table(os.path.join(plan_out, "hosts")).to_pandas()
+    assert hosts.alloc.sum() == 100
+    # identical-run weights: every host's weight == its url count
+    assert (hosts.weight == urls.url.str.split("/").str[2].value_counts()
+            .reindex(hosts.host).to_numpy()).all()
