@@ -1872,6 +1872,46 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _recrawl_urls(sf_dir: str):
+    """The last scheduling step, fully SQL-checked: per-host VARIABLE-k
+    top-k — each host keeps its Hamilton-allocated count of most-stale
+    URLs (stale_runs desc, change_ratio desc, doc_id asc).  Budget 120
+    over 20 hosts so real selection happens (25 URLs/host at sf0.01)."""
+    from grawler_ray.functions.urlstats import (
+        apportion_budget,
+        top_per_group_alloc,
+    )
+
+    cr = _change_rate(sf_dir)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "host", pa.array([f"site{i % 20}.test" for i in ids], pa.string())
+        )
+
+    stats = cr.map_batches(add_host, batch_format="pyarrow").materialize()
+
+    def to_w(t: pa.Table) -> pa.Table:
+        ch = t.column("n_changes").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"host": t.column("host"), "w": pa.array(ch + 1, pa.int64())}
+        )
+
+    hosts = apportion_budget(
+        stats.map_batches(to_w, batch_format="pyarrow"),
+        key_col="host", budget=120, weight_col="w",
+    ).to_pandas()
+    picked = top_per_group_alloc(
+        stats,
+        dict(zip(hosts.host, hosts.alloc.astype(int))),
+        key_col="host",
+        order_cols=("stale_runs", "change_ratio"),
+        tie_col="doc_id",
+    )
+    return picked.select_columns(["doc_id", "host", "stale_runs", "rnk"])
+
+
 def _cdc_chunks(sf_dir: str):
     """Content-defined (Gear CDC) chunk table over documents (rows-only:
     the rolling-hash boundary rule is not SQL-expressible; semantics are
@@ -3370,6 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": _anchor_texts,
         "recrawl_schedule": _recrawl_schedule,
         "cdc_chunks": _cdc_chunks,
+        "recrawl_urls": _recrawl_urls,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4395,6 +4436,81 @@ def oracle_sql() -> dict[str, str]:
                                 <= 1000 - (SELECT sum(base) FROM q)
                            THEN 1 ELSE 0 END)::BIGINT AS alloc
             FROM q
+        """,
+        # change_rate stats -> Hamilton alloc (budget 120) -> per-host
+        # variable-k row_number selection; mirrors _recrawl_urls exactly
+        "recrawl_urls": """
+            WITH snaps AS (
+                SELECT d.doc_id, r.run,
+                       coalesce(d.text, '')
+                       || CASE WHEN r.run >= 1 AND d.doc_id % 3 = 0
+                               THEN ' r1' ELSE '' END
+                       || CASE WHEN r.run >= 2 AND d.doc_id % 5 = 0
+                               THEN ' r2' ELSE '' END
+                       || CASE WHEN r.run >= 3 AND d.doc_id % 7 = 0
+                               THEN ' r3' ELSE '' END AS text
+                FROM documents d CROSS JOIN range(4) AS r(run)
+                WHERE NOT (d.doc_id % 17 = 0 AND r.run < 2)
+            ),
+            lagd AS (
+                SELECT doc_id, run, text,
+                       LAG(text) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS ptext,
+                       LAG(run) OVER (PARTITION BY doc_id ORDER BY run)
+                           AS prun
+                FROM snaps
+            ),
+            per AS (
+                SELECT doc_id,
+                       count(prun)::BIGINT AS n_intervals,
+                       coalesce(sum(CASE WHEN prun IS NOT NULL
+                                              AND text <> ptext
+                                         THEN 1 ELSE 0 END), 0)::BIGINT
+                           AS n_changes,
+                       coalesce(max(CASE WHEN prun IS NOT NULL
+                                              AND text <> ptext
+                                         THEN run END),
+                                min(run))::BIGINT AS last_change_run,
+                       max(run)::BIGINT AS max_run
+                FROM lagd GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 20) || '.test' AS host,
+                       n_changes,
+                       CASE WHEN n_intervals = 0 THEN 0.0
+                            ELSE CAST(n_changes AS DOUBLE) / n_intervals
+                            END AS change_ratio,
+                       (max_run - last_change_run)::BIGINT AS stale_runs
+                FROM per
+            ),
+            w AS (
+                SELECT host, sum(n_changes + 1)::BIGINT AS weight
+                FROM stats GROUP BY host
+            ),
+            tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+            q AS (
+                SELECT host, ((120 * weight) // W)::BIGINT AS base,
+                       ((120 * weight) % W)::BIGINT AS rem
+                FROM w, tot
+            ),
+            a AS (
+                SELECT host,
+                       base + CASE WHEN row_number() OVER
+                                        (ORDER BY rem DESC, host ASC)
+                                   <= 120 - (SELECT sum(base) FROM q)
+                              THEN 1 ELSE 0 END AS alloc
+                FROM q
+            ),
+            r AS (
+                SELECT s.doc_id, s.host, s.stale_runs, a.alloc,
+                       row_number() OVER (PARTITION BY s.host
+                           ORDER BY s.stale_runs DESC, s.change_ratio DESC,
+                                    s.doc_id ASC)::BIGINT AS rnk
+                FROM stats s JOIN a USING (host)
+            )
+            SELECT doc_id, host, stale_runs, rnk
+            FROM r WHERE rnk <= alloc
         """,
         # change_rate's snapshot CTEs -> per-host change mass -> Hamilton
         # apportionment of 500 fetches; mirrors _recrawl_schedule exactly

@@ -252,6 +252,69 @@ def apportion_budget(ds, key_col: str = "source", budget: int = 1000,
     return ranked.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+def top_per_group_alloc(ds, alloc: dict, key_col: str = "host",
+                        order_cols: tuple = ("stale_runs", "change_ratio"),
+                        tie_col: str = "doc_id", num_groups: int = 64,
+                        driver_max_keys: int = 5_000_000):
+    """VARIABLE-k top-k per group: every key keeps its own ``alloc[key]``
+    best rows, ordered by ``order_cols`` DESC then ``tie_col`` ASC — the
+    step that turns a per-host fetch budget into the concrete URL list
+    (each host recrawls its alloc most-stale pages).  Ordinary top-k ops
+    can't express per-group k; SQL needs a row_number + allocation join.
+
+    ``alloc`` is the per-key budget mapping (the apportion_budget output
+    — rows = keys, small next to the corpus); it is ray.put-broadcast
+    once, guarded at ``driver_max_keys`` (beyond that, the named
+    alternative is a repartition join of the allocation table onto the
+    coarse groups — same machinery as joins.repartition_join).  Keys
+    missing from ``alloc`` keep 0 rows.
+
+    Shape: ONE coarse key-hash shuffle, per-group vectorized lexsort +
+    cumcount-vs-budget mask; output adds ``rnk`` (1-based within key).
+    """
+    import ray
+
+    from .joins import _key_hash64
+
+    if len(alloc) > driver_max_keys:
+        raise ValueError(
+            f"top_per_group_alloc: {len(alloc)} allocation keys exceed "
+            f"driver_max_keys={driver_max_keys}; repartition-join the "
+            "allocation table onto the coarse groups instead "
+            "(joins.repartition_join machinery)"
+        )
+    alloc_ref = ray.put(dict(alloc))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        gk = (
+            (_key_hash64(keys) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % np.uint64(num_groups)
+        return t.append_column("gk", pa.array(gk.astype(np.int32), pa.int32()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        base = t.drop_columns(["gk"])
+        sch = base.schema.append(pa.field("rnk", pa.int64()))
+        if t.num_rows == 0:
+            return sch.empty_table()
+        import ray as _ray
+
+        am = _ray.get(alloc_ref)
+        df = base.to_pandas()
+        df = df.sort_values(
+            [key_col, *order_cols, tie_col],
+            ascending=[True] + [False] * len(order_cols) + [True],
+            kind="mergesort",
+        )
+        df["rnk"] = df.groupby(key_col, sort=False).cumcount() + 1
+        budget = df[key_col].map(lambda k: am.get(k, 0)).to_numpy()
+        df = df[df["rnk"].to_numpy() <= budget]
+        return pa.Table.from_pandas(df, preserve_index=False).cast(sch)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("gk").map_groups(pick, batch_format="pyarrow")
+
+
 def anchor_topk(pages_ds, k: int = 3, num_groups: int = 256,
                 url_col: str = "url", html_col: str = "html"):
     """Incoming anchor-text aggregation: for every link TARGET, the top-k

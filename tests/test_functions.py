@@ -820,3 +820,28 @@ def test_apportion_budget_weight_col(ray_session):
     assert df.loc["a"].weight == 10 and df.loc["a"].alloc == 1
     assert df.loc["b"].alloc == 1 and df.loc["c"].alloc == 8
     assert df.alloc.sum() == 10
+
+
+def test_top_per_group_alloc(ray_session):
+    """Variable-k per group: each key keeps alloc[key] rows ordered by
+    (order desc, tie asc); missing keys keep none; over-budget keys keep
+    everything; the driver guard raises with the named alternative."""
+    import pytest as _pytest
+    import ray.data
+
+    from grawler_ray.functions.urlstats import top_per_group_alloc
+
+    rows = [{"host": h, "doc_id": i, "stale_runs": i % 5, "change_ratio": 0.0}
+            for i, h in enumerate(["a"] * 6 + ["b"] * 4 + ["c"] * 2)]
+    ds = ray.data.from_items(rows).repartition(3)
+    df = top_per_group_alloc(
+        ds, {"a": 2, "b": 10, "x": 3}, key_col="host",
+        order_cols=("stale_runs", "change_ratio"), tie_col="doc_id",
+    ).to_pandas()
+    a = df[df.host == "a"].sort_values("rnk")
+    # host a: stale_runs of docs 0..5 are [0,1,2,3,4,0] -> top2 = docs 4,3
+    assert a.doc_id.tolist() == [4, 3] and a.rnk.tolist() == [1, 2]
+    assert len(df[df.host == "b"]) == 4      # budget 10 > group size 4
+    assert len(df[df.host == "c"]) == 0      # no allocation -> no rows
+    with _pytest.raises(ValueError, match="repartition-join"):
+        top_per_group_alloc(ds, {"a": 1}, driver_max_keys=0)
