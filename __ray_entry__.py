@@ -1781,28 +1781,30 @@ def _snapshot_diff(sf_dir: str):
     from grawler_ray.functions.dedup import snapshot_diff
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-
-    def derive_b(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.column("text").to_pylist()
-        keep = ids % 11 != 0
-        out_ids = list(ids[keep])
-        out_txt = [
-            (tx or "") + " v2" if i % 7 == 0 else tx
-            for i, tx in zip(ids[keep], [texts[j] for j in np.flatnonzero(keep)])
-        ]
-        new = ids % 13 == 0
-        out_ids += list(ids[new] + 1_000_000)
-        out_txt += [f"new page {i}" for i in ids[new]]
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "text": pa.array(out_txt, pa.string()),
-            }
-        )
-
-    snap_b = docs.map_batches(derive_b, batch_format="pyarrow")
+    snap_b = docs.map_batches(_SNAPSHOT_DERIVE_B, batch_format="pyarrow")
     return snapshot_diff(docs, snap_b)
+
+
+def _SNAPSHOT_DERIVE_B(t: pa.Table) -> pa.Table:
+    """Shared derived snapshot B (snapshot_diff + snapshot_delta oracles
+    mirror this literally)."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    keep = ids % 11 != 0
+    out_ids = list(ids[keep])
+    out_txt = [
+        (tx or "") + " v2" if i % 7 == 0 else tx
+        for i, tx in zip(ids[keep], [texts[j] for j in np.flatnonzero(keep)])
+    ]
+    new = ids % 13 == 0
+    out_ids += list(ids[new] + 1_000_000)
+    out_txt += [f"new page {i}" for i in ids[new]]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        }
+    )
 
 
 def _change_rate(sf_dir: str):
@@ -1985,6 +1987,17 @@ def _recrawl_schedule(sf_dir: str):
 
     hosts = cr.map_batches(to_host, batch_format="pyarrow")
     return apportion_budget(hosts, key_col="host", budget=500, weight_col="w")
+
+
+def _snapshot_delta(sf_dir: str):
+    """Incremental hand-off, fully SQL-checked: snapshot B derived as in
+    _snapshot_diff; output = B's added/changed rows with payloads (what
+    the downstream prep pipeline re-processes after a recrawl)."""
+    from grawler_ray.functions.dedup import snapshot_delta
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    snap_b = docs.map_batches(_SNAPSHOT_DERIVE_B, batch_format="pyarrow")
+    return snapshot_delta(docs, snap_b)
 
 
 def _dedup_keep_longest(sf_dir: str):
@@ -3411,6 +3424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": _recrawl_schedule,
         "cdc_chunks": _cdc_chunks,
         "recrawl_urls": _recrawl_urls,
+        "snapshot_delta": _snapshot_delta,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
@@ -4335,6 +4349,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
                         ELSE 'unchanged' END AS change
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        # same derived B; the delta keeps B's added/changed rows + payload
+        "snapshot_delta": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       'new page ' || doc_id AS text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            a AS (SELECT doc_id, text FROM documents)
+            SELECT b.doc_id, b.text,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        ELSE 'changed' END AS change
+            FROM b LEFT JOIN a ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR md5(a.text) <> md5(b.text)
         """,
         # derived K=4 snapshots mirror _change_rate.derive exactly; LAG
         # per (doc_id, run) is the interval/change-count semantics

@@ -2563,6 +2563,41 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id", payload_col: str = "text"
     return both.groupby("gk").map_groups(classify, batch_format="pyarrow")
 
 
+def snapshot_delta(ds_a, ds_b, key_col: str = "doc_id",
+                   payload_col: str = "text", num_groups: int = 256):
+    """The incremental hand-off after a recrawl: snapshot B rows whose key
+    is ADDED or CHANGED vs snapshot A, payloads included, tagged with the
+    classification — exactly what the downstream prep/training pipeline
+    re-processes (everything unchanged/removed is skipped, so work ∝
+    churn, not ∝ corpus).
+
+    Shape (100-TB path): phase 1 is snapshot_diff (payloads collapse to
+    md5 digests; ONE coarse key exchange); phase 2 joins the changed/
+    added key set back onto B with the repartition join — B's payloads
+    cross the wire once (the unavoidable cost of emitting the delta with
+    payloads from a generic Dataset; a parquet-backed B with key-range
+    layout could point-read instead, minhash_incremental-style), A's
+    payloads never move, and non-delta B rows die at the in-group merge.
+    """
+    from .joins import repartition_join
+
+    diff = snapshot_diff(ds_a, ds_b, key_col, payload_col, num_groups)
+
+    def keep_delta(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("change"), pa.array(["added", "changed"])))
+
+    delta_keys = diff.map_batches(keep_delta, batch_format="pyarrow")
+    return repartition_join(
+        ds_b.select_columns([key_col, payload_col]),
+        delta_keys,
+        key_col,
+        key_col,
+        num_groups=num_groups,
+    )
+
+
 def change_rate(ds, key_col: str = "doc_id", payload_col: str = "text",
                 run_col: str = "run", num_groups: int = 256):
     """Per-key change-frequency estimation across K crawl snapshots — the

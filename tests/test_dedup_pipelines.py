@@ -885,3 +885,28 @@ def test_cdc_chunks_resynchronize_after_insertion(ray_session):
                 np.concatenate(([0], d.length.cumsum().to_numpy()[:-1]))).all()
         assert d.length.sum() == len(txt.encode())
         assert (d.length <= 1024).all() and (d.length >= 1).all()
+
+
+def test_snapshot_delta_payload_handoff(ray_session):
+    """The delta is exactly B's added+changed rows WITH payloads: removed
+    and unchanged keys never appear, payloads are B's (not A's)."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import snapshot_delta
+
+    a = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(12)]
+    ).repartition(3)
+    b_rows = [
+        {"doc_id": i, "text": f"doc {i}" if i % 3 else f"doc {i} EDITED"}
+        for i in range(12) if i % 5 != 0  # 0,5,10 removed
+    ] + [{"doc_id": 99, "text": "brand new"}]
+    b = ray.data.from_items(b_rows).repartition(2)
+    df = snapshot_delta(a, b).to_pandas().set_index("doc_id")
+    # changed: multiples of 3 still present in B (3, 6, 9, 12? -> 3,6,9)
+    want_changed = {i for i in range(12) if i % 3 == 0 and i % 5 != 0}
+    assert set(df.index) == want_changed | {99}
+    assert df.loc[99].change == "added" and df.loc[99].text == "brand new"
+    for i in want_changed:
+        assert df.loc[i].change == "changed"
+        assert df.loc[i].text == f"doc {i} EDITED"
