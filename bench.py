@@ -156,7 +156,7 @@ def run_subqueries() -> dict[str, float]:
         "pdf_ingest", "token_budget_cap", "minhash_index_update",
         "ann_ivf_update_topk",
         "change_rate", "url_trap_score", "source_apportion",
-        "recrawl_schedule", "cdc_chunks",
+        "recrawl_schedule", "cdc_chunks", "recrawl_urls", "snapshot_delta",
     ]
     import ray.data
 
