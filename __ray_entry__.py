@@ -1874,6 +1874,18 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _cdc_delta_stats(sf_dir: str):
+    """Byte-reuse between snapshot A (documents) and the derived snapshot
+    B (same derivation as snapshot_diff/delta) via content-defined chunks
+    (rows-only: chunk hashing is not SQL-expressible; the planted-edit
+    reuse test in tests/test_dedup_pipelines.py pins semantics)."""
+    from grawler_ray.functions.dedup import cdc_delta_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    snap_b = docs.map_batches(_SNAPSHOT_DERIVE_B, batch_format="pyarrow")
+    return cdc_delta_stats(docs, snap_b)
+
+
 def _recrawl_urls(sf_dir: str):
     """The last scheduling step, fully SQL-checked: per-host VARIABLE-k
     top-k — each host keeps its Hamilton-allocated count of most-stale
@@ -3425,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _cdc_chunks,
         "recrawl_urls": _recrawl_urls,
         "snapshot_delta": _snapshot_delta,
+        "cdc_delta_stats": _cdc_delta_stats,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

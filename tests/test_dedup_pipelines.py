@@ -910,3 +910,62 @@ def test_snapshot_delta_payload_handoff(ray_session):
     for i in want_changed:
         assert df.loc[i].change == "changed"
         assert df.loc[i].text == f"doc {i} EDITED"
+
+
+def test_cdc_delta_stats_reuse(ray_session):
+    """Identical snapshots reuse 100% of bytes; one small edit in one doc
+    keeps reuse high (only the touched chunk(s) become new bytes); a
+    disjoint snapshot reuses ~nothing; serial brute-force equality."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import (
+        _cdc_boundaries,
+        cdc_delta_stats,
+    )
+    from grawler_ray.urlops import xxhash64_batch
+
+    rng = np.random.default_rng(31)
+    docs = [
+        {"doc_id": i,
+         "text": "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 4000))}
+        for i in range(6)
+    ]
+    a = ray.data.from_items(docs).repartition(2)
+
+    # identical
+    same = cdc_delta_stats(a, ray.data.from_items(docs)).to_pandas()
+    assert same.reuse_ratio.iloc[0] == 1.0 and same.new_bytes_b.iloc[0] == 0
+
+    # one edit
+    edited = [dict(d) for d in docs]
+    edited[2]["text"] = edited[2]["text"][:100] + "XX" + edited[2]["text"][100:]
+    one = cdc_delta_stats(a, ray.data.from_items(edited)).to_pandas()
+    assert 0.9 < one.reuse_ratio.iloc[0] < 1.0
+
+    # serial brute force for the edited case
+    def chunk_hashes(text):
+        data = text.encode()
+        cuts = _cdc_boundaries(data, 64, 256, 1024)
+        prev, out = 0, []
+        for c in cuts.tolist():
+            out.append((data[prev:c], c - prev))
+            prev = c
+        hs = xxhash64_batch([b for b, _ in out])
+        return [(int(h), ln) for h, (_, ln) in zip(hs, out)]
+
+    a_hashes = {h for d in docs for h, _ in chunk_hashes(d["text"])}
+    total = reused = 0
+    for d in edited:
+        for h, ln in chunk_hashes(d["text"]):
+            total += ln
+            if h in a_hashes:
+                reused += ln
+    assert one.total_bytes_b.iloc[0] == total
+    assert one.reused_bytes_b.iloc[0] == reused
+
+    # disjoint
+    other = [{"doc_id": 100 + i,
+              "text": "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 3000))}
+             for i in range(3)]
+    dis = cdc_delta_stats(a, ray.data.from_items(other)).to_pandas()
+    assert dis.reuse_ratio.iloc[0] < 0.05
