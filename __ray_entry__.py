@@ -1964,6 +1964,35 @@ def _anchor_texts(sf_dir: str):
     return anchor_topk(pages.map_batches(admit, batch_format="pyarrow"), k=3)
 
 
+def _anchor_relevance(sf_dir: str):
+    """Focused-crawl frontier scoring over the crawl corpus (rows-only,
+    crawl family): targets ranked by incoming-anchor topic-term hits;
+    terms drawn from the corpus' own vocabulary so hits are non-trivial."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import anchor_relevance
+
+    out = _ensure_crawl()
+    corpus = os.path.join(os.path.dirname(out), "corpus")
+    pages = ray.data.read_parquet(
+        corpus, columns=["url", "html", "content_type", "status_code"]
+    )
+
+    def admit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.equal(t.column("content_type"), "text/html"),
+            pc.less(t.column("status_code"), 400),
+        )
+        return t.filter(mask).select(["url", "html"])
+
+    return anchor_relevance(
+        pages.map_batches(admit, batch_format="pyarrow"),
+        terms=("circuit", "voltage", "sensor"),
+    )
+
+
 def _source_apportion(sf_dir: str):
     """Largest-remainder (Hamilton) crawl-budget apportionment across
     sources, fully SQL-checked: exact integer quotas (floor(B*w/W), +1
@@ -3438,6 +3467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_urls": _recrawl_urls,
         "snapshot_delta": _snapshot_delta,
         "cdc_delta_stats": _cdc_delta_stats,
+        "anchor_relevance": _anchor_relevance,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

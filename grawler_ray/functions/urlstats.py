@@ -13,6 +13,8 @@ frontier budget should be capped near the template count.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -339,61 +341,7 @@ def anchor_topk(pages_ds, k: int = 3, num_groups: int = 256,
     Anchor strings are capped at 256 chars to bound shuffle width on
     adversarial pages.
     """
-    from ..htmlparse import extract_anchors
-    from ..textops import to_valid_utf8
-    from ..urlops import (
-        UrlError,
-        child_url_allowed,
-        extract_url_components,
-        url_allowed,
-    )
-    from .joins import _key_hash64
-
-    def partial(t: pa.Table) -> pa.Table:
-        urls = t.column(url_col).to_pylist()
-        bodies = t.column(html_col).to_pylist()
-        tgt, anc = [], []
-        for u, b in zip(urls, bodies):
-            if b is None:
-                continue
-            try:
-                scheme, host, _ = extract_url_components(u)
-            except UrlError:
-                continue
-            base = f"{scheme}://{host}"
-            for href, text in extract_anchors(to_valid_utf8(b)):
-                child = child_url_allowed(href, base)
-                if child is None:
-                    continue
-                # frontier admission parity: bare relatives / bad schemes
-                # die at urlAllowed in the crawl (M12 -> M2), so they are
-                # not link targets here either
-                try:
-                    c_scheme, _c_host, c_path = extract_url_components(child)
-                except UrlError:
-                    continue
-                if not url_allowed(c_scheme, _c_host, c_path):
-                    continue
-                tgt.append(child)
-                anc.append(text[:256])
-        g = (
-            pd.DataFrame({"target": tgt, "anchor": anc})
-            .groupby(["target", "anchor"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        gk = (
-            (_key_hash64(g["target"].to_numpy()) * np.uint64(0x9E3779B97F4A7C15))
-            >> np.uint64(33)
-        ) % np.uint64(num_groups)
-        return pa.table(
-            {
-                "gk": pa.array(gk.astype(np.int32), pa.int32()),
-                "target": pa.array(g["target"], pa.string()),
-                "anchor": pa.array(g["anchor"], pa.string()),
-                "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
-            }
-        )
+    tagged = _anchor_pairs(pages_ds, url_col, html_col, num_groups)
 
     out_schema = pa.schema(
         [
@@ -427,5 +375,129 @@ def anchor_topk(pages_ds, k: int = 3, num_groups: int = 256,
             }
         )
 
-    tagged = pages_ds.map_batches(partial, batch_format="pyarrow")
+    return tagged.groupby("gk").map_groups(combine, batch_format="pyarrow")
+
+
+def _anchor_pairs(pages_ds, url_col: str, html_col: str, num_groups: int):
+    """Shared map stage for the anchor family: tokenize each page once,
+    resolve hrefs through childUrlAllowed + urlAllowed (frontier admission
+    parity — bare relatives / bad schemes die exactly like in the crawl,
+    M12 -> M2), pre-aggregate the batch's (target, anchor) counts, tag a
+    coarse target-hash group key.  Anchors cap at 256 chars."""
+    from ..htmlparse import extract_anchors
+    from ..textops import to_valid_utf8
+    from ..urlops import (
+        UrlError,
+        child_url_allowed,
+        extract_url_components,
+        url_allowed,
+    )
+    from .joins import _key_hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        bodies = t.column(html_col).to_pylist()
+        tgt, anc = [], []
+        for u, b in zip(urls, bodies):
+            if b is None:
+                continue
+            try:
+                scheme, host, _ = extract_url_components(u)
+            except UrlError:
+                continue
+            base = f"{scheme}://{host}"
+            for href, text in extract_anchors(to_valid_utf8(b)):
+                child = child_url_allowed(href, base)
+                if child is None:
+                    continue
+                try:
+                    c_scheme, _c_host, c_path = extract_url_components(child)
+                except UrlError:
+                    continue
+                if not url_allowed(c_scheme, _c_host, c_path):
+                    continue
+                tgt.append(child)
+                anc.append(text[:256])
+        g = (
+            pd.DataFrame({"target": tgt, "anchor": anc})
+            .groupby(["target", "anchor"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        gk = (
+            (_key_hash64(g["target"].to_numpy()) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(num_groups)
+        return pa.table(
+            {
+                "gk": pa.array(gk.astype(np.int32), pa.int32()),
+                "target": pa.array(g["target"], pa.string()),
+                "anchor": pa.array(g["anchor"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return pages_ds.map_batches(partial, batch_format="pyarrow")
+
+
+def anchor_relevance(pages_ds, terms, num_groups: int = 256,
+                     url_col: str = "url", html_col: str = "html"):
+    """Focused-crawl frontier scoring (Chakrabarti, van den Berg & Dom,
+    WWW 1999): rank link TARGETS by how often their incoming anchor text
+    mentions the topic ``terms`` — the relevance signal a focused crawler
+    orders its frontier by BEFORE fetching the target.  Term matching is
+    case-insensitive whole-word (ASCII \\b, same word model as the rest
+    of the repo).
+
+    Output per target: (url, n_refs, n_hits, relevance) where n_hits
+    counts referring anchors containing ANY term and relevance =
+    n_hits / n_refs (float64, one IEEE division).
+
+    Shape: shares _anchor_pairs' map stage (anchor vocabulary on the
+    wire), ONE coarse target-hash shuffle, vectorized per-group regex
+    over the DISTINCT anchors only (not per reference).
+    """
+    pat = re.compile(
+        r"\b(?:" + "|".join(re.escape(t.lower()) for t in terms) + r")\b"
+    )
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("n_refs", pa.int64()),
+            pa.field("n_hits", pa.int64()),
+            pa.field("relevance", pa.float64()),
+        ]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (
+            t.select(["target", "anchor", "cnt"])
+            .to_pandas()
+            .groupby(["target", "anchor"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        hit = df["anchor"].str.lower().str.contains(pat).to_numpy()
+        cnt = df["cnt"].to_numpy(np.int64)
+        per = (
+            pd.DataFrame(
+                {"target": df["target"], "refs": cnt, "hits": cnt * hit}
+            )
+            .groupby("target", sort=True)
+            .sum()
+        )
+        refs = per["refs"].to_numpy(np.int64)
+        hits = per["hits"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "url": pa.array(per.index.to_numpy(), pa.string()),
+                "n_refs": pa.array(refs, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "relevance": pa.array(hits / refs, pa.float64()),
+            }
+        )
+
+    tagged = _anchor_pairs(pages_ds, url_col, html_col, num_groups)
     return tagged.groupby("gk").map_groups(combine, batch_format="pyarrow")

@@ -845,3 +845,32 @@ def test_top_per_group_alloc(ray_session):
     assert len(df[df.host == "c"]) == 0      # no allocation -> no rows
     with _pytest.raises(ValueError, match="repartition-join"):
         top_per_group_alloc(ds, {"a": 1}, driver_max_keys=0)
+
+
+def test_anchor_relevance_focused_scoring(ray_session):
+    """Term hits are whole-word case-insensitive over DISTINCT anchors
+    weighted by reference counts; relevance = hits/refs; targets with no
+    matching anchors score 0.0; anchor_topk regression on the shared map
+    stage."""
+    import ray.data
+
+    from grawler_ray.functions.urlstats import anchor_relevance, anchor_topk
+
+    p1 = (b'<a href="/solar">Solar panels</a><a href="/solar">cheap SOLAR kit</a>'
+          b'<a href="/solar">unrelated</a>'
+          b'<a href="/solarium">solarium spa</a>'   # substring must NOT hit
+          b'<a href="/x">nothing here</a>')
+    p2 = b'<a href="https://b.test/solar">solar again</a>'
+    ds = ray.data.from_items(
+        [{"url": "https://b.test/p1", "html": p1},
+         {"url": "https://b.test/p2", "html": p2}]
+    ).repartition(2)
+    df = anchor_relevance(ds, terms=("solar", "battery")).to_pandas().set_index("url")
+    s = df.loc["https://b.test/solar"]
+    assert s.n_refs == 4 and s.n_hits == 3 and s.relevance == 0.75
+    assert df.loc["https://b.test/solarium"].n_hits == 0  # whole-word only
+    assert df.loc["https://b.test/x"].relevance == 0.0
+    # shared map stage still feeds anchor_topk identically
+    tk = anchor_topk(ds, k=1).to_pandas()
+    row = tk[tk.url == "https://b.test/solar"]
+    assert row.n_refs.iloc[0] == 1 and row["rank"].iloc[0] == 1  # 4 distinct anchors, count 1 each
