@@ -172,6 +172,20 @@ def _cmd_export(a: argparse.Namespace) -> dict:
 
     import ray.data
 
+    if a.format == "warc":
+        from grawler_ray.sources.warc import export_warc
+
+        pages = ray.data.read_parquet(
+            a.parquet,
+            columns=["url", "warc_ts", "html", "status_code", "content_type"],
+        )
+        manifest = export_warc(pages, a.out).to_pandas()
+        return {
+            "out": a.out,
+            "format": "warc",
+            "shards": len(manifest),
+            "records": int(manifest["n_records"].sum()),
+        }
     ds = ray.data.read_parquet(a.parquet, columns=a.columns or None)
     if a.format == "jsonl":
         ds.write_json(a.out)
@@ -320,7 +334,7 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export", help="parquet -> jsonl/csv shards")
     e.add_argument("--parquet", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    e.add_argument("--format", choices=["jsonl", "csv", "warc"], default="jsonl")
     e.add_argument("--columns", nargs="*", default=None)
     e.set_defaults(fn=_cmd_export, needs_ray=True)
 

@@ -167,3 +167,63 @@ def write_warc(path: str, records: list[dict], gzipped: bool = True) -> None:
         chunks.append(gzip.compress(rec) if gzipped else rec)
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
+
+
+def export_warc(ds, out_dir: str, gzipped: bool = True):
+    """Distributed WARC export — the hand-off symmetric to ``read_warc``:
+    one ``.warc[.gz]`` segment per BLOCK (streaming, no driver
+    materialization), shard names derived from the block's first URL +
+    row count so a re-run overwrites its own shards idempotently instead
+    of duplicating them.  Input needs the pages schema columns (url,
+    warc_ts us-timestamp or int64, html binary, status_code,
+    content_type); returns a tiny (shard, n_records) table.
+
+    Why: every archive-pipeline neighbor (Common Crawl tooling, warcio
+    consumers) ingests WARC; a crawl engine that can only re-read its own
+    parquet is a silo.  Round-trip equality with read_warc is pinned in
+    tests/test_warc.py.
+    """
+    import os
+
+    from ..urlops import xxhash64_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzipped else ".warc"
+
+    out_schema = pa.schema(
+        [pa.field("shard", pa.string()), pa.field("n_records", pa.int64())]
+    )
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ts = t.column("warc_ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        recs = [
+            {
+                "url": u,
+                "warc_ts": int(w),
+                "html": b if b is not None else b"",
+                "status_code": int(s),
+                "content_type": c or "",
+            }
+            for u, w, b, s, c in zip(
+                t.column("url").to_pylist(),
+                ts.to_pylist(),
+                t.column("html").to_pylist(),
+                t.column("status_code").to_pylist(),
+                t.column("content_type").to_pylist(),
+            )
+        ]
+        tag = int(xxhash64_batch([recs[0]["url"]])[0])
+        name = f"shard-{tag:016x}-{t.num_rows}{ext}"
+        write_warc(os.path.join(out_dir, name), recs, gzipped)
+        return pa.table(
+            {
+                "shard": pa.array([name], pa.string()),
+                "n_records": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
