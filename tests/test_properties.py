@@ -169,3 +169,55 @@ def test_pdf_extract_never_crashes(raw):
 
     out = extract_pdf_text(b"%PDF-1.4\n" + raw)
     assert isinstance(out, str)
+
+
+@given(
+    st.binary(min_size=0, max_size=6000),
+    st.sampled_from([(16, 64, 256), (64, 256, 1024), (32, 128, 128)]),
+)
+@settings(max_examples=80, deadline=None)
+def test_cdc_boundaries_properties(data, sizes):
+    """Gear-CDC invariants on arbitrary bytes: equals the per-byte serial
+    walk, partitions the input exactly, respects min (except possibly the
+    final tail) and max everywhere."""
+    from grawler_ray.functions.dedup import _cdc_boundaries
+    from tests.test_dedup_pipelines import _serial_cdc
+
+    mn, av, mx = sizes
+    cuts = _cdc_boundaries(data, mn, av, mx).tolist()
+    assert cuts == _serial_cdc(data, mn, av, mx)
+    if not data:
+        assert cuts == []
+        return
+    assert cuts[-1] == len(data) and sorted(cuts) == cuts
+    lens = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+    assert all(1 <= ln <= mx for ln in lens)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=100_000),
+)
+@settings(max_examples=80, deadline=None)
+def test_hamilton_serial_properties(weights, budget):
+    """The exact-integer Hamilton rule (the serial mirror of
+    apportion_budget's math): allocations sum to the budget and every
+    key's share sits within floor/ceil of its exact quota."""
+    import math
+
+    W = sum(weights.values())
+    base = {k: budget * w // W for k, w in weights.items()}
+    rem = {k: budget * w % W for k, w in weights.items()}
+    order = sorted(weights, key=lambda k: (-rem[k], k))
+    L = budget - sum(base.values())
+    assert 0 <= L < len(weights) or (L == 0 and len(weights) == 0) or L < len(weights) + 1
+    alloc = {k: base[k] + (1 if order.index(k) < L else 0) for k in weights}
+    assert sum(alloc.values()) == budget
+    for k, w in weights.items():
+        exact = budget * w / W
+        assert math.floor(exact) <= alloc[k] <= math.ceil(exact)
