@@ -229,6 +229,47 @@ def _cmd_plan(a: argparse.Namespace) -> dict:
     cr = change_rate(
         snaps, key_col="url", payload_col="content", run_col="run"
     ).materialize()
+
+    if a.robots_cache:
+        # politeness-correct plans: drop URLs whose host's robots deny them
+        # (or whose host has no cached robots — the reference's
+        # deny-on-error rule, src/crawler.go:230 semantics)
+        import pyarrow.parquet as pq
+        import ray
+
+        rb = pq.read_table(a.robots_cache, columns=["host", "robots"])
+        if rb.num_rows > 1_000_000:
+            raise SystemExit(
+                "plan: robots cache too large to broadcast "
+                f"({rb.num_rows} hosts); shard it per host-hash and "
+                "repartition-join instead (joins.repartition_join)"
+            )
+        rb_ref = ray.put(
+            dict(zip(rb.column("host").to_pylist(), rb.column("robots").to_pylist()))
+        )
+        ua = a.user_agent
+
+        def robots_filter(t):
+            import pyarrow as _pa
+            import ray as _ray
+
+            from grawler_ray.robots import agent_allowed
+            from grawler_ray.urlops import UrlError, extract_url_components
+
+            m = _ray.get(rb_ref)
+            keep = []
+            for u in t.column("url").to_pylist():
+                try:
+                    _s, h, _p = extract_url_components(u)
+                except UrlError:
+                    keep.append(False)
+                    continue
+                body = m.get(h)
+                keep.append(body is not None and agent_allowed(body, ua, u))
+            return t.filter(_pa.array(keep, _pa.bool_()))
+
+        cr = cr.map_batches(robots_filter, batch_format="pyarrow").materialize()
+
     cr.write_parquet(os.path.join(a.out, "urls"))
 
     def to_host(t: pa.Table) -> pa.Table:
@@ -349,6 +390,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl out_dirs in snapshot order (oldest first)")
     n.add_argument("--out", required=True)
     n.add_argument("--budget", type=int, default=10_000)
+    n.add_argument("--robots-cache", default=None,
+                   help="robots parquet (host, robots, ts); when given, "
+                        "denied/uncached-host URLs are dropped before "
+                        "budgeting (deny-on-error semantics)")
+    n.add_argument("--user-agent", default="grawler")
     n.set_defaults(fn=_cmd_plan, needs_ray=True)
 
     t = sub.add_parser("report", help="print a crawl's manifest metrics")

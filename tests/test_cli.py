@@ -163,3 +163,41 @@ def test_cli_plan_recrawl(corpus, tmp_path, capsys, ray_session):
     # identical-run weights: every host's weight == its url count
     assert (hosts.weight == urls.url.str.split("/").str[2].value_counts()
             .reindex(hosts.host).to_numpy()).all()
+
+
+def test_cli_plan_robots_filter(corpus, tmp_path, capsys, ray_session):
+    """--robots-cache drops denied and UNCACHED hosts (deny-on-error)
+    before budgeting; the budget still fully apportions over survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    r1 = str(tmp_path / "r1")
+    _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", r1, "--auto-seeds", "3",
+         "--fetch-buckets", "8", "--max-rounds", "3", "--seen-shards", "2"],
+    )
+    # cache: site0 allow-all, site1 deny-all; site2+ uncached => denied
+    rc = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["site0.test", "site1.test"],
+                "robots": ["User-agent: *\nAllow: /\n",
+                           "User-agent: *\nDisallow: /\n"],
+                "ts": pa.array([0, 0], pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+    out = str(tmp_path / "plan")
+    plan = _run(
+        capsys,
+        ["plan", "--runs", r1, "--out", out, "--budget", "40",
+         "--robots-cache", rc],
+    )
+    urls = pq.read_table(os.path.join(out, "urls")).to_pandas()
+    hosts = pq.read_table(os.path.join(out, "hosts")).to_pandas()
+    assert set(hosts.host) == {"site0.test"}
+    assert urls.url.str.contains("site0.test").all()
+    assert plan["allocated"] == 40 and hosts.alloc.sum() == 40
