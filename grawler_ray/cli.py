@@ -91,12 +91,25 @@ def _cmd_crawl(a: argparse.Namespace) -> dict:
 
     if a.seed_list:
         seeds = load_seed_list(a.seed_list)
+    elif a.seed_sitemap:
+        # sitemap-driven seeding: urlset locs become the round-0 frontier,
+        # highest-priority first (the sitemap protocol's hint ordering);
+        # ties broken by url for determinism
+        from grawler_ray.sources.sitemap import read_sitemaps
+
+        sm = read_sitemaps(a.seed_sitemap).to_pandas()
+        sm["priority"] = sm["priority"].fillna(0.5)  # protocol default
+        seeds = sm.sort_values(
+            ["priority", "url"], ascending=[False, True]
+        ).url.tolist()
     elif a.seeds:
         seeds = a.seeds
     elif a.auto_seeds:
         seeds = seed_urls(10**9, a.auto_seeds)  # first K synthetic hosts
     else:
-        raise SystemExit("crawl: need --seeds, --seed-list or --auto-seeds")
+        raise SystemExit(
+            "crawl: need --seeds, --seed-list, --seed-sitemap or --auto-seeds"
+        )
 
     cfg = CrawlConfig(
         out_dir=a.out,
@@ -347,6 +360,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True)
     c.add_argument("--seeds", nargs="*", default=None)
     c.add_argument("--seed-list", default=None, help='JSON file with "seed_list"')
+    c.add_argument("--seed-sitemap", nargs="+", default=None,
+                   help="urlset sitemap file(s) (.xml/.xml.gz); locs seed "
+                        "the frontier, highest priority first")
     c.add_argument("--auto-seeds", type=int, default=None, help="seed page 0 of the first K synthetic hosts")
     c.add_argument("--per-host-quota", type=int, default=4)
     c.add_argument("--max-rounds", type=int, default=50)

@@ -201,3 +201,33 @@ def test_cli_plan_robots_filter(corpus, tmp_path, capsys, ray_session):
     assert set(hosts.host) == {"site0.test"}
     assert urls.url.str.contains("site0.test").all()
     assert plan["allocated"] == 40 and hosts.alloc.sum() == 40
+
+
+def test_cli_crawl_seed_sitemap(corpus, tmp_path, capsys, ray_session):
+    """--seed-sitemap: urlset locs seed the frontier highest-priority
+    first; the crawl result equals the same seeds passed via --seeds."""
+    from grawler_ray.sources.sitemap import write_sitemap
+
+    sm = str(tmp_path / "seeds.xml")
+    write_sitemap(
+        sm,
+        [
+            {"url": "https://site1.test/page/0", "priority": 0.2},
+            {"url": "https://site0.test/page/0", "priority": 0.9},
+        ],
+    )
+    out_a = str(tmp_path / "via_sitemap")
+    a = _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", out_a, "--seed-sitemap", sm,
+         "--fetch-buckets", "8", "--max-rounds", "3", "--seen-shards", "2"],
+    )
+    out_b = str(tmp_path / "via_seeds")
+    b = _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", out_b,
+         "--seeds", "https://site0.test/page/0", "https://site1.test/page/0",
+         "--fetch-buckets", "8", "--max-rounds", "3", "--seen-shards", "2"],
+    )
+    assert a["fetched"] == b["fetched"] > 0
+    assert a["rounds"] == b["rounds"]
