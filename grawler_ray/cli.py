@@ -91,6 +91,23 @@ def _cmd_crawl(a: argparse.Namespace) -> dict:
 
     if a.seed_list:
         seeds = load_seed_list(a.seed_list)
+    elif a.seed_parquet:
+        # recrawl execution: feed a plan's out/urls (or any parquet with a
+        # url column) back in as the round-0 frontier — crawl -> plan ->
+        # crawl closes the continuous-crawl loop.  Most-stale first when
+        # the plan's stale_runs column is present, else url order.
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(a.seed_parquet).to_table()
+        cols = set(tbl.schema.names)
+        df = tbl.select(
+            ["url"] + (["stale_runs"] if "stale_runs" in cols else [])
+        ).to_pandas()
+        if "stale_runs" in cols:
+            df = df.sort_values(["stale_runs", "url"], ascending=[False, True])
+        else:
+            df = df.sort_values("url")
+        seeds = df.url.tolist()
     elif a.seed_sitemap:
         # sitemap-driven seeding: urlset locs become the round-0 frontier,
         # highest-priority first (the sitemap protocol's hint ordering);
@@ -108,7 +125,8 @@ def _cmd_crawl(a: argparse.Namespace) -> dict:
         seeds = seed_urls(10**9, a.auto_seeds)  # first K synthetic hosts
     else:
         raise SystemExit(
-            "crawl: need --seeds, --seed-list, --seed-sitemap or --auto-seeds"
+            "crawl: need --seeds, --seed-list, --seed-sitemap, "
+            "--seed-parquet or --auto-seeds"
         )
 
     cfg = CrawlConfig(
@@ -185,6 +203,56 @@ def _cmd_export(a: argparse.Namespace) -> dict:
 
     import ray.data
 
+    if a.format == "sitemap":
+        # publish a URL inventory as spec sitemaps: <=50k locs per urlset
+        # file (the protocol cap) + one sitemapindex; input needs a url
+        # column, lastmod taken from warc_ts when present
+        import math
+
+        from grawler_ray.sources.sitemap import write_sitemap
+
+        cols = ["url"]
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(a.parquet)
+        if "warc_ts" in set(dset.schema.names):
+            cols.append("warc_ts")
+        n_rows = dset.count_rows()
+        if n_rows > 5_000_000:
+            raise SystemExit(
+                f"export sitemap: {n_rows} urls exceed the driver cap; "
+                "write per-block urlset shards (export_warc's "
+                "shard-per-block pattern) and index them instead"
+            )
+        df = dset.to_table(columns=cols).to_pandas()
+        df = df.sort_values("url").reset_index(drop=True)
+        os.makedirs(a.out, exist_ok=True)
+        cap = 50_000
+        n_shards = max(1, math.ceil(len(df) / cap))
+        names = []
+        for i in range(n_shards):
+            part = df.iloc[i * cap : (i + 1) * cap]
+            entries = [
+                {
+                    "url": r.url,
+                    **(
+                        {"lastmod": r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")}
+                        if "warc_ts" in part.columns
+                        else {}
+                    ),
+                }
+                for r in part.itertuples()
+            ]
+            name = f"sitemap-{i:05d}.xml.gz"
+            write_sitemap(os.path.join(a.out, name), entries, gzipped=True)
+            names.append(name)
+        write_sitemap(
+            os.path.join(a.out, "sitemapindex.xml"),
+            [{"url": n} for n in names],
+            kind="sitemapindex",
+        )
+        return {"out": a.out, "format": "sitemap", "shards": n_shards,
+                "urls": len(df)}
     if a.format == "warc":
         from grawler_ray.sources.warc import export_warc
 
@@ -363,6 +431,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed-sitemap", nargs="+", default=None,
                    help="urlset sitemap file(s) (.xml/.xml.gz); locs seed "
                         "the frontier, highest priority first")
+    c.add_argument("--seed-parquet", default=None,
+                   help="parquet dir/file with a url column (e.g. a plan's "
+                        "out/urls); most-stale first when stale_runs exists")
     c.add_argument("--auto-seeds", type=int, default=None, help="seed page 0 of the first K synthetic hosts")
     c.add_argument("--per-host-quota", type=int, default=4)
     c.add_argument("--max-rounds", type=int, default=50)
@@ -391,7 +462,8 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("export", help="parquet -> jsonl/csv shards")
     e.add_argument("--parquet", required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--format", choices=["jsonl", "csv", "warc"], default="jsonl")
+    e.add_argument("--format", choices=["jsonl", "csv", "warc", "sitemap"],
+                   default="jsonl")
     e.add_argument("--columns", nargs="*", default=None)
     e.set_defaults(fn=_cmd_export, needs_ray=True)
 

@@ -231,3 +231,52 @@ def test_cli_crawl_seed_sitemap(corpus, tmp_path, capsys, ray_session):
     )
     assert a["fetched"] == b["fetched"] > 0
     assert a["rounds"] == b["rounds"]
+
+
+def test_cli_recrawl_loop_and_sitemap_export(corpus, tmp_path, capsys, ray_session):
+    """The full continuous-crawl loop on the CLI: crawl -> plan ->
+    crawl --seed-parquet (recrawl executes the plan's URL list); plus
+    export --format sitemap round-trips through our own reader."""
+    import gzip as _gzip
+
+    import pyarrow.parquet as pq
+
+    from grawler_ray.sources.sitemap import parse_sitemap_bytes
+
+    r1 = str(tmp_path / "r1")
+    _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", r1, "--auto-seeds", "2",
+         "--fetch-buckets", "8", "--max-rounds", "3", "--seen-shards", "2"],
+    )
+    plan_out = str(tmp_path / "plan")
+    _run(capsys, ["plan", "--runs", r1, "--out", plan_out, "--budget", "10"])
+
+    r2 = str(tmp_path / "r2")
+    re_stats = _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", r2,
+         "--seed-parquet", os.path.join(plan_out, "urls"),
+         "--per-host-quota", "100",  # admit the whole list in one round
+         "--fetch-buckets", "8", "--max-rounds", "1", "--seen-shards", "2"],
+    )
+    n_planned = pq.read_table(os.path.join(plan_out, "urls")).num_rows
+    assert re_stats["fetched"] == n_planned > 0  # 1 round = exactly the list
+
+    sm_out = str(tmp_path / "sitemaps")
+    exp = _run(
+        capsys,
+        ["export", "--parquet", os.path.join(r1, "round=0000", "parsed"),
+         "--format", "sitemap", "--out", sm_out],
+    )
+    assert exp["shards"] == 1
+    idx = parse_sitemap_bytes(
+        open(os.path.join(sm_out, "sitemapindex.xml"), "rb").read()
+    )
+    assert idx["kind"] == "sitemapindex" and len(idx["entries"]) == 1
+    doc = parse_sitemap_bytes(
+        open(os.path.join(sm_out, "sitemap-00000.xml.gz"), "rb").read()
+    )
+    assert doc["kind"] == "urlset" and len(doc["entries"]) == exp["urls"] > 0
+    # the crawl's parsed table has no warc_ts column -> no lastmod
+    assert all(e["lastmod"] is None for e in doc["entries"])
