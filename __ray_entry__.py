@@ -1874,6 +1874,54 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _charset_detect(sf_dir: str):
+    """WHATWG charset sniffing + transcode over synthesized multi-charset
+    bodies (doc_id%4 cycles utf-8 / latin-1-header / cp1251-meta /
+    utf-16-BOM): output (doc_id, charset, ok) where ok = decoded text
+    round-trips byte-exactly to the original (rows-only: SQL cannot
+    transcode; unit corners in tests/test_textops.py)."""
+    from grawler_ray.textops import decode_page
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def synth_and_decode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_cs, out_ok = [], []
+        for i, tx in zip(ids, texts):
+            tx = (tx or "").replace("�", "")
+            v = i % 4
+            if v == 0:
+                body, ct = tx.encode("utf-8"), "text/html"
+            elif v == 1:
+                body, ct = (
+                    tx.encode("latin-1", errors="replace"),
+                    "text/html; charset=latin-1",
+                )
+                tx = body.decode("cp1252")  # expected after the whatwg map
+            elif v == 2:
+                body = (
+                    b'<meta charset="windows-1251">'
+                    + tx.encode("cp1251", errors="replace")
+                )
+                ct = "text/html"
+                tx = body.decode("cp1251")
+            else:
+                body, ct = b"\xef\xbb\xbf" + tx.encode("utf-8"), "text/plain"
+            dec, cs = decode_page(body, ct)
+            out_cs.append(cs)
+            out_ok.append(dec == tx)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "charset": pa.array(out_cs, pa.string()),
+                "ok": pa.array(out_ok, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(synth_and_decode, batch_format="pyarrow")
+
+
 def _cdc_delta_stats(sf_dir: str):
     """Byte-reuse between snapshot A (documents) and the derived snapshot
     B (same derivation as snapshot_diff/delta) via content-defined chunks
@@ -3468,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": _snapshot_delta,
         "cdc_delta_stats": _cdc_delta_stats,
         "anchor_relevance": _anchor_relevance,
+        "charset_detect": _charset_detect,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

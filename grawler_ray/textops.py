@@ -132,3 +132,77 @@ def is_valid_utf8(b: bytes) -> bool:
         return True
     except UnicodeDecodeError:
         return False
+
+
+# --- charset detection (WHATWG encoding sniffing, the subset a crawler
+# needs; the reference assumes UTF-8 — Go x/net/html does too unless the
+# caller transcodes — so this is an addition, not parity) ------------------
+
+# WHATWG label -> Python codec for the labels that differ from their
+# Python namesake.  The load-bearing rule: latin-1/iso-8859-1/ascii all
+# mean windows-1252 on the web (https://encoding.spec.whatwg.org §4.2).
+_CHARSET_LABELS = {
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "unicode-1-1-utf-8": "utf-8",
+    "utf8": "utf-8",
+    "iso-8859-15": "iso-8859-15",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-:.]+)""", re.I
+)
+
+
+def _norm_charset(label: str) -> str | None:
+    import codecs
+
+    label = label.strip().lower()
+    label = _CHARSET_LABELS.get(label, label)
+    try:
+        return codecs.lookup(label).name
+    except LookupError:
+        return None
+
+
+def detect_charset(content_type: str, body: bytes) -> str:
+    """Detected encoding name for a fetched page, by WHATWG priority:
+    BOM (utf-8 / utf-16 le/be — certain, overrides everything) > the
+    Content-Type header's charset= parameter > a <meta charset> /
+    http-equiv declaration inside the first 1024 bytes (the spec's
+    prescan window) > utf-8 default.  Unknown labels fall through to the
+    next source; returned names are Python codec names."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if body[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    for part in (content_type or "").split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            enc = _norm_charset(v.strip().strip('"').strip("'"))
+            if enc:
+                return enc
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        enc = _norm_charset(m.group(1).decode("ascii", "replace"))
+        if enc:
+            return enc
+    return "utf-8"
+
+
+def decode_page(body: bytes, content_type: str = "") -> tuple[str, str]:
+    """(decoded text, detected charset).  BOM bytes are stripped before
+    decoding; undecodable bytes become U+FFFD (errors='replace' — the
+    same per-byte replacement discipline as to_valid_utf8)."""
+    enc = detect_charset(content_type, body)
+    if enc == "utf-8" and body[:3] == b"\xef\xbb\xbf":
+        body = body[3:]
+    elif enc in ("utf-16-le", "utf-16-be") and body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        body = body[2:]
+    return body.decode(enc, errors="replace"), enc

@@ -74,3 +74,49 @@ def test_is_valid_utf8():
     assert is_valid_utf8("é€".encode())
     assert not is_valid_utf8(b"\xff")
     assert not is_valid_utf8(b"\xed\xa0\x80")  # surrogate rejected like Go
+
+
+class TestCharsetDetection:
+    """WHATWG sniffing subset: BOM > header charset > meta prescan >
+    utf-8; latin-1 labels mean windows-1252 on the web (encoding spec
+    §4.2 — 0x80 decodes to the euro sign, not U+0080)."""
+
+    def test_priority_and_labels(self):
+        from grawler_ray.textops import detect_charset
+
+        cases = [
+            (("text/html", "caf\xe9".encode("latin-1")), "utf-8"),
+            (("text/html; charset=latin-1", b"caf\xe9"), "cp1252"),
+            (("text/html; charset=UTF-8", b"x"), "utf-8"),
+            (("", b"\xef\xbb\xbfhi"), "utf-8"),
+            (("", b"\xff\xfeh\x00i\x00"), "utf-16-le"),
+            (("", b"\xfe\xff\x00h\x00i"), "utf-16-be"),
+            (("text/html", b'<meta charset="windows-1251">'), "cp1251"),
+            (("text/html",
+              b'<meta http-equiv="Content-Type" '
+              b'content="text/html; charset=iso-8859-1">'), "cp1252"),
+            # unknown labels fall through to the next source
+            (("text/html; charset=bogus", b'<meta charset="utf-8">'), "utf-8"),
+            # BOM beats a lying header
+            (("text/html; charset=latin-1", b"\xef\xbb\xbfx"), "utf-8"),
+            # meta outside the 1024-byte prescan window is ignored
+            (("text/html", b" " * 1024 + b'<meta charset="cp1251">'), "utf-8"),
+        ]
+        for (ct, b), want in cases:
+            assert detect_charset(ct, b) == want, (ct, b)
+
+    def test_decode_page(self):
+        from grawler_ray.textops import decode_page
+
+        t, e = decode_page(b"caf\xe9 \x80", "text/html; charset=latin-1")
+        assert (t, e) == ("café €", "cp1252")
+        t, e = decode_page(b"\xff\xfeh\x00i\x00")
+        assert (t, e) == ("hi", "utf-16-le")
+        t, e = decode_page(b"\xef\xbb\xbfhey")
+        assert t == "hey" and e == "utf-8"
+        t, e = decode_page("мир".encode("cp1251"),
+                           "text/html; charset=windows-1251")
+        assert t == "мир"
+        # undecodable bytes become U+FFFD, never raise
+        t, e = decode_page(b"\xff\xff\xff", "text/html; charset=utf-8")
+        assert "�" in t
