@@ -1874,6 +1874,56 @@ def _url_trap_score(sf_dir: str):
     return url_template_stats(docs.map_batches(mk_urls, batch_format="pyarrow"))
 
 
+def _sniff_mismatch(sf_dir: str):
+    """Header-vs-content MIME agreement over the crawl corpus (rows-only):
+    sniff the first 512 body bytes (WHATWG §7 subset) and count
+    (declared, sniffed) pairs.  The synthetic corpus generator is honest,
+    so every declared type must sniff to itself — asserted in tests;
+    mislabeled-resource detection corners live in test_textops.py."""
+    import ray.data
+
+    from grawler_ray.textops import sniff_content_type
+
+    out = _ensure_crawl()
+    corpus = os.path.join(os.path.dirname(out), "corpus")
+    pages = ray.data.read_parquet(corpus, columns=["html", "content_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sniffed = [
+            sniff_content_type(b or b"") for b in t.column("html").to_pylist()
+        ]
+        df = (
+            pd.DataFrame(
+                {
+                    "content_type": t.column("content_type").to_pylist(),
+                    "sniffed": sniffed,
+                }
+            )
+            .groupby(["content_type", "sniffed"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    pa.field("content_type", pa.string()),
+                    pa.field("sniffed", pa.string()),
+                    pa.field("n", pa.int64()),
+                ]
+            )
+        )
+
+    agg = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["content_type", "sniffed"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["content_type", "sniffed", "n"]),
+        batch_format="pyarrow",
+    )
+
+
 def _charset_detect(sf_dir: str):
     """WHATWG charset sniffing + transcode over synthesized multi-charset
     bodies (doc_id%4 cycles utf-8 / latin-1-header / cp1251-meta /
@@ -3517,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_delta_stats": _cdc_delta_stats,
         "anchor_relevance": _anchor_relevance,
         "charset_detect": _charset_detect,
+        "sniff_mismatch": _sniff_mismatch,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,

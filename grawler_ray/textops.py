@@ -206,3 +206,50 @@ def decode_page(body: bytes, content_type: str = "") -> tuple[str, str]:
     elif enc in ("utf-16-le", "utf-16-be") and body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         body = body[2:]
     return body.decode(enc, errors="replace"), enc
+
+
+# WHATWG MIME-sniffing §7 pattern subset (https://mimesniff.spec.whatwg.org):
+# the signatures a text crawler needs to catch header lies.  Order matters —
+# first match wins, HTML tag patterns are whitespace-tolerant + case-insensitive.
+_HTML_TAGS = (
+    b"<!DOCTYPE HTML", b"<HTML", b"<HEAD", b"<SCRIPT", b"<IFRAME", b"<H1",
+    b"<DIV", b"<FONT", b"<TABLE", b"<A", b"<STYLE", b"<TITLE", b"<B",
+    b"<BODY", b"<BR", b"<P", b"<!--",
+)
+_MAGIC = (
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS-Adobe-", "application/postscript"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b\x08", "application/x-gzip"),
+)
+# §5 binary data bytes: anything in this set forces a binary type
+_BINARY_BYTES = frozenset(
+    range(0x00, 0x09)
+) | {0x0B} | frozenset(range(0x0E, 0x1B)) | frozenset(range(0x1C, 0x20))
+
+
+def sniff_content_type(body: bytes) -> str:
+    """Sniffed MIME type from the first 512 bytes (the spec's resource
+    header), independent of what the server claimed: HTML tag patterns
+    (whitespace-skipped, case-insensitive, terminated by space or '>'),
+    then magic numbers, then the binary-byte check -> text/plain or
+    application/octet-stream.  A crawler compares this against the
+    Content-Type header: mismatches are mislabeled resources that would
+    otherwise corrupt the extract stage (the reference trusts the header
+    unconditionally, src/crawler.go:257)."""
+    head = body[:512]
+    stripped = head.lstrip(b"\t\n\x0c\r ")
+    up = stripped.upper()
+    for tag in _HTML_TAGS:
+        if up.startswith(tag) and len(up) > len(tag) and up[len(tag)] in b" >":
+            return "text/html"
+    for magic, mime in _MAGIC:
+        if head.startswith(magic):
+            return mime
+    if any(b in _BINARY_BYTES for b in head):
+        return "application/octet-stream"
+    return "text/plain"

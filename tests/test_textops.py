@@ -120,3 +120,23 @@ class TestCharsetDetection:
         # undecodable bytes become U+FFFD, never raise
         t, e = decode_page(b"\xff\xff\xff", "text/html; charset=utf-8")
         assert "�" in t
+
+
+def test_sniff_content_type_patterns():
+    """WHATWG §7 subset: whitespace-skipped case-insensitive HTML tags
+    terminated by space/'>', magic numbers, binary-byte fallback."""
+    from grawler_ray.textops import sniff_content_type as s
+
+    assert s(b"  <!doctype html><html>") == "text/html"
+    assert s(b"<HTML>") == "text/html" and s(b"\n\t<p>hi") == "text/html"
+    assert s(b"<pxyz") == "text/plain"   # tag must end at space or '>'
+    assert s(b"<b>x") == "text/html" and s(b"<br>") == "text/html"
+    assert s(b"%PDF-1.4 xxx") == "application/pdf"
+    assert s(b"\x89PNG\r\n\x1a\nrest") == "image/png"
+    assert s(b"GIF89a....") == "image/gif"
+    assert s(b"PK\x03\x04zip") == "application/zip"
+    assert s(b"plain words here") == "text/plain"
+    assert s(b"bin\x00ary") == "application/octet-stream"
+    assert s(b"") == "text/plain"
+    # a mislabeled resource: server says text/plain, body is HTML
+    assert s(b"<script>alert(1)</script>") == "text/html"
