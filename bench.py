@@ -157,6 +157,7 @@ def run_subqueries() -> dict[str, float]:
         "ann_ivf_update_topk",
         "change_rate", "url_trap_score", "source_apportion",
         "recrawl_schedule", "cdc_chunks", "recrawl_urls", "snapshot_delta",
+        "cdc_delta_stats", "charset_detect",
     ]
     import ray.data
 
