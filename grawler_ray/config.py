@@ -39,6 +39,11 @@ class CrawlConfig:
     # pure function of the url, so deferred rows re-rank consistently.
     # Incompatible with max_urls (the budget cutoff is seq-ordered).
     frontier_order: str = "fifo"
+    # False = reference parity (assume UTF-8, Go ToValidUTF8 strips invalid
+    # bytes); True = WHATWG charset sniffing (BOM > raw Content-Type charset
+    # param > meta prescan; undecodable bytes -> U+FFFD) so non-UTF-8 pages
+    # extract real text — our addition, the reference has no charset handling
+    charset_sniffing: bool = False
 
     # termination (the reference never terminates, src/crawler.go:107-113;
     # bounded rounds are our documented improvement, SURVEY §2.9)

@@ -362,15 +362,30 @@ def parse_page(
     url: str,
     base_url: str,
     host: str,
+    charset_sniffing: bool = False,
+    raw_content_type: str = "",
 ) -> dict:
     """parseDocument (src/crawler.go:284-313) for one fetched page.
 
     Returns a dict with keys: content, meta_icon_link, meta_site_name,
     meta_title, meta_description, child_urls (normalized via
     utils.childUrlAllowed, ready to enqueue), words (dict word->freq).
+
+    ``charset_sniffing=True`` (CrawlConfig.charset_sniffing; default off
+    = reference parity) decodes HTML via WHATWG sniffing (BOM > the RAW
+    Content-Type header's charset param > meta prescan; textops.
+    decode_page) instead of assuming UTF-8 — non-UTF-8 pages extract
+    real text instead of mojibake.  Undecodable bytes become U+FFFD
+    under the flag (the WHATWG rule) where the parity path REMOVES them
+    (Go ToValidUTF8 with an empty replacement).
     """
     if content_type == "text/html":
-        content = to_valid_utf8(body)  # strings.ToValidUTF8(s, "") src/crawler.go:287
+        if charset_sniffing:
+            from .textops import decode_page
+
+            content, _enc = decode_page(body, raw_content_type or content_type)
+        else:
+            content = to_valid_utf8(body)  # strings.ToValidUTF8(s, "") src/crawler.go:287
         joined, hrefs, meta = extract_html(content)
         content = process_text(joined)
         content_bytes = content.encode("utf-8")

@@ -460,7 +460,11 @@ class ParsePages:
                 kid_off.append(len(kid_vals))
                 w_off.append(len(w_vals))
                 continue
-            d = parse_page(htmls[i], ct, urls[i], bases[i], hosts[i])
+            d = parse_page(
+                htmls[i], ct, urls[i], bases[i], hosts[i],
+                charset_sniffing=self.cfg.charset_sniffing,
+                raw_content_type=cts[i],
+            )
             action[i] = "fetched"
             content[i] = d["content"]
             mi[i] = d["meta_icon_link"]

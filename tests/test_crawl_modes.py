@@ -309,3 +309,60 @@ def test_fresh_run_clears_previous_rounds(ray_session, corpus_fixture):
     assert docs.url.is_unique
     _assert_conformance(out, oracle)
     assert read_trace(out).to_pandas()["round"].max() <= 1
+
+
+def test_charset_sniffing_mode(ray_session, tmp_path):
+    """charset_sniffing=True decodes a cp1251 page via its Content-Type
+    charset param (real Cyrillic text extracted); the default parity path
+    strips the non-UTF-8 bytes instead.  Hand-built one-page corpus with
+    an allow-all robots cache."""
+    from grawler_ray.pipelines.crawl import read_documents, run_crawl
+    from grawler_ray.sources.corpus import PAGE_SCHEMA
+    from grawler_ray.urlops import xxhash64
+
+    url = "https://ru.test/page/0"
+    body = ("<html><head><title>мир</title></head>"
+            "<body>привет "
+            "мир</body></html>").encode("cp1251")
+    corpus = str(tmp_path / "corpus")
+    b = xxhash64(url) % 2
+    for k in range(2):  # both bucket dirs must exist for the point join
+        os.makedirs(f"{corpus}/bucket={k}", exist_ok=True)
+        rows = [
+            {
+                "url": url,
+                "warc_ts": 1_722_470_400_000_000,
+                "html": body,
+                "text": "",
+                "lang": "ru",
+                "content_type": "text/html; charset=windows-1251",
+                "status_code": 200,
+            }
+        ] if k == b else []
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=PAGE_SCHEMA),
+            f"{corpus}/bucket={k}/part.parquet",
+        )
+    rc = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["ru.test"],
+                "robots": ["User-agent: *\nAllow: /\n"],
+                "ts": pa.array([CrawlConfig().now_us - 1], pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+
+    def crawl(flag):
+        out = str(tmp_path / f"out_{flag}")
+        cfg = CrawlConfig(out_dir=out, max_rounds=1, num_fetch_buckets=2,
+                          seen_shards=2, charset_sniffing=flag)
+        run_crawl(corpus, [url], cfg, robots_cache_path=rc)
+        return read_documents(out).to_pandas().content.iloc[0]
+
+    sniffed = crawl(True)
+    parity = crawl(False)
+    assert "привет мир" in sniffed
+    assert "привет" not in parity  # bytes stripped
