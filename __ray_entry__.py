@@ -2257,6 +2257,63 @@ def _kcore(sf_dir: str):
     return kcore(li.map_batches(to_edges, batch_format="pyarrow"), k=4)
 
 
+def _hits_scores(sf_dir: str):
+    """HITS hubs/authorities (Kleinberg 1999) over the DIRECTED order→part
+    bipartite graph (edges = the lineitem multiset, orderkey → partkey
+    offset into a disjoint id space): hubs are orders that buy widely
+    co-purchased parts, authorities the parts they concentrate on — the
+    same link-analysis family the reference's crawl output feeds
+    (src/crawler.go:306 stores documents; ranking them is downstream).
+    The pinned integer recurrence lets the unrolled-CTE oracle hash-match
+    exactly; 4 iterations."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from grawler_ray.functions.graph import _ghash, hits
+
+    OFF = 10_000_000  # > max l_orderkey at any tested sf
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"])
+
+    def to_edges(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "s": t.column("l_orderkey").cast(_pa.int64()),
+                "t": _pc.add(t.column("l_partkey").cast(_pa.int64()), OFF),
+            }
+        )
+
+    def endpoints(t: _pa.Table) -> _pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(_np.int64)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(_np.int64) + OFF
+        v = _np.unique(_np.concatenate([o, p]))  # block-local pre-dedup
+        return _pa.table(
+            {
+                "g": _pa.array(_ghash(v, 64), _pa.int32()),
+                "node_id": _pa.array(v, _pa.int64()),
+            }
+        )
+
+    def uniq_group(t: _pa.Table) -> _pa.Table:
+        v = _np.unique(t.column("node_id").to_numpy(zero_copy_only=False))
+        return _pa.table({"node_id": _pa.array(v, _pa.int64())})
+
+    # distinct node universe: ONE coarse-hash exchange of 8-byte ids
+    # (pyarrow format so empty partitions can't leak pandas blocks)
+    nodes = (
+        li.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(uniq_group, batch_format="pyarrow")
+    )
+    return hits(
+        nodes,
+        li.map_batches(to_edges, batch_format="pyarrow"),
+        node_col="node_id",
+        pair_cols=("s", "t"),
+        iters=4,
+    )
+
+
 def _kcore_sql(k: int = 4, rounds: int = 8) -> str:
     # MATERIALIZED is load-bearing: each round references the previous CTE
     # three times, so default inline expansion is 3^rounds plan blowup
@@ -3628,6 +3685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_part_bfs": _order_part_bfs,
         "copurchase_topk": _copurchase_topk,
         "kcore_nodes": _kcore,
+        "hits_scores": _hits_scores,
         "related_docs_topk": _related_docs_topk,
         "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
@@ -3736,6 +3794,42 @@ _NGRAM_COMPONENTS_CTE = r"""
               SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
             )
 """
+
+
+def _hits_sql(iters: int = 4, scale: int = 10**9) -> str:
+    """Unroll graph.hits's pinned integer recurrence (h0 = scale; per
+    iteration: in-edge sums normalized by the truncating total, then
+    out-edge sums likewise) as k CTE layers over the directed order→part
+    lineitem multiset — integer sums are order-independent, so the hash
+    compare is exact."""
+    layers = []
+    for k in range(1, iters + 1):
+        layers.append(
+            f"""ar{k} AS (SELECT e.t AS v, sum(p.h)::BIGINT AS ar
+                  FROM edges e JOIN h{k - 1} p ON e.s = p.v GROUP BY e.t),
+        ad{k} AS (SELECT greatest(1, coalesce(sum(ar), 0) // {scale})::BIGINT AS d
+                  FROM ar{k}),
+        a{k} AS (SELECT n.v, (coalesce(ar.ar, 0) // ad{k}.d)::BIGINT AS a
+                 FROM nodes n CROSS JOIN ad{k} LEFT JOIN ar{k} ar ON n.v = ar.v),
+        hr{k} AS (SELECT e.s AS v, sum(q.a)::BIGINT AS hr
+                  FROM edges e JOIN a{k} q ON e.t = q.v GROUP BY e.s),
+        hd{k} AS (SELECT greatest(1, coalesce(sum(hr), 0) // {scale})::BIGINT AS d
+                  FROM hr{k}),
+        h{k} AS (SELECT n.v, (coalesce(hr.hr, 0) // hd{k}.d)::BIGINT AS h
+                 FROM nodes n CROSS JOIN hd{k} LEFT JOIN hr{k} hr ON n.v = hr.v)"""
+        )
+    return f"""
+        WITH edges AS MATERIALIZED (
+            SELECT l_orderkey::BIGINT AS s, (l_partkey + 10000000)::BIGINT AS t
+            FROM lineitem),
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT v
+            FROM (SELECT s AS v FROM edges UNION ALL SELECT t AS v FROM edges)),
+        h0 AS (SELECT v, {scale}::BIGINT AS h FROM nodes),
+        {",".join(layers)}
+        SELECT hh.v AS node_id, hh.h AS hub, aa.a AS auth
+        FROM h{iters} hh JOIN a{iters} aa ON hh.v = aa.v
+    """
 
 
 def _pagerank_sql(iters: int = 5, d_pct: int = 85, scale: int = 10**9) -> str:
@@ -4104,6 +4198,7 @@ def oracle_sql() -> dict[str, str]:
         # unrolled iterations (graph.py pins the integer recurrence)
         "pagerank": _pagerank_sql(),
         "kcore_nodes": _kcore_sql(),
+        "hits_scores": _hits_sql(),
         # exact-substring duplication (Lee et al. window approximation):
         # 40-char windows at stride 10; a window position is duplicated
         # when its exact text occurs at >= 2 (doc, pos) sites corpus-wide.

@@ -1268,3 +1268,276 @@ def membership_copair_topk(
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def hits(
+    nodes_ds,
+    pairs_ds,
+    node_col: str = "v",
+    pair_cols: tuple = ("s", "t"),
+    iters: int = 4,
+    scale: int = 10**9,
+    num_groups: int | None = None,
+    driver_max_nodes: int = 5_000_000,
+    driver_max_edges: int = 2_000_000,
+):
+    """Kleinberg HITS hubs/authorities (Kleinberg, JACM 1999 — public
+    algorithm; the reference has no graph ops, cited for inventory only)
+    under a pinned all-integer recurrence so the DuckDB oracle can unroll
+    it exactly:
+
+        h_0(v) = scale                                   (every node)
+        per iteration k:
+          a_raw(v) = sum_{(u,v) in E} h_{k-1}(u)
+          a_k(v)   = a_raw(v) // max(1, sum_v a_raw(v) // scale)
+          h_raw(u) = sum_{(u,v) in E} a_k(v)
+          h_k(u)   = h_raw(u) // max(1, sum_u h_raw(u) // scale)
+
+    The truncating-total normalizer keeps every intermediate inside int64
+    (values stay ~scale, totals <= |E| * scale) and is order-independent,
+    so the driver's value hash is exact.  Edges are DIRECTED and used as
+    given (a multiset: parallel edges double their weight) — feed a
+    DISTINCT edge set if that is the intended graph.  ``nodes_ds`` must
+    list each node once.
+
+    Returns a Dataset (node_col, hub, auth), int64 fixed-point.
+
+    Size-adaptive like pagerank: below (driver_max_nodes,
+    driver_max_edges) the recurrence runs as driver numpy over the pulled
+    edge list (identical arithmetic, asserted equal in tests); above, a
+    pagerank-shaped distributed loop — per half-step, ONE src-hash
+    exchange joins values onto edges with per-destination PARTIAL sums
+    inside the group, ONE node-hash exchange finishes them (2 coarse
+    all-to-alls per half, 4 per iteration; shuffle volume is 2-3 int64s
+    per row, never payloads), plus a tiny per-block partial-sum driver
+    reduce (num_groups rows) for each global normalizer.
+    """
+    import ray.data
+
+    a_col, b_col = pair_cols
+    n = nodes_ds.count()
+    if n == 0:
+        return nodes_ds
+    if num_groups is None:
+        num_groups = 8 if n < 1_000_000 else (64 if n < 100_000_000 else 256)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[a_col].to_numpy(np.int64)
+        t = df[b_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "sg": _ghash(s, num_groups),
+                "tg": _ghash(t, num_groups),
+                "s": s,
+                "t": t,
+            }
+        )
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pandas").materialize()
+    n_edges = edges.count()
+
+    if n <= driver_max_nodes and n_edges <= driver_max_edges:
+        if n_edges:
+            ep = edges.to_pandas()
+            s = ep["s"].to_numpy(np.int64)
+            t = ep["t"].to_numpy(np.int64)
+        else:  # empty blocks lose their schema on to_pandas
+            s = t = np.array([], np.int64)
+        nv = np.sort(
+            nodes_ds.select_columns([node_col]).to_pandas()[node_col].to_numpy(np.int64)
+        )
+        si = np.searchsorted(nv, s)
+        ti = np.searchsorted(nv, t)
+        h = np.full(len(nv), scale, np.int64)
+        aa = np.zeros(len(nv), np.int64)
+        for _ in range(iters):
+            ar = np.zeros(len(nv), np.int64)
+            if len(s):
+                # np.add.at, not bincount(weights=...): weights go through
+                # float64 and corrupt int64 sums beyond 2^53
+                np.add.at(ar, ti, h[si])
+            aa = ar // max(1, int(ar.sum()) // scale)
+            hr = np.zeros(len(nv), np.int64)
+            if len(s):
+                np.add.at(hr, si, aa[ti])
+            h = hr // max(1, int(hr.sum()) // scale)
+        return ray.data.from_pandas(
+            pd.DataFrame({node_col: nv, "hub": h, "auth": aa})
+        )
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[node_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "vg": _ghash(v, num_groups),
+                "v": v,
+                "r": np.full(len(v), scale, np.int64),
+            }
+        )
+
+    hvals = nodes_ds.map_batches(node_rows, batch_format="pandas").materialize()
+
+    def half(vals, src_field: str, src_g_field: str, dst_field: str):
+        """raw(u) = sum of vals.r over edges whose ``src_field`` endpoint
+        carries the value (the lookup side), accumulated at the
+        ``dst_field`` endpoint — then globally normalized.  vals doubles
+        as the node universe (it is node-aligned by construction)."""
+
+        def tag_v(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "g": df["vg"].to_numpy(np.int32),
+                    "k": df["v"].to_numpy(np.int64),
+                    "o": np.full(len(df), -1, np.int64),
+                    "x": df["r"].to_numpy(np.int64),
+                    "is_edge": np.zeros(len(df), np.int8),
+                }
+            )
+
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "g": df[src_g_field].to_numpy(np.int32),
+                    "k": df[src_field].to_numpy(np.int64),
+                    "o": df[dst_field].to_numpy(np.int64),
+                    "x": np.zeros(len(df), np.int64),
+                    "is_edge": np.ones(len(df), np.int8),
+                }
+            )
+
+        def contrib_group(df: pd.DataFrame) -> pd.DataFrame:
+            # value-onto-edges lookup + per-destination PARTIAL sums in
+            # one kernel (the pagerank contrib_group shape)
+            ise = df["is_edge"].to_numpy() == 1
+            rv = df.loc[~ise].sort_values("k")
+            rs = rv["k"].to_numpy(np.int64)
+            rr = rv["x"].to_numpy(np.int64)
+            es = df.loc[ise, "k"].to_numpy(np.int64)
+            if len(es) == 0 or len(rs) == 0:
+                return pd.DataFrame(
+                    {
+                        "vg": np.array([], np.int32),
+                        "v": np.array([], np.int64),
+                        "csum": np.array([], np.int64),
+                        "is_sum": np.array([], np.int8),
+                    }
+                )
+            pos = np.minimum(np.searchsorted(rs, es), len(rs) - 1)
+            x_src = rr[pos]
+            o = df.loc[ise, "o"].to_numpy(np.int64)
+            order = np.argsort(o, kind="stable")
+            os_, xs = o[order], x_src[order]
+            starts = np.concatenate(([True], os_[1:] != os_[:-1]))
+            uniq = os_[starts]
+            part = np.add.reduceat(xs, np.flatnonzero(starts))
+            return pd.DataFrame(
+                {
+                    "vg": _ghash(uniq, num_groups),
+                    "v": uniq,
+                    "csum": part.astype(np.int64),
+                    "is_sum": np.ones(len(uniq), np.int8),
+                }
+            )
+
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vg": df["vg"].to_numpy(np.int32),
+                    "v": df["v"].to_numpy(np.int64),
+                    "csum": np.zeros(len(df), np.int64),
+                    "is_sum": np.zeros(len(df), np.int8),
+                }
+            )
+
+        def finish_group(df: pd.DataFrame) -> pd.DataFrame:
+            iss = df["is_sum"].to_numpy() == 1
+            sv = df.loc[iss]
+            ss = sv["v"].to_numpy(np.int64)
+            sc = sv["csum"].to_numpy(np.int64)
+            order = np.argsort(ss, kind="stable")
+            ss, sc = ss[order], sc[order]
+            if len(ss):
+                starts = np.concatenate(([True], ss[1:] != ss[:-1]))
+                ss = ss[starts]
+                sc = np.add.reduceat(sc, np.flatnonzero(starts))
+            nv_ = df.loc[~iss, "v"].to_numpy(np.int64)
+            raw = np.zeros(len(nv_), np.int64)
+            if len(ss):
+                pos = np.minimum(np.searchsorted(ss, nv_), len(ss) - 1)
+                ok = ss[pos] == nv_
+                raw[ok] = sc[pos][ok]
+            return pd.DataFrame(
+                {
+                    "vg": _ghash(nv_, num_groups),
+                    "v": nv_,
+                    "raw": raw,
+                }
+            )
+
+        both = vals.map_batches(tag_v, batch_format="pandas").union(
+            edges.map_batches(tag_e, batch_format="pandas")
+        )
+        sums = both.groupby("g").map_groups(contrib_group, batch_format="pandas")
+        raw_ds = (
+            vals.map_batches(tag_node, batch_format="pandas")
+            .union(sums)
+            .groupby("vg")
+            .map_groups(finish_group, batch_format="pandas")
+            .repartition(num_groups)
+            .materialize()
+        )
+        # global normalizer: per-block partial sums -> num_groups-row
+        # driver reduce (bounded; never row-proportional)
+        parts = raw_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"tt": [int(df["raw"].to_numpy(np.int64).sum())]}
+            ),
+            batch_format="pandas",
+        ).take_all()
+        tot = sum(int(r["tt"]) for r in parts)
+        dnorm = max(1, tot // scale)
+
+        def normalize(df: pd.DataFrame, _d=dnorm) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vg": df["vg"].to_numpy(np.int32),
+                    "v": df["v"].to_numpy(np.int64),
+                    "r": df["raw"].to_numpy(np.int64) // _d,
+                }
+            )
+
+        return raw_ds.map_batches(normalize, batch_format="pandas").materialize()
+
+    avals = None
+    for _ in range(iters):
+        avals = half(hvals, "s", "sg", "t")
+        hvals = half(avals, "t", "tg", "s")
+
+    def tag_hub(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["vg", "v", "r"]].copy()
+        out["is_hub"] = np.ones(len(df), np.int8)
+        return out
+
+    def tag_auth(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["vg", "v", "r"]].copy()
+        out["is_hub"] = np.zeros(len(df), np.int8)
+        return out
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        hub_side = df.loc[df["is_hub"].to_numpy() == 1].sort_values("v")
+        auth_side = df.loc[df["is_hub"].to_numpy() == 0].sort_values("v")
+        # both sides are node-aligned copies of the same universe
+        return pd.DataFrame(
+            {
+                node_col: hub_side["v"].to_numpy(np.int64),
+                "hub": hub_side["r"].to_numpy(np.int64),
+                "auth": auth_side["r"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        hvals.map_batches(tag_hub, batch_format="pandas")
+        .union(avals.map_batches(tag_auth, batch_format="pandas"))
+        .groupby("vg")
+        .map_groups(merge_group, batch_format="pandas")
+    )

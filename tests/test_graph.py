@@ -731,3 +731,104 @@ class TestKCore:
         dist = self._run(ray_session, pairs, 3, driver_max_edges=0)
         assert drv == exp
         assert dist == exp
+
+
+def serial_hits(nodes, pairs, iters=4, scale=10**9):
+    """The pinned integer HITS recurrence, straight-line (the executable
+    spec for graph.hits): truncating-total normalization each half-step."""
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for s, t in pairs:
+            ar[t] += h[s]
+        d = max(1, sum(ar.values()) // scale)
+        a = {v: ar[v] // d for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, t in pairs:
+            hr[s] += a[t]
+        d = max(1, sum(hr.values()) // scale)
+        h = {v: hr[v] // d for v in nodes}
+    return h, a
+
+
+class TestHits:
+    def _run(self, ray_session, nodes, pairs, **kw):
+        import ray.data
+
+        from grawler_ray.functions.graph import hits
+
+        nodes_ds = ray.data.from_pandas(pd.DataFrame({"v": np.array(nodes, np.int64)}))
+        pairs_ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"s": [a for a, _ in pairs], "t": [b for _, b in pairs]}
+            ).astype(np.int64)
+        )
+        out = hits(nodes_ds, pairs_ds, **kw).to_pandas()
+        return (
+            dict(zip(out["v"], out["hub"])),
+            dict(zip(out["v"], out["auth"])),
+        )
+
+    def test_bipartite_vs_serial(self, ray_session):
+        # 2 hubs -> 3 targets; hub 0 links all three, hub 1 links one
+        nodes = [0, 1, 10, 11, 12]
+        pairs = [(0, 10), (0, 11), (0, 12), (1, 10)]
+        gh, ga = self._run(ray_session, nodes, pairs)
+        eh, ea = serial_hits(nodes, pairs)
+        assert gh == eh and ga == ea
+        assert gh[0] > gh[1]  # broader hub outranks
+        assert ga[10] > ga[11]  # doubly-cited target is the top authority
+        assert gh[10] == 0 and ga[0] == 0  # no out-edges -> hub 0; no in -> auth 0
+
+    def test_multiset_edges_double_weight(self, ray_session):
+        nodes = [0, 1, 2]
+        gh1, ga1 = self._run(ray_session, nodes, [(0, 2), (1, 2)], iters=1)
+        gh2, ga2 = self._run(ray_session, nodes, [(0, 2), (0, 2), (1, 2)], iters=1)
+        eh, ea = serial_hits(nodes, [(0, 2), (0, 2), (1, 2)], iters=1)
+        assert gh2 == eh and ga2 == ea
+        assert gh2[0] > gh2[1]  # parallel edge doubles 0's weight
+        assert gh1[0] == gh1[1]
+
+    def test_no_edges(self, ray_session):
+        nodes = [7, 8, 9]
+        gh, ga = self._run(ray_session, nodes, [])
+        assert set(gh.values()) == {0} and set(ga.values()) == {0}
+
+    def test_distributed_path_equals_driver_path(self, ray_session):
+        """driver_max_edges=0 forces the 4-exchange-per-iteration
+        distributed loop; it must agree exactly with the driver numpy
+        small path and the serial spec."""
+        rng = np.random.default_rng(11)
+        nodes = list(range(40))
+        pairs = [
+            (int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(120)
+        ]
+        fast = self._run(ray_session, nodes, pairs)
+        dist = self._run(ray_session, nodes, pairs, driver_max_edges=0)
+        assert fast == dist
+        assert fast == serial_hits(nodes, pairs)
+
+    def test_vs_duckdb_sf(self, ray_session):
+        import __ray_entry__ as e
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+        )
+        got = (
+            e.queries()["hits_scores"](SF)
+            .to_pandas()
+            .sort_values("node_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            con.execute(e.oracle_sql()["hits_scores"])
+            .fetchdf()
+            .sort_values("node_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+        assert got["hub"].nunique() > 1 and got["auth"].nunique() > 1
