@@ -1924,6 +1924,35 @@ def _sniff_mismatch(sf_dir: str):
     )
 
 
+def _main_content(sf_dir: str):
+    """CETR main-content extraction (Weninger & Hu, WWW 2010; pinned
+    mean-threshold variant) over the entry crawl corpus's HTML pages:
+    (url, total_lines, kept_lines, main_chars, main_text) — the per-page
+    structural boilerplate strip the reference lacks (src/crawler.go:290
+    keeps the whole tree's text).  Rows-only: SQL cannot run the tag-ratio
+    walk; the pinned rule is unit-tested against hand-built nav/content
+    fixtures in tests/test_boilerplate.py."""
+    import ray.data
+
+    from grawler_ray.functions.boilerplate import main_content
+
+    out = _ensure_crawl()
+    corpus = os.path.join(os.path.dirname(out), "corpus")
+    pages = ray.data.read_parquet(corpus, columns=["url", "html", "content_type"])
+
+    def html_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        m = _pc.match_substring(t.column("content_type"), "text/html")
+        return t.filter(_pc.fill_null(m, False)).select(["url", "html"])
+
+    return main_content(
+        pages.map_batches(html_only, batch_format="pyarrow"),
+        html_col="html",
+        url_col="url",
+    )
+
+
 def _charset_detect(sf_dir: str):
     """WHATWG charset sniffing + transcode over synthesized multi-charset
     bodies (doc_id%4 cycles utf-8 / latin-1-header / cp1251-meta /
@@ -3624,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_delta_stats": _cdc_delta_stats,
         "anchor_relevance": _anchor_relevance,
         "charset_detect": _charset_detect,
+        "main_content": _main_content,
         "sniff_mismatch": _sniff_mismatch,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
