@@ -44,6 +44,11 @@ class CrawlConfig:
     # param > meta prescan; undecodable bytes -> U+FFFD) so non-UTF-8 pages
     # extract real text — our addition, the reference has no charset handling
     charset_sniffing: bool = False
+    # False = reference parity (store the whole tree's text); True = store
+    # CETR main-content text instead (functions/boilerplate.py — per-page
+    # structural boilerplate strip; our addition).  Link discovery always
+    # sees the FULL page: nav links still feed the frontier either way.
+    strip_boilerplate: bool = False
 
     # termination (the reference never terminates, src/crawler.go:107-113;
     # bounded rounds are our documented improvement, SURVEY §2.9)

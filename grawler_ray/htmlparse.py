@@ -364,6 +364,7 @@ def parse_page(
     host: str,
     charset_sniffing: bool = False,
     raw_content_type: str = "",
+    strip_boilerplate: bool = False,
 ) -> dict:
     """parseDocument (src/crawler.go:284-313) for one fetched page.
 
@@ -378,6 +379,12 @@ def parse_page(
     real text instead of mojibake.  Undecodable bytes become U+FFFD
     under the flag (the WHATWG rule) where the parity path REMOVES them
     (Go ToValidUTF8 with an empty replacement).
+
+    ``strip_boilerplate=True`` (CrawlConfig.strip_boilerplate; default off
+    = reference parity) stores the CETR main-content text
+    (functions/boilerplate.py) instead of the whole tree's text; words are
+    counted over the stripped text, and meta defaults fill from it.  Link
+    discovery always runs over the FULL page either way.
     """
     if content_type == "text/html":
         if charset_sniffing:
@@ -387,6 +394,10 @@ def parse_page(
         else:
             content = to_valid_utf8(body)  # strings.ToValidUTF8(s, "") src/crawler.go:287
         joined, hrefs, meta = extract_html(content)
+        if strip_boilerplate:
+            from .functions.boilerplate import extract_main_text
+
+            joined = extract_main_text(content)
         content = process_text(joined)
         content_bytes = content.encode("utf-8")
         meta = _fill_meta(meta, content_bytes, host, base_url)

@@ -161,7 +161,12 @@ def run_oracle(
                 trace(seq, url, parent, "type-drop")
                 continue
             # 9. parse (crawler.go:172)
-            parsed = parse_page(row["html"], ctype, url, base_url, host)
+            parsed = parse_page(
+                row["html"], ctype, url, base_url, host,
+                charset_sniffing=cfg.charset_sniffing,
+                raw_content_type=row["content_type"],
+                strip_boilerplate=cfg.strip_boilerplate,
+            )
             # 10. commit seen AFTER successful parse (crawler.go:178)
             res.seen.add(key)
             # 11. children (crawler.go:179; normalization in parse_page)

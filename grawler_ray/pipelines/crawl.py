@@ -464,6 +464,7 @@ class ParsePages:
                 htmls[i], ct, urls[i], bases[i], hosts[i],
                 charset_sniffing=self.cfg.charset_sniffing,
                 raw_content_type=cts[i],
+                strip_boilerplate=self.cfg.strip_boilerplate,
             )
             action[i] = "fetched"
             content[i] = d["content"]

@@ -366,3 +366,114 @@ def test_charset_sniffing_mode(ray_session, tmp_path):
     parity = crawl(False)
     assert "привет мир" in sniffed
     assert "привет" not in parity  # bytes stripped
+
+
+def test_strip_boilerplate_mode(ray_session, tmp_path):
+    """strip_boilerplate=True stores CETR main text (nav chrome dropped,
+    words counted over it) while link discovery still sees the full page
+    — child links behind stripped nav lines are crawled either way.  The
+    flagged run must equal the flagged oracle byte-for-byte (documents,
+    words, trace)."""
+    from grawler_ray.oracle import run_oracle
+    from grawler_ray.pipelines.crawl import read_documents, read_trace, read_words, run_crawl
+    from grawler_ray.sources.corpus import PAGE_SCHEMA
+    from grawler_ray.urlops import xxhash64
+
+    para = (
+        "The quick brown fox jumps over the lazy dog while the river runs "
+        "slowly past the old mill and the miller watches the water wheel turn."
+    )
+    nav = (
+        '<div class="nav"><a href="/page/1">homelink</a>'
+        '<a href="/page/2">aboutlink</a><a href="/page/3">morelink</a>'
+        '<a href="/page/4">extralink</a></div>'
+    )
+    body = "\n".join(
+        [
+            "<html><body>",
+            nav,
+            "<h1>Title of the piece</h1>",
+            f"<p>{para}</p>",
+            f"<p>{para} {para}</p>",
+            f"<p>{para}</p>",
+            para,
+            f"<p>{para} {para}</p>",
+            "<hr>",
+            nav,
+            nav,
+            nav,
+            "</body></html>",
+        ]
+    ).encode()
+
+    host = "bp.test"
+    corpus_rows = {}
+    for i in range(5):
+        url = f"https://{host}/page/{i}"
+        corpus_rows[url] = {
+            "url": url,
+            "warc_ts": 1_722_470_400_000_000,
+            "html": body if i == 0 else f"<p>{para}</p>".encode(),
+            "text": "",
+            "lang": "en",
+            "content_type": "text/html",
+            "status_code": 200,
+        }
+    corpus = str(tmp_path / "corpus")
+    nbuckets = 2
+    for k in range(nbuckets):
+        os.makedirs(f"{corpus}/bucket={k}", exist_ok=True)
+        rows = [r for u, r in corpus_rows.items() if xxhash64(u) % nbuckets == k]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=PAGE_SCHEMA),
+            f"{corpus}/bucket={k}/part.parquet",
+        )
+    rc = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": [host],
+                "robots": ["User-agent: *\nAllow: /\n"],
+                "ts": pa.array([CrawlConfig().now_us - 1], pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+    robots_cache = {host: ("User-agent: *\nAllow: /\n", CrawlConfig().now_us - 1)}
+    seeds = [f"https://{host}/page/0"]
+
+    def crawl(flag):
+        out = str(tmp_path / f"out_{flag}")
+        cfg = CrawlConfig(
+            out_dir=out, max_rounds=3, num_fetch_buckets=nbuckets,
+            seen_shards=2, per_host_quota=5, strip_boilerplate=flag,
+        )
+        run_crawl(corpus, seeds, cfg, robots_cache_path=rc)
+        return out, cfg
+
+    out_on, cfg_on = crawl(True)
+    out_off, _ = crawl(False)
+
+    docs_on = read_documents(out_on).to_pandas().sort_values("url").reset_index(drop=True)
+    docs_off = read_documents(out_off).to_pandas().sort_values("url").reset_index(drop=True)
+    seed_on = docs_on[docs_on.url == seeds[0]].content.iloc[0]
+    seed_off = docs_off[docs_off.url == seeds[0]].content.iloc[0]
+    assert "homelink" not in seed_on and para in seed_on
+    assert "homelink" in seed_off
+    # link discovery unaffected: nav-only children crawled under the flag
+    assert set(docs_on.url) == set(docs_off.url) == set(corpus_rows)
+    # words follow the stripped text
+    w_on = read_words(out_on).to_pandas()
+    assert "homelink" not in set(w_on[w_on.parent_url == seeds[0]].word)
+
+    # flagged run == flagged oracle, byte-for-byte
+    oracle = run_oracle(corpus_rows, seeds, cfg_on, robots_cache)
+    odocs = pd.DataFrame(oracle.documents).sort_values("url").reset_index(drop=True)
+    for col in docs_on.columns:
+        assert (docs_on[col].values == odocs[col].astype(docs_on[col].dtype).values).all(), col
+    otrace = pd.DataFrame(oracle.trace).sort_values(["round", "seq"]).reset_index(drop=True)
+    trace = read_trace(out_on).to_pandas().sort_values(["round", "seq"]).reset_index(drop=True)
+    cols = ["round", "seq", "url", "parent_url", "action"]
+    assert trace[cols].astype({"round": int, "seq": int}).equals(
+        otrace[cols].astype({"round": int, "seq": int})
+    )
