@@ -680,6 +680,23 @@ def _lineitem_moments(sf_dir: str):
     )
 
 
+def _price_qty_regression(sf_dir: str):
+    """Per-returnflag OLS of extendedprice (cents) on quantity
+    (hundredths): all-integer truncation-scaled slope/intercept — five
+    int64 partial sums map-side, one tiny groupby, Python-int finish;
+    the oracle computes the same HUGEINT `//` expression."""
+    from grawler_ray.functions.stats import grouped_regression
+
+    return grouped_regression(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_returnflag", "l_quantity", "l_extendedprice"]
+        ),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
 def _qty_discount_corr(sf_dir: str):
     """Per-group Pearson correlation as a floor-scaled integer — six
     int64 partial sums, one float expression per GROUP computed
@@ -3709,6 +3726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": _brand_revenue,
         "lineitem_moments": _lineitem_moments,
         "qty_discount_corr": _qty_discount_corr,
+        "price_qty_regression": _price_qty_regression,
         "zscore_orders": _zscore_orders,
         "qty_histogram": _qty_histogram,
         "weighted_sample": _weighted_sample,
@@ -5330,6 +5348,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(1000000.0*(n*sxy - sx*sy)
                         / SQRT(CAST((n*sxx - sx*sx)*(n*syy - sy*sy)
                                     AS DOUBLE))) AS BIGINT) AS corr_micro
+            FROM a
+        """,
+        # per-group OLS, all-integer: DuckDB's // truncates toward zero,
+        # matching stats.grouped_regression's pinned _trunc_div exactly
+        "price_qty_regression": """
+            WITH c AS (SELECT l_returnflag AS g,
+                              CAST(floor(l_quantity*100+0.5) AS HUGEINT) AS x,
+                              CAST(floor(l_extendedprice*100+0.5) AS HUGEINT) AS y
+                       FROM lineitem),
+            a AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+                  FROM c GROUP BY g)
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN (n*sxx - sx*sx) <= 0 THEN NULL
+                        ELSE CAST((1000000::HUGEINT * (n*sxy - sx*sy))
+                                  // (n*sxx - sx*sx) AS BIGINT) END AS slope_micro,
+                   CASE WHEN (n*sxx - sx*sx) <= 0 THEN NULL
+                        ELSE CAST((1000000::HUGEINT
+                                   * (sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx))
+                                  // (n*(n*sxx - sx*sx)) AS BIGINT)
+                        END AS intercept_micro
             FROM a
         """,
         # within-group z-score, overflow-free integer formulation

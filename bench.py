@@ -158,6 +158,7 @@ def run_subqueries() -> dict[str, float]:
         "change_rate", "url_trap_score", "source_apportion",
         "recrawl_schedule", "cdc_chunks", "recrawl_urls", "snapshot_delta",
         "cdc_delta_stats", "charset_detect",
+        "hits_scores", "main_content", "price_qty_regression",
     ]
     import ray.data
 

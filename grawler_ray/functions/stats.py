@@ -217,6 +217,80 @@ def grouped_corr(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_regression(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+    out_scale: int = 1_000_000,
+):
+    """Per-group simple OLS y = a·x + b in the scaled-integer space, as
+    TRUNCATION-scaled integers (all-integer arithmetic; no float in the
+    result path, so the driver hash is exact):
+
+        den = n·Σxx − Σx²
+        num = n·Σxy − Σx·Σy
+        slope_micro     = trunc(out_scale · num / den)
+        intercept_micro = trunc(out_scale · (Σy·den − num·Σx) / (n·den))
+
+    Truncating (toward-zero) division is pinned because DuckDB's ``//``
+    truncates where Python's floors — the oracle computes the same
+    HUGEINT expression.  The five sums are exact int64 partials combined
+    map-side per block (shuffle volume = groups × blocks rows); the final
+    per-group products run in Python ints (they exceed int64).
+    Zero-variance groups emit NULL (→ float64/NaN at to_pandas, the
+    driver-hash convention).  Output: (group_col, n_rows, slope_micro,
+    intercept_micro).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _scaled_int(t.column(x_col), x_scale)
+        y = _scaled_int(t.column(y_col), y_scale)
+        return _group_partials(
+            t,
+            group_col,
+            {"sx": x, "sy": y, "sxx": x * x, "sxy": x * y},
+        )
+
+    agg = _sum_partials(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        group_col,
+        ["sx", "sy", "sxx", "sxy"],
+    )
+
+    def _trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        slope, intercept = [], []
+        for r in rows:
+            n, sx, sy, sxx, sxy = r["n"], r["sx"], r["sy"], r["sxx"], r["sxy"]
+            den = n * sxx - sx * sx
+            if den <= 0:
+                slope.append(None)
+                intercept.append(None)
+                continue
+            num = n * sxy - sx * sy
+            slope.append(_trunc_div(out_scale * num, den))
+            intercept.append(_trunc_div(out_scale * (sy * den - num * sx), n * den))
+        return pa.table(
+            {
+                group_col: pa.array([r[group_col] for r in rows], pa.string()),
+                "n_rows": pa.array([r["n"] for r in rows], pa.int64()),
+                "slope_micro": pa.array(slope, pa.int64()),
+                "intercept_micro": pa.array(intercept, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_histogram(
     ds,
     group_col: str,

@@ -1060,3 +1060,80 @@ def test_langid_tiebreak_und_and_distinct_hits():
     got = langid_batch(t).to_pandas()
     assert got.pred_lang.tolist() == ["en", "es", "und", "de"]
     assert got.score.tolist() == [2, 1, 0, 3]
+
+
+def test_grouped_regression_exact_and_negative_trunc(ray_session):
+    """Planted exact lines (slope 2 and slope -3/2) recover their
+    truncation-scaled coefficients exactly; the negative-slope group pins
+    toward-zero division (Python // would floor); constant-x group NULLs."""
+    import ray.data
+
+    from grawler_ray.functions.stats import grouped_regression
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 4 + ["c"] * 3,
+            "x": [1.0, 2.0, 3.0, 4.0] * 2 + [5.0, 5.0, 5.0],
+            "y": [2.0, 4.0, 6.0, 8.0]          # y = 2x
+            + [10.0, 8.5, 7.0, 5.5]            # y = -1.5x + 11.5
+            + [1.0, 2.0, 3.0],                 # zero x-variance
+        }
+    )
+    out = (
+        grouped_regression(ray.data.from_pandas(df), "g", "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # scaled space: both x and y in hundredths, so slope is unit-free
+    assert out.loc[0, "slope_micro"] == 2_000_000
+    assert out.loc[0, "intercept_micro"] == 0
+    assert out.loc[1, "slope_micro"] == -1_500_000
+    assert out.loc[1, "intercept_micro"] == 11_500_000 * 100  # y-intercept in y-scale
+    assert np.isnan(out.loc[2, "slope_micro"]) and np.isnan(
+        out.loc[2, "intercept_micro"]
+    )
+    # truncation (not floor) on a non-exact negative slope
+    df2 = pd.DataFrame(
+        {"g": ["n"] * 3, "x": [0.0, 1.0, 2.0], "y": [1.0, 0.0, 0.0]}
+    )
+    out2 = grouped_regression(ray.data.from_pandas(df2), "g", "x", "y").to_pandas()
+    # exact slope = -1/2 in scaled space: trunc(-500000) is representable;
+    # use x spacing that forces a remainder: slope = -1/3
+    df3 = pd.DataFrame(
+        {"g": ["m"] * 3, "x": [0.0, 1.0, 3.0], "y": [1.0, 1.0, 0.0]}
+    )
+    out3 = grouped_regression(ray.data.from_pandas(df3), "g", "x", "y").to_pandas()
+    n, sx, sy = 3, (0 + 100 + 300), (100 + 100 + 0)
+    sxx = 100 * 100 + 300 * 300
+    sxy = 100 * 100 + 0
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    q = abs(1_000_000 * num) // abs(den)
+    exp = -q if num < 0 else q
+    assert out3.loc[0, "slope_micro"] == exp
+    assert out2.loc[0, "slope_micro"] == -500_000
+
+
+def test_grouped_regression_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    got = (
+        e.queries()["price_qty_regression"](sf)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(e.oracle_sql()["price_qty_regression"])
+        .fetchdf()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
