@@ -38,7 +38,17 @@ class CrawlConfig:
     # — the classic crawl heuristic that favors hub pages.  Priority is a
     # pure function of the url, so deferred rows re-rank consistently.
     # Incompatible with max_urls (the budget cutoff is seq-ordered).
+    # "opic": On-line Page Importance Computation (Abiteboul, Preda &
+    # Cobena, WWW 2003) — seeds split opic_total_cash; a fetched page
+    # splits its cash equally among its children (integer //, remainder
+    # burned); same-round contributions to one URL sum inside the
+    # admission group (equal keys co-locate); the frontier fetches
+    # highest-cash first, seq tiebreak.  Deferred URLs keep accumulating.
+    # Cash of dropped rows (robots/scheme/fetch-miss/childless) is burned.
+    # Requires admission_mode="grouped" and fetch_mode="corpus";
+    # incompatible with max_urls like "priority".
     frontier_order: str = "fifo"
+    opic_total_cash: int = 10**12
     # False = reference parity (assume UTF-8, Go ToValidUTF8 strips invalid
     # bytes); True = WHATWG charset sniffing (BOM > raw Content-Type charset
     # param > meta prescan; undecodable bytes -> U+FFFD) so non-UTF-8 pages

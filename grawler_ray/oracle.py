@@ -84,15 +84,33 @@ def run_oracle(
             return 0
         return path.count("/")
 
-    if cfg.frontier_order == "priority" and cfg.max_urls is not None:
-        raise ValueError("frontier_order='priority' is incompatible with max_urls")
+    if cfg.frontier_order in ("priority", "opic") and cfg.max_urls is not None:
+        raise ValueError(
+            f"frontier_order={cfg.frontier_order!r} is incompatible with max_urls"
+        )
+    opic = cfg.frontier_order == "opic"
     sort_key = (
         (lambda t: t[0])
-        if cfg.frontier_order == "fifo"
+        if cfg.frontier_order in ("fifo", "opic")
         else (lambda t: (_prio(t[1]), t[0]))
     )
 
-    frontier: list[tuple[int, str, str]] = [(i, u, "") for i, u in enumerate(seeds)]
+    def _key_of(url: str) -> str | None:
+        """The seen key _prepare_batch computes, or None on a parse failure
+        (such rows carry no key and contribute no cash)."""
+        try:
+            extract_url_components(url)
+        except UrlError:
+            return None
+        return canonical_url(url) if cfg.canonicalize_seen else url
+
+    # frontier rows: (seq, url, parent, cash); cash is 0 outside opic mode.
+    # OPIC init: seeds split opic_total_cash equally (integer //, remainder
+    # burned) — mirrors run_crawl's seed table exactly.
+    seed_cash = cfg.opic_total_cash // max(1, len(seeds)) if opic else 0
+    frontier: list[tuple[int, str, str, int]] = [
+        (i, u, "", seed_cash) for i, u in enumerate(seeds)
+    ]
     next_seq = len(seeds)
     fetched_count = 0
 
@@ -100,9 +118,29 @@ def run_oracle(
         if not frontier:
             break
         res.rounds = rnd + 1
-        frontier.sort(key=sort_key)
-        deferred: list[tuple[int, str, str]] = []
-        children: list[tuple[int, int, str, str]] = []  # (parent_seq, child_idx, url, parent)
+        key_cash: dict[str, int] = {}
+        if opic:
+            # same-round contributions to one key SUM (the distributed
+            # version sums inside the admission group, where equal keys
+            # co-locate); only rows that would pass the round-START seen
+            # test contribute — seen keys are dup-dropped pre-admission
+            for _seq, _url, _parent, _cash in frontier:
+                k = _key_of(_url)
+                if k is not None and k not in res.seen:
+                    key_cash[k] = key_cash.get(k, 0) + _cash
+            # highest summed cash first, seq tiebreak (rows without a
+            # pending key sort by their own cash; their position is inert
+            # — they drop regardless of order)
+            frontier.sort(
+                key=lambda t: (
+                    -key_cash.get(_key_of(t[1]) or "", t[3]),
+                    t[0],
+                )
+            )
+        else:
+            frontier.sort(key=sort_key)
+        deferred: list[tuple[int, str, str, int]] = []
+        children: list[tuple[int, int, str, str, int]] = []  # (parent_seq, child_idx, url, parent, cash)
         # Intra-round dedup is FIRST-WINS: later occurrences of a URL in the
         # same round dup-drop regardless of the first occurrence's outcome
         # (spec determinization — all failure modes are deterministic, so a
@@ -117,7 +155,7 @@ def run_oracle(
                 {"round": rnd, "seq": seq, "url": url, "parent_url": parent, "action": action}
             )
 
-        for seq, url, parent in frontier:
+        for seq, url, parent, cash in frontier:
             # 1. components (crawler.go:119)
             try:
                 scheme, host, path = extract_url_components(url)
@@ -131,11 +169,13 @@ def run_oracle(
                 trace(seq, url, parent, "dup-drop")
                 continue
             attempted_this_round.add(key)
+            if opic:
+                cash = key_cash.get(key, cash)  # the per-key round sum
             # 3. politeness (intended semantics of crawler.go:194-199)
             slot = host_slots.get(host, 0)
             if slot >= cfg.per_host_quota:
                 trace(seq, url, parent, "deferred")
-                deferred.append((seq, url, parent))
+                deferred.append((seq, url, parent, cash))
                 continue
             host_slots[host] = slot + 1
             # 4. urlAllowed (crawler.go:137)
@@ -169,9 +209,13 @@ def run_oracle(
             )
             # 10. commit seen AFTER successful parse (crawler.go:178)
             res.seen.add(key)
-            # 11. children (crawler.go:179; normalization in parse_page)
-            for ci, child in enumerate(parsed["child_urls"]):
-                children.append((seq, ci, child, url))
+            # 11. children (crawler.go:179; normalization in parse_page);
+            # OPIC: the page's cash splits equally among its children
+            # (integer //, remainder burned; childless pages burn it all)
+            kids = parsed["child_urls"]
+            share = (cash // len(kids)) if (opic and kids) else 0
+            for ci, child in enumerate(kids):
+                children.append((seq, ci, child, url, share))
             # 12. sink (crawler.go:181; InsertDocument projection common.go:44-54)
             res.documents.append(
                 {
@@ -197,7 +241,8 @@ def run_oracle(
         # (parent_seq, child_index) order with fresh seqs
         children.sort(key=lambda t: (t[0], t[1]))
         new_rows = deferred + [
-            (next_seq + i, url, parent) for i, (_, _, url, parent) in enumerate(children)
+            (next_seq + i, url, parent, kcash)
+            for i, (_, _, url, parent, kcash) in enumerate(children)
         ]
         next_seq += len(children)
         if cfg.frontier_cap is not None and len(new_rows) > cfg.frontier_cap:

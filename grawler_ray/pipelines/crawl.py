@@ -220,14 +220,30 @@ def _admission_group(cfg: CrawlConfig):
     allowed_schemes = list(cfg.allowed_schemes)
     blocked_paths = list(cfg.blocked_paths)
     blocked_hosts = list(cfg.blocked_hosts)
-    # processing order: discovery order (fifo) or shallowest-path-first
-    # (priority).  Order only matters WITHIN a host (quota) and WITHIN a seen
-    # key (first-wins) — both entirely inside this group — so a group-local
-    # sort realizes the global order exactly (oracle.py mirrors it).
+    # processing order: discovery order (fifo), shallowest-path-first
+    # (priority), or highest-cash-first (opic).  Order only matters WITHIN a
+    # host (quota) and WITHIN a seen key (first-wins) — both entirely inside
+    # this group — so a group-local sort realizes the global order exactly
+    # (oracle.py mirrors it).  For opic, same-round contributions to one key
+    # sum here too: equal keys share hg, so the in-group per-key sum IS the
+    # global sum, written back so the kept/deferred row carries it forward.
+    opic = cfg.frontier_order == "opic"
     order = ["seq"] if cfg.frontier_order == "fifo" else ["prio", "seq"]
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order)
+        if opic:
+            cash = df["cash"].to_numpy(np.int64).copy()
+            pend0 = df["action"].to_numpy(dtype=object) == ACTION_PENDING
+            if pend0.any():
+                codes, _u = pd.factorize(df["seen_key"].to_numpy(object)[pend0])
+                sums = np.zeros(len(_u), np.int64)
+                np.add.at(sums, codes, cash[pend0])
+                cash[pend0] = sums[codes]
+            df = df.assign(cash=cash, _nc=-cash).sort_values(["_nc", "seq"]).drop(
+                columns="_nc"
+            )
+        else:
+            df = df.sort_values(order)
         actions = df["action"].to_numpy(dtype=object, copy=True)
         pending = actions == ACTION_PENDING
         if not pending.any():
@@ -387,14 +403,19 @@ def _fetch_group(corpus_dir: str):
         else:
             corpus = _CORPUS_FETCH_SCHEMA.empty_table()
         idx = pc.index_in(urls, value_set=corpus.column("url").combine_chunks())
-        return pa.table(
-            {
+        cols = {
                 "seq": t.column("seq"),
                 "url": t.column("url"),
                 "parent_url": t.column("parent_url"),
                 "host": t.column("host"),
                 "base_url": t.column("base_url"),
                 "key_hash": t.column("key_hash"),
+        }
+        if "cash" in t.schema.names:  # opic: summed cash rides to parse
+            cols["cash"] = t.column("cash")
+        return pa.table(
+            {
+                **cols,
                 "html": pc.fill_null(pc.take(corpus.column("html"), idx), b""),
                 "content_type": pc.fill_null(
                     pc.take(corpus.column("content_type"), idx), ""
@@ -480,6 +501,9 @@ class ParsePages:
 
         kid_offsets = pa.array(kid_off, pa.int32())
         w_offsets = pa.array(w_off, pa.int32())
+        passthrough = (
+            {"cash": t.column("cash")} if "cash" in t.schema.names else {}
+        )
         return pa.table(
             {
                 "seq": t.column("seq"),
@@ -487,6 +511,7 @@ class ParsePages:
                 "parent_url": t.column("parent_url"),
                 "host": t.column("host"),
                 "key_hash": t.column("key_hash"),
+                **passthrough,
                 "action": pa.array(action),
                 "content_type": pa.array(ctype_out),
                 "status_code": t.column("status_code"),
@@ -563,10 +588,13 @@ def _distributed_children(kids_src, base_seq: int, nparts: int):
        minhash_dedup's verify="join") attaches each parent's offset and
        explodes its children in-group.
 
-    Returns (children Dataset of (seq, url, parent_url), total children).
+    Returns (children Dataset of (seq, url, parent_url[, cash]), total
+    children).  A ``cash`` column on kids_src (frontier_order="opic") rides
+    the join and splits per child (integer //, remainder burned).
     The oracle invariant — children numbered consecutively in (parent_seq,
     child_idx) order — is preserved exactly; tests force this path via
     offsets_driver_max=0 and assert full trace equality."""
+    with_cash = "cash" in kids_src.schema().names
     counts = (
         kids_src.map_batches(_counts_batch, batch_format="pyarrow")
         .sort("seq")
@@ -605,24 +633,26 @@ def _distributed_children(kids_src, base_seq: int, nparts: int):
     offsets_ds = counts.map_batches(block_offsets, batch_size=None, batch_format="pyarrow")
 
     def off_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "seq": t.column("seq"),
-                "off": t.column("off"),
-                "url": pa.array([None] * t.num_rows, pa.string()),
-                "child_urls": pa.array([None] * t.num_rows, pa.list_(pa.string())),
-            }
-        )
+        cols = {
+            "seq": t.column("seq"),
+            "off": t.column("off"),
+            "url": pa.array([None] * t.num_rows, pa.string()),
+            "child_urls": pa.array([None] * t.num_rows, pa.list_(pa.string())),
+        }
+        if with_cash:
+            cols["cash"] = pa.array([0] * t.num_rows, pa.int64())
+        return pa.table(cols)
 
     def kid_rows(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "seq": t.column("seq"),
-                "off": pa.array([-1] * t.num_rows, pa.int64()),
-                "url": t.column("url"),
-                "child_urls": t.column("child_urls"),
-            }
-        )
+        cols = {
+            "seq": t.column("seq"),
+            "off": pa.array([-1] * t.num_rows, pa.int64()),
+            "url": t.column("url"),
+            "child_urls": t.column("child_urls"),
+        }
+        if with_cash:
+            cols["cash"] = t.column("cash")
+        return pa.table(cols)
 
     def hash_part(t: pa.Table) -> pa.Table:
         s = t.column("seq").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -635,10 +665,12 @@ def _distributed_children(kids_src, base_seq: int, nparts: int):
         offs = df["off"].to_numpy()
         urls_ = df["url"].tolist()
         kids_ = df["child_urls"].tolist()
+        cash_ = df["cash"].tolist() if with_cash else None
         starts = np.concatenate(([0], np.flatnonzero(np.diff(seqs_) != 0) + 1, [len(df)]))
         out_s: list[int] = []
         out_u: list[str] = []
         out_p: list[str] = []
+        out_c: list[int] = []
         for s, e in zip(starts[:-1], starts[1:]):
             if e - s < 2:  # missing one side (shouldn't happen; be safe)
                 continue
@@ -646,22 +678,27 @@ def _distributed_children(kids_src, base_seq: int, nparts: int):
             purl = urls_[s]
             lst = kids_[s]
             lst = [] if lst is None else list(lst)  # pandas gives ndarray
+            share = (int(cash_[s]) // len(lst)) if (with_cash and lst) else 0
             for ci, k in enumerate(lst):
                 out_s.append(base + off + ci)
                 out_u.append(k)
                 out_p.append(purl)
+                out_c.append(share)
         # arrow out: the downstream union+repartition mixes these blocks with
         # arrow blocks, and the shuffle reducer requires one block type
-        return pa.table(
-            {
-                "seq": pa.array(out_s, pa.int64()),
-                "url": pa.array(out_u, pa.string()),
-                "parent_url": pa.array(out_p, pa.string()),
-            }
-        )
+        cols = {
+            "seq": pa.array(out_s, pa.int64()),
+            "url": pa.array(out_u, pa.string()),
+            "parent_url": pa.array(out_p, pa.string()),
+        }
+        if with_cash:
+            cols["cash"] = pa.array(out_c, pa.int64())
+        return pa.table(cols)
 
     children_ds = (
-        kids_src.select_columns(["seq", "url", "child_urls"])
+        kids_src.select_columns(
+            ["seq", "url", "child_urls"] + (["cash"] if with_cash else [])
+        )
         .map_batches(kid_rows, batch_format="pyarrow")
         .union(offsets_ds.map_batches(off_rows, batch_format="pyarrow"))
         .map_batches(hash_part, batch_format="pyarrow")
@@ -733,12 +770,21 @@ def run_crawl(
     rounds in place and every reader would silently merge them in.  Cross-run
     retention is explicit: separate out_dirs + ``read_documents([...],
     dedup="last")``."""
-    if cfg.frontier_order not in ("fifo", "priority"):
+    if cfg.frontier_order not in ("fifo", "priority", "opic"):
         raise ValueError(f"unknown frontier_order {cfg.frontier_order!r}")
-    if cfg.frontier_order == "priority" and cfg.max_urls is not None:
-        # the max_urls cutoff truncates by SEQ order; priority mode fetches
-        # in (prio, seq) order, so a seq cutoff would keep the wrong rows
-        raise ValueError("frontier_order='priority' is incompatible with max_urls")
+    if cfg.frontier_order in ("priority", "opic") and cfg.max_urls is not None:
+        # the max_urls cutoff truncates by SEQ order; priority/opic modes
+        # fetch in rank order, so a seq cutoff would keep the wrong rows
+        raise ValueError(
+            f"frontier_order={cfg.frontier_order!r} is incompatible with max_urls"
+        )
+    if cfg.frontier_order == "opic" and cfg.admission_mode != "grouped":
+        # skew mode's global dedup drops duplicate rows BEFORE the admission
+        # group ever sees them — their cash would silently vanish instead of
+        # summing into the kept row
+        raise ValueError("frontier_order='opic' requires admission_mode='grouped'")
+    if cfg.frontier_order == "opic" and cfg.fetch_mode != "corpus":
+        raise ValueError("frontier_order='opic' requires fetch_mode='corpus'")
     out_dir = cfg.out_dir
     os.makedirs(out_dir, exist_ok=True)
     if not resume:
@@ -785,13 +831,19 @@ def run_crawl(
     ]
 
     start_round = 0
-    frontier = pa.table(
-        {
-            "seq": pa.array(range(len(seeds)), pa.int64()),
-            "url": pa.array(seeds, pa.string()),
-            "parent_url": pa.array([""] * len(seeds), pa.string()),
-        }
-    )
+    _opic = cfg.frontier_order == "opic"
+    _seed_cols = {
+        "seq": pa.array(range(len(seeds)), pa.int64()),
+        "url": pa.array(seeds, pa.string()),
+        "parent_url": pa.array([""] * len(seeds), pa.string()),
+    }
+    if _opic:
+        # each seed starts with an equal share of the total cash (the
+        # OPIC init); integer //, remainder burned — oracle.py mirrors
+        _seed_cols["cash"] = pa.array(
+            [cfg.opic_total_cash // max(1, len(seeds))] * len(seeds), pa.int64()
+        )
+    frontier = pa.table(_seed_cols)
     # split the seed table: block count = map parallelism for round 0 (a
     # single from_arrow block would serialize the whole first round)
     _cpus0 = int(ray.cluster_resources().get("CPU", cfg.min_parallelism))
@@ -1109,7 +1161,8 @@ def run_crawl(
             if parsed_exists:
                 kids_src = ray.data.read_parquet(
                     os.path.join(rdir, "parsed"),
-                    columns=["seq", "url", "key_hash", "child_urls", "action"],
+                    columns=["seq", "url", "key_hash", "child_urls", "action"]
+                    + (["cash"] if _opic else []),
                 ).filter(expr="action == 'fetched'")
                 if seq_cutoff is not None:
                     kids_src = kids_src.filter(expr=f"seq <= {seq_cutoff}")
@@ -1117,17 +1170,16 @@ def run_crawl(
                     _commit_passthrough, batch_format="pyarrow"
                 ).materialize()
             else:
-                kids_src = ray.data.from_arrow(
-                    pa.table(
-                        {
-                            "seq": pa.array([], pa.int64()),
-                            "url": pa.array([], pa.string()),
-                            "key_hash": pa.array([], pa.uint64()),
-                            "child_urls": pa.array([], pa.list_(pa.string())),
-                            "action": pa.array([], pa.string()),
-                        }
-                    )
-                )
+                _empty_cols = {
+                    "seq": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                    "key_hash": pa.array([], pa.uint64()),
+                    "child_urls": pa.array([], pa.list_(pa.string())),
+                    "action": pa.array([], pa.string()),
+                }
+                if _opic:
+                    _empty_cols["cash"] = pa.array([], pa.int64())
+                kids_src = ray.data.from_arrow(pa.table(_empty_cols))
             committed = kids_src.count()
             stats["fetched"] += int(committed)
             _phase("kids_read_commit")
@@ -1200,20 +1252,28 @@ def run_crawl(
                     pseqs = t.column("seq").to_pylist()
                     parents = t.column("url").to_pylist()
                     kids = t.column("child_urls").to_pylist()
-                    seqs, urls, purls = [], [], []
-                    for pseq, purl, lst in zip(pseqs, parents, kids):
+                    has_cash = "cash" in t.schema.names
+                    pcash = t.column("cash").to_pylist() if has_cash else None
+                    seqs, urls, purls, kcash = [], [], [], []
+                    for j, (pseq, purl, lst) in enumerate(zip(pseqs, parents, kids)):
                         o = int(off_sorted_[np.searchsorted(pseq_sorted_, pseq)])
-                        for ci, k in enumerate(lst or []):
+                        lst = lst or []
+                        # OPIC: the page's cash splits equally among its
+                        # children (integer //, remainder burned)
+                        share = pcash[j] // len(lst) if (has_cash and lst) else 0
+                        for ci, k in enumerate(lst):
                             seqs.append(base + o + ci)
                             urls.append(k)
                             purls.append(purl)
-                    return pa.table(
-                        {
-                            "seq": pa.array(seqs, pa.int64()),
-                            "url": pa.array(urls, pa.string()),
-                            "parent_url": pa.array(purls, pa.string()),
-                        }
-                    )
+                            kcash.append(share)
+                    cols = {
+                        "seq": pa.array(seqs, pa.int64()),
+                        "url": pa.array(urls, pa.string()),
+                        "parent_url": pa.array(purls, pa.string()),
+                    }
+                    if has_cash:
+                        cols["cash"] = pa.array(kcash, pa.int64())
+                    return pa.table(cols)
 
                 children_ds = kids_src.map_batches(explode_children, batch_format="pyarrow")
             else:
@@ -1225,7 +1285,7 @@ def run_crawl(
             next_seq += acc
 
             deferred_ds = admission.filter(expr="action == 'deferred'").select_columns(
-                ["seq", "url", "parent_url"]
+                ["seq", "url", "parent_url"] + (["cash"] if _opic else [])
             )
             # bound the control table's block count: groupby/sort shuffle cost
             # scales with blocks, and unions would otherwise accumulate tiny

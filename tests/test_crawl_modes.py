@@ -477,3 +477,124 @@ def test_strip_boilerplate_mode(ray_session, tmp_path):
     assert trace[cols].astype({"round": int, "seq": int}).equals(
         otrace[cols].astype({"round": int, "seq": int})
     )
+
+
+def test_opic_mode(ray_session, corpus_fixture):
+    """frontier_order='opic': full conformance to the serial OPIC oracle
+    (documents, words, FULL trace) on the standard corpus, both explode
+    paths."""
+    out = "/tmp/gr_modes_opic"
+    seeds = seed_urls(N_HOSTS, 2)
+    stats, oracle = _run_both(
+        ray_session, corpus_fixture, out, seeds, frontier_order="opic"
+    )
+    _assert_conformance(out, oracle)
+    assert stats["fetched"] > 0
+    # distributed-offsets explode path must carry cash identically
+    out2 = "/tmp/gr_modes_opic_dist"
+    stats2, oracle2 = _run_both(
+        ray_session, corpus_fixture, out2, seeds,
+        frontier_order="opic", offsets_driver_max=0,
+    )
+    _assert_conformance(out2, oracle2)
+    assert stats2["fetched"] == stats["fetched"]
+
+
+def test_opic_cash_orders_frontier(ray_session, tmp_path):
+    """Hand-built corpus where OPIC and FIFO must defer DIFFERENT URLs:
+    seeds A (children y then x) and B (child x).  x's summed cash
+    (a/2 + b) beats y's (a/2); with per_host_quota=1 on the child host,
+    OPIC fetches x first and defers y — FIFO fetches y (lower seq)."""
+    from grawler_ray.oracle import run_oracle
+    from grawler_ray.pipelines.crawl import read_trace, run_crawl
+    from grawler_ray.sources.corpus import PAGE_SCHEMA
+    from grawler_ray.urlops import xxhash64
+
+    def page(links):
+        body = "".join(f'<a href="{u}">link</a>' for u in links)
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = {
+        "https://seeda.test/page/0": page(
+            ["https://kid.test/page/y", "https://kid.test/page/x"]
+        ),
+        "https://seedb.test/page/0": page(["https://kid.test/page/x"]),
+        "https://kid.test/page/x": page([]),
+        "https://kid.test/page/y": page([]),
+    }
+    corpus_rows = {
+        u: {
+            "url": u,
+            "warc_ts": 1_722_470_400_000_000,
+            "html": b,
+            "text": "",
+            "lang": "en",
+            "content_type": "text/html",
+            "status_code": 200,
+        }
+        for u, b in rows.items()
+    }
+    corpus = str(tmp_path / "corpus")
+    nb = 2
+    for k in range(nb):
+        os.makedirs(f"{corpus}/bucket={k}", exist_ok=True)
+        part = [r for u, r in corpus_rows.items() if xxhash64(u) % nb == k]
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=PAGE_SCHEMA),
+            f"{corpus}/bucket={k}/part.parquet",
+        )
+    rc = str(tmp_path / "robots.parquet")
+    hosts = ["seeda.test", "seedb.test", "kid.test"]
+    pq.write_table(
+        pa.table(
+            {
+                "host": hosts,
+                "robots": ["User-agent: *\nAllow: /\n"] * 3,
+                "ts": pa.array([CrawlConfig().now_us - 1] * 3, pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+    robots_cache = {
+        h: ("User-agent: *\nAllow: /\n", CrawlConfig().now_us - 1) for h in hosts
+    }
+    seeds = ["https://seeda.test/page/0", "https://seedb.test/page/0"]
+
+    def deferred_in_round1(order):
+        out = str(tmp_path / f"out_{order}")
+        cfg = CrawlConfig(
+            out_dir=out, max_rounds=2, num_fetch_buckets=nb, seen_shards=2,
+            per_host_quota=1, frontier_order=order,
+        )
+        run_crawl(corpus, seeds, cfg, robots_cache_path=rc)
+        tr = read_trace(out).to_pandas()
+        # serial oracle agrees in full
+        oracle = run_oracle(corpus_rows, seeds, cfg, robots_cache)
+        otr = (
+            pd.DataFrame(oracle.trace)
+            .sort_values(["round", "seq"])
+            .reset_index(drop=True)
+        )
+        got = tr.sort_values(["round", "seq"]).reset_index(drop=True)
+        cols = ["round", "seq", "url", "parent_url", "action"]
+        assert got[cols].astype({"round": int, "seq": int}).equals(
+            otr[cols].astype({"round": int, "seq": int})
+        )
+        d = tr[(tr["round"] == 1) & (tr.action == "deferred")]
+        return set(d.url)
+
+    assert deferred_in_round1("opic") == {"https://kid.test/page/y"}
+    assert deferred_in_round1("fifo") == {"https://kid.test/page/x"}
+
+
+def test_opic_invalid_combos(ray_session):
+    from grawler_ray.pipelines.crawl import run_crawl
+
+    for kw in (
+        dict(max_urls=5),
+        dict(admission_mode="skew"),
+        dict(fetch_mode="http"),
+    ):
+        cfg = CrawlConfig(out_dir="/tmp/gr_opic_bad", frontier_order="opic", **kw)
+        with pytest.raises(ValueError):
+            run_crawl("/tmp/nonexistent", ["https://a.test/"], cfg)
