@@ -438,7 +438,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--per-host-quota", type=int, default=4)
     c.add_argument("--max-rounds", type=int, default=50)
     c.add_argument("--max-urls", type=int, default=None)
-    c.add_argument("--frontier-order", choices=("fifo", "priority"), default="fifo")
+    c.add_argument(
+        "--frontier-order", choices=("fifo", "priority", "opic"), default="fifo"
+    )
     c.add_argument("--frontier-cap", type=int, default=None)
     c.add_argument("--seen-mode", choices=("exact", "cuckoo"), default="exact")
     c.add_argument("--seen-shards", type=int, default=8)
