@@ -1109,6 +1109,22 @@ def _path_trigrams(sf_dir: str):
     )
 
 
+def _skyline_price_qty(sf_dir: str):
+    """Per-returnflag 2-D skyline of lineitem (minimize price cents,
+    maximize quantity; Borzsonyi et al. ICDE 2001): lossless per-batch
+    local skylines over distinct points, one tiny repartition(1) merge —
+    candidates ∝ batch frontiers, payload never moves."""
+    from grawler_ray.functions.olap import grouped_skyline
+
+    return grouped_skyline(
+        _read(sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        min_col="l_extendedprice",
+        max_col="l_quantity",
+        min_scale=100,
+    )
+
+
 def _winnow_fps(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) per doc —
     rows-only (rolling hashes aren't SQL-expressible); the brute-force
@@ -3777,6 +3793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_spend": _benford_spend,
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
+        "skyline_price_qty": _skyline_price_qty,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -5887,6 +5904,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS is_outlier
             FROM x JOIN m USING (o_orderpriority)
                    JOIN d ON d.o_orderpriority = x.o_orderpriority
+        """,
+        # 2-D skyline on DISTINCT points: after dedup, the window
+        # running-max over (price asc, qty desc) is exact — an earlier
+        # row has strictly smaller price, or equal price with strictly
+        # larger qty, i.e. it dominates iff its qty >= ours
+        "skyline_price_qty": """
+            WITH x AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                           AS price_c,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                       count(*)::BIGINT AS n_items
+                FROM lineitem
+                GROUP BY 1, 2, 3
+            ),
+            y AS (
+                SELECT *,
+                       MAX(qty) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY price_c ASC, qty DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS bp
+                FROM x
+            )
+            SELECT l_returnflag, price_c, qty, n_items
+            FROM y WHERE bp IS NULL OR qty > bp
         """,
         # hopping windows: each event in exactly window/hop = 2 windows
         "hopping_counts": """

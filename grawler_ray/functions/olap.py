@@ -128,3 +128,135 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
     return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
         reshape, batch_format="pyarrow"
     )
+
+
+def grouped_skyline(
+    ds,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+    min_scale: int = 100,
+    min_name: str = "price_c",
+    max_name: str = "qty",
+    count_name: str = "n_items",
+):
+    """Per-group 2-D skyline (Pareto frontier): the distinct
+    (``min_col`` minimized, ``max_col`` maximized) points no other point
+    in the same group dominates (<= on the minimized axis AND >= on the
+    maximized axis, strict on at least one), with the number of input
+    rows sitting exactly on each frontier point.  Borzsonyi et al.,
+    ICDE 2001 — the "best trade-off" query (cheapest line items per
+    quantity tier, fastest page per byte budget, ...).
+
+    Scale shape (the classic distributed skyline): every batch reduces
+    to its DISTINCT (group, min, max) points and runs a vectorized local
+    skyline (sort by min asc / max desc, one running-max scan) — a point
+    dominated anywhere is dominated globally, so local pruning is
+    lossless, and a globally undominated point survives every local
+    pass, so its per-batch counts reach the merge intact.  Candidates
+    per batch are bounded by the batch's own frontier (tiny on real
+    data); ONE repartition(1) merge re-groups, re-sums counts, and
+    re-scans — no driver pull, output stays a Dataset.  Worst case
+    (fully anti-correlated axes) degrades the frontier to the distinct
+    point count; the merge would then need a range-partitioned tree
+    reduce, which this synthetic corpus cannot motivate — documented,
+    not built.
+
+    Both axes are integer-scaled (``floor(x * scale + 0.5)``) so the
+    DuckDB oracle matches bit-exactly; the oracle expresses dominance as
+    a window running-max over the same sort (strictly correct on
+    distinct points only, hence the pre-dedup on both sides).
+    """
+
+    def _skyline_scan(g, p, q, n):
+        """Vectorized per-group skyline over DISTINCT points: sort by
+        (group, p asc, q desc); a point survives iff its q strictly
+        exceeds the running max q of every earlier point in its group
+        (earlier == p strictly smaller, or p equal with q larger — both
+        dominate at >=/<= with one strict)."""
+        order = np.lexsort((-q, p, g))
+        g, p, q, n = g[order], p[order], q[order], n[order]
+        if len(g) == 0:
+            return g, p, q, n
+        # per-group running max restarts at each boundary; max has no
+        # subtract-the-carry trick, so scan per SEGMENT (segments =
+        # groups, a handful) — O(n) total, loop count ∝ groups not rows
+        gstart = np.concatenate(([True], g[1:] != g[:-1]))
+        keep = np.zeros(len(q), bool)
+        seg_starts = np.flatnonzero(gstart)
+        seg_ends = np.append(seg_starts[1:], len(q))
+        for s, e in zip(seg_starts, seg_ends):
+            rm = np.maximum.accumulate(q[s:e])
+            k = np.ones(e - s, bool)
+            k[1:] = q[s + 1 : e] > rm[:-1]
+            keep[s:e] = k
+        return g[keep], p[keep], q[keep], n[keep]
+
+    def _dedup_counts(g, p, q, n):
+        """Collapse to distinct (g, p, q) with summed counts."""
+        order = np.lexsort((q, p, g))
+        g, p, q, n = g[order], p[order], q[order], n[order]
+        if len(g) == 0:
+            return g, p, q, n
+        new = np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (p[1:] != p[:-1]) | (q[1:] != q[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        return g[new], p[new], q[new], np.add.reduceat(n, starts)
+
+    # group values are strings (dictionary-encode to ints per batch for
+    # the numpy kernels, decode on emit)
+    def local(t: pa.Table) -> pa.Table:
+        gv = t.column(group_col).to_pandas().to_numpy()
+        p = np.floor(
+            t.column(min_col).to_numpy(zero_copy_only=False) * min_scale + 0.5
+        ).astype(np.int64)
+        q = np.floor(
+            t.column(max_col).to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        uniq, gcode = np.unique(gv, return_inverse=True)
+        g2, p2, q2, n2 = _dedup_counts(
+            gcode.astype(np.int64), p, q, np.ones(len(p), np.int64)
+        )
+        g3, p3, q3, n3 = _skyline_scan(g2, p2, q2, n2)
+        return pa.table(
+            {
+                group_col: pa.array(uniq[g3], pa.string()),
+                min_name: pa.array(p3, pa.int64()),
+                max_name: pa.array(q3, pa.int64()),
+                count_name: pa.array(n3, pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        gv = t.column(group_col).to_pandas().to_numpy()
+        p = t.column(min_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column(max_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column(count_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, gcode = np.unique(gv, return_inverse=True)
+        # same point may arrive from many batches: sum counts first
+        order = np.lexsort((p, gcode))
+        gc, p, q, n = gcode[order].astype(np.int64), p[order], q[order], n[order]
+        if len(gc):
+            new = np.concatenate(
+                ([True], (gc[1:] != gc[:-1]) | (p[1:] != p[:-1]) | (q[1:] != q[:-1]))
+            )
+            starts = np.flatnonzero(new)
+            gc, p, q = gc[new], p[new], q[new]
+            n = np.add.reduceat(n, starts)
+        g3, p3, q3, n3 = _skyline_scan(gc, p, q, n)
+        return pa.table(
+            {
+                group_col: pa.array(uniq[g3], pa.string()),
+                min_name: pa.array(p3, pa.int64()),
+                max_name: pa.array(q3, pa.int64()),
+                count_name: pa.array(n3, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, min_col, max_col])
+        .map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )

@@ -1,0 +1,118 @@
+"""Round-4 seventh batch: grouped 2-D skyline (Pareto frontier), chain
+resolution by pointer doubling, and the hashed-feature logistic-regression
+text classifier — planted dominance/chain corners, brute-force and
+recursive-CTE cross-checks, serial-numpy training oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skyline_df(df):
+    """Run grouped_skyline on a (g, price, qty) frame, return sorted df."""
+    import ray.data
+
+    from grawler_ray.functions.olap import grouped_skyline
+
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = grouped_skyline(
+        ds, group_col="g", min_col="price", max_col="qty", min_scale=100
+    ).to_pandas()
+    return out.sort_values(["g", "price_c"]).reset_index(drop=True)
+
+
+def test_skyline_dominance_corners(ray_session):
+    """Planted corners: exact-duplicate points both count (one row, n=2);
+    equal price keeps only the larger qty; equal qty keeps only the
+    cheaper price; interior points vanish; groups are independent."""
+    df = pd.DataFrame(
+        {
+            "g": ["A"] * 7 + ["B"] * 2,
+            #           dup   dup   eq-price pair   eq-qty pair   interior
+            "price": [1.00, 1.00, 2.00, 2.00, 3.00, 4.00, 2.50, 9.0, 1.0],
+            "qty": [5.0, 5.0, 7.0, 6.0, 9.0, 9.0, 6.5, 1.0, 1.0],
+        }
+    )
+    out = _skyline_df(df)
+    a = out[out.g == "A"]
+    # frontier: (100,5,n=2), (200,7), (300,9); (200,6) dominated by (200,7),
+    # (400,9) dominated by (300,9), (250,6.5) dominated by (200,7)
+    assert list(map(tuple, a[["price_c", "qty", "n_items"]].to_numpy())) == [
+        (100, 5, 2),
+        (200, 7, 1),
+        (300, 9, 1),
+    ]
+    b = out[out.g == "B"]
+    assert list(map(tuple, b[["price_c", "qty", "n_items"]].to_numpy())) == [
+        (100, 1, 1),
+        # (900,1) dominated by (100,1)? price higher, qty equal -> dominated
+    ]
+
+
+def test_skyline_random_vs_bruteforce_and_duckdb(ray_session):
+    """Random points cross-checked against O(n^2) dominance and the
+    window-function oracle SQL shape."""
+    rng = np.random.RandomState(7)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], n),
+            "price": rng.randint(1, 60, n) / 2.0,
+            "qty": rng.randint(1, 40, n).astype(float),
+        }
+    )
+    out = _skyline_df(df)
+
+    # brute force per group over distinct integer-scaled points
+    pts = df.copy()
+    pts["p"] = np.floor(pts.price * 100 + 0.5).astype(np.int64)
+    pts["q"] = np.floor(pts.qty + 0.5).astype(np.int64)
+    expect = []
+    for g, sub in pts.groupby("g"):
+        d = sub.groupby(["p", "q"]).size().reset_index(name="n")
+        keep = []
+        for _, r in d.iterrows():
+            dom = (
+                (d.p <= r.p)
+                & (d.q >= r.q)
+                & ((d.p < r.p) | (d.q > r.q))
+            ).any()
+            if not dom:
+                keep.append((g, r.p, r.q, r.n))
+        expect.extend(keep)
+    exp = (
+        pd.DataFrame(expect, columns=["g", "price_c", "qty", "n_items"])
+        .sort_values(["g", "price_c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+        exp.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+    )
+
+    # the oracle's window shape agrees on the same frame
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = """
+        WITH x AS (
+            SELECT g, CAST(floor(price * 100.0 + 0.5) AS BIGINT) AS price_c,
+                   CAST(floor(qty + 0.5) AS BIGINT) AS qty,
+                   count(*)::BIGINT AS n_items
+            FROM t GROUP BY 1, 2, 3
+        ),
+        y AS (
+            SELECT *, MAX(qty) OVER (
+                PARTITION BY g ORDER BY price_c ASC, qty DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bp
+            FROM x
+        )
+        SELECT g, price_c, qty, n_items FROM y WHERE bp IS NULL OR qty > bp
+        ORDER BY g, price_c
+    """
+    ora = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+        ora.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+    )
