@@ -1125,6 +1125,37 @@ def _skyline_price_qty(sf_dir: str):
     )
 
 
+def _redirect_resolve(sf_dir: str):
+    """Redirect-chain flattening by pointer doubling (Wyllie list
+    ranking): every doc resolves to its chain root + hop depth in
+    O(log L) coarse-hash exchanges.  Chains are derived deterministically
+    from the documents table (doc d points at d-1 unless d%100==0 or
+    d's n_chars%7==0 — data-dependent break points), mirrored by the
+    oracle's recursive CTE."""
+    import numpy as np
+    import pyarrow as pa
+
+    from grawler_ray.functions.graph import resolve_chains
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        root = (d % 100 == 0) | (nc % 7 == 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "next": pa.array(d - 1, pa.int64(), mask=root),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(edges, batch_format="pyarrow")
+    )
+    return resolve_chains(ds, id_col="doc_id", next_col="next")
+
+
 def _winnow_fps(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS) per doc —
     rows-only (rolling hashes aren't SQL-expressible); the brute-force
@@ -3794,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
         "skyline_price_qty": _skyline_price_qty,
+        "redirect_resolve": _redirect_resolve,
         # rows-only
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
@@ -5930,6 +5962,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, price_c, qty, n_items
             FROM y WHERE bp IS NULL OR qty > bp
+        """,
+        # redirect chains: recursive CTE walks each doc to its root; the
+        # edge rule mirrors the Ray side exactly (break at d%100==0 or
+        # n_chars%7==0); the deepest walk row per doc is the root
+        "redirect_resolve": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS id,
+                       CASE WHEN doc_id % 100 = 0 OR n_chars % 7 = 0
+                            THEN NULL ELSE doc_id - 1 END AS nxt
+                FROM documents
+            ),
+            walk AS (
+                SELECT id, id AS cur, 0 AS d FROM e
+                UNION ALL
+                SELECT w.id, e2.nxt AS cur, w.d + 1 AS d
+                FROM walk w JOIN e e2 ON e2.id = w.cur
+                WHERE e2.nxt IS NOT NULL
+            )
+            SELECT id AS doc_id, cur AS root_id, d::BIGINT AS depth
+            FROM walk
+            QUALIFY row_number() OVER (PARTITION BY id ORDER BY d DESC) = 1
         """,
         # hopping windows: each event in exactly window/hop = 2 windows
         "hopping_counts": """

@@ -1541,3 +1541,157 @@ def hits(
         .groupby("vg")
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def resolve_chains(
+    ds,
+    id_col: str = "id",
+    next_col: str = "next",
+    num_groups: int = 8,
+    driver_max_rows: int = 2_000_000,
+):
+    """Resolve every node of a pointer forest to its chain root and hop
+    depth — redirect-chain flattening (301 hops → final URL), alias
+    resolution, union-find finishing.  Input: one row per node with a
+    nullable ``next_col`` (NULL ⇒ the node is a root).  Output Dataset:
+    (``id_col``, root_id, depth), all int64 non-null.
+
+    Scale shape — POINTER DOUBLING (Wyllie 1979 list ranking): the state
+    table (id, ptr, dist) repeatedly substitutes each pointer with its
+    target's pointer and accumulates the hop distance, so chains of
+    length L resolve in ceil(log2 L) rounds of ONE coarse-hash exchange
+    each (vs L rounds of naive following) — at web scale redirect chains
+    are short but number millions, and the exchange ships 3 int64s/row.
+    Both copies of the state (providers keyed by own id, requesters
+    keyed by their ptr) co-locate in a coarse hash group; lookups are a
+    sorted-run searchsorted.  Rounds stop when no pointer advanced
+    (tiny global sum per round).
+
+    Size-adaptive like pagerank: below ``driver_max_rows`` the identical
+    doubling runs as driver numpy (the exchange latency dominates small
+    forests); tests force the distributed path and assert equality.
+    All-pandas blocks throughout the union + groupby chain (the
+    dedup_components block-type rule).
+    """
+    import ray.data
+
+    n = ds.count()
+    if n == 0:
+        return ds
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        nxt = df[next_col].to_numpy()
+        isna = pd.isna(nxt)
+        ptr = np.where(isna, ids, np.where(isna, 0, nxt)).astype(np.int64)
+        dist = (~isna).astype(np.int64)
+        return pd.DataFrame({"id": ids, "ptr": ptr, "dist": dist})
+
+    state = ds.map_batches(init_state, batch_format="pandas")
+
+    if n <= driver_max_rows:
+        sp = state.to_pandas()
+        ids = sp["id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ptr, dist = (
+            ids[order],
+            sp["ptr"].to_numpy(np.int64)[order],
+            sp["dist"].to_numpy(np.int64)[order],
+        )
+        while True:
+            pos = np.minimum(np.searchsorted(ids, ptr), len(ids) - 1)
+            assert np.array_equal(ids[pos], ptr), "dangling pointer target"
+            moved = dist[pos] > 0
+            if not moved.any():
+                break
+            dist = dist + dist[pos]
+            ptr = ptr[pos]
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: ids, "root_id": ptr, "depth": dist})
+        )
+
+    state = state.map_batches(
+        lambda df: df.assign(g=_ghash(df["id"].to_numpy(np.int64), num_groups)),
+        batch_format="pandas",
+    ).repartition(num_groups).materialize()
+
+    def tag_provider(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": df["g"].to_numpy(np.int32),
+                "id": df["id"].to_numpy(np.int64),
+                "ptr": df["ptr"].to_numpy(np.int64),
+                "dist": df["dist"].to_numpy(np.int64),
+                "role": np.zeros(len(df), np.int8),
+            }
+        )
+
+    def tag_requester(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": _ghash(df["ptr"].to_numpy(np.int64), num_groups),
+                "id": df["id"].to_numpy(np.int64),
+                "ptr": df["ptr"].to_numpy(np.int64),
+                "dist": df["dist"].to_numpy(np.int64),
+                "role": np.ones(len(df), np.int8),
+            }
+        )
+
+    def double_group(df: pd.DataFrame) -> pd.DataFrame:
+        prov = df[df["role"].to_numpy() == 0].sort_values("id")
+        req = df[df["role"].to_numpy() == 1]
+        pid = prov["id"].to_numpy(np.int64)
+        pptr = prov["ptr"].to_numpy(np.int64)
+        pdist = prov["dist"].to_numpy(np.int64)
+        rptr = req["ptr"].to_numpy(np.int64)
+        if len(req) == 0:
+            return pd.DataFrame(
+                {
+                    "g": np.array([], np.int32),
+                    "id": np.array([], np.int64),
+                    "ptr": np.array([], np.int64),
+                    "dist": np.array([], np.int64),
+                    "moved": np.array([], np.int64),
+                }
+            )
+        pos = np.searchsorted(pid, rptr)
+        pos = np.minimum(pos, max(len(pid) - 1, 0))
+        ok = len(pid) > 0 and np.array_equal(pid[pos], rptr)
+        assert ok, "dangling pointer target in hash group"
+        tdist = pdist[pos]
+        new_ptr = pptr[pos]
+        rid = req["id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "g": _ghash(rid, num_groups),
+                "id": rid,
+                "ptr": new_ptr,
+                "dist": req["dist"].to_numpy(np.int64) + tdist,
+                "moved": (tdist > 0).astype(np.int64),
+            }
+        )
+
+    while True:
+        both = state.map_batches(tag_provider, batch_format="pandas").union(
+            state.map_batches(tag_requester, batch_format="pandas")
+        )
+        state = (
+            both.groupby("g")
+            .map_groups(double_group, batch_format="pandas")
+            .repartition(num_groups)
+            .materialize()
+        )
+        if state.sum("moved") == 0:
+            break
+        state = state.drop_columns(["moved"]).materialize()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df["id"].to_numpy(np.int64),
+                "root_id": df["ptr"].to_numpy(np.int64),
+                "depth": df["dist"].to_numpy(np.int64),
+            }
+        )
+
+    return state.map_batches(finalize, batch_format="pandas")

@@ -116,3 +116,74 @@ def test_skyline_random_vs_bruteforce_and_duckdb(ray_session):
         out.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
         ora.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
     )
+
+
+def _chains_df(df, force_distributed):
+    import ray.data
+
+    from grawler_ray.functions.graph import resolve_chains
+
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = resolve_chains(
+        ds,
+        id_col="id",
+        next_col="next",
+        driver_max_rows=0 if force_distributed else 2_000_000,
+    ).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_resolve_chains_planted(ray_session):
+    """Forest with chains of very different lengths, plus isolated roots;
+    driver and distributed paths agree with the closed-form answer."""
+    # chain A: 0 <- 1 <- ... <- 9 (root 0); chain B: 100 <- 101; roots 200, 201
+    ids = list(range(10)) + [100, 101] + [200, 201]
+    nxt = [None] + list(range(9)) + [None, 100] + [None, None]
+    df = pd.DataFrame({"id": np.array(ids, np.int64), "next": pd.array(nxt, dtype="Int64")})
+    exp = pd.DataFrame(
+        {
+            "id": np.array(ids, np.int64),
+            "root_id": np.array([0] * 10 + [100, 100, 200, 201], np.int64),
+            "depth": np.array(list(range(10)) + [0, 1, 0, 0], np.int64),
+        }
+    )
+    for forced in (False, True):
+        out = _chains_df(df, forced)
+        pd.testing.assert_frame_equal(
+            out.astype({"id": np.int64, "root_id": np.int64, "depth": np.int64}),
+            exp,
+        )
+
+
+def test_resolve_chains_random_long(ray_session):
+    """Random forest with chains up to ~500 hops: distributed ==
+    driver == serial pointer-chase."""
+    rng = np.random.RandomState(11)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    # break into chains at random points (~1/50 break rate => long chains)
+    is_root = (rng.rand(n) < 0.02) | (ids == 0)
+    nxt = np.where(is_root, -1, ids - 1)
+    df = pd.DataFrame(
+        {
+            "id": ids,
+            "next": pd.array(
+                [None if v < 0 else int(v) for v in nxt], dtype="Int64"
+            ),
+        }
+    )
+    # serial chase
+    root = np.zeros(n, np.int64)
+    depth = np.zeros(n, np.int64)
+    for i in range(n):
+        if is_root[i]:
+            root[i], depth[i] = i, 0
+        else:
+            root[i], depth[i] = root[i - 1], depth[i - 1] + 1
+    exp = pd.DataFrame({"id": ids, "root_id": root, "depth": depth})
+    for forced in (False, True):
+        out = _chains_df(df, forced)
+        pd.testing.assert_frame_equal(
+            out.astype({"id": np.int64, "root_id": np.int64, "depth": np.int64}),
+            exp,
+        )
