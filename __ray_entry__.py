@@ -1125,6 +1125,37 @@ def _skyline_price_qty(sf_dir: str):
     )
 
 
+def _quality_lr(sf_dir: str):
+    """Hashed-feature logistic-regression doc classifier (the GPT-3
+    quality-filter shape: a linear model over hashed bag-of-words scores
+    every candidate doc) — rows-only (iterative training isn't
+    SQL-expressible); the serial-numpy training oracle and a planted
+    two-vocabulary generalization test live in tests/test_batch7.py.
+    The training label is a keyword proxy (weak supervision — the
+    synthetic corpus assigns lang/source independently of text, so no
+    semantic label is learnable by construction); the machinery under
+    test is the distributed full-batch GD."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.textstats import lr_text_classifier
+
+    def add_label(t: pa.Table) -> pa.Table:
+        y = pc.cast(
+            pc.match_substring_regex(t.column("text"), r"\bvector\b"),
+            pa.int64(),
+        )
+        return t.append_column("label", y)
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(add_label, batch_format="pyarrow")
+    )
+    return lr_text_classifier(ds, id_col="doc_id", text_col="text",
+                              label_col="label")
+
+
 def _redirect_resolve(sf_dir: str):
     """Redirect-chain flattening by pointer doubling (Wyllie list
     ranking): every doc resolves to its chain root + hop depth in
@@ -3827,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_price_qty": _skyline_price_qty,
         "redirect_resolve": _redirect_resolve,
         # rows-only
+        "quality_lr": _quality_lr,
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
         "bpe_merges": _bpe_merges,

@@ -1919,3 +1919,162 @@ def script_counts(docs_ds):
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def lr_text_classifier(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 1024,
+    iters: int = 50,
+    lr: float = 10.0,
+    seed: int = 0,
+    max_partial_rows: int = 200_000,
+):
+    """Hashed-bag-of-words logistic-regression document classifier —
+    the GPT-3 quality-filter shape (Brown et al. 2020 §A: a linear
+    classifier over hashed features scores every candidate doc): train
+    on an in-corpus binary label, then score the whole corpus.  Returns
+    a Dataset (id, label, pred, score_micro) with score_micro =
+    floor(sigmoid(w·x+b) * 1e6 + 0.5).
+
+    Distributed full-batch gradient descent: features are built ONCE
+    (tokens → xxhash64 % dim, log1p counts, L2-normalized; sparse
+    idx/val list columns) and materialized; each iteration is one
+    map_batches pass emitting a single (dim+1)-vector gradient PARTIAL
+    per block plus a block tag, and the driver folds the tiny partial
+    table (rows = blocks, ~8 KB each) into the weight update — the
+    model is broadcast, the corpus never moves.  Determinism: partials
+    are summed in sorted block-tag order and the weights are rounded to
+    a 1e-9 grid each step, so float results don't depend on block
+    arrival order (and agree with the serial oracle in tests to <=1
+    micro).  At 100 TB: iters × one streaming pass; the driver fold is
+    rows ∝ blocks — above ``max_partial_rows`` this raises and names
+    the tree-reduce alternative rather than silently pulling.
+    """
+    from ..urlops import xxhash64_batch
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        all_idx, all_val, offsets = [], [], [0]
+        for txt in texts:
+            toks = _WORD_RE.findall((txt or "").lower())
+            if toks:
+                h = (xxhash64_batch(toks) % np.uint64(dim)).astype(np.int64)
+                uniq, cnt = np.unique(h, return_counts=True)
+                v = np.log1p(cnt.astype(np.float64))
+                nrm = float(np.sqrt((v * v).sum()))
+                if nrm > 0:
+                    v = v / nrm
+            else:
+                uniq = np.array([], np.int64)
+                v = np.array([], np.float64)
+            all_idx.append(uniq)
+            all_val.append(v)
+            offsets.append(offsets[-1] + len(uniq))
+        flat_i = np.concatenate(all_idx) if all_idx else np.array([], np.int64)
+        flat_v = np.concatenate(all_val) if all_val else np.array([], np.float64)
+        off = pa.array(np.asarray(offsets, np.int32))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "y": pa.array(labels, pa.int64()),
+                "fi": pa.ListArray.from_arrays(off, pa.array(flat_i, pa.int64())),
+                "fv": pa.ListArray.from_arrays(off, pa.array(flat_v, pa.float64())),
+            }
+        )
+
+    feats = (
+        ds.select_columns([id_col, label_col, text_col])
+        .map_batches(featurize, batch_format="pyarrow")
+        .materialize()
+    )
+    n_total = feats.count()
+    if n_total == 0:
+        return feats
+
+    def _flat(t: pa.Table):
+        fi, fv = t.column("fi"), t.column("fv")
+        if isinstance(fi, pa.ChunkedArray):
+            fi, fv = fi.combine_chunks(), fv.combine_chunks()
+        off = fi.offsets.to_numpy()
+        # .values ignores slice offsets: window the flat buffers explicitly
+        flat_i = fi.values.to_numpy(zero_copy_only=False).astype(np.int64)[
+            off[0] : off[-1]
+        ]
+        flat_v = fv.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]]
+        lens = np.diff(off)
+        rows = np.repeat(np.arange(t.num_rows), lens)
+        return flat_i, flat_v, rows
+
+    def _scores(t: pa.Table, w, b):
+        flat_i, flat_v, rows = _flat(t)
+        z = np.bincount(rows, weights=flat_v * w[flat_i], minlength=t.num_rows)
+        z = z + b
+        return 1.0 / (1.0 + np.exp(-z)), flat_i, flat_v, rows
+
+    w = np.zeros(dim, np.float64)
+    b = 0.0
+    for _ in range(iters):
+        wc, bc = w, b  # bind per-iteration (closure capture ships ~8 KB)
+
+        def grad_partial(t: pa.Table, _w=wc, _b=bc) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "tag": pa.array([], pa.int64()),
+                        "g": pa.array([], pa.list_(pa.float64())),
+                        "gb": pa.array([], pa.float64()),
+                    }
+                )
+            p, flat_i, flat_v, rows = _scores(t, _w, _b)
+            y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+            err = p - y
+            g = np.bincount(flat_i, weights=err[rows] * flat_v, minlength=dim)
+            tag = int(t.column("id").to_numpy(zero_copy_only=False).min())
+            return pa.table(
+                {
+                    "tag": pa.array([tag], pa.int64()),
+                    "g": pa.array([g], pa.list_(pa.float64())),
+                    "gb": pa.array([float(err.sum())], pa.float64()),
+                }
+            )
+
+        part = feats.map_batches(grad_partial, batch_format="pyarrow")
+        rows = part.take_all()
+        if len(rows) > max_partial_rows:
+            raise ValueError(
+                f"lr_text_classifier: {len(rows)} gradient partials exceed "
+                f"max_partial_rows={max_partial_rows}; fold them with a "
+                "coarse-hash groupby tree reduce before the driver sum"
+            )
+        rows.sort(key=lambda r: r["tag"])
+        g = np.zeros(dim, np.float64)
+        gb = 0.0
+        for r in rows:
+            g += np.asarray(r["g"], np.float64)
+            gb += r["gb"]
+        w = w - lr * (g / n_total)
+        b = b - lr * (gb / n_total)
+        # absorb block-order float noise so reruns at other block counts
+        # produce bit-identical weights
+        w = np.round(w * 1e9) / 1e9
+        b = float(np.round(b * 1e9) / 1e9)
+
+    def score(t: pa.Table, _w=w, _b=b) -> pa.Table:
+        p, _, _, _ = _scores(t, _w, _b)
+        return pa.table(
+            {
+                id_col: t.column("id"),
+                label_col: t.column("y"),
+                "pred": pa.array((p >= 0.5).astype(np.int64), pa.int64()),
+                "score_micro": pa.array(
+                    np.floor(p * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(score, batch_format="pyarrow")

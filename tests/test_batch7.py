@@ -187,3 +187,125 @@ def test_resolve_chains_random_long(ray_session):
             out.astype({"id": np.int64, "root_id": np.int64, "depth": np.int64}),
             exp,
         )
+
+
+def test_lr_text_classifier_vs_serial_oracle(ray_session):
+    """Distributed full-batch GD == serial numpy training (one global
+    partial, same rounding discipline): scores within 1 micro, preds
+    equal, and the keyword-proxy task fully separates."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import lr_text_classifier
+    from grawler_ray.textops import _WORD_RE
+    from grawler_ray.urlops import xxhash64_batch
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    docs["label"] = docs.text.str.contains(r"\bvector\b", regex=True).astype(
+        np.int64
+    )
+    dim, iters, lr = 1024, 50, 10.0
+
+    out = (
+        lr_text_classifier(
+            ray.data.from_pandas(docs).repartition(6),
+            id_col="doc_id",
+            text_col="text",
+            label_col="label",
+            dim=dim,
+            iters=iters,
+            lr=lr,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # ---- serial oracle: identical featurization + GD, one partial ----
+    n = len(docs)
+    rows_i, rows_v = [], []
+    for txt in docs.text:
+        toks = _WORD_RE.findall((txt or "").lower())
+        if toks:
+            h = (xxhash64_batch(toks) % np.uint64(dim)).astype(np.int64)
+            uniq, cnt = np.unique(h, return_counts=True)
+            v = np.log1p(cnt.astype(np.float64))
+            nrm = np.sqrt((v * v).sum())
+            v = v / nrm if nrm > 0 else v
+        else:
+            uniq, v = np.array([], np.int64), np.array([], np.float64)
+        rows_i.append(uniq)
+        rows_v.append(v)
+    lens = np.array([len(r) for r in rows_i])
+    flat_i = np.concatenate(rows_i)
+    flat_v = np.concatenate(rows_v)
+    rix = np.repeat(np.arange(n), lens)
+    y = docs.label.to_numpy(np.float64)
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iters):
+        z = np.bincount(rix, weights=flat_v * w[flat_i], minlength=n) + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = np.bincount(flat_i, weights=err[rix] * flat_v, minlength=dim)
+        w = np.round((w - lr * g / n) * 1e9) / 1e9
+        b = float(np.round((b - lr * err.sum() / n) * 1e9) / 1e9)
+    z = np.bincount(rix, weights=flat_v * w[flat_i], minlength=n) + b
+    p = 1.0 / (1.0 + np.exp(-z))
+    exp_micro = np.floor(p * 1e6 + 0.5).astype(np.int64)
+    exp_pred = (p >= 0.5).astype(np.int64)
+
+    order = np.argsort(docs.doc_id.to_numpy())
+    assert np.abs(out.score_micro.to_numpy() - exp_micro[order]).max() <= 1
+    assert np.array_equal(out.pred.to_numpy(), exp_pred[order])
+    acc = (out.pred.to_numpy() == y[order].astype(np.int64)).mean()
+    assert acc >= 0.95, acc
+
+
+def test_lr_text_classifier_two_vocab_generalization(ray_session):
+    """Planted corpus with DISJOINT vocabulary pools per class: the
+    model must learn many features (not one keyword) and classify every
+    doc, including docs whose exact word mix never repeats."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import lr_text_classifier
+
+    rng = np.random.RandomState(5)
+    pool_a = [f"alpha{i}" for i in range(40)]
+    pool_b = [f"beta{i}" for i in range(40)]
+    texts, labels = [], []
+    for i in range(400):
+        pool = pool_a if i % 2 == 0 else pool_b
+        texts.append(" ".join(rng.choice(pool, 12)))
+        labels.append(i % 2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "text": texts,
+            "label": np.array(labels, np.int64),
+        }
+    )
+    out = (
+        lr_text_classifier(
+            ray.data.from_pandas(df).repartition(5),
+            id_col="doc_id",
+            text_col="text",
+            label_col="label",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out.pred.to_numpy(), df.label.to_numpy())
+    # empty-text doc doesn't crash the kernels
+    df2 = pd.concat(
+        [df, pd.DataFrame({"doc_id": [400], "text": [""], "label": [0]})],
+        ignore_index=True,
+    )
+    out2 = lr_text_classifier(
+        ray.data.from_pandas(df2).repartition(5),
+        id_col="doc_id",
+        text_col="text",
+        label_col="label",
+        iters=5,
+    ).to_pandas()
+    assert len(out2) == 401
