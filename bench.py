@@ -159,6 +159,7 @@ def run_subqueries() -> dict[str, float]:
         "recrawl_schedule", "cdc_chunks", "recrawl_urls", "snapshot_delta",
         "cdc_delta_stats", "charset_detect",
         "hits_scores", "main_content", "price_qty_regression",
+        "skyline_price_qty", "redirect_resolve", "quality_lr",
     ]
     import ray.data
 

@@ -142,6 +142,7 @@ def _cmd_crawl(a: argparse.Namespace) -> dict:
         fetch_mode=a.fetch_mode,
         num_fetch_buckets=a.fetch_buckets,
         write_trace=not a.no_trace,
+        respect_nofollow=a.respect_nofollow,
     )
     return run_crawl(
         a.corpus,
@@ -449,6 +450,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--fetch-buckets", type=int, default=32, help="must match the corpus bucket layout")
     c.add_argument("--robots-cache", default=None)
     c.add_argument("--no-trace", action="store_true")
+    c.add_argument("--respect-nofollow", action="store_true",
+                   help="honor meta-robots noindex/nofollow and rel=nofollow")
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=_cmd_crawl, needs_ray=True)
 

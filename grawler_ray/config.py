@@ -59,6 +59,13 @@ class CrawlConfig:
     # structural boilerplate strip; our addition).  Link discovery always
     # sees the FULL page: nav links still feed the frontier either way.
     strip_boilerplate: bool = False
+    # False = reference parity (follow everything, store everything); True
+    # = honor the Robots Exclusion Protocol's page-level HTML controls —
+    # <meta name="robots"> noindex/nofollow/none and per-link
+    # rel="nofollow" (htmlparse.parse_page): noindex pages are fetched,
+    # seen-committed and link-followed but excluded from the documents and
+    # words sinks; nofollow suppresses link discovery.  Our addition.
+    respect_nofollow: bool = False
 
     # termination (the reference never terminates, src/crawler.go:107-113;
     # bounded rounds are our documented improvement, SURVEY §2.9)

@@ -84,6 +84,11 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.text_parts: list[str] = []
         self.hrefs: list[str] = []
+        # robots metadata (our addition; the reference ignores it) — the
+        # pinned outputs above are untouched: these are EXTRA channels
+        # consumed only via extract_html_ex under respect_nofollow
+        self.href_nofollow: list[bool] = []  # parallel to hrefs
+        self.robots_directives: set[str] = set()
         self.icon_link = ""
         self.title = ""
         self._title_set = False
@@ -115,12 +120,14 @@ class _Extractor(HTMLParser):
             self.text_parts.insert(f["t_idx"], part)
             f["t_idx"] += 1
 
-    def _emit_href(self, href: str) -> None:
+    def _emit_href(self, href: str, nofollow: bool = False) -> None:
         f = self._foster()
         if f is None:
             self.hrefs.append(href)
+            self.href_nofollow.append(nofollow)
         else:
             self.hrefs.insert(f["h_idx"], href)
+            self.href_nofollow.insert(f["h_idx"], nofollow)
             f["h_idx"] += 1
 
     # -- text node handling -------------------------------------------------
@@ -172,9 +179,15 @@ class _Extractor(HTMLParser):
         if tag == "svg":
             self._svg_depth += 1
         elif tag == "a":
+            # rel scanned first (attr order must not matter for the flag,
+            # unlike <link>'s pinned rel-before-href rule below)
+            nofollow = any(
+                k == "rel" and v is not None and "nofollow" in v.lower().split()
+                for k, v in attrs
+            )
             for k, v in attrs:
                 if k == "href":
-                    self._emit_href(v if v is not None else "")
+                    self._emit_href(v if v is not None else "", nofollow)
         elif tag == "link":
             # src/parsers/html.go:21-34 — rel must precede href in attr order
             rel = ""
@@ -200,6 +213,15 @@ class _Extractor(HTMLParser):
                 self.description = content
             if prop == "og:site_name" and self.site_name == "":
                 self.site_name = content
+            if name.lower() == "robots":
+                # union across multiple tags = most restrictive wins;
+                # "none" is the REP shorthand for noindex+nofollow
+                for tok in content.lower().split(","):
+                    tok = tok.strip()
+                    if tok == "none":
+                        self.robots_directives.update(("noindex", "nofollow"))
+                    elif tok:
+                        self.robots_directives.add(tok)
         elif tag == "title":
             self._in_title = True
             self._title_buf = []
@@ -248,6 +270,19 @@ class _Extractor(HTMLParser):
 def extract_html(content: str) -> tuple[str, list[str], dict[str, str]]:
     """Run the one-pass extractor.  Returns (joined_text, hrefs, metadata)
     where joined_text is the HtmlText equivalent (pre-ProcessText)."""
+    joined, hrefs, meta, _, _ = extract_html_ex(content)
+    return joined, hrefs, meta
+
+
+def extract_html_ex(
+    content: str,
+) -> tuple[str, list[str], dict[str, str], frozenset, list[bool]]:
+    """extract_html plus the robots channels: (joined_text, hrefs, meta,
+    robots_directives, href_nofollow) — the last two feed
+    ``parse_page(respect_nofollow=True)`` (meta name=robots content
+    tokens, and a per-href rel=nofollow flag parallel to hrefs).  The
+    first three outputs are byte-identical to :func:`extract_html` (the
+    crawl e2e golden pins them)."""
     ex = _Extractor()
     ex.feed(content)
     ex.close()
@@ -257,7 +292,13 @@ def extract_html(content: str) -> tuple[str, list[str], dict[str, str]]:
         "description": ex.description,
         "site_name": ex.site_name,
     }
-    return " ".join(ex.text_parts), ex.hrefs, meta
+    return (
+        " ".join(ex.text_parts),
+        ex.hrefs,
+        meta,
+        frozenset(ex.robots_directives),
+        ex.href_nofollow,
+    )
 
 
 class _AnchorExtractor(HTMLParser):
@@ -365,6 +406,7 @@ def parse_page(
     charset_sniffing: bool = False,
     raw_content_type: str = "",
     strip_boilerplate: bool = False,
+    respect_nofollow: bool = False,
 ) -> dict:
     """parseDocument (src/crawler.go:284-313) for one fetched page.
 
@@ -385,7 +427,16 @@ def parse_page(
     (functions/boilerplate.py) instead of the whole tree's text; words are
     counted over the stripped text, and meta defaults fill from it.  Link
     discovery always runs over the FULL page either way.
-    """
+
+    ``respect_nofollow=True`` (CrawlConfig.respect_nofollow; default off =
+    reference parity — src/crawler.go follows everything) honors the
+    Robots Exclusion Protocol's page-level HTML controls: a
+    ``<meta name="robots">`` containing ``nofollow`` (or ``none``)
+    suppresses ALL child links, a per-link ``rel="nofollow"`` suppresses
+    that link, and ``noindex`` (or ``none``) sets the returned
+    ``noindex`` flag so the document/words sinks exclude the page (it is
+    still fetched, seen-committed and link-followed — the standard
+    crawler semantics)."""
     if content_type == "text/html":
         if charset_sniffing:
             from .textops import decode_page
@@ -393,7 +444,9 @@ def parse_page(
             content, _enc = decode_page(body, raw_content_type or content_type)
         else:
             content = to_valid_utf8(body)  # strings.ToValidUTF8(s, "") src/crawler.go:287
-        joined, hrefs, meta = extract_html(content)
+        joined, hrefs, meta, directives, nofollow_flags = extract_html_ex(content)
+        page_nofollow = respect_nofollow and "nofollow" in directives
+        noindex = respect_nofollow and "noindex" in directives
         if strip_boilerplate:
             from .functions.boilerplate import extract_main_text
 
@@ -402,10 +455,13 @@ def parse_page(
         content_bytes = content.encode("utf-8")
         meta = _fill_meta(meta, content_bytes, host, base_url)
         children = []
-        for h in hrefs:
-            norm = child_url_allowed(h, base_url)
-            if norm is not None:
-                children.append(norm)
+        if not page_nofollow:
+            for h, nf in zip(hrefs, nofollow_flags):
+                if respect_nofollow and nf:
+                    continue
+                norm = child_url_allowed(h, base_url)
+                if norm is not None:
+                    children.append(norm)
         words = words_freq(content)
         return {
             "content": content,
@@ -415,6 +471,7 @@ def parse_page(
             "meta_description": meta["description"],
             "child_urls": children,
             "words": words,
+            "noindex": noindex,
         }
     elif content_type == "text/plain":
         # No UTF-8 sanitize in this branch (src/crawler.go:303-309): the raw
@@ -433,6 +490,7 @@ def parse_page(
             "meta_description": meta["description"],
             "child_urls": [],  # plain text has no ChildUrls (parse sets none)
             "words": words,
+            "noindex": False,  # no HTML meta channel in plain text
         }
     else:  # unreachable behind documentAllowed (src/crawler.go:274-282)
         raise ValueError(f"content type not parseable: {content_type}")

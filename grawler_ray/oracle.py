@@ -206,6 +206,7 @@ def run_oracle(
                 charset_sniffing=cfg.charset_sniffing,
                 raw_content_type=row["content_type"],
                 strip_boilerplate=cfg.strip_boilerplate,
+                respect_nofollow=cfg.respect_nofollow,
             )
             # 10. commit seen AFTER successful parse (crawler.go:178)
             res.seen.add(key)
@@ -217,21 +218,25 @@ def run_oracle(
             for ci, child in enumerate(kids):
                 children.append((seq, ci, child, url, share))
             # 12. sink (crawler.go:181; InsertDocument projection common.go:44-54)
-            res.documents.append(
-                {
-                    "url": url,
-                    "parent_url": parent,
-                    "content_type": ctype,
-                    "status_code": row["status_code"],
-                    "content": parsed["content"],
-                    "meta_icon_link": parsed["meta_icon_link"],
-                    "meta_site_name": parsed["meta_site_name"],
-                    "meta_title": parsed["meta_title"],
-                    "meta_description": parsed["meta_description"],
-                }
-            )
-            for word, freq in parsed["words"].items():
-                res.words.append({"parent_url": url, "word": word, "frequency": freq})
+            # — meta-robots noindex pages (respect_nofollow mode only) are
+            # fetched/committed/followed but excluded from both sinks,
+            # mirroring the pipeline's noindex-column filter
+            if not parsed["noindex"]:
+                res.documents.append(
+                    {
+                        "url": url,
+                        "parent_url": parent,
+                        "content_type": ctype,
+                        "status_code": row["status_code"],
+                        "content": parsed["content"],
+                        "meta_icon_link": parsed["meta_icon_link"],
+                        "meta_site_name": parsed["meta_site_name"],
+                        "meta_title": parsed["meta_title"],
+                        "meta_description": parsed["meta_description"],
+                    }
+                )
+                for word, freq in parsed["words"].items():
+                    res.words.append({"parent_url": url, "word": word, "frequency": freq})
             trace(seq, url, parent, "fetched")
             fetched_count += 1
             if cfg.max_urls is not None and fetched_count >= cfg.max_urls:

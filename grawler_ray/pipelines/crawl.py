@@ -454,6 +454,10 @@ class ParsePages:
         founds = t.column("found").to_numpy(zero_copy_only=False)
 
         action = [""] * n
+        # per-row meta-robots noindex flags; the column materializes only
+        # under cfg.respect_nofollow so the parity-path parsed schema (and
+        # resume compatibility) is unchanged when the flag is off
+        noindex = [0] * n
         ctype_out = [""] * n
         content = [None] * n
         mi, ms, mt, md = [""] * n, [""] * n, [""] * n, [""] * n
@@ -486,8 +490,11 @@ class ParsePages:
                 charset_sniffing=self.cfg.charset_sniffing,
                 raw_content_type=cts[i],
                 strip_boilerplate=self.cfg.strip_boilerplate,
+                respect_nofollow=self.cfg.respect_nofollow,
             )
             action[i] = "fetched"
+            if self.cfg.respect_nofollow and d["noindex"]:
+                noindex[i] = 1
             content[i] = d["content"]
             mi[i] = d["meta_icon_link"]
             ms[i] = d["meta_site_name"]
@@ -504,6 +511,8 @@ class ParsePages:
         passthrough = (
             {"cash": t.column("cash")} if "cash" in t.schema.names else {}
         )
+        if self.cfg.respect_nofollow:
+            passthrough["noindex"] = pa.array(noindex, pa.int8())
         return pa.table(
             {
                 "seq": t.column("seq"),
@@ -1420,25 +1429,40 @@ def _empty_ds(schema: pa.Schema) -> "ray.data.Dataset":
     return ray.data.from_arrow(schema.empty_table())
 
 
+def _noindex_filter(files: list[str]) -> list[str]:
+    """Extra sink filter: the ``noindex`` column exists in the parsed
+    schema only when the crawl ran with respect_nofollow, and its rows
+    are excluded from the document/words sinks (fetched + followed, not
+    indexed — the REP meta-robots semantics)."""
+    if files and "noindex" in pq.read_schema(files[0]).names:
+        return ["noindex == 0"]
+    return []
+
+
 def _read_parsed_fetched(out_dir: str, columns: list[str]) -> "ray.data.Dataset | None":
     """Parsed rows with action=='fetched' across rounds, honoring any
-    max_urls seq_cutoff; projected to ``columns``.  None when no files."""
+    max_urls seq_cutoff and excluding meta-robots noindex rows; projected
+    to ``columns``.  None when no files."""
     plain, cut = _parsed_split(out_dir)
     parts = []
     if plain:
-        parts.append(
-            ray.data.read_parquet(plain, columns=columns + ["action"])
-            .filter(expr="action == 'fetched'")
-            .select_columns(columns)
-        )
+        ni = _noindex_filter(plain)
+        ds = ray.data.read_parquet(plain, columns=columns + ["action"] + (["noindex"] if ni else []))
+        ds = ds.filter(expr="action == 'fetched'")
+        for e in ni:
+            ds = ds.filter(expr=e)
+        parts.append(ds.select_columns(columns))
     for fl, cutoff in cut:
-        cols = columns + ["action"] + (["seq"] if "seq" not in columns else [])
-        parts.append(
+        ni = _noindex_filter(fl)
+        cols = columns + ["action"] + (["seq"] if "seq" not in columns else []) + (["noindex"] if ni else [])
+        ds = (
             ray.data.read_parquet(fl, columns=cols)
             .filter(expr="action == 'fetched'")
             .filter(expr=f"seq <= {cutoff}")
-            .select_columns(columns)
         )
+        for e in ni:
+            ds = ds.filter(expr=e)
+        parts.append(ds.select_columns(columns))
     if not parts:
         return None
     ds = parts[0]
@@ -1453,8 +1477,15 @@ def _read_parsed_runs(out_dirs: list[str], columns: list[str]):
     parts = []
     for ri, d in enumerate(out_dirs):
         for rnd, fl, cutoff in _parsed_rounds(d):
-            cols = columns + ["action"] + (["seq"] if "seq" not in columns else [])
+            ni = _noindex_filter(fl)
+            cols = (
+                columns + ["action"]
+                + (["seq"] if "seq" not in columns else [])
+                + (["noindex"] if ni else [])
+            )
             ds = ray.data.read_parquet(fl, columns=cols).filter(expr="action == 'fetched'")
+            for e in ni:
+                ds = ds.filter(expr=e)
             if cutoff is not None:
                 ds = ds.filter(expr=f"seq <= {cutoff}")
 

@@ -598,3 +598,120 @@ def test_opic_invalid_combos(ray_session):
         cfg = CrawlConfig(out_dir="/tmp/gr_opic_bad", frontier_order="opic", **kw)
         with pytest.raises(ValueError):
             run_crawl("/tmp/nonexistent", ["https://a.test/"], cfg)
+
+
+def test_respect_nofollow_mode(ray_session, tmp_path):
+    """respect_nofollow=True honors meta-robots noindex/nofollow and
+    per-link rel=nofollow: noindex pages are fetched + followed but
+    excluded from the documents/words sinks; nofollow pages and
+    rel=nofollow links stop link discovery.  Default off = reference
+    parity (everything followed and stored).  Flagged run == flagged
+    oracle (docs byte-for-byte + full trace)."""
+    from grawler_ray.oracle import run_oracle
+    from grawler_ray.pipelines.crawl import (
+        read_documents, read_trace, read_words, run_crawl,
+    )
+    from grawler_ray.sources.corpus import PAGE_SCHEMA
+    from grawler_ray.urlops import xxhash64
+
+    host = "nf.test"
+
+    def u(i):
+        return f"https://{host}/page/{i}"
+
+    pages = {
+        0: (
+            f'seedtext <a href="/page/1">one</a> <a href="/page/2">two</a> '
+            f'<a rel="nofollow" href="/page/3">three</a>'
+        ),
+        1: (
+            '<meta name="robots" content="noindex">'
+            'hiddentext <a href="/page/4">four</a>'
+        ),
+        2: (
+            '<meta name="ROBOTS" content="NOFOLLOW, noarchive">'
+            'stubtext <a href="/page/5">five</a>'
+        ),
+        3: "threetext",
+        4: "fourtext",
+        5: "fivetext",
+    }
+    corpus_rows = {
+        u(i): {
+            "url": u(i),
+            "warc_ts": 1_722_470_400_000_000,
+            "html": f"<html><head></head><body>{body}</body></html>".encode(),
+            "text": "",
+            "lang": "en",
+            "content_type": "text/html",
+            "status_code": 200,
+        }
+        for i, body in pages.items()
+    }
+    corpus = str(tmp_path / "corpus")
+    nbuckets = 2
+    for k in range(nbuckets):
+        os.makedirs(f"{corpus}/bucket={k}", exist_ok=True)
+        rows = [r for url, r in corpus_rows.items() if xxhash64(url) % nbuckets == k]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=PAGE_SCHEMA),
+            f"{corpus}/bucket={k}/part.parquet",
+        )
+    rc = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": [host],
+                "robots": ["User-agent: *\nAllow: /\n"],
+                "ts": pa.array([CrawlConfig().now_us - 1], pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+    robots_cache = {host: ("User-agent: *\nAllow: /\n", CrawlConfig().now_us - 1)}
+    seeds = [u(0)]
+
+    def crawl(flag):
+        out = str(tmp_path / f"out_{flag}")
+        cfg = CrawlConfig(
+            out_dir=out, max_rounds=4, num_fetch_buckets=nbuckets,
+            seen_shards=2, per_host_quota=6, respect_nofollow=flag,
+        )
+        run_crawl(corpus, seeds, cfg, robots_cache_path=rc)
+        return out, cfg
+
+    out_on, cfg_on = crawl(True)
+    out_off, _ = crawl(False)
+
+    # parity default: everything fetched and stored
+    docs_off = read_documents(out_off).to_pandas()
+    assert set(docs_off.url) == {u(i) for i in range(6)}
+
+    # flag on: 3 (rel=nofollow) and 5 (page-level nofollow) never fetched;
+    # 1 fetched + followed (4 present) but not indexed
+    docs_on = read_documents(out_on).to_pandas()
+    assert set(docs_on.url) == {u(0), u(2), u(4)}
+    trace_on = read_trace(out_on).to_pandas()
+    fetched = set(trace_on[trace_on.action == "fetched"].url)
+    assert fetched == {u(0), u(1), u(2), u(4)}
+    # words follow the doc sink: noindex page words absent
+    w_on = read_words(out_on).to_pandas()
+    assert "hiddentext" not in set(w_on.word)
+    assert "stubtext" in set(w_on.word)
+
+    # flagged run == flagged oracle byte-for-byte
+    oracle = run_oracle(corpus_rows, seeds, cfg_on, robots_cache)
+    odocs = pd.DataFrame(oracle.documents).sort_values("url").reset_index(drop=True)
+    d_on = docs_on.sort_values("url").reset_index(drop=True)
+    for col in d_on.columns:
+        assert (d_on[col].values == odocs[col].astype(d_on[col].dtype).values).all(), col
+    ow = pd.DataFrame(oracle.words)
+    assert sorted(map(tuple, ow.values.tolist())) == sorted(
+        map(tuple, w_on[["parent_url", "word", "frequency"]].values.tolist())
+    )
+    otrace = pd.DataFrame(oracle.trace).sort_values(["round", "seq"]).reset_index(drop=True)
+    trace = trace_on.sort_values(["round", "seq"]).reset_index(drop=True)
+    cols = ["round", "seq", "url", "parent_url", "action"]
+    assert trace[cols].astype({"round": int, "seq": int}).equals(
+        otrace[cols].astype({"round": int, "seq": int})
+    )

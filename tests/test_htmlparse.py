@@ -267,3 +267,72 @@ def test_extract_anchors_semantics():
     ]
     for html, want in cases:
         assert extract_anchors(html) == want, html
+
+
+class TestRobotsMetaChannels:
+    """extract_html_ex's robots channels (meta name=robots directives and
+    per-href rel=nofollow flags) — the pinned text/href/meta outputs are
+    asserted identical to extract_html in every case."""
+
+    def _ex(self, html):
+        from grawler_ray.htmlparse import extract_html, extract_html_ex
+
+        t, h, m, d, nf = extract_html_ex(html)
+        t2, h2, m2 = extract_html(html)
+        assert (t, h, m) == (t2, h2, m2)
+        return t, h, m, d, nf
+
+    def test_directives_union_and_none(self):
+        html = ('<meta name="robots" content="NOINDEX">'
+                '<meta name="Robots" content="noarchive, nofollow">x')
+        _, _, _, d, _ = self._ex(html)
+        assert d == {"noindex", "noarchive", "nofollow"}
+        _, _, _, d2, _ = self._ex('<meta name="robots" content="none">x')
+        assert d2 == {"noindex", "nofollow"}
+
+    def test_non_robots_meta_ignored(self):
+        _, _, _, d, _ = self._ex('<meta name="googlebot" content="noindex">x')
+        assert d == frozenset()
+
+    def test_rel_nofollow_token_match(self):
+        html = ('<a href="/a" rel="nofollow">a</a>'
+                '<a rel="external NOFOLLOW" href="/b">b</a>'
+                '<a href="/c" rel="nofollower">c</a>'
+                '<a href="/d">d</a>')
+        _, h, _, _, nf = self._ex(html)
+        assert h == ["/a", "/b", "/c", "/d"]
+        assert nf == [True, True, False, False]
+
+    def test_foster_parented_flag_alignment(self):
+        # the fostered link moves BEFORE the table; its flag must move too
+        html = ('<a href="/pre" rel="nofollow">p</a>'
+                "<table><a href=\"/fostered\">f</a>"
+                "<tr><td><a href=\"/cell\" rel=\"nofollow\">c</a></td></tr></table>")
+        _, h, _, _, nf = self._ex(html)
+        assert h == ["/pre", "/fostered", "/cell"]
+        assert nf == [True, False, True]
+
+    def test_parse_page_respect_nofollow(self):
+        from grawler_ray.htmlparse import parse_page
+
+        body = ('<html><body><meta name="robots" content="noindex">'
+                '<a href="/x">x</a><a rel="nofollow" href="/y">y</a>'
+                "text</body></html>").encode()
+        base = "https://h.test"
+        d_on = parse_page(body, "text/html", f"{base}/p", base, "h.test",
+                          respect_nofollow=True)
+        d_off = parse_page(body, "text/html", f"{base}/p", base, "h.test")
+        assert d_on["noindex"] and not d_off["noindex"]
+        assert d_on["child_urls"] == [f"{base}/x"]
+        assert d_off["child_urls"] == [f"{base}/x", f"{base}/y"]
+        assert d_on["content"] == d_off["content"]
+
+    def test_page_nofollow_drops_all_children(self):
+        from grawler_ray.htmlparse import parse_page
+
+        body = ('<html><body><meta name="robots" content="nofollow">'
+                '<a href="/x">x</a>text</body></html>').encode()
+        base = "https://h.test"
+        d = parse_page(body, "text/html", f"{base}/p", base, "h.test",
+                       respect_nofollow=True)
+        assert d["child_urls"] == [] and not d["noindex"]
