@@ -1792,6 +1792,21 @@ def _dedup_clusters(sf_dir: str):
     return dedup_components(docs, pairs)
 
 
+def _split_by_cluster(sf_dir: str):
+    """Leakage-free train/holdout split: the assignment hash runs on the
+    near-dup COMPONENT id, not the doc id, so near-duplicates can never
+    straddle the split boundary (the held-out set stays clean of
+    training-set paraphrases — the standard eval-contamination guard).
+    Composition: n-gram Jaccard pairs -> connected components -> the
+    split_train_holdout bucket hash keyed on component."""
+    from grawler_ray.functions.dedup import dedup_components, ngram_jaccard_pairs
+    from grawler_ray.functions.sampling import split_train_holdout
+
+    docs = _read(sf_dir, "documents")
+    comp = dedup_components(docs, ngram_jaccard_pairs(docs, threshold=0.5))
+    return split_train_holdout(comp, id_col="component", holdout_permille=100)
+
+
 def _ngram_containment_pairs(sf_dir: str):
     from grawler_ray.functions.dedup import ngram_containment_pairs
 
@@ -3857,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": _winnow_fps,
         "skyline_price_qty": _skyline_price_qty,
         "redirect_resolve": _redirect_resolve,
+        "split_by_cluster": _split_by_cluster,
         # rows-only
         "quality_lr": _quality_lr,
         "dsir_weights": _dsir_weights,
@@ -4453,6 +4469,18 @@ def oracle_sql() -> dict[str, str]:
             {_NGRAM_COMPONENTS_CTE}
             SELECT node AS doc_id, min(comp)::BIGINT AS component
             FROM reach GROUP BY node
+        """,
+        # the same transitive closure, then the split-bucket hash keyed on
+        # COMPONENT: near-dups share a component, hence a split (leak guard)
+        "split_by_cluster": rf"""
+            {_NGRAM_COMPONENTS_CTE},
+            comp AS (SELECT node AS doc_id, min(comp)::BIGINT AS component
+                     FROM reach GROUP BY node)
+            SELECT doc_id, component,
+                   CASE WHEN ((component::HUGEINT * 2654435761) % 4294967296)
+                             % 1000 < 100
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM comp
         """,
         # the same transitive closure, then keep-LONGEST per component
         # (first_value window ordered by n_chars desc, doc_id)

@@ -98,6 +98,10 @@ def run_crawl_bench(num_cpus: int, saturated: bool = False) -> dict:
         "fetched": stats["fetched"],
         "rounds": stats["rounds"],
         "urls_per_sec": stats["fetched"] / wall if wall > 0 else 0.0,
+        # per-phase seconds (summed over rounds) — the scaling-pair
+        # diagnosis channel: a phase whose time doesn't shrink 8->32
+        # cpus is the serial fraction capping the pair's efficiency
+        "phase_sec": {k: round(v, 2) for k, v in stats.get("phase_sec", {}).items()},
     }
 
 
@@ -285,6 +289,7 @@ if __name__ == "__main__":
             "unit": "sec",
             "crawl_fetched_urls": crawl["fetched"],
             "crawl_urls_per_sec": round(crawl["urls_per_sec"], 2),
+            "phase_sec": crawl["phase_sec"],
         }))
     else:
         print(json.dumps(single_run()))

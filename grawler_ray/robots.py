@@ -146,3 +146,33 @@ class RobotsRules:
 def agent_allowed(robots_body: str, user_agent: str, url: str) -> bool:
     """grobotstxt.AgentAllowed equivalent."""
     return RobotsRules(robots_body).allowed(user_agent, url)
+
+
+def sitemap_urls(robots_body: str, base_url: str = "") -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body, in file order with
+    duplicates removed (first wins) — the standard discovery channel for
+    ``--seed-sitemap`` crawl seeding (sitemaps.org / REP §2.4: the
+    directive is group-independent, so it is scanned globally, exactly
+    like the rule parser above ignores it).  Relative values (seen in the
+    wild despite the spec requiring absolute URLs) resolve against
+    ``base_url`` when given, else are dropped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in robots_body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep or key.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if not value:
+            continue
+        if "://" not in value:
+            if not base_url:
+                continue
+            value = base_url.rstrip("/") + "/" + value.lstrip("/")
+        if value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out

@@ -62,3 +62,42 @@ def test_rules_reusable():
     rules = RobotsRules("User-agent: *\nDisallow: /a\n")
     assert not rules.allowed(UA, "https://x.com/a")
     assert rules.allowed(UA, "https://x.com/b")
+
+
+class TestSitemapDirectives:
+    def test_extraction_order_dedup_comments(self):
+        from grawler_ray.robots import sitemap_urls
+
+        body = (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://h.test/sm1.xml\n"
+            "sitemap:   https://h.test/sm2.xml.gz  # trailing comment\n"
+            "SITEMAP: https://h.test/sm1.xml\n"   # dup -> first wins
+            "Sitemap:\n"                            # empty -> dropped
+        )
+        assert sitemap_urls(body) == [
+            "https://h.test/sm1.xml",
+            "https://h.test/sm2.xml.gz",
+        ]
+
+    def test_relative_requires_base(self):
+        from grawler_ray.robots import sitemap_urls
+
+        body = "Sitemap: /sm.xml\n"
+        assert sitemap_urls(body) == []
+        assert sitemap_urls(body, base_url="https://h.test/") == [
+            "https://h.test/sm.xml"
+        ]
+
+    def test_group_independent(self):
+        # the directive counts even between/inside agent groups
+        from grawler_ray.robots import sitemap_urls
+
+        body = (
+            "User-agent: a\nDisallow: /x\nSitemap: https://h.test/a.xml\n"
+            "User-agent: b\nSitemap: https://h.test/b.xml\nAllow: /\n"
+        )
+        assert sitemap_urls(body) == [
+            "https://h.test/a.xml",
+            "https://h.test/b.xml",
+        ]
