@@ -309,3 +309,30 @@ def test_lr_text_classifier_two_vocab_generalization(ray_session):
         iters=5,
     ).to_pandas()
     assert len(out2) == 401
+
+
+def test_split_by_cluster_leak_invariant(ray_session):
+    """Near-dup components never straddle the split: every component maps
+    to exactly ONE split, and the assignment equals split_train_holdout's
+    bucket hash applied to the component id."""
+    import ray.data
+
+    from grawler_ray.functions.dedup import dedup_components
+    from grawler_ray.functions.sampling import split_train_holdout
+
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64)})
+    # planted clusters: (0..4), (10,11), rest singletons
+    pairs = pd.DataFrame(
+        {"a": np.array([0, 1, 2, 3, 10], np.int64),
+         "b": np.array([1, 2, 3, 4, 11], np.int64)}
+    )
+    comp = dedup_components(
+        ray.data.from_pandas(docs).repartition(3),
+        ray.data.from_pandas(pairs).repartition(2),
+    )
+    out = split_train_holdout(comp, id_col="component").to_pandas()
+    g = out.groupby("component")["split"].nunique()
+    assert (g == 1).all()
+    # all five members of the 0-4 chain share component 0's split
+    chain = out[out.doc_id.isin([0, 1, 2, 3, 4])]
+    assert chain.split.nunique() == 1 and (chain.component == 0).all()
