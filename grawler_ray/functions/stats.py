@@ -1731,3 +1731,174 @@ def benford_digits(
             }
         )
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """DuckDB HUGEINT // semantics: truncation toward zero (Python floors).
+    Same rule as grouped_ols' local helper; module-level for reuse."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def bpe_encode(
+    docs_ds,
+    merges_ds,
+    end_marker: str = "</w>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_merges_broadcast: int = 1_000_000,
+):
+    """Apply trained BPE merges (the ``bpe_train`` output: rank, left,
+    right) to every document — the encode half of Sennrich et al. 2016,
+    completing the train→encode loop a tokenization pipeline runs at
+    ingest.  Returns (id, n_words, n_tokens): token counts per doc under
+    the learned vocabulary (the number a sequence-packing budget actually
+    needs; the token strings themselves stay worker-local).
+
+    Scale shape: the merge table is tiny by construction (one row per
+    merge; 32k-100k for real tokenizers — guarded at
+    ``max_merges_broadcast`` rows) and broadcast once via ray.put; the
+    encode pass is a stateless map with NO shuffle.  Per batch, encoding
+    runs once per DISTINCT word (memoized), not per occurrence — web text
+    repeats words heavily, so the per-word greedy merge loop amortizes to
+    near-vectorized cost; counts per doc are then a numpy segment sum.
+    """
+    import ray
+
+    mt = merges_ds.select_columns(["rank", "left", "right"]).to_pandas()
+    if len(mt) > max_merges_broadcast:
+        raise ValueError(
+            f"bpe_encode: {len(mt)} merges exceed max_merges_broadcast="
+            f"{max_merges_broadcast}; shard the merge table and apply in "
+            "rank order per shard instead of one broadcast"
+        )
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(mt["rank"], mt["left"], mt["right"])
+    }
+    ranks_ref = ray.put(ranks)
+
+    from ..textops import _WORD_RE
+
+    def encode_word(word: str, rk: dict) -> int:
+        syms = list(word) + [end_marker]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            # merge ALL occurrences of the winning pair, left to right
+            pair = (syms[bi], syms[bi + 1])
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    def fn(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        cache: dict[str, int] = {}
+        ids = t.column(id_col)
+        n_words = np.zeros(t.num_rows, np.int64)
+        n_tokens = np.zeros(t.num_rows, np.int64)
+        for i, txt in enumerate(t.column(text_col).to_pylist()):
+            ws = _WORD_RE.findall((txt or "").lower())
+            n_words[i] = len(ws)
+            tot = 0
+            for w in ws:
+                c = cache.get(w)
+                if c is None:
+                    c = encode_word(w, rk)
+                    cache[w] = c
+                tot += c
+            n_tokens[i] = tot
+        return pa.table(
+            {
+                id_col: ids,
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def zipf_fit(
+    docs_ds,
+    top_k: int = 100,
+    text_col: str = "text",
+    scale: int = 10**6,
+):
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(frequency) on ln(rank) for the top-``top_k`` words — the lexical
+    health check (natural text reads slope ≈ -1; template/spam corpora
+    deviate).  Returns ONE row (n, slope_micro, intercept_micro) as
+    TRUNCATION-scaled integers so the DuckDB oracle hash-matches: each
+    row's ln() is computed from exact integers (row-local IEEE, identical
+    in numpy and DuckDB) and immediately integer-scaled, so the cross-row
+    regression sums are exact integer arithmetic with no float
+    accumulation order anywhere (the price_qty_regression discipline).
+
+    Scale shape: one word-hash exchange for the frequency table (partials
+    pre-combined per batch), a lossless top-k sort bounded to ``top_k``
+    rows, and a single-block finish — the regression input is top_k rows
+    regardless of corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textstats import word_count_partial
+
+    freq = (
+        docs_ds.select_columns([text_col])
+        .map_batches(word_count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("partial", alias_name="total"))
+        .sort(["total", "word"], descending=[True, False])
+        .limit(top_k)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "slope_micro": pa.array([None], pa.int64()),
+                    "intercept_micro": pa.array([None], pa.int64()),
+                }
+            )
+        f = t.column("total").to_numpy(zero_copy_only=False).astype(np.int64)
+        # the limit() output preserves the sort order; rank 1 = top word
+        rank = np.arange(1, n + 1, dtype=np.int64)
+        lr = np.floor(np.log(rank.astype(np.float64)) * scale + 0.5).astype(object)
+        lf = np.floor(np.log(f.astype(np.float64)) * scale + 0.5).astype(object)
+        # Python-int sums: products exceed int64 at scale^2 magnitudes
+        s_r = int(sum(lr)); s_f = int(sum(lf))
+        s_rr = int(sum(a * a for a in lr)); s_rf = int(sum(a * b for a, b in zip(lr, lf)))
+        den = n * s_rr - s_r * s_r
+        if den == 0:
+            slope = None
+            intercept = None
+        else:
+            slope = _trunc_div((n * s_rf - s_r * s_f) * scale, den)
+            intercept = _trunc_div(s_f - _trunc_div(slope * s_r, scale), n)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "slope_micro": pa.array([slope], pa.int64()),
+                "intercept_micro": pa.array([intercept], pa.int64()),
+            }
+        )
+
+    return freq.repartition(1).map_batches(finish, batch_format="pyarrow")
