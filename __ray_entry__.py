@@ -3705,13 +3705,65 @@ def _redact_pii(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # SQL-checked
+        # DRIVER WINDOW (first 50): the driver's correctness gate runs
+        # list(queries())[:50]; rounds rotate this window so hard-gate
+        # coverage accumulates — 3 long-green sentinels, then entries
+        # with no CORRECTNESS_r* row in any prior round (r5 rotation).
         "word_freq": _word_freq,
+        "exact_dedup": _exact_dedup,
+        "politeness_slots": _politeness_slots,
+        "revenue_by_region": _revenue_by_region,
+        "user_type_join": _user_type_join,
+        "events_orders_full": _events_orders_full,
+        "order_part_bfs": _order_part_bfs,
+        "copurchase_topk": _copurchase_topk,
+        "winsorized_spend": _winsorized_spend,
+        "hits_scores": _hits_scores,
+        "price_qty_regression": _price_qty_regression,
+        "skyline_price_qty": _skyline_price_qty,
+        "redirect_resolve": _redirect_resolve,
+        "split_by_cluster": _split_by_cluster,
+        "snapshot_delta": _snapshot_delta,
+        "recrawl_urls": _recrawl_urls,
+        "recrawl_schedule": _recrawl_schedule,
+        "event_deltas": _event_deltas,
+        "triangle_count": _triangle_count,
+        "kcore_nodes": _kcore,
+        "funnel_counts": _funnel_counts,
+        "concurrent_users": _concurrent_users,
+        "spearman_qty_price": _spearman_qty_price,
+        "robots_eval": _robots_eval,
+        "pdf_ingest": _pdf_ingest,
+        "warc_ingest": _warc_ingest,
+        "sitemap_ingest": _sitemap_ingest,
+        "jsonl_ingest": _jsonl_ingest,
+        "csv_ingest": _csv_ingest,
+        "ssjoin_pairs": _ssjoin_pairs,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "cross_dedup_pairs": _cross_dedup_pairs,
+        "cross_embedding_dups": _cross_embedding_dups,
+        "bigram_counts": _bigram_counts,
+        "cooccurrence_topk": _cooccurrence_topk,
+        "bigram_lm_score": _bigram_lm_score,
+        "pmi_topk": _pmi_topk,
+        "doc_entropy": _doc_entropy,
+        "readability": _readability,
+        "script_ratios": _script_ratios,
+        "vocab_coverage": _vocab_coverage,
+        "chunk_docs": _chunk_docs,
+        "benford_spend": _benford_spend,
+        "customers_without_orders": _customers_without_orders,
+        "source_lang_cube": _source_lang_cube,
+        "lineitem_melt": _lineitem_melt,
+        "brand_revenue": _brand_revenue,
+        "cumulative_spend": _cumulative_spend,
+        "qty_discount_corr": _qty_discount_corr,
+        "nation_gini": _nation_gini,
+        # SQL-checked (driver-gated in earlier rounds or local-gate green)
         "process_text": _process_text,
         "doc_stats": _doc_stats,
         "fingerprint": _fingerprint,
         "token_count": _token_count,
-        "exact_dedup": _exact_dedup,
         "normalized_dedup": _normalized_dedup,
         "shuffle_shards": _shuffle_shards,
         "lang_count": _lang_count,
@@ -3726,7 +3778,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct": _rolling_distinct,
         "events_hourly": _events_hourly,
         "events_json": _events_json,
-        "politeness_slots": _politeness_slots,
         "asof_join": _asof_join,
         "range_join_count": _range_join_count,
         "time_window_sum": _time_window_sum,
@@ -3756,123 +3807,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_trap_score": _url_trap_score,
         "source_apportion": _source_apportion,
         "anchor_texts": _anchor_texts,
-        "recrawl_schedule": _recrawl_schedule,
-        "cdc_chunks": _cdc_chunks,
-        "recrawl_urls": _recrawl_urls,
-        "snapshot_delta": _snapshot_delta,
-        "cdc_delta_stats": _cdc_delta_stats,
-        "anchor_relevance": _anchor_relevance,
-        "charset_detect": _charset_detect,
-        "main_content": _main_content,
-        "sniff_mismatch": _sniff_mismatch,
         "pack_manifest": _pack_manifest,
         "label_centroids": _label_centroids,
         "user_retention": _user_retention,
         "dup_ratio_by_source": _dup_ratio_by_source,
         "ngram_containment_pairs": _ngram_containment_pairs,
-        "ssjoin_pairs": _ssjoin_pairs,
-        "fuzzy_name_pairs": _fuzzy_name_pairs,
-        "cross_dedup_pairs": _cross_dedup_pairs,
         "embedding_dup_pairs": _embedding_dup_pairs,
-        "cross_embedding_dups": _cross_embedding_dups,
         "sample_docs": _sample_docs,
         "stratified_sample": _stratified_sample,
         "train_split_counts": _train_split_counts,
         "multimodal_meta": _multimodal_meta,
         "multimodal_resize": _multimodal_resize,
         "multimodal_frames": _multimodal_frames,
-        "event_deltas": _event_deltas,
+        "cdc_chunks": _cdc_chunks,
         "source_cap": _source_cap,
-        "bigram_counts": _bigram_counts,
-        "cooccurrence_topk": _cooccurrence_topk,
-        "bigram_lm_score": _bigram_lm_score,
         "source_lang_pivot": _source_lang_pivot,
         "degree_stats": _degree_stats,
-        "triangle_count": _triangle_count,
+        "cdc_delta_stats": _cdc_delta_stats,
         "distinct_words_per_lang": _distinct_words_per_lang,
-        "funnel_counts": _funnel_counts,
-        "warc_ingest": _warc_ingest,
-        "sitemap_ingest": _sitemap_ingest,
-        "jsonl_ingest": _jsonl_ingest,
+        "charset_detect": _charset_detect,
         "redact_pii": _redact_pii,
         "normalize_text": _normalize_text,
         "rare_word_ratio": _rare_word_ratio,
-        "customers_without_orders": _customers_without_orders,
         "customers_with_orders": _customers_with_orders,
         "lang_quality_buckets": _lang_quality_buckets,
         "source_lang_rollup": _source_lang_rollup,
-        "source_lang_cube": _source_lang_cube,
-        "lineitem_melt": _lineitem_melt,
         "docs_by_length": _docs_by_length,
         "quantile_sketch": _quantile_sketch,
-        "revenue_by_region": _revenue_by_region,
         "grouped_quantile_sketch": _grouped_quantile_sketch,
-        "chunk_docs": _chunk_docs,
-        "vocab_coverage": _vocab_coverage,
         "mixture_sample": _mixture_sample,
         "source_sample_k": _source_sample_k,
         "customer_order_counts": _customer_order_counts,
-        "events_orders_full": _events_orders_full,
         "top_orders_per_customer": _top_orders_per_customer,
-        "user_type_join": _user_type_join,
-        "cumulative_spend": _cumulative_spend,
-        "brand_revenue": _brand_revenue,
         "lineitem_moments": _lineitem_moments,
-        "qty_discount_corr": _qty_discount_corr,
-        "price_qty_regression": _price_qty_regression,
         "zscore_orders": _zscore_orders,
         "qty_histogram": _qty_histogram,
         "weighted_sample": _weighted_sample,
-        "order_part_bfs": _order_part_bfs,
-        "copurchase_topk": _copurchase_topk,
-        "kcore_nodes": _kcore,
-        "hits_scores": _hits_scores,
+        "anchor_relevance": _anchor_relevance,
         "related_docs_topk": _related_docs_topk,
-        "winsorized_spend": _winsorized_spend,
         "transition_counts": _transition_counts,
         "path_trigrams": _path_trigrams,
-        "doc_entropy": _doc_entropy,
         "mirror_sources": _mirror_sources,
         "spend_quantiles": _spend_quantiles,
         "user_paths": _user_paths,
         "source_budget": _source_budget,
         "source_kl": _source_kl,
         "running_revenue": _running_revenue,
-        "concurrent_users": _concurrent_users,
+        "main_content": _main_content,
         "span_overlap_counts": _span_overlap_counts,
-        "robots_eval": _robots_eval,
-        "pdf_ingest": _pdf_ingest,
         "token_budget_cap": _token_budget_cap,
         "spend_ntile": _spend_ntile,
         "date_rank": _date_rank,
-        "nation_gini": _nation_gini,
         "vocab_overlap": _vocab_overlap,
         "nation_spend_quartile": _nation_spend_quartile,
         "new_users_daily": _new_users_daily,
         "user_gap_moments": _user_gap_moments,
-        "csv_ingest": _csv_ingest,
-        "readability": _readability,
         "spend_mad": _spend_mad,
         "balance_percent_rank": _balance_percent_rank,
         "session_stats": _session_stats,
-        "pmi_topk": _pmi_topk,
         "hopping_counts": _hopping_counts,
         "spend_outliers": _spend_outliers,
         "source_lang_chi2": _source_lang_chi2,
         "length_ks_drift": _length_ks_drift,
-        "spearman_qty_price": _spearman_qty_price,
+        "sniff_mismatch": _sniff_mismatch,
         "length_rank_auc": _length_rank_auc,
         "qty_mode": _qty_mode,
         "centroid_distances": _centroid_distances,
         "source_ks_matrix": _source_ks_matrix,
         "lineitem_profile": _lineitem_profile,
-        "script_ratios": _script_ratios,
-        "benford_spend": _benford_spend,
-        "ewma_scores": _ewma_scores,
         "winnow_fps": _winnow_fps,
-        "skyline_price_qty": _skyline_price_qty,
-        "redirect_resolve": _redirect_resolve,
-        "split_by_cluster": _split_by_cluster,
+        "ewma_scores": _ewma_scores,
         # rows-only
         "quality_lr": _quality_lr,
         "dsir_weights": _dsir_weights,
