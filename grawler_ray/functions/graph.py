@@ -1579,15 +1579,21 @@ def resolve_chains(
     if n == 0:
         return ds
 
-    def init_state(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy(np.int64)
-        nxt = df[next_col].to_numpy()
-        isna = pd.isna(nxt)
-        ptr = np.where(isna, ids, np.where(isna, 0, nxt)).astype(np.int64)
+    def init_state(t: pa.Table) -> pd.DataFrame:
+        # Arrow in, pandas out: a nullable int64 next column coerces to
+        # float64 under pandas batch format and corrupts ids > 2^53
+        # (xxhash-derived ids) — read the null mask from the Arrow column
+        # and fill BEFORE any pandas conversion (the repartition_join rule).
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # all-null blocks arrive with a null-typed column; cast first
+        nxt_col = t.column(next_col).cast(pa.int64())
+        isna = pa.compute.is_null(nxt_col).to_numpy(zero_copy_only=False)
+        nxt = nxt_col.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        ptr = np.where(isna, ids, nxt)
         dist = (~isna).astype(np.int64)
         return pd.DataFrame({"id": ids, "ptr": ptr, "dist": dist})
 
-    state = ds.map_batches(init_state, batch_format="pandas")
+    state = ds.map_batches(init_state, batch_format="pyarrow")
 
     if n <= driver_max_rows:
         sp = state.to_pandas()

@@ -189,6 +189,32 @@ def test_resolve_chains_random_long(ray_session):
         )
 
 
+def test_resolve_chains_huge_ids(ray_session):
+    """ids above 2^53 (xxhash-derived) survive bit-exact: a pandas-format
+    init_state would coerce the nullable next column to float64 and corrupt
+    them (the repartition_join / CLAUDE.md int64-with-nulls pitfall)."""
+    base = np.int64(2**62 + 3)  # not representable in float64 +- small deltas
+    ids = np.array([base, base + 1, base + 2, base + 3], np.int64)
+    # chain: base <- base+1 <- base+2 ; isolated root base+3
+    nxt = pd.array([None, int(base), int(base + 1), None], dtype="Int64")
+    df = pd.DataFrame({"id": ids, "next": nxt})
+    exp = pd.DataFrame(
+        {
+            "id": ids,
+            "root_id": np.array([base, base, base, base + 3], np.int64),
+            "depth": np.array([0, 1, 2, 0], np.int64),
+        }
+    )
+    for forced in (False, True):
+        out = _chains_df(df, forced)
+        pd.testing.assert_frame_equal(
+            out.astype({"id": np.int64, "root_id": np.int64, "depth": np.int64}),
+            exp,
+        )
+        # float64 round-trip of base would land on a DIFFERENT int64
+        assert np.int64(float(base)) != base
+
+
 def test_lr_text_classifier_vs_serial_oracle(ray_session):
     """Distributed full-batch GD == serial numpy training (one global
     partial, same rounding discipline): scores within 1 micro, preds
