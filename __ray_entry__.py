@@ -1228,6 +1228,28 @@ def _benford_spend(sf_dir: str):
     return benford_digits(_read(sf_dir, "orders"), "o_totalprice")
 
 
+def _zipf_fit(sf_dir: str):
+    """Zipf's-law OLS fit (ln frequency on ln rank, top-100 words) over
+    the documents word-frequency spectrum — truncation-scaled integer
+    regression so the DuckDB oracle hash-matches; one word exchange, a
+    top-k bounded sort, single-block finish."""
+    from grawler_ray.functions.stats import zipf_fit
+
+    return zipf_fit(_read(sf_dir, "documents").select_columns(["text"]), top_k=100)
+
+
+def _bpe_token_counts(sf_dir: str):
+    """Train→encode BPE loop (Sennrich et al. 2016): learn 12 merges on
+    the corpus, broadcast them once, count tokens per doc.  Rows-only:
+    the iterative greedy merge isn't SQL-expressible; tests/test_stats.py
+    holds serial-encoder equality."""
+    from grawler_ray.functions.stats import bpe_encode, bpe_train
+
+    docs = _read(sf_dir, "documents")
+    merges = bpe_train(docs.select_columns(["text"]), num_merges=12)
+    return bpe_encode(docs, merges)
+
+
 def _script_ratios(sf_dir: str):
     """Per-doc Unicode script composition (Latin/Cyrillic/CJK/digit
     code-point counts): one UTF-32 decode per doc, vectorized range
@@ -3877,11 +3899,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _lineitem_profile,
         "winnow_fps": _winnow_fps,
         "ewma_scores": _ewma_scores,
+        "zipf_fit": _zipf_fit,
         # rows-only
         "quality_lr": _quality_lr,
         "dsir_weights": _dsir_weights,
         "curate_corpus": _curate_corpus,
         "bpe_merges": _bpe_merges,
+        "bpe_token_counts": _bpe_token_counts,
         "compression_signals": _compression_signals,
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,
@@ -5743,6 +5767,42 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0 + 0.5) AS BIGINT)
                        AS expected_micro
             FROM h2 CROSS JOIN t
+        """,
+        # Zipf OLS: per-row ln() is row-local IEEE (identical in numpy and
+        # DuckDB), immediately truncation-scaled to micro-units; the
+        # regression sums are then exact HUGEINT arithmetic (the
+        # price_qty_regression discipline), // = truncation toward zero
+        "zipf_fit": r"""
+            WITH freq AS (
+                SELECT lower(w) AS word, count(*)::BIGINT AS total
+                FROM (SELECT unnest(regexp_extract_all(text, '\b\w+\b')) AS w
+                      FROM documents)
+                GROUP BY lower(w)
+                ORDER BY total DESC, word ASC
+                LIMIT 100
+            ),
+            r AS (
+                SELECT CAST(floor(ln(CAST(row_number() OVER
+                                (ORDER BY total DESC, word ASC) AS DOUBLE))
+                            * 1000000.0 + 0.5) AS HUGEINT) AS lr,
+                       CAST(floor(ln(CAST(total AS DOUBLE))
+                            * 1000000.0 + 0.5) AS HUGEINT) AS lf
+                FROM freq
+            ),
+            a AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(lr) AS sr,
+                         SUM(lf) AS sf, SUM(lr*lr) AS srr, SUM(lr*lf) AS srf
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN (n*srr - sr*sr) = 0 THEN NULL
+                        ELSE CAST((1000000::HUGEINT * (n*srf - sr*sf))
+                                  // (n*srr - sr*sr) AS BIGINT)
+                   END AS slope_micro,
+                   CASE WHEN (n*srr - sr*sr) = 0 THEN NULL
+                        ELSE CAST((sf - (((1000000::HUGEINT * (n*srf - sr*sf))
+                                          // (n*srr - sr*sr)) * sr) // 1000000)
+                                  // n AS BIGINT)
+                   END AS intercept_micro
+            FROM a
         """,
         # script composition: code-point range counts (RE2 \x{...}
         # classes mirror the numpy uint32 range masks; length() = code

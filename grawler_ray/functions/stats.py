@@ -1866,7 +1866,23 @@ def zipf_fit(
         .aggregate(Sum("partial", alias_name="total"))
         .sort(["total", "word"], descending=[True, False])
         .limit(top_k)
+        .materialize()  # bounded at top_k rows; lets the empty check below
+        # reuse the executed result instead of re-running the exchange
     )
+    if freq.count() == 0:
+        # an empty corpus yields ZERO blocks, so the finish fn below would
+        # never run and the output would keep the (word, total) schema
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "slope_micro": pa.array([None], pa.int64()),
+                    "intercept_micro": pa.array([None], pa.int64()),
+                }
+            )
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         n = t.num_rows

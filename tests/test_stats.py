@@ -195,6 +195,40 @@ def _serial_bpe(texts, num_merges, end_marker="</w>"):
     return merges
 
 
+def _serial_bpe_state(texts, num_merges, end_marker="</w>"):
+    """Same trainer, but returns the final per-word symbol state — an
+    INDEPENDENT oracle for bpe_encode: greedy lowest-rank-first encoding
+    must reproduce the training segmentation for every in-corpus word."""
+    words = Counter()
+    for t in texts:
+        for w in WORD.findall(t or ""):
+            words[w.lower()] += 1
+    state = {w: tuple(list(w) + [end_marker]) for w in words}
+    for rank in range(1, num_merges + 1):
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            syms = state[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        for w in words:
+            syms = state[w]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return state
+
+
 def test_bpe_train_vs_serial_oracle(ray_session):
     from grawler_ray.functions.stats import bpe_train
 
@@ -1137,3 +1171,106 @@ def test_grouped_regression_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
     )
+
+
+def test_bpe_encode_vs_training_state(ray_session):
+    """bpe_encode (greedy lowest-rank-first per word) reproduces the
+    training segmentation for every in-corpus word: per-doc token counts
+    equal the serial trainer-state sums."""
+    import ray.data
+
+    from grawler_ray.functions.stats import bpe_encode, bpe_train
+
+    df = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).df()
+    docs = ray.data.from_pandas(df).repartition(4)
+    merges = bpe_train(docs.select_columns(["text"]), num_merges=12)
+    got = (
+        bpe_encode(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    state = _serial_bpe_state(df.text.tolist(), 12)
+    exp_words, exp_tokens = [], []
+    for t in df.sort_values("doc_id").text:
+        ws = [w.lower() for w in WORD.findall(t or "")]
+        exp_words.append(len(ws))
+        exp_tokens.append(sum(len(state[w]) for w in ws))
+    assert got["n_words"].tolist() == exp_words
+    assert got["n_tokens"].tolist() == exp_tokens
+    # merges really compress: fewer tokens than raw chars+end markers
+    raw = sum(len(w) + 1 for t in df.text for w in WORD.findall((t or "").lower()))
+    assert got["n_tokens"].sum() < raw
+
+
+def test_bpe_encode_unseen_word(ray_session):
+    """Encoding a word the trainer never saw applies merges greedily by
+    rank — hand-checked: train on 'ab ab ab cd cd', encode 'abab'."""
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import bpe_encode, bpe_train
+
+    train = ray.data.from_arrow(pa.table({"text": ["ab ab ab cd cd"]}))
+    merges = bpe_train(train, num_merges=4)
+    mt = merges.to_pandas().sort_values("rank")
+    # rank 1: (a,b)->ab [3]; rank 2: (ab,</w>)->ab</w> [3]; rank 3: (c,d)->cd [2]...
+    assert list(mt.iloc[0][["left", "right"]]) == ["a", "b"]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["abab", "ab xyz"]})
+    )
+    got = (
+        bpe_encode(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "abab": a b a b </w> -> ab ab </w> (rank1 both) -> no (ab,ab) merge
+    #         -> can't apply (ab,</w>) to the FIRST ab -> ab + ab</w> = 2
+    assert got.loc[0, "n_words"] == 1 and got.loc[0, "n_tokens"] == 2
+    # "ab" -> ab</w> = 1 token; "xyz" unseen: no merges apply -> x y z </w> = 4
+    assert got.loc[1, "n_words"] == 2 and got.loc[1, "n_tokens"] == 5
+
+
+def test_zipf_fit_vs_serial(ray_session):
+    """zipf_fit == serial numpy replica of the integer-scaled OLS over the
+    sf0.001 top-100 spectrum; slope lands in the Zipf-plausible range."""
+    from grawler_ray.functions.stats import _trunc_div, zipf_fit
+
+    got = (
+        zipf_fit(_read(ray_session, "documents", ["text"]), top_k=100)
+        .to_pandas()
+    )
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).df().text.tolist()
+    freq = Counter(w.lower() for t in texts for w in WORD.findall(t or ""))
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    n = len(top)
+    lr = [int(math.floor(math.log(r) * 10**6 + 0.5)) for r in range(1, n + 1)]
+    lf = [int(math.floor(math.log(c) * 10**6 + 0.5)) for _, c in top]
+    s_r, s_f = sum(lr), sum(lf)
+    s_rr = sum(a * a for a in lr)
+    s_rf = sum(a * b for a, b in zip(lr, lf))
+    den = n * s_rr - s_r * s_r
+    slope = _trunc_div((n * s_rf - s_r * s_f) * 10**6, den)
+    intercept = _trunc_div(s_f - _trunc_div(slope * s_r, 10**6), n)
+    assert got.loc[0, "n"] == n
+    assert got.loc[0, "slope_micro"] == slope
+    assert got.loc[0, "intercept_micro"] == intercept
+    # natural-ish text: slope in micro units near -1e6 (wide tolerance)
+    assert -3_000_000 < slope < -100_000
+
+
+def test_zipf_fit_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from grawler_ray.functions.stats import zipf_fit
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = zipf_fit(ds).to_pandas()
+    assert out["n"].tolist() == [0]
+    assert out["slope_micro"].isna().all()
