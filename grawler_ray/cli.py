@@ -354,6 +354,39 @@ def _cmd_plan(a: argparse.Namespace) -> dict:
 
     cr.write_parquet(os.path.join(a.out, "urls"))
 
+    n_sitemaps = None
+    if a.sitemaps_out and a.robots_cache:
+        # harvest Sitemap: directives from the robots cache — the standard
+        # discovery channel feeding the next crawl's --seed-sitemap.
+        # Distributed map over the cache (millions of hosts at web scale);
+        # relative directives resolve against each host's http origin.
+        import ray.data
+
+        from grawler_ray.robots import sitemap_urls
+
+        def harvest(t: pa.Table) -> pa.Table:
+            hosts_out, urls_out = [], []
+            for h, body in zip(
+                t.column("host").to_pylist(), t.column("robots").to_pylist()
+            ):
+                for sm in sitemap_urls(body or "", f"http://{h}/robots.txt"):
+                    hosts_out.append(h)
+                    urls_out.append(sm)
+            return pa.table(
+                {
+                    "host": pa.array(hosts_out, pa.string()),
+                    "sitemap_url": pa.array(urls_out, pa.string()),
+                }
+            )
+
+        sm_ds = (
+            ray.data.read_parquet(a.robots_cache, columns=["host", "robots"])
+            .map_batches(harvest, batch_format="pyarrow")
+            .materialize()
+        )
+        sm_ds.write_parquet(a.sitemaps_out)
+        n_sitemaps = sm_ds.count()
+
     def to_host(t: pa.Table) -> pa.Table:
         hosts, w = [], []
         ch = t.column("n_changes").to_numpy(zero_copy_only=False)
@@ -383,6 +416,7 @@ def _cmd_plan(a: argparse.Namespace) -> dict:
         "hosts": len(hp),
         "budget": a.budget,
         "allocated": int(hp["alloc"].sum()),
+        "sitemaps": n_sitemaps,
         "top_hosts": hp.sort_values(
             ["alloc", "host"], ascending=[False, True]
         ).head(5).to_dict(orient="records"),
@@ -488,6 +522,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "denied/uncached-host URLs are dropped before "
                         "budgeting (deny-on-error semantics)")
     n.add_argument("--user-agent", default="grawler")
+    n.add_argument("--sitemaps-out", default=None,
+                   help="with --robots-cache: harvest Sitemap: directives "
+                        "from the cached robots bodies into this parquet "
+                        "(host, sitemap_url) for next-crawl seeding")
     n.set_defaults(fn=_cmd_plan, needs_ray=True)
 
     t = sub.add_parser("report", help="print a crawl's manifest metrics")

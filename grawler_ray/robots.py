@@ -155,7 +155,16 @@ def sitemap_urls(robots_body: str, base_url: str = "") -> list[str]:
     directive is group-independent, so it is scanned globally, exactly
     like the rule parser above ignores it).  Relative values (seen in the
     wild despite the spec requiring absolute URLs) resolve against
-    ``base_url`` when given, else are dropped."""
+    ``base_url`` when given, else are dropped.  Resolution uses the
+    ``scheme://host`` ORIGIN of base_url — robots.txt always sits at the
+    origin root, so a base_url carrying a path (``…/robots.txt``) must
+    not leak that path into the resolved sitemap URL."""
+    origin = ""
+    if base_url:
+        sep_at = base_url.find("://")
+        if sep_at >= 0:
+            host_end = base_url.find("/", sep_at + 3)
+            origin = base_url if host_end < 0 else base_url[:host_end]
     out: list[str] = []
     seen: set[str] = set()
     for raw in robots_body.splitlines():
@@ -169,9 +178,9 @@ def sitemap_urls(robots_body: str, base_url: str = "") -> list[str]:
         if not value:
             continue
         if "://" not in value:
-            if not base_url:
+            if not origin:
                 continue
-            value = base_url.rstrip("/") + "/" + value.lstrip("/")
+            value = origin + "/" + value.lstrip("/")
         if value not in seen:
             seen.add(value)
             out.append(value)

@@ -203,6 +203,51 @@ def test_cli_plan_robots_filter(corpus, tmp_path, capsys, ray_session):
     assert plan["allocated"] == 40 and hosts.alloc.sum() == 40
 
 
+def test_cli_plan_harvests_sitemaps(corpus, tmp_path, capsys, ray_session):
+    """--sitemaps-out with --robots-cache: Sitemap directives (absolute
+    AND relative) harvested from cached robots bodies into a parquet the
+    next crawl can seed from."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    r1 = str(tmp_path / "r1")
+    _run(
+        capsys,
+        ["crawl", "--corpus", corpus, "--out", r1, "--auto-seeds", "2",
+         "--fetch-buckets", "8", "--max-rounds", "2", "--seen-shards", "2"],
+    )
+    rc = str(tmp_path / "robots.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "host": ["site0.test", "site1.test"],
+                "robots": [
+                    "User-agent: *\nAllow: /\n"
+                    "Sitemap: https://site0.test/sm.xml\n"
+                    "Sitemap: relative/sm2.xml\n",
+                    "User-agent: *\nAllow: /\n",  # no directives
+                ],
+                "ts": pa.array([0, 0], pa.timestamp("us")),
+            }
+        ),
+        rc,
+    )
+    out = str(tmp_path / "plan")
+    sm_out = str(tmp_path / "sitemaps")
+    plan = _run(
+        capsys,
+        ["plan", "--runs", r1, "--out", out, "--budget", "20",
+         "--robots-cache", rc, "--sitemaps-out", sm_out],
+    )
+    sm = pq.read_table(sm_out).to_pandas().sort_values("sitemap_url")
+    assert plan["sitemaps"] == 2
+    assert sm.sitemap_url.tolist() == [
+        "http://site0.test/relative/sm2.xml",  # origin-resolved
+        "https://site0.test/sm.xml",
+    ]
+    assert (sm.host == "site0.test").all()
+
+
 def test_cli_crawl_seed_sitemap(corpus, tmp_path, capsys, ray_session):
     """--seed-sitemap: urlset locs seed the frontier highest-priority
     first; the crawl result equals the same seeds passed via --seeds."""

@@ -89,6 +89,23 @@ class TestSitemapDirectives:
             "https://h.test/sm.xml"
         ]
 
+    def test_relative_resolves_against_origin(self):
+        # base_url always carries the /robots.txt path in practice; the
+        # path must NOT leak into the resolved sitemap URL
+        from grawler_ray.robots import sitemap_urls
+
+        body = "Sitemap: sm.xml\nSitemap: /deep/sm2.xml\n"
+        assert sitemap_urls(body, base_url="https://h.test/robots.txt") == [
+            "https://h.test/sm.xml",
+            "https://h.test/deep/sm2.xml",
+        ]
+        # port is part of the origin; schemeless base yields no resolution
+        assert sitemap_urls(body, base_url="http://h.test:8080/robots.txt") == [
+            "http://h.test:8080/sm.xml",
+            "http://h.test:8080/deep/sm2.xml",
+        ]
+        assert sitemap_urls(body, base_url="not-a-url") == []
+
     def test_group_independent(self):
         # the directive counts even between/inside agent groups
         from grawler_ray.robots import sitemap_urls
