@@ -871,6 +871,25 @@ def run_crawl(
             last = done[-1]
             with open(os.path.join(_round_dir(out_dir, last), "manifest.json")) as f:
                 man = json.load(f)
+            # respect_nofollow changes the PARSED SCHEMA (the noindex
+            # column) — a resume with a toggled flag would mix per-round
+            # schemas in one out_dir: either noindex rows leak into the
+            # sinks or read_parquet fails on the missing column.  Old
+            # manifests (pre-flag) recorded nothing: infer from the last
+            # round's parsed schema instead.
+            prev_nf = man.get("respect_nofollow")
+            if prev_nf is None:
+                _pr = _parsed_rounds(out_dir)
+                if _pr:
+                    prev_nf = "noindex" in pq.read_schema(_pr[-1][1][0]).names
+            if prev_nf is not None and prev_nf != cfg.respect_nofollow:
+                raise ValueError(
+                    f"resume: out_dir was crawled with respect_nofollow="
+                    f"{prev_nf}; this run sets {cfg.respect_nofollow}. "
+                    "Mixed per-round schemas in one out_dir are not "
+                    "readable — resume with the original flag or start a "
+                    "fresh out_dir."
+                )
             start_round = last + 1
             next_seq = man["next_seq"]
             stats["rounds"] = start_round
@@ -1223,6 +1242,7 @@ def run_crawl(
                             "next_seq": next_seq,
                             "seq_cutoff": seq_cutoff,
                             "complete": True,
+                            "respect_nofollow": cfg.respect_nofollow,
                             **_lineage(),
                         },
                         f,
@@ -1335,6 +1355,7 @@ def run_crawl(
                         "next_seq": next_seq,
                         "seq_cutoff": None,
                         "complete": True,
+                        "respect_nofollow": cfg.respect_nofollow,
                         **_lineage(),
                     },
                     f,

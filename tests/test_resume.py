@@ -142,3 +142,22 @@ def test_resume_snapshot_cuckoo(setup):
     a = read_documents(out_res).to_pandas().sort_values("url").reset_index(drop=True)
     b = read_documents(out_full).to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_rejects_toggled_respect_nofollow(setup, tmp_path):
+    """respect_nofollow changes the parsed schema (noindex column); a
+    resume with the flag toggled must be rejected, not silently mix
+    per-round schemas in one out_dir."""
+    import dataclasses
+
+    from grawler_ray.pipelines.crawl import run_crawl
+
+    out = str(tmp_path / "nf")
+    seeds = seed_urls(4, 2)
+    run_crawl(CORPUS, seeds, _cfg(out, 2), robots_cache_path=ROBOTS)
+    cfg_nf = dataclasses.replace(_cfg(out, 4), respect_nofollow=True)
+    with pytest.raises(ValueError, match="respect_nofollow"):
+        run_crawl(CORPUS, seeds, cfg_nf, robots_cache_path=ROBOTS, resume=True)
+    # same flag resumes fine
+    s = run_crawl(CORPUS, seeds, _cfg(out, 4), robots_cache_path=ROBOTS, resume=True)
+    assert s.get("resumed_from_round") == 1
