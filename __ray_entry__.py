@@ -2610,6 +2610,28 @@ def _multimodal_resize(sf_dir: str):
     )
 
 
+def _png_meta(sf_dir: str):
+    """REAL image decode: deterministic synthesized PNGs (pure-stdlib
+    codec, functions/png.py) decoded to actual IHDR dims + pixel means in
+    the actor pool.  Rows-only: SQL can't inflate IDAT; tests/test_png.py
+    holds the serial numpy oracle (synth_pixels equality)."""
+    from grawler_ray.stages.multimodal import decode_png_meta
+
+    return decode_png_meta(_read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
+def _png_resize(sf_dir: str):
+    """REAL resize: PNG decode -> exact box-average resample -> PNG
+    re-encode in the actor pool; output carries the resized image's true
+    pixel mean.  Rows-only with the serial oracle in tests/test_png.py."""
+    from grawler_ray.stages.multimodal import resize_png
+
+    return resize_png(
+        _read(sf_dir, "documents").select_columns(["doc_id"]),
+        width=16, height=12,
+    )
+
+
 def _multimodal_frames(sf_dir: str):
     from grawler_ray.stages.multimodal import sample_frames
 
@@ -3910,6 +3932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_words": _countmin_words,
         "decontaminate_bloom": _decontaminate_bloom,
         "multimodal_features": _multimodal_features,
+        "png_meta": _png_meta,
+        "png_resize": _png_resize,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

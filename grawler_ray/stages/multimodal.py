@@ -2,37 +2,87 @@
 
 Image/audio/video travel as ``binary`` columns; decode / feature-extract run
 as actor-pool ``map_batches`` stages with small batch sizes (payloads are
-large — batch_size x concurrency must fit the worker heap).  The decode
-libraries are NOT in this container, so the decode kernel is STUBBED: the
-Ray-side plumbing (schema, batch sizing, actor signature, deterministic
-output layout) is real and tested; ``real_decode=True`` raises
-NotImplementedError exactly where a PIL/ffmpeg call would go.
+large — batch_size x concurrency must fit the worker heap).
+
+PNG decode/resize is REAL: a pure-stdlib codec (``functions/png.py`` —
+zlib IDAT inflate, all five scanline filters, palette expansion, exact
+box-average resample) runs on actual pixel data under
+``real_decode=True`` / ``real_resize=True``.  JPEG and video kernels
+remain honest stubs (no libjpeg/ffmpeg in this container): payloads with
+a JPEG SOI marker raise NotImplementedError exactly where a PIL/turbojpeg
+call would go, and the fake paths keep their deterministic byte-length
+arithmetic so the DuckDB oracles stay exact.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+_JPEG_SOI = b"\xff\xd8\xff"
 
 
 class DecodeImageMeta:
-    """Actor-pool stage: binary payload -> (n_bytes, width, height, format).
+    """Actor-pool stage: binary payload -> (n_bytes, width, height,
+    channels, format, px_mean_milli).
 
-    Fake-decode derives deterministic dims from the byte length only, so the
-    DuckDB oracle can reproduce it with octet_length arithmetic.
+    ``real_decode=True``: PNG payloads are ACTUALLY decoded (IHDR dims +
+    full pixel decode; px_mean_milli = floor(mean of all samples * 1000),
+    exact integer via the sample sum); JPEG raises where a libjpeg call
+    goes; other payloads report format="unknown".  The fake path derives
+    deterministic dims from byte length only, so the DuckDB oracle can
+    reproduce it with octet_length arithmetic.
     """
 
     def __init__(self, real_decode: bool = False):
-        # real path would do: from PIL import Image  (once per actor)
         self.real_decode = real_decode
+        if real_decode:
+            # per-actor setup: import the codec once (the PIL-load slot)
+            from ..functions.png import decode_png, png_meta
+
+            self._decode = decode_png
+            self._meta = png_meta
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.real_decode:
-            raise NotImplementedError(
-                "image decode libs are not available in this environment; "
-                "plug PIL/turbojpeg here (load once per actor in __init__)"
-            )
         payloads = t.column("payload").to_pylist()
         n = [len(p or b"") for p in payloads]
+        if self.real_decode:
+            widths, heights, chans, fmts, means = [], [], [], [], []
+            for p in payloads:
+                p = p or b""
+                if p.startswith(b"\x89PNG"):
+                    px = self._decode(p)
+                    h, w = px.shape[:2]
+                    c = 1 if px.ndim == 2 else px.shape[2]
+                    widths.append(w)
+                    heights.append(h)
+                    chans.append(c)
+                    fmts.append("png")
+                    means.append(
+                        int(px.sum(dtype=np.int64)) * 1000 // px.size
+                    )
+                elif p.startswith(_JPEG_SOI):
+                    raise NotImplementedError(
+                        "JPEG decode needs libjpeg/PIL (absent in this "
+                        "container); plug it here, loaded once per actor"
+                    )
+                else:
+                    widths.append(0)
+                    heights.append(0)
+                    chans.append(0)
+                    fmts.append("unknown")
+                    means.append(0)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_bytes": pa.array(n, pa.int64()),
+                    "width": pa.array(widths, pa.int64()),
+                    "height": pa.array(heights, pa.int64()),
+                    "channels": pa.array(chans, pa.int64()),
+                    "format": pa.array(fmts, pa.string()),
+                    "px_mean_milli": pa.array(means, pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -71,24 +121,51 @@ def decode_image_meta(docs_ds, batch_size: int = 256, concurrency=2):
 class ResizeImage:
     """Actor-pool resize stage: payload -> resized payload + target dims.
 
-    Real path (``real_resize=True``) is where a PIL ``Image.resize`` goes —
-    loaded once per actor in __init__, applied per batch.  The STUB kernel
-    deterministically truncates the payload to ``min(n_bytes, w*h)`` bytes so
-    the byte-accounting (and the DuckDB oracle) stays exact while the
-    Ray-side plumbing — actor pool, constructor args, binary in/out schema,
-    small batches — is the real thing.
+    ``real_resize=True``: PNG payloads decode, box-average resample to
+    (width, height) — exact integral-image arithmetic, deterministic —
+    and re-encode as PNG; JPEG raises where a PIL call goes.  The STUB
+    kernel deterministically truncates the payload to ``min(n_bytes,
+    w*h)`` bytes so the byte-accounting (and the DuckDB oracle) stays
+    exact while the Ray-side plumbing — actor pool, constructor args,
+    binary in/out schema, small batches — is the real thing.
     """
 
     def __init__(self, width: int, height: int, real_resize: bool = False):
         self.width = width
         self.height = height
         self.real_resize = real_resize
+        if real_resize:
+            from ..functions.png import decode_png, encode_png, resize_box
+
+            self._decode = decode_png
+            self._encode = encode_png
+            self._resize = resize_box
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.real_resize:
-            raise NotImplementedError(
-                "image libs are not available in this environment; plug "
-                "PIL.Image.resize here (import once per actor in __init__)"
+            payloads = []
+            for p in t.column("payload").to_pylist():
+                p = p or b""
+                if p.startswith(b"\x89PNG"):
+                    px = self._resize(self._decode(p), self.width, self.height)
+                    payloads.append(self._encode(px))
+                elif p.startswith(_JPEG_SOI):
+                    raise NotImplementedError(
+                        "JPEG resize needs libjpeg/PIL (absent in this "
+                        "container); plug it here, loaded once per actor"
+                    )
+                else:
+                    payloads.append(b"")
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "payload": pa.array(payloads, pa.binary()),
+                    "width": pa.array([self.width] * t.num_rows, pa.int64()),
+                    "height": pa.array([self.height] * t.num_rows, pa.int64()),
+                    "n_bytes_out": pa.array(
+                        [len(p) for p in payloads], pa.int64()
+                    ),
+                }
             )
         cap = self.width * self.height
         payloads = [(p or b"")[:cap] for p in t.column("payload").to_pylist()]
@@ -112,6 +189,85 @@ def resize_image(docs_ds, width: int = 64, height: int = 48, batch_size: int = 1
         concurrency=concurrency,
         fn_constructor_kwargs={"width": width, "height": height},
     )
+
+
+def to_png_payload_batch(t: pa.Table) -> pa.Table:
+    """Deterministic real-PNG payloads keyed on doc_id (no external data):
+    dims 8+(id%25) x 8+(id//7%19), channels cycling 1/3/4, pixel (y,x,c) =
+    (id + 7y + 13x + 29c) mod 256 — enough structure that resize/means are
+    non-trivial, fully reproducible in a serial numpy oracle."""
+    from ..functions.png import encode_png
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    payloads = [encode_png(synth_pixels(int(i))) for i in ids]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def synth_pixels(doc_id: int) -> np.ndarray:
+    """The pixel array behind to_png_payload_batch — shared with the
+    serial test oracle."""
+    w = 8 + doc_id % 25
+    h = 8 + (doc_id // 7) % 19
+    ch = (1, 3, 4)[doc_id % 3]
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+    )
+    px = (doc_id + 7 * y + 13 * x + 29 * c) % 256
+    a = px.astype(np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+def decode_png_meta(docs_ds, batch_size: int = 256, concurrency=2):
+    """REAL-decode stage entry: synthesized PNG payloads -> actual
+    IHDR/pixel metadata through the actor pool."""
+    return docs_ds.map_batches(
+        to_png_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        DecodeImageMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"real_decode": True},
+    )
+
+
+def resize_png(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=2):
+    """REAL-resize stage entry: PNG decode -> box resample -> PNG
+    re-encode in the actor pool; emits the resized image's true pixel
+    mean alongside the payload accounting."""
+    resized = docs_ds.map_batches(
+        to_png_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "real_resize": True},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        from ..functions.png import decode_png
+
+        means = []
+        for p in t.column("payload").to_pylist():
+            px = decode_png(p)
+            means.append(int(px.sum(dtype=np.int64)) * 1000 // px.size)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "n_bytes_out": t.column("n_bytes_out"),
+                "px_mean_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(summarize, batch_format="pyarrow")
 
 
 def sample_frames(docs_ds, frame_size: int = 1024, stride: int = 4, batch_size: int = 64):

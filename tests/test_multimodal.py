@@ -28,17 +28,22 @@ def test_decode_meta_stub_deterministic():
     assert out.column("width").to_pylist() == [5000 % 640 + 16, 16, 1400 % 640 + 16]
 
 
-def test_decode_meta_real_gate():
-    with pytest.raises(NotImplementedError):
-        DecodeImageMeta(real_decode=True)(_payload_table())
+def test_decode_meta_real_path_reports_non_images():
+    # real decode no longer raises on arbitrary bytes: PNG decodes for
+    # real (tests/test_png.py), JPEG raises at the libjpeg slot, and
+    # plain bytes are reported as format="unknown"
+    out = DecodeImageMeta(real_decode=True)(_payload_table())
+    assert out.column("format").to_pylist() == ["unknown"] * 3
+    assert out.column("width").to_pylist() == [0, 0, 0]
 
 
 def test_resize_stub_truncates_to_dims():
     out = ResizeImage(width=10, height=10)(_payload_table())
     assert out.column("n_bytes_out").to_pylist() == [100, 0, 100]
     assert out.column("payload").to_pylist()[0] == b"x" * 100
-    with pytest.raises(NotImplementedError):
-        ResizeImage(4, 4, real_resize=True)(_payload_table())
+    # real resize passes non-image payloads through as empty bytes
+    real = ResizeImage(4, 4, real_resize=True)(_payload_table())
+    assert real.column("n_bytes_out").to_pylist() == [0, 0, 0]
 
 
 def test_byte_features_histogram():
