@@ -1931,6 +1931,8 @@ def lr_text_classifier(
     lr: float = 10.0,
     seed: int = 0,
     max_partial_rows: int = 200_000,
+    mode: str = "full",
+    minibatch_frac: float = 0.25,
 ):
     """Hashed-bag-of-words logistic-regression document classifier —
     the GPT-3 quality-filter shape (Brown et al. 2020 §A: a linear
@@ -1952,7 +1954,18 @@ def lr_text_classifier(
     micro).  At 100 TB: iters × one streaming pass; the driver fold is
     rows ∝ blocks — above ``max_partial_rows`` this raises and names
     the tree-reduce alternative rather than silently pulling.
+
+    ``mode="minibatch"``: each iteration samples a deterministic
+    ``minibatch_frac`` of BLOCKS (hash of block tag x iteration — no
+    wall-clock randomness) and folds only their gradients, normalized
+    by the sampled row count — per-iteration cost drops from one full
+    corpus pass to a ``minibatch_frac`` pass, so training cost stops
+    scaling as iters x corpus-passes at 10^9 docs.  The full-batch
+    path is byte-for-byte unchanged (the serial-oracle equality test
+    pins it); minibatch convergence has its own test.
     """
+    if mode not in ("full", "minibatch"):
+        raise ValueError(f"lr_text_classifier: unknown mode {mode!r}")
     from ..urlops import xxhash64_batch
 
     def featurize(t: pa.Table) -> pa.Table:
@@ -2016,30 +2029,43 @@ def lr_text_classifier(
         z = z + b
         return 1.0 / (1.0 + np.exp(-z)), flat_i, flat_v, rows
 
+    # deterministic block sampler for minibatch mode: Knuth-hash of
+    # (block tag, iteration) against the sampling threshold — the same
+    # blocks get picked on any rerun regardless of arrival order
+    _mb_thresh = int(minibatch_frac * 997)
+
+    def _block_sampled(tag: int, it: int) -> bool:
+        return ((tag * 2654435761 + (it + seed) * 40503) % 997) < _mb_thresh
+
     w = np.zeros(dim, np.float64)
     b = 0.0
-    for _ in range(iters):
+    for it in range(iters):
         wc, bc = w, b  # bind per-iteration (closure capture ships ~8 KB)
 
-        def grad_partial(t: pa.Table, _w=wc, _b=bc) -> pa.Table:
+        def grad_partial(t: pa.Table, _w=wc, _b=bc, _it=it) -> pa.Table:
+            empty = pa.table(
+                {
+                    "tag": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.list_(pa.float64())),
+                    "gb": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
             if t.num_rows == 0:
-                return pa.table(
-                    {
-                        "tag": pa.array([], pa.int64()),
-                        "g": pa.array([], pa.list_(pa.float64())),
-                        "gb": pa.array([], pa.float64()),
-                    }
-                )
+                return empty
+            tag = int(t.column("id").to_numpy(zero_copy_only=False).min())
+            if mode == "minibatch" and not _block_sampled(tag, _it):
+                return empty
             p, flat_i, flat_v, rows = _scores(t, _w, _b)
             y = t.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
             err = p - y
             g = np.bincount(flat_i, weights=err[rows] * flat_v, minlength=dim)
-            tag = int(t.column("id").to_numpy(zero_copy_only=False).min())
             return pa.table(
                 {
                     "tag": pa.array([tag], pa.int64()),
                     "g": pa.array([g], pa.list_(pa.float64())),
                     "gb": pa.array([float(err.sum())], pa.float64()),
+                    "n": pa.array([t.num_rows], pa.int64()),
                 }
             )
 
@@ -2051,14 +2077,19 @@ def lr_text_classifier(
                 f"max_partial_rows={max_partial_rows}; fold them with a "
                 "coarse-hash groupby tree reduce before the driver sum"
             )
+        if not rows:
+            continue  # minibatch round sampled no blocks: skip the update
         rows.sort(key=lambda r: r["tag"])
         g = np.zeros(dim, np.float64)
         gb = 0.0
+        n_used = 0
         for r in rows:
             g += np.asarray(r["g"], np.float64)
             gb += r["gb"]
-        w = w - lr * (g / n_total)
-        b = b - lr * (gb / n_total)
+            n_used += int(r["n"])
+        denom = n_total if mode == "full" else n_used
+        w = w - lr * (g / denom)
+        b = b - lr * (gb / denom)
         # absorb block-order float noise so reruns at other block counts
         # produce bit-identical weights
         w = np.round(w * 1e9) / 1e9

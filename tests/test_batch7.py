@@ -6,6 +6,7 @@ recursive-CTE cross-checks, serial-numpy training oracle."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -362,3 +363,47 @@ def test_split_by_cluster_leak_invariant(ray_session):
     # all five members of the 0-4 chain share component 0's split
     chain = out[out.doc_id.isin([0, 1, 2, 3, 4])]
     assert chain.split.nunique() == 1 and (chain.component == 0).all()
+
+
+def test_lr_text_classifier_minibatch_converges(ray_session):
+    """mode="minibatch" trains on a deterministic quarter of the blocks
+    per iteration yet still separates the keyword-proxy task; results
+    are rerun-stable (deterministic block sampling, no wall clock)."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import lr_text_classifier
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    docs["label"] = docs.text.str.contains(r"\bvector\b", regex=True).astype(
+        np.int64
+    )
+
+    def run():
+        return (
+            lr_text_classifier(
+                ray.data.from_pandas(docs).repartition(16),
+                id_col="doc_id",
+                text_col="text",
+                label_col="label",
+                dim=1024,
+                iters=80,
+                lr=10.0,
+                mode="minibatch",
+                minibatch_frac=0.25,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run()
+    y = docs.sort_values("doc_id").label.to_numpy(np.int64)
+    acc = (out.pred.to_numpy() == y).mean()
+    assert acc >= 0.90, acc
+    # deterministic: a second run is bit-identical
+    out2 = run()
+    assert np.array_equal(out.score_micro.to_numpy(), out2.score_micro.to_numpy())
+    with pytest.raises(ValueError, match="unknown mode"):
+        lr_text_classifier(
+            ray.data.from_pandas(docs), label_col="label", mode="sgd"
+        )
