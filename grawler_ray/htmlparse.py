@@ -44,11 +44,18 @@ tests/test_htmlparse.py::TestWhatwgTreeConstruction):
   of appending.  Whitespace-only text is left in place by the spec ("in
   table text": all-whitespace inserts in place) — TrimSpace drops it on
   both sides, so it never matters.
-- Known remaining divergence (documented, out of conformance scope): the
-  adoption agency CLONES formatting elements across block boundaries —
-  ``<a href="1">x<div>y</a>z</div>`` yields TWO <a> elements (href "1"
-  twice) in Go's DOM; the flat scan reports the href once.  Text order is
-  identical.  The synthetic corpus never emits block-crossing <a> tags.
+- Adoption agency <a> CLONING (r5): Go's parser duplicates <a> elements
+  across block boundaries and its HtmlUrls walk reports every copy.  A
+  lightweight open-elements emulation (tag stack + the single active
+  formatting <a>) reproduces the three observable mechanisms: one clone
+  per special element crossed by ``</a>`` (outer-loop iterations), the
+  agency run triggered by a second ``<a>`` start, and reconstruction of
+  the active <a> after an enclosing end tag / p-closing block start pops
+  it.  Markers (td/caption/...) gate reconstruction and scope exactly as
+  the formatting-list rules require.  Only <a> is tracked — b/i/em clones
+  carry no observable attribute.  Browser-DOM-verified fixtures in
+  TestWhatwgTreeConstruction pin every shape; text order was already
+  identical.
 """
 
 from __future__ import annotations
@@ -73,6 +80,45 @@ _RAWTEXT = ("script", "style", "iframe", "xmp", "noembed", "noframes", "noscript
 _RCDATA = ("title", "textarea")
 
 _ICON_RELS = ("icon", "icon shortcut", "shortcut icon")
+
+# HTML5 void elements (never pushed on the open-elements emulation)
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+# the spec "special" category (13.2.4.2) — furthest-block candidates for
+# the adoption agency, and end-tag walk barriers
+_SPECIAL = {
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "hr", "html", "iframe", "img", "input", "keygen", "li",
+    "link", "listing", "main", "marquee", "menu", "meta", "nav", "noembed",
+    "noframes", "noscript", "object", "ol", "p", "param", "plaintext",
+    "pre", "script", "section", "select", "source", "style", "summary",
+    "table", "tbody", "td", "template", "textarea", "tfoot", "th",
+    "thead", "title", "tr", "track", "ul", "wbr", "xmp",
+}
+# start tags whose "in body" handler closes an open <p> in button scope
+_CLOSES_P = {
+    "address", "article", "aside", "blockquote", "center", "details",
+    "dialog", "dir", "div", "dl", "dd", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hgroup", "hr", "li", "listing", "main", "menu", "nav",
+    "ol", "p", "plaintext", "pre", "section", "summary", "table", "ul",
+    "xmp",
+}
+_BUTTON_SCOPE_BARRIERS = {
+    "html", "table", "td", "th", "caption", "applet", "object", "marquee",
+    "template", "button",
+}
+# active-formatting-list markers (13.2.4.3): reconstruction and the
+# adoption agency never cross these
+_AFE_MARKERS = {"td", "th", "caption", "applet", "object", "marquee", "template"}
+# void start tags whose in-body handler still reconstructs formatting
+_RECONSTRUCT_VOIDS = {"br", "img", "input", "embed", "area", "wbr", "keygen"}
 
 
 class _Extractor(HTMLParser):
@@ -104,6 +150,16 @@ class _Extractor(HTMLParser):
         # i.e. immediately BEFORE the table) and whether we are inside a
         # cell/caption (normal insertion) vs table/row context (foster)
         self._tables: list[dict] = []
+        # HTML5 open-elements emulation for <a>-clone parity (Go's
+        # adoption agency duplicates <a> elements across block
+        # boundaries, src/parsers/html.go:69-82 walks the PARSED tree):
+        # a tag-name stack plus the single active formatting <a> (the
+        # spec allows at most one).  _a_state: href/nofollow of the
+        # element, whether it is on the open stack (vs active-only,
+        # awaiting reconstruction), its stack index, and the marker
+        # count at activation (reconstruction never crosses markers).
+        self._stack: list[str] = []
+        self._a_state: dict | None = None
 
     def _foster(self):
         """The innermost table frame if content hit now would be
@@ -130,6 +186,68 @@ class _Extractor(HTMLParser):
             self.href_nofollow.insert(f["h_idx"], nofollow)
             f["h_idx"] += 1
 
+    # -- <a>-clone parity helpers (adoption agency + reconstruction) -------
+    def _mc(self) -> int:
+        return sum(1 for t in self._stack if t in _AFE_MARKERS)
+
+    def _pop_to(self, i: int) -> None:
+        """Pop stack[i:] — an <a> popped this way stays ACTIVE (spec:
+        popping the open-elements stack never edits the formatting list),
+        unless a marker above its activation point was popped (the
+        clear-to-marker rule)."""
+        a = self._a_state
+        if a and a["open"] and a["idx"] >= i:
+            a["open"] = False
+        del self._stack[i:]
+        if self._a_state and self._a_state["mc"] > self._mc():
+            self._a_state = None
+
+    def _close_in_scope(self, targets, barriers) -> None:
+        for i in range(len(self._stack) - 1, -1, -1):
+            t = self._stack[i]
+            if t in targets:
+                self._pop_to(i)
+                return
+            if t in barriers:
+                return
+
+    def _reconstruct_a(self) -> None:
+        """Reconstruct the active formatting <a> (spec 13.2.4.3): a NEW
+        element is created — Go's HtmlUrls reports its href again."""
+        a = self._a_state
+        if a is None or a["open"] or self._mc() != a["mc"]:
+            return
+        if a["href"] is not None:
+            self._emit_href(a["href"], a["nofollow"])
+        self._stack.append("a")
+        a["idx"] = len(self._stack) - 1
+        a["open"] = True
+
+    def _aaa_close(self) -> None:
+        """The adoption agency run for subject "a" (</a>, or an <a> start
+        while one is active).  One CLONE per special element deeper than
+        the <a> on the open stack (each outer-loop iteration appends a
+        clone into the next furthest block — verified against browser
+        DOMs), capped at the spec's 8 iterations; the blocks stay open."""
+        a = self._a_state
+        if a is None:
+            return
+        if not a["open"]:
+            self._a_state = None  # step: not in open stack -> just remove
+            return
+        if self._mc() != a["mc"]:
+            return  # not in scope (e.g. </a> inside a cell) -> ignored
+        self._a_state = None
+        idx = a["idx"]
+        n_special = sum(1 for t in self._stack[idx + 1 :] if t in _SPECIAL)
+        if n_special:
+            if a["href"] is not None:
+                for _ in range(min(n_special, 7)):
+                    self._emit_href(a["href"], a["nofollow"])
+            del self._stack[idx]  # the furthest blocks remain open
+        else:
+            self._pop_to(idx)
+
     # -- text node handling -------------------------------------------------
     def _flush_text(self) -> None:
         if not self._buf:
@@ -154,6 +272,19 @@ class _Extractor(HTMLParser):
             self._emit_text(trimmed)
 
     def handle_data(self, data: str) -> None:
+        # "in body" character tokens reconstruct the active formatting
+        # elements (even whitespace); rawtext/RCDATA and foreign content
+        # use text modes that don't.  In table-non-cell context only
+        # non-whitespace fosters (and reconstructs) — whitespace inserts
+        # in place ("in table text").
+        if (
+            self.cdata_elem is None
+            and self._svg_depth == 0
+            and self._a_state is not None
+            and not self._a_state["open"]
+            and (self._foster() is None or data.strip())
+        ):
+            self._reconstruct_a()
         if self._buf and self._buf_ctx != self.cdata_elem:
             self._flush_text()
         self._buf_ctx = self.cdata_elem
@@ -162,6 +293,27 @@ class _Extractor(HTMLParser):
     # -- structure ----------------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         self._flush_text()
+        # --- open-elements emulation (the <a>-clone observables) ---
+        if tag in _CLOSES_P:
+            self._close_in_scope({"p"}, _BUTTON_SCOPE_BARRIERS)
+        if tag == "li":
+            self._close_in_scope(
+                {"li"}, _SPECIAL - {"address", "div", "p"} - {"li"}
+            )
+        elif tag in ("dd", "dt"):
+            self._close_in_scope(
+                {"dd", "dt"}, _SPECIAL - {"address", "div", "p"} - {"dd", "dt"}
+            )
+        if tag in ("td", "th", "caption", "tr", "tbody", "thead", "tfoot"):
+            # a new cell/row implies closing any open cell (cells don't nest)
+            self._close_in_scope({"td", "th"}, {"table"})
+        if tag == "a":
+            self._aaa_close()  # a-in-a: agency runs for the previous <a>
+        elif tag not in _SPECIAL or tag in _RECONSTRUCT_VOIDS:
+            # phrasing-content start tags reconstruct active formatting
+            self._reconstruct_a()
+        if tag not in _VOID:
+            self._stack.append(tag)
         if tag == "table":
             # record the foster insert point: content re-parented out of
             # this table lands immediately before it, in arrival order
@@ -185,9 +337,22 @@ class _Extractor(HTMLParser):
                 k == "rel" and v is not None and "nofollow" in v.lower().split()
                 for k, v in attrs
             )
+            first_href = None
             for k, v in attrs:
                 if k == "href":
-                    self._emit_href(v if v is not None else "", nofollow)
+                    v = v if v is not None else ""
+                    if first_href is None:
+                        first_href = v
+                    self._emit_href(v, nofollow)
+            # this <a> becomes THE active formatting anchor (clones use
+            # the first href, as Go's clone copies the element's attrs)
+            self._a_state = {
+                "href": first_href,
+                "nofollow": nofollow,
+                "open": True,
+                "idx": len(self._stack) - 1,
+                "mc": self._mc(),
+            }
         elif tag == "link":
             # src/parsers/html.go:21-34 — rel must precede href in attr order
             rel = ""
@@ -228,6 +393,25 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         self._flush_text()
+        # --- open-elements emulation ---
+        if tag == "a":
+            self._aaa_close()
+        elif tag in ("td", "th", "caption", "tr", "tbody", "thead", "tfoot", "table"):
+            # table-structure end tags close through anything open inside
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i] == tag:
+                    self._pop_to(i)
+                    break
+        elif tag not in _VOID:
+            # "any other end tag": pop through the matching element, but a
+            # SPECIAL element in between swallows the token entirely
+            for i in range(len(self._stack) - 1, -1, -1):
+                t = self._stack[i]
+                if t == tag:
+                    self._pop_to(i)
+                    break
+                if t in _SPECIAL:
+                    break
         if tag == "table" and self._tables:
             self._tables.pop()
         elif tag in ("td", "th", "caption") and self._tables:

@@ -178,14 +178,59 @@ class TestWhatwgTreeConstruction:
         t, _, _ = extract_html("<b>bold<i>both</b>italic</i>")
         assert t == "bold both italic"
 
-    def test_adoption_agency_href_clone_pinned_delta(self):
-        # DOCUMENTED DELTA: Go's AAA clones the <a> across the block
-        # boundary -> DOM has TWO <a href="1"> elements (hrefs ["1","1"]);
-        # the flat scan reports it once.  Text order is identical on both
-        # sides: body a("x"), div(a("y"), "z") -> "x y z".
+    def test_adoption_agency_href_clone_parity(self):
+        # FORMER pinned delta, now implemented: Go's AAA clones the <a>
+        # across the block boundary -> DOM has TWO <a href="1"> elements;
+        # the extractor's open-elements emulation reproduces the clone.
+        # Text order identical: body a("x"), div(a("y"), "z") -> "x y z".
         t, hrefs, _ = extract_html('<a href="1">x<div>y</a>z</div>')
         assert t == "x y z"
-        assert hrefs == ["1"]  # Go: ["1", "1"] — pinned divergence
+        assert hrefs == ["1", "1"]  # == Go's DOM walk
+
+    def test_adoption_agency_nested_blocks_one_clone_per_block(self):
+        # each outer-loop iteration appends one clone into the next
+        # furthest block (browser-verified DOM shape)
+        t, hrefs, _ = extract_html('<a href="1">x<div><div>y</a>z</div></div>')
+        assert t == "x y z"
+        assert hrefs == ["1", "1", "1"]
+
+    def test_formatting_reconstruction_after_p_close(self):
+        # the classic real-web shape: a link spanning paragraphs — </p>
+        # pops the <a> from the open stack but it stays ACTIVE, so the
+        # next paragraph's text reconstructs it (new element, new href)
+        t, hrefs, _ = extract_html('<p><a href="1">x</p><p>y</a>z')
+        assert t == "x y z"
+        assert hrefs == ["1", "1"]
+
+    def test_a_in_a_with_block_clones_then_switches(self):
+        # second <a> start runs the agency for the first (clone into the
+        # open div), then the new anchor reconstructs after </div>
+        t, hrefs, _ = extract_html('<a href="1">x<div>y<a href="2">z</div>w')
+        assert t == "x y z w"
+        assert hrefs == ["1", "1", "2", "2"]
+
+    def test_block_start_closing_p_pops_anchor(self):
+        # <div> closes the open <p>, popping the <a>; reconstruction then
+        # clones it inside the div AND after it
+        t, hrefs, _ = extract_html('<p><a href="1">x<div>y</div>z')
+        assert t == "x y z"
+        assert hrefs == ["1", "1", "1"]
+
+    def test_anchor_wrapping_block_is_one_element(self):
+        # card-link pattern: the parser nests the div INSIDE the open <a>
+        # (no agency run) — exactly one element, one href
+        t, hrefs, _ = extract_html('<a href="1"><div>x</div></a>y')
+        assert t == "x y"
+        assert hrefs == ["1"]
+
+    def test_end_a_inside_cell_out_of_scope_ignored(self):
+        # </a> inside a td cannot close an <a> opened outside the table
+        # (td is a scope barrier + formatting-list marker)
+        t, hrefs, _ = extract_html(
+            '<a href="1">x<table><tr><td>c</a>d</td></tr></table>y</a>'
+        )
+        assert t == "x c d y"
+        assert hrefs == ["1"]
 
     # --- table foster parenting: content re-parented BEFORE the table ----
     def test_foster_div_only_content(self):
