@@ -164,6 +164,8 @@ def run_subqueries() -> dict[str, float]:
         "cdc_delta_stats", "charset_detect",
         "hits_scores", "main_content", "price_qty_regression",
         "skyline_price_qty", "redirect_resolve", "quality_lr",
+        "split_by_cluster", "zipf_fit", "bpe_token_counts",
+        "png_meta", "png_resize",
     ]
     import ray.data
 

@@ -139,6 +139,9 @@ def grouped_skyline(
     min_name: str = "price_c",
     max_name: str = "qty",
     count_name: str = "n_items",
+    merge_threshold: int = 500_000,
+    num_range_buckets: int = 64,
+    max_groups: int = 100_000,
 ):
     """Per-group 2-D skyline (Pareto frontier): the distinct
     (``min_col`` minimized, ``max_col`` maximized) points no other point
@@ -155,12 +158,23 @@ def grouped_skyline(
     lossless, and a globally undominated point survives every local
     pass, so its per-batch counts reach the merge intact.  Candidates
     per batch are bounded by the batch's own frontier (tiny on real
-    data); ONE repartition(1) merge re-groups, re-sums counts, and
-    re-scans — no driver pull, output stays a Dataset.  Worst case
-    (fully anti-correlated axes) degrades the frontier to the distinct
-    point count; the merge would then need a range-partitioned tree
-    reduce, which this synthetic corpus cannot motivate — documented,
-    not built.
+    data); when the candidate total is at most ``merge_threshold`` ONE
+    repartition(1) merge re-groups, re-sums counts and re-scans — no
+    driver pull, output stays a Dataset.
+
+    Above the threshold (anti-correlated axes degrade the frontier
+    toward the distinct point count, so a single merge partition would
+    hold output-sized data) the merge switches to the RANGE-PARTITIONED
+    plan: per-group equal-width buckets over the minimized axis (bucket
+    bounds from a tiny per-group min/max aggregate, rows = groups,
+    guarded at ``max_groups``), one exchange on (group, bucket) —
+    identical points co-locate, so counts sum exactly — a per-bucket
+    dedup + skyline scan, then a cross-bucket filter against the
+    broadcast prefix-max of lower buckets' q (a point in a lower bucket
+    has STRICTLY smaller p by construction, so dominance from below is
+    exactly q <= prefix_max).  No stage ever holds more than one
+    bucket's frontier; the two plans are asserted equal in tests
+    including a fully anti-correlated corpus.
 
     Both axes are integer-scaled (``floor(x * scale + 0.5)``) so the
     DuckDB oracle matches bit-exactly; the oracle expresses dominance as
@@ -234,16 +248,13 @@ def grouped_skyline(
         q = t.column(max_name).to_numpy(zero_copy_only=False).astype(np.int64)
         n = t.column(count_name).to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, gcode = np.unique(gv, return_inverse=True)
-        # same point may arrive from many batches: sum counts first
-        order = np.lexsort((p, gcode))
-        gc, p, q, n = gcode[order].astype(np.int64), p[order], q[order], n[order]
-        if len(gc):
-            new = np.concatenate(
-                ([True], (gc[1:] != gc[:-1]) | (p[1:] != p[:-1]) | (q[1:] != q[:-1]))
-            )
-            starts = np.flatnonzero(new)
-            gc, p, q = gc[new], p[new], q[new]
-            n = np.add.reduceat(n, starts)
+        # same point may arrive from many batches: sum counts first.
+        # MUST sort on the full (g, p, q) triple — a (g, p)-only sort can
+        # interleave a different-q point between two copies of the same
+        # point, the copies then fail to merge, and the skyline scan
+        # drops the second copy's count (q == running max is dominated) —
+        # the exact undercount the range-merge equality test caught (r5)
+        gc, p, q, n = _dedup_counts(gcode.astype(np.int64), p, q, n)
         g3, p3, q3, n3 = _skyline_scan(gc, p, q, n)
         return pa.table(
             {
@@ -254,9 +265,107 @@ def grouped_skyline(
             }
         )
 
-    return (
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    cand = (
         ds.select_columns([group_col, min_col, max_col])
         .map_batches(local, batch_format="pyarrow")
-        .repartition(1)
-        .map_batches(merge, batch_format="pyarrow")
+        .materialize()
     )
+    if cand.count() <= merge_threshold:
+        return cand.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+    # ---- range-partitioned merge (the adversarial-axes scale path) ----
+    span = (
+        cand.groupby(group_col)
+        .aggregate(Min(min_name, alias_name="pmin"), Max(min_name, alias_name="pmax"))
+        .to_pandas()
+    )
+    if len(span) > max_groups:
+        raise ValueError(
+            f"grouped_skyline: {len(span)} groups exceed max_groups="
+            f"{max_groups}; shard the group space and union the results"
+        )
+    bounds = {
+        str(g): (int(lo), int(hi))
+        for g, lo, hi in zip(span[group_col], span["pmin"], span["pmax"])
+    }
+    bounds_ref = ray.put(bounds)
+    K = num_range_buckets
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        bmap = ray.get(bounds_ref)
+        gv = t.column(group_col).to_pylist()
+        p = t.column(min_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.zeros(len(gv), np.int64)
+        for i, g in enumerate(gv):
+            lo, hi = bmap[str(g)]
+            width = hi - lo + 1
+            b[i] = (int(p[i]) - lo) * K // width  # same p -> same bucket
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_skyline(t: pa.Table) -> pa.Table:
+        # one (group, bucket): dedup-sum identical points, local scan
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    min_name: pa.array([], pa.int64()),
+                    max_name: pa.array([], pa.int64()),
+                    count_name: pa.array([], pa.int64()),
+                }
+            )
+        p = t.column(min_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column(max_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column(count_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(p), np.int64)
+        _, p2, q2, n2 = _dedup_counts(z, p, q, n)
+        _, p3, q3, n3 = _skyline_scan(np.zeros(len(p2), np.int64), p2, q2, n2)
+        return pa.table(
+            {
+                group_col: pa.array([t.column(group_col)[0].as_py()] * len(p3), pa.string()),
+                "bucket": pa.array([t.column("bucket")[0].as_py()] * len(p3), pa.int64()),
+                min_name: pa.array(p3, pa.int64()),
+                max_name: pa.array(q3, pa.int64()),
+                count_name: pa.array(n3, pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        cand.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .map_groups(bucket_skyline, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # cross-bucket dominance: per (group, bucket) max q -> prefix max of
+    # STRICTLY lower buckets, broadcast (rows <= groups x K, tiny)
+    summ = (
+        per_bucket.groupby([group_col, "bucket"])
+        .aggregate(Max(max_name, alias_name="qmax"))
+        .to_pandas()
+    )
+    prefix: dict = {}
+    for g, sub in summ.groupby(group_col, sort=False):
+        sub = sub.sort_values("bucket")
+        run = -(1 << 62)
+        for b, qm in zip(sub["bucket"], sub["qmax"]):
+            prefix[(str(g), int(b))] = run
+            run = max(run, int(qm))
+    prefix_ref = ray.put(prefix)
+
+    def cross_filter(t: pa.Table) -> pa.Table:
+        pm = ray.get(prefix_ref)
+        gv = t.column(group_col).to_pylist()
+        bv = t.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t.column(max_name).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.array(
+            [q[i] > pm[(str(gv[i]), int(bv[i]))] for i in range(len(gv))],
+            bool,
+        )
+        return t.filter(pa.array(keep, pa.bool_())).drop_columns(["bucket"])
+
+    return per_bucket.map_batches(cross_filter, batch_format="pyarrow")

@@ -407,3 +407,70 @@ def test_lr_text_classifier_minibatch_converges(ray_session):
         lr_text_classifier(
             ray.data.from_pandas(docs), label_col="label", mode="sgd"
         )
+
+
+def test_skyline_range_merge_equals_single_merge(ray_session):
+    """The range-partitioned merge plan (forced via merge_threshold=0)
+    equals the single-partition plan AND brute force on a fully
+    ANTI-CORRELATED corpus — the axes shape that degrades the frontier
+    to the distinct point count."""
+    import ray.data
+
+    from grawler_ray.functions.olap import grouped_skyline
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    # adversarial for (min p, max q) dominance: q grows with p, so no
+    # point dominates another and nearly every distinct point is frontier
+    p = rng.randint(1, 2000, n)
+    q = p + rng.randint(-3, 4, n)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n),
+            "price": p / 100.0,
+            "qty": q.astype(float),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def run(threshold):
+        out = grouped_skyline(
+            ds, group_col="g", min_col="price", max_col="qty",
+            min_scale=100, merge_threshold=threshold,
+            num_range_buckets=16,
+        ).to_pandas()
+        return out.sort_values(["g", "price_c"]).reset_index(drop=True)
+
+    single = run(10**9)
+    ranged = run(0)
+    pd.testing.assert_frame_equal(
+        single.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+        ranged.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+    )
+    # frontier really is large here (the adversarial regime)
+    assert len(single) > 1000
+
+    # brute force on distinct points confirms both
+    pts = df.copy()
+    pts["p"] = np.floor(pts.price * 100 + 0.5).astype(np.int64)
+    pts["q"] = np.floor(pts.qty + 0.5).astype(np.int64)
+    expect = []
+    for g, sub in pts.groupby("g"):
+        d = sub.groupby(["p", "q"]).size().reset_index(name="n")
+        dom_p = d.p.to_numpy()[:, None] <= d.p.to_numpy()[None, :]
+        dom_q = d.q.to_numpy()[:, None] >= d.q.to_numpy()[None, :]
+        strict = (d.p.to_numpy()[:, None] < d.p.to_numpy()[None, :]) | (
+            d.q.to_numpy()[:, None] > d.q.to_numpy()[None, :]
+        )
+        dominated = (dom_p & dom_q & strict).any(axis=0)
+        for i in np.flatnonzero(~dominated):
+            expect.append((g, d.p.iloc[i], d.q.iloc[i], d.n.iloc[i]))
+    exp = (
+        pd.DataFrame(expect, columns=["g", "price_c", "qty", "n_items"])
+        .sort_values(["g", "price_c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        ranged.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+        exp.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
+    )
