@@ -1933,6 +1933,7 @@ def lr_text_classifier(
     max_partial_rows: int = 200_000,
     mode: str = "full",
     minibatch_frac: float = 0.25,
+    tree_fanin: int = 64,
 ):
     """Hashed-bag-of-words logistic-regression document classifier —
     the GPT-3 quality-filter shape (Brown et al. 2020 §A: a linear
@@ -1952,8 +1953,10 @@ def lr_text_classifier(
     a 1e-9 grid each step, so float results don't depend on block
     arrival order (and agree with the serial oracle in tests to <=1
     micro).  At 100 TB: iters × one streaming pass; the driver fold is
-    rows ∝ blocks — above ``max_partial_rows`` this raises and names
-    the tree-reduce alternative rather than silently pulling.
+    rows ∝ blocks — above ``max_partial_rows`` the fold inserts a
+    repartition tree level (blocks → ``tree_fanin`` partitions, each
+    summed in sorted block-tag order) so the driver pull is bounded at
+    ``tree_fanin`` rows regardless of cluster block count.
 
     ``mode="minibatch"``: each iteration samples a deterministic
     ``minibatch_frac`` of BLOCKS (hash of block tag x iteration — no
@@ -2070,13 +2073,41 @@ def lr_text_classifier(
             )
 
         part = feats.map_batches(grad_partial, batch_format="pyarrow")
-        rows = part.take_all()
-        if len(rows) > max_partial_rows:
-            raise ValueError(
-                f"lr_text_classifier: {len(rows)} gradient partials exceed "
-                f"max_partial_rows={max_partial_rows}; fold them with a "
-                "coarse-hash groupby tree reduce before the driver sum"
+        if feats.num_blocks() > max_partial_rows:
+            # tree level: fold block partials inside tree_fanin
+            # partitions (each sums in sorted tag order — the same
+            # determinism discipline as the driver fold)
+            def fold_block(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table(
+                        {
+                            "tag": pa.array([], pa.int64()),
+                            "g": pa.array([], pa.list_(pa.float64())),
+                            "gb": pa.array([], pa.float64()),
+                            "n": pa.array([], pa.int64()),
+                        }
+                    )
+                tags = t.column("tag").to_numpy(zero_copy_only=False)
+                order = np.argsort(tags, kind="stable")
+                gl = t.column("g").to_pylist()
+                acc = np.zeros(dim, np.float64)
+                for i in order:
+                    acc += np.asarray(gl[i], np.float64)
+                gbv = t.column("gb").to_numpy(zero_copy_only=False)[order]
+                nv = t.column("n").to_numpy(zero_copy_only=False)[order]
+                return pa.table(
+                    {
+                        "tag": pa.array([int(tags.min())], pa.int64()),
+                        "g": pa.array([acc], pa.list_(pa.float64())),
+                        "gb": pa.array([float(gbv.sum())], pa.float64()),
+                        "n": pa.array([int(nv.sum())], pa.int64()),
+                    }
+                )
+
+            part = part.repartition(tree_fanin).map_batches(
+                fold_block, batch_format="pyarrow"
             )
+        rows = part.take_all()
         if not rows:
             continue  # minibatch round sampled no blocks: skip the update
         rows.sort(key=lambda r: r["tag"])

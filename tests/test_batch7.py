@@ -474,3 +474,39 @@ def test_skyline_range_merge_equals_single_merge(ray_session):
         ranged.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
         exp.astype({"price_c": np.int64, "qty": np.int64, "n_items": np.int64}),
     )
+
+
+def test_lr_text_classifier_tree_fold_close_to_flat(ray_session):
+    """Forcing the tree-reduce fold (max_partial_rows=0) changes only the
+    float summation order: preds equal the flat fold, scores within 1
+    micro (the 1e-9 weight-rounding discipline absorbs the rest)."""
+    import ray.data
+
+    from grawler_ray.functions.textstats import lr_text_classifier
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    docs["label"] = docs.text.str.contains(r"\bvector\b", regex=True).astype(
+        np.int64
+    )
+
+    def run(mpr):
+        return (
+            lr_text_classifier(
+                ray.data.from_pandas(docs).repartition(12),
+                id_col="doc_id",
+                text_col="text",
+                label_col="label",
+                dim=512,
+                iters=25,
+                max_partial_rows=mpr,
+                tree_fanin=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    flat = run(10**9)
+    tree = run(0)
+    assert np.array_equal(flat.pred.to_numpy(), tree.pred.to_numpy())
+    assert np.abs(flat.score_micro.to_numpy() - tree.score_micro.to_numpy()).max() <= 1
