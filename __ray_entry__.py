@@ -1125,6 +1125,25 @@ def _skyline_price_qty(sf_dir: str):
     )
 
 
+def _skyline_range(sf_dir: str):
+    """The RANGE-PARTITIONED skyline merge plan (merge_threshold=0 forces
+    it): per-group equal-width buckets over the minimized axis, one
+    (group,bucket) exchange, per-bucket dedup+scan, broadcast prefix-max
+    cross-bucket filter — the 100-TB path for adversarial axes, hash-
+    checked against the SAME DuckDB oracle as skyline_price_qty."""
+    from grawler_ray.functions.olap import grouped_skyline
+
+    return grouped_skyline(
+        _read(sf_dir, "lineitem"),
+        group_col="l_returnflag",
+        min_col="l_extendedprice",
+        max_col="l_quantity",
+        min_scale=100,
+        merge_threshold=0,
+        num_range_buckets=32,
+    )
+
+
 def _quality_lr(sf_dir: str):
     """Hashed-feature logistic-regression doc classifier (the GPT-3
     quality-filter shape: a linear model over hashed bag-of-words scores
@@ -3922,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": _winnow_fps,
         "ewma_scores": _ewma_scores,
         "zipf_fit": _zipf_fit,
+        "skyline_range": _skyline_range,
         # rows-only
         "quality_lr": _quality_lr,
         "dsir_weights": _dsir_weights,
@@ -6090,6 +6110,28 @@ def oracle_sql() -> dict[str, str]:
         # row has strictly smaller price, or equal price with strictly
         # larger qty, i.e. it dominates iff its qty >= ours
         "skyline_price_qty": """
+            WITH x AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                           AS price_c,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+                       count(*)::BIGINT AS n_items
+                FROM lineitem
+                GROUP BY 1, 2, 3
+            ),
+            y AS (
+                SELECT *,
+                       MAX(qty) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY price_c ASC, qty DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS bp
+                FROM x
+            )
+            SELECT l_returnflag, price_c, qty, n_items
+            FROM y WHERE bp IS NULL OR qty > bp
+        """,
+        "skyline_range": """
             WITH x AS (
                 SELECT l_returnflag,
                        CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
