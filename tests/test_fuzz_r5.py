@@ -1,0 +1,91 @@
+"""Crash-freedom + property fuzz for the round-5 surgery surfaces: the
+extractor's <a>-clone open-elements emulation and the stdlib PNG codec."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from grawler_ray.functions.png import PngError, decode_png, encode_png, resize_box
+from grawler_ray.htmlparse import extract_html
+
+# -- extractor: arbitrary tag soup never crashes, outputs stay typed -------
+
+_TAGS = ["a", "div", "p", "b", "i", "span", "table", "tr", "td", "ul", "li",
+         "title", "script", "svg", "caption", "dd", "dt", "h1", "form"]
+
+
+@st.composite
+def tag_soup(draw):
+    n = draw(st.integers(0, 40))
+    parts = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        tag = draw(st.sampled_from(_TAGS))
+        if kind == 0:
+            href = draw(st.text(alphabet="abz/:%.?=&#", max_size=8))
+            parts.append(f'<{tag} href="{href}">' if tag == "a" else f"<{tag}>")
+        elif kind == 1:
+            parts.append(f"</{tag}>")
+        elif kind == 2:
+            parts.append(draw(st.text(max_size=12)))
+        else:
+            parts.append(f"<{tag}/>")
+    return "".join(parts)
+
+
+@given(tag_soup())
+@settings(max_examples=300, deadline=None)
+def test_extract_html_never_crashes_on_soup(html):
+    text, hrefs, meta = extract_html(html)
+    assert isinstance(text, str)
+    assert all(isinstance(h, str) for h in hrefs)
+    assert isinstance(meta, dict)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_extract_html_never_crashes_on_text(s):
+    text, hrefs, meta = extract_html(s)
+    assert isinstance(text, str)
+
+
+# -- PNG: random bytes never crash; valid images roundtrip ------------------
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_png_random_bytes_raise_pngerror(data):
+    try:
+        decode_png(data)
+    except PngError:
+        pass  # the only acceptable failure mode
+
+
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([1, 2, 3, 4]), st.integers(0, 4),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_png_roundtrip_property(h, w, ch, ft, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+    if ch == 1:
+        a = a[:, :, 0]
+    out = decode_png(encode_png(a, filter_type=ft))
+    assert out.shape == a.shape
+    assert (out == a).all()
+
+
+@given(
+    st.integers(1, 10), st.integers(1, 10),
+    st.integers(1, 10), st.integers(1, 10),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_resize_box_bounds_property(H, W, h, w, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, (H, W, 3)).astype(np.uint8)
+    out = resize_box(a, w, h)
+    assert out.shape == (h, w, 3)
+    # box means stay inside the source value range
+    assert out.min() >= a.min() and out.max() <= a.max()
