@@ -1747,6 +1747,7 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_merges_broadcast: int = 1_000_000,
+    concurrency: int = 2,
 ):
     """Apply trained BPE merges (the ``bpe_train`` output: rank, left,
     right) to every document — the encode half of Sennrich et al. 2016,
@@ -1804,33 +1805,46 @@ def bpe_encode(
             syms = out
         return len(syms)
 
-    def fn(t: pa.Table) -> pa.Table:
-        rk = ray.get(ranks_ref)
-        cache: dict[str, int] = {}
-        ids = t.column(id_col)
-        n_words = np.zeros(t.num_rows, np.int64)
-        n_tokens = np.zeros(t.num_rows, np.int64)
-        for i, txt in enumerate(t.column(text_col).to_pylist()):
-            ws = _WORD_RE.findall((txt or "").lower())
-            n_words[i] = len(ws)
-            tot = 0
-            for w in ws:
-                c = cache.get(w)
-                if c is None:
-                    c = encode_word(w, rk)
-                    cache[w] = c
-                tot += c
-            n_tokens[i] = tot
-        return pa.table(
-            {
-                id_col: ids,
-                "n_words": pa.array(n_words, pa.int64()),
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-            }
-        )
+    class Encoder:
+        """Actor-pool stage: the merge table and the word→token-count
+        memo live PER ACTOR (once in __init__, reused across every
+        batch the actor sees) — web text repeats words heavily, so the
+        cross-batch cache turns the greedy merge loop into a hash
+        lookup for almost every occurrence.  Pool sized BELOW the
+        cluster cpu count (pool == cpus deadlocks the pipeline — the
+        repo's measured actor-pool rule); 2 is safe under the 4-cpu
+        test fixture, callers raise it on real clusters."""
+
+        def __init__(self) -> None:
+            self.rk = ray.get(ranks_ref)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cache, rk = self.cache, self.rk
+            ids = t.column(id_col)
+            n_words = np.zeros(t.num_rows, np.int64)
+            n_tokens = np.zeros(t.num_rows, np.int64)
+            for i, txt in enumerate(t.column(text_col).to_pylist()):
+                ws = _WORD_RE.findall((txt or "").lower())
+                n_words[i] = len(ws)
+                tot = 0
+                for w in ws:
+                    c = cache.get(w)
+                    if c is None:
+                        c = encode_word(w, rk)
+                        cache[w] = c
+                    tot += c
+                n_tokens[i] = tot
+            return pa.table(
+                {
+                    id_col: ids,
+                    "n_words": pa.array(n_words, pa.int64()),
+                    "n_tokens": pa.array(n_tokens, pa.int64()),
+                }
+            )
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
-        fn, batch_format="pyarrow"
+        Encoder, batch_format="pyarrow", concurrency=concurrency
     )
 
 
