@@ -139,7 +139,7 @@ def grouped_skyline(
     min_name: str = "price_c",
     max_name: str = "qty",
     count_name: str = "n_items",
-    merge_threshold: int = 500_000,
+    merge_threshold: int = 20_000_000,
     num_range_buckets: int = 64,
     max_groups: int = 100_000,
 ):
@@ -174,7 +174,12 @@ def grouped_skyline(
     has STRICTLY smaller p by construction, so dominance from below is
     exactly q <= prefix_max).  No stage ever holds more than one
     bucket's frontier; the two plans are asserted equal in tests
-    including a fully anti-correlated corpus.
+    including a fully anti-correlated corpus.  Threshold sized to where
+    the single partition actually hurts (~0.5 GB of candidate rows):
+    measured at 5M input rows / 722k frontier the single merge still
+    wins (3.6 s vs 5.0 s — the extra exchange isn't paid back until the
+    merge partition stops fitting), so the range plan is the
+    beyond-memory path, not a small-scale default.
 
     Both axes are integer-scaled (``floor(x * scale + 0.5)``) so the
     DuckDB oracle matches bit-exactly; the oracle expresses dominance as
