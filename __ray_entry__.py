@@ -2651,6 +2651,29 @@ def _png_resize(sf_dir: str):
     )
 
 
+def _jpeg_meta(sf_dir: str):
+    """REAL JPEG decode: synthesized baseline JFIF streams (pure-stdlib
+    T.81 codec, functions/jpeg.py — 4:4:4 and 4:2:0 mixed, some with
+    restart intervals) decoded to actual dims + pixel means in the actor
+    pool.  Rows-only: SQL can't Huffman-decode; tests/test_jpeg.py holds
+    the spec-formula conformance anchors and serial oracle."""
+    from grawler_ray.stages.multimodal import decode_jpeg_meta
+
+    return decode_jpeg_meta(_read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
+def _jpeg_resize(sf_dir: str):
+    """REAL JPEG resize: decode -> exact box resample -> baseline
+    re-encode in the actor pool; rows-only with the serial oracle in
+    tests/test_jpeg.py."""
+    from grawler_ray.stages.multimodal import resize_jpeg
+
+    return resize_jpeg(
+        _read(sf_dir, "documents").select_columns(["doc_id"]),
+        width=16, height=12,
+    )
+
+
 def _multimodal_frames(sf_dir: str):
     from grawler_ray.stages.multimodal import sample_frames
 
@@ -3954,6 +3977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "png_meta": _png_meta,
         "png_resize": _png_resize,
+        "jpeg_meta": _jpeg_meta,
+        "jpeg_resize": _jpeg_resize,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

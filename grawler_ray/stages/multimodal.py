@@ -4,14 +4,15 @@ Image/audio/video travel as ``binary`` columns; decode / feature-extract run
 as actor-pool ``map_batches`` stages with small batch sizes (payloads are
 large — batch_size x concurrency must fit the worker heap).
 
-PNG decode/resize is REAL: a pure-stdlib codec (``functions/png.py`` —
-zlib IDAT inflate, all five scanline filters, palette expansion, exact
-box-average resample) runs on actual pixel data under
-``real_decode=True`` / ``real_resize=True``.  JPEG and video kernels
-remain honest stubs (no libjpeg/ffmpeg in this container): payloads with
-a JPEG SOI marker raise NotImplementedError exactly where a PIL/turbojpeg
-call would go, and the fake paths keep their deterministic byte-length
-arithmetic so the DuckDB oracles stay exact.
+PNG and JPEG decode/resize are REAL: pure-stdlib codecs
+(``functions/png.py`` — zlib IDAT inflate, all five scanline filters,
+palette expansion; ``functions/jpeg.py`` — baseline T.81 Huffman +
+exact-matrix IDCT, any sampling factors, restart intervals) run on
+actual pixel data under ``real_decode=True`` / ``real_resize=True``,
+with the exact box-average resample between them.  Video kernels remain
+honest stubs (no ffmpeg in this container), and the fake paths keep
+their deterministic byte-length arithmetic so the DuckDB oracles stay
+exact.
 """
 
 from __future__ import annotations
@@ -26,10 +27,10 @@ class DecodeImageMeta:
     """Actor-pool stage: binary payload -> (n_bytes, width, height,
     channels, format, px_mean_milli).
 
-    ``real_decode=True``: PNG payloads are ACTUALLY decoded (IHDR dims +
-    full pixel decode; px_mean_milli = floor(mean of all samples * 1000),
-    exact integer via the sample sum); JPEG raises where a libjpeg call
-    goes; other payloads report format="unknown".  The fake path derives
+    ``real_decode=True``: PNG and JPEG payloads are ACTUALLY decoded
+    (dims, channels, px_mean_milli = floor(mean of all samples * 1000),
+    exact integer via the sample sum); other payloads report
+    format="unknown".  The fake path derives
     deterministic dims from byte length only, so the DuckDB oracle can
     reproduce it with octet_length arithmetic.
     """
@@ -37,10 +38,12 @@ class DecodeImageMeta:
     def __init__(self, real_decode: bool = False):
         self.real_decode = real_decode
         if real_decode:
-            # per-actor setup: import the codec once (the PIL-load slot)
+            # per-actor setup: import the codecs once (the PIL-load slot)
+            from ..functions.jpeg import decode_jpeg
             from ..functions.png import decode_png, png_meta
 
             self._decode = decode_png
+            self._decode_jpeg = decode_jpeg
             self._meta = png_meta
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -51,27 +54,32 @@ class DecodeImageMeta:
             for p in payloads:
                 p = p or b""
                 if p.startswith(b"\x89PNG"):
-                    px = self._decode(p)
-                    h, w = px.shape[:2]
-                    c = 1 if px.ndim == 2 else px.shape[2]
-                    widths.append(w)
-                    heights.append(h)
-                    chans.append(c)
-                    fmts.append("png")
-                    means.append(
-                        int(px.sum(dtype=np.int64)) * 1000 // px.size
-                    )
+                    fmt, dec = "png", self._decode
                 elif p.startswith(_JPEG_SOI):
-                    raise NotImplementedError(
-                        "JPEG decode needs libjpeg/PIL (absent in this "
-                        "container); plug it here, loaded once per actor"
-                    )
+                    fmt, dec = "jpeg", self._decode_jpeg
                 else:
+                    fmt, dec = "unknown", None
+                px = None
+                if dec is not None:
+                    try:
+                        px = dec(p)
+                    except ValueError:
+                        # corrupt/unsupported stream: report, don't kill
+                        # the batch (real web corpora are full of these)
+                        fmt = "corrupt"
+                if px is None:
                     widths.append(0)
                     heights.append(0)
                     chans.append(0)
-                    fmts.append("unknown")
+                    fmts.append(fmt)
                     means.append(0)
+                else:
+                    hh, ww = px.shape[:2]
+                    widths.append(ww)
+                    heights.append(hh)
+                    chans.append(1 if px.ndim == 2 else px.shape[2])
+                    fmts.append(fmt)
+                    means.append(int(px.sum(dtype=np.int64)) * 1000 // px.size)
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
@@ -121,9 +129,9 @@ def decode_image_meta(docs_ds, batch_size: int = 256, concurrency=2):
 class ResizeImage:
     """Actor-pool resize stage: payload -> resized payload + target dims.
 
-    ``real_resize=True``: PNG payloads decode, box-average resample to
-    (width, height) — exact integral-image arithmetic, deterministic —
-    and re-encode as PNG; JPEG raises where a PIL call goes.  The STUB
+    ``real_resize=True``: PNG/JPEG payloads decode, box-average resample
+    to (width, height) — exact integral-image arithmetic, deterministic —
+    and re-encode in their own format.  The STUB
     kernel deterministically truncates the payload to ``min(n_bytes,
     w*h)`` bytes so the byte-accounting (and the DuckDB oracle) stays
     exact while the Ray-side plumbing — actor pool, constructor args,
@@ -135,10 +143,13 @@ class ResizeImage:
         self.height = height
         self.real_resize = real_resize
         if real_resize:
+            from ..functions.jpeg import decode_jpeg, encode_jpeg
             from ..functions.png import decode_png, encode_png, resize_box
 
             self._decode = decode_png
             self._encode = encode_png
+            self._decode_jpeg = decode_jpeg
+            self._encode_jpeg = encode_jpeg
             self._resize = resize_box
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -146,16 +157,19 @@ class ResizeImage:
             payloads = []
             for p in t.column("payload").to_pylist():
                 p = p or b""
-                if p.startswith(b"\x89PNG"):
-                    px = self._resize(self._decode(p), self.width, self.height)
-                    payloads.append(self._encode(px))
-                elif p.startswith(_JPEG_SOI):
-                    raise NotImplementedError(
-                        "JPEG resize needs libjpeg/PIL (absent in this "
-                        "container); plug it here, loaded once per actor"
-                    )
-                else:
-                    payloads.append(b"")
+                try:
+                    if p.startswith(b"\x89PNG"):
+                        px = self._resize(self._decode(p), self.width, self.height)
+                        payloads.append(self._encode(px))
+                    elif p.startswith(_JPEG_SOI):
+                        px = self._resize(
+                            self._decode_jpeg(p), self.width, self.height
+                        )
+                        payloads.append(self._encode_jpeg(px))
+                    else:
+                        payloads.append(b"")
+                except ValueError:
+                    payloads.append(b"")  # corrupt stream -> empty output
             return pa.table(
                 {
                     "doc_id": t.column("doc_id"),
@@ -256,6 +270,85 @@ def resize_png(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128
         means = []
         for p in t.column("payload").to_pylist():
             px = decode_png(p)
+            means.append(int(px.sum(dtype=np.int64)) * 1000 // px.size)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "width": t.column("width"),
+                "height": t.column("height"),
+                "n_bytes_out": t.column("n_bytes_out"),
+                "px_mean_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(summarize, batch_format="pyarrow")
+
+
+def to_jpeg_payload_batch(t: pa.Table) -> pa.Table:
+    """Deterministic real-JPEG payloads from the same synth_pixels spec:
+    1-channel stays grayscale, 3/4-channel become RGB (alpha dropped —
+    JPEG has none); doc_id parity picks 4:4:4 vs 4:2:0 so both decoder
+    sampling paths run; every 7th doc gets a restart interval."""
+    from ..functions.jpeg import encode_jpeg
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        px = synth_pixels(i)
+        if px.ndim == 3:
+            px = px[:, :, :3]
+            if px.shape[2] == 2:
+                px = px[:, :, 0]
+        payloads.append(
+            encode_jpeg(
+                px,
+                quality=90,
+                subsample=(px.ndim == 3 and i % 2 == 1),
+                restart_interval=2 if i % 7 == 0 else 0,
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def decode_jpeg_meta(docs_ds, batch_size: int = 256, concurrency=2):
+    """REAL-decode stage entry over synthesized JPEGs (baseline T.81
+    codec) through the actor pool."""
+    return docs_ds.map_batches(
+        to_jpeg_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        DecodeImageMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"real_decode": True},
+    )
+
+
+def resize_jpeg(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=2):
+    """REAL JPEG resize: decode -> box resample -> JPEG re-encode in the
+    actor pool; emits the re-decoded pixel mean for the serial oracle."""
+    resized = docs_ds.map_batches(
+        to_jpeg_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "real_resize": True},
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        from ..functions.jpeg import decode_jpeg
+
+        means = []
+        for p in t.column("payload").to_pylist():
+            px = decode_jpeg(p)
             means.append(int(px.sum(dtype=np.int64)) * 1000 // px.size)
         return pa.table(
             {

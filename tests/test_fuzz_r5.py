@@ -89,3 +89,36 @@ def test_resize_box_bounds_property(H, W, h, w, seed):
     assert out.shape == (h, w, 3)
     # box means stay inside the source value range
     assert out.min() >= a.min() and out.max() <= a.max()
+
+
+# -- JPEG: random bytes never crash; smooth images roundtrip ---------------
+
+from grawler_ray.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_jpeg_random_bytes_raise_jpegerror(data):
+    try:
+        decode_jpeg(data)
+    except JpegError:
+        pass  # the only acceptable failure mode
+
+
+@given(
+    st.integers(1, 20), st.integers(1, 20),
+    st.sampled_from(["gray", "rgb", "rgb420"]),
+    st.integers(0, 3), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_jpeg_roundtrip_smooth_property(h, w, mode, ri, seed):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 200)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    plane = ((base + yy * 2 + xx) % 220).astype(np.uint8)
+    a = plane if mode == "gray" else np.stack([plane] * 3, -1)
+    out = decode_jpeg(
+        encode_jpeg(a, quality=92, subsample=(mode == "rgb420"), restart_interval=ri)
+    )
+    assert out.shape == a.shape
+    assert np.abs(out.astype(int) - a.astype(int)).max() <= 16

@@ -29,9 +29,9 @@ def test_decode_meta_stub_deterministic():
 
 
 def test_decode_meta_real_path_reports_non_images():
-    # real decode no longer raises on arbitrary bytes: PNG decodes for
-    # real (tests/test_png.py), JPEG raises at the libjpeg slot, and
-    # plain bytes are reported as format="unknown"
+    # real decode never raises on arbitrary bytes: PNG and JPEG decode
+    # for real (tests/test_png.py, test_jpeg.py), truncated image
+    # streams report format="corrupt", plain bytes format="unknown"
     out = DecodeImageMeta(real_decode=True)(_payload_table())
     assert out.column("format").to_pylist() == ["unknown"] * 3
     assert out.column("width").to_pylist() == [0, 0, 0]

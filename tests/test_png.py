@@ -162,27 +162,23 @@ class TestRealStages:
             px = resize_box(synth_pixels(int(r.doc_id)), 16, 12)
             assert r.px_mean_milli == int(px.sum(dtype=np.int64)) * 1000 // px.size
 
-    def test_jpeg_still_honestly_stubbed(self, ray_session):
+    def test_corrupt_and_unknown_payloads_reported(self, ray_session):
+        # a truncated JPEG stream is "corrupt" (never a crash — web
+        # corpora are full of these); plain bytes are "unknown"
         import pyarrow as pa
 
         from grawler_ray.stages.multimodal import DecodeImageMeta, ResizeImage
 
         t = pa.table(
             {
-                "doc_id": pa.array([1], pa.int64()),
-                "payload": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.binary()),
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array(
+                    [b"\xff\xd8\xff\xe0fakejpeg", b"plain text"], pa.binary()
+                ),
             }
         )
-        with pytest.raises(NotImplementedError, match="JPEG"):
-            DecodeImageMeta(real_decode=True)(t)
-        with pytest.raises(NotImplementedError, match="JPEG"):
-            ResizeImage(4, 4, real_resize=True)(t)
-        # non-image bytes are reported, not crashed on
-        t2 = pa.table(
-            {
-                "doc_id": pa.array([2], pa.int64()),
-                "payload": pa.array([b"plain text"], pa.binary()),
-            }
-        )
-        out = DecodeImageMeta(real_decode=True)(t2)
-        assert out.column("format").to_pylist() == ["unknown"]
+        out = DecodeImageMeta(real_decode=True)(t)
+        assert out.column("format").to_pylist() == ["corrupt", "unknown"]
+        assert out.column("width").to_pylist() == [0, 0]
+        rs = ResizeImage(4, 4, real_resize=True)(t)
+        assert rs.column("n_bytes_out").to_pylist() == [0, 0]
