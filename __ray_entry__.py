@@ -2674,6 +2674,38 @@ def _jpeg_resize(sf_dir: str):
     )
 
 
+def _gif_meta(sf_dir: str):
+    """REAL GIF decode: synthesized animated GIFs (pure-stdlib LZW codec,
+    functions/gif.py) — first-frame dims + pixel means through the actor
+    pool.  Rows-only; tests/test_gif.py holds the serial oracle."""
+    from grawler_ray.stages.multimodal import DecodeImageMeta, to_gif_payload_batch
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(to_gif_payload_batch, batch_format="pyarrow")
+        .map_batches(
+            DecodeImageMeta,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+            fn_constructor_kwargs={"real_decode": True},
+        )
+    )
+
+
+def _gif_frames(sf_dir: str):
+    """REAL animation frame sampling: every 2nd composed frame of each
+    synthesized animated GIF, with true pixel stats and lossless PNG
+    re-encode — the video-path plumbing on actually-decoded frames.
+    Rows-only; serial oracle in tests/test_gif.py."""
+    from grawler_ray.stages.multimodal import sample_gif_frames
+
+    return sample_gif_frames(
+        _read(sf_dir, "documents").select_columns(["doc_id"]), stride=2
+    ).select_columns(["doc_id", "frame_idx", "delay_ms", "px_mean_milli"])
+
+
 def _multimodal_frames(sf_dir: str):
     from grawler_ray.stages.multimodal import sample_frames
 
@@ -3979,6 +4011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_resize": _png_resize,
         "jpeg_meta": _jpeg_meta,
         "jpeg_resize": _jpeg_resize,
+        "gif_meta": _gif_meta,
+        "gif_frames": _gif_frames,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

@@ -9,10 +9,13 @@ PNG and JPEG decode/resize are REAL: pure-stdlib codecs
 palette expansion; ``functions/jpeg.py`` — baseline T.81 Huffman +
 exact-matrix IDCT, any sampling factors, restart intervals) run on
 actual pixel data under ``real_decode=True`` / ``real_resize=True``,
-with the exact box-average resample between them.  Video kernels remain
-honest stubs (no ffmpeg in this container), and the fake paths keep
-their deterministic byte-length arithmetic so the DuckDB oracles stay
-exact.
+with the exact box-average resample between them.  GIF decode
+(``functions/gif.py`` — LZW, interlace, animation disposal) makes the
+frame-sampling stage real too: animated GIFs genuinely ARE frame
+sequences, so ``sample_gif_frames`` extracts true composed frames.
+General video (mp4/webm) remains an honest stub at the ffmpeg slot, and
+the fake paths keep their deterministic byte-length arithmetic so the
+DuckDB oracles stay exact.
 """
 
 from __future__ import annotations
@@ -39,11 +42,13 @@ class DecodeImageMeta:
         self.real_decode = real_decode
         if real_decode:
             # per-actor setup: import the codecs once (the PIL-load slot)
+            from ..functions.gif import decode_gif
             from ..functions.jpeg import decode_jpeg
             from ..functions.png import decode_png, png_meta
 
             self._decode = decode_png
             self._decode_jpeg = decode_jpeg
+            self._decode_gif_first = lambda p: decode_gif(p, max_frames=1)[0]["image"]
             self._meta = png_meta
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -57,6 +62,8 @@ class DecodeImageMeta:
                     fmt, dec = "png", self._decode
                 elif p.startswith(_JPEG_SOI):
                     fmt, dec = "jpeg", self._decode_jpeg
+                elif p.startswith(b"GIF8"):
+                    fmt, dec = "gif", self._decode_gif_first
                 else:
                     fmt, dec = "unknown", None
                 px = None
@@ -143,6 +150,7 @@ class ResizeImage:
         self.height = height
         self.real_resize = real_resize
         if real_resize:
+            from ..functions.gif import decode_gif, encode_gif
             from ..functions.jpeg import decode_jpeg, encode_jpeg
             from ..functions.png import decode_png, encode_png, resize_box
 
@@ -150,6 +158,8 @@ class ResizeImage:
             self._encode = encode_png
             self._decode_jpeg = decode_jpeg
             self._encode_jpeg = encode_jpeg
+            self._decode_gif = decode_gif
+            self._encode_gif = encode_gif
             self._resize = resize_box
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -166,6 +176,10 @@ class ResizeImage:
                             self._decode_jpeg(p), self.width, self.height
                         )
                         payloads.append(self._encode_jpeg(px))
+                    elif p.startswith(b"GIF8"):
+                        first = self._decode_gif(p, max_frames=1)[0]["image"]
+                        px = self._resize(first, self.width, self.height)
+                        payloads.append(self._encode_gif(px))
                     else:
                         payloads.append(b"")
                 except ValueError:
@@ -361,6 +375,96 @@ def resize_jpeg(docs_ds, width: int = 16, height: int = 12, batch_size: int = 12
         )
 
     return resized.map_batches(summarize, batch_format="pyarrow")
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic animated GIF keyed on doc_id: 2-6 frames of the
+    synth_pixels pattern shifted per frame (exact-palette encode, so
+    decode is lossless) — shared with the serial test oracle."""
+    from ..functions.gif import encode_gif
+
+    base = synth_pixels(doc_id)
+    if base.ndim == 2:
+        base = np.stack([base] * 3, -1)
+    base = base[:, :, :3]
+    n_frames = 2 + doc_id % 5
+    frames = [
+        np.roll(base // 32 * 32, shift=3 * k, axis=1) for k in range(n_frames)
+    ]
+    return encode_gif(frames, delay_ms=40)
+
+
+def to_gif_payload_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [synth_gif(int(i)) for i in t.column("doc_id").to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+class SampleGifFrames:
+    """REAL frame-sampling stage: animated-GIF payloads decode to their
+    composed frame sequence (LZW + disposal, functions/gif.py) and every
+    ``stride``-th frame is emitted as its own row with true pixel stats
+    and a lossless PNG re-encode — the plumbing the video path needs,
+    running on actual decoded frames.  Non-GIF / corrupt payloads emit
+    no rows (a real pipeline routes them to the byte-slice fallback)."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 32):
+        from ..functions.gif import GifError, decode_gif
+        from ..functions.png import encode_png
+
+        self._decode = decode_gif
+        self._encode_png = encode_png
+        self._err = GifError
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, delays, frames, means = [], [], [], [], []
+        for doc_id, p in zip(
+            t.column("doc_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            p = p or b""
+            if not p.startswith(b"GIF8"):
+                continue
+            try:
+                fr = self._decode(p, max_frames=self.max_frames)
+            except self._err:
+                continue
+            for fi in range(0, len(fr), self.stride):
+                img = fr[fi]["image"]
+                ids.append(doc_id)
+                idxs.append(fi)
+                delays.append(fr[fi]["delay_ms"])
+                frames.append(self._encode_png(img))
+                means.append(int(img.sum(dtype=np.int64)) * 1000 // img.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "delay_ms": pa.array(delays, pa.int64()),
+                "frame_png": pa.array(frames, pa.binary()),
+                "px_mean_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def sample_gif_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=2):
+    """REAL video-style frame sampling over synthesized animated GIFs."""
+    return docs_ds.map_batches(
+        to_gif_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        SampleGifFrames,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride},
+    )
 
 
 def sample_frames(docs_ds, frame_size: int = 1024, stride: int = 4, batch_size: int = 64):
