@@ -122,3 +122,33 @@ def test_jpeg_roundtrip_smooth_property(h, w, mode, ri, seed):
     )
     assert out.shape == a.shape
     assert np.abs(out.astype(int) - a.astype(int)).max() <= 16
+
+
+# -- GIF: random bytes never crash; exact-palette roundtrip -----------------
+
+from grawler_ray.functions.gif import GifError, decode_gif, encode_gif
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_gif_random_bytes_raise_giferror(data):
+    try:
+        decode_gif(data)
+    except GifError:
+        pass  # the only acceptable failure mode
+
+
+@given(
+    st.integers(1, 16), st.integers(1, 16), st.integers(1, 4),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_gif_roundtrip_property(h, w, nf, seed):
+    rng = np.random.RandomState(seed)
+    frames = [
+        (rng.randint(0, 6, (h, w, 3)) * 42).astype(np.uint8) for _ in range(nf)
+    ]
+    out = decode_gif(encode_gif(frames))
+    assert len(out) == nf
+    for f, o in zip(frames, out):
+        assert (o["image"] == f).all()
