@@ -2706,6 +2706,18 @@ def _gif_frames(sf_dir: str):
     ).select_columns(["doc_id", "frame_idx", "delay_ms", "px_mean_milli"])
 
 
+def _wav_features(sf_dir: str):
+    """REAL audio decode + DSP features: synthesized pure-tone WAVs
+    (pure-stdlib RIFF PCM codec, functions/wav.py) through the actor
+    pool — duration/RMS/zero-crossing/spectral centroid+rolloff.
+    Rows-only; tests/test_wav.py holds closed-form tone oracles."""
+    from grawler_ray.stages.multimodal import extract_wav_features
+
+    return extract_wav_features(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+    )
+
+
 def _multimodal_frames(sf_dir: str):
     from grawler_ray.stages.multimodal import sample_frames
 
@@ -4013,6 +4025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_resize": _jpeg_resize,
         "gif_meta": _gif_meta,
         "gif_frames": _gif_frames,
+        "wav_features": _wav_features,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

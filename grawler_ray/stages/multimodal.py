@@ -13,9 +13,11 @@ with the exact box-average resample between them.  GIF decode
 (``functions/gif.py`` — LZW, interlace, animation disposal) makes the
 frame-sampling stage real too: animated GIFs genuinely ARE frame
 sequences, so ``sample_gif_frames`` extracts true composed frames.
-General video (mp4/webm) remains an honest stub at the ffmpeg slot, and
-the fake paths keep their deterministic byte-length arithmetic so the
-DuckDB oracles stay exact.
+WAV audio decodes for real too (``functions/wav.py`` — RIFF PCM all
+common widths + IEEE float) with numpy DSP features whose pure-tone
+oracles are closed-form.  General video (mp4/webm) and compressed audio
+remain honest stubs at the ffmpeg slot, and the fake paths keep their
+deterministic byte-length arithmetic so the DuckDB oracles stay exact.
 """
 
 from __future__ import annotations
@@ -464,6 +466,99 @@ def sample_gif_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrenc
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"stride": stride},
+    )
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic WAV keyed on doc_id: a pure tone (freq/amp/duration
+    derive from the id; stereo every 3rd doc) — pure tones have
+    CLOSED-FORM features (RMS = A/sqrt(2), ZCR ~ 2f, centroid -> f), so
+    the stage output is checkable against spec math, not just a serial
+    rerun."""
+    from ..functions.wav import encode_wav
+
+    rate = 8000
+    freq = 100 + (doc_id * 37) % 800
+    amp = 0.2 + (doc_id % 5) / 10.0
+    n = rate // 4 + (doc_id % 7) * 100
+    t = np.arange(n) / rate
+    x = amp * np.sin(2 * np.pi * freq * t)
+    if doc_id % 3 == 0:
+        x = np.stack([x, x * 0.5], 1)
+    return encode_wav(x, rate, bits=16)
+
+
+def to_wav_payload_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [synth_wav(int(i)) for i in t.column("doc_id").to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+class ExtractAudioFeatures:
+    """REAL audio-feature stage: WAV payloads decode (pure-stdlib RIFF
+    PCM, functions/wav.py) and the numpy DSP kernels run per clip —
+    duration, RMS, zero-crossing rate, spectral centroid/rolloff.
+    Compressed audio (mp3/aac) would plug in at this exact slot via
+    ffmpeg; corrupt/non-WAV payloads emit zeroed rows with
+    format="corrupt"/"unknown" (web corpora demand it)."""
+
+    def __init__(self):
+        from ..functions.wav import WavError, audio_features, decode_wav
+
+        self._decode = decode_wav
+        self._features = audio_features
+        self._err = WavError
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "format": [], "sample_rate": [], "channels": [],
+            "duration_ms": [], "rms_milli": [], "zcr_milli": [],
+            "centroid_mhz": [], "rolloff_mhz": [],
+        }
+        for p in t.column("payload").to_pylist():
+            p = p or b""
+            if p.startswith(b"RIFF"):
+                try:
+                    samples, rate = self._decode(p)
+                    f = self._features(samples, rate)
+                    cols["format"].append("wav")
+                    cols["sample_rate"].append(rate)
+                    cols["channels"].append(samples.shape[1])
+                    for k in ("duration_ms", "rms_milli", "zcr_milli",
+                              "centroid_mhz", "rolloff_mhz"):
+                        cols[k].append(f[k])
+                    continue
+                except self._err:
+                    fmt = "corrupt"
+            else:
+                fmt = "unknown"
+            cols["format"].append(fmt)
+            for k in ("sample_rate", "channels", "duration_ms", "rms_milli",
+                      "zcr_milli", "centroid_mhz", "rolloff_mhz"):
+                cols[k].append(0)
+        out = {"doc_id": t.column("doc_id")}
+        out["format"] = pa.array(cols["format"], pa.string())
+        for k in ("sample_rate", "channels", "duration_ms", "rms_milli",
+                  "zcr_milli", "centroid_mhz", "rolloff_mhz"):
+            out[k] = pa.array(cols[k], pa.int64())
+        return pa.table(out)
+
+
+def extract_wav_features(docs_ds, batch_size: int = 256, concurrency=2):
+    """REAL audio features over synthesized WAVs through the actor pool."""
+    return docs_ds.map_batches(
+        to_wav_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ExtractAudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

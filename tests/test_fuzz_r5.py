@@ -152,3 +152,17 @@ def test_gif_roundtrip_property(h, w, nf, seed):
     assert len(out) == nf
     for f, o in zip(frames, out):
         assert (o["image"] == f).all()
+
+
+# -- WAV: random bytes never crash ------------------------------------------
+
+from grawler_ray.functions.wav import WavError, decode_wav
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_wav_random_bytes_raise_waverror(data):
+    try:
+        decode_wav(data)
+    except WavError:
+        pass  # the only acceptable failure mode
