@@ -165,7 +165,8 @@ def run_subqueries() -> dict[str, float]:
         "hits_scores", "main_content", "price_qty_regression",
         "skyline_price_qty", "redirect_resolve", "quality_lr",
         "split_by_cluster", "zipf_fit", "bpe_token_counts",
-        "png_meta", "png_resize",
+        "png_meta", "png_resize", "jpeg_meta", "jpeg_resize",
+        "gif_meta", "gif_frames", "wav_features", "skyline_range",
     ]
     import ray.data
 
