@@ -2718,6 +2718,17 @@ def _wav_features(sf_dir: str):
     )
 
 
+def _media_prep(sf_dir: str):
+    """Flagship multimodal composition: mixed PNG/JPEG/GIF payloads
+    (with planted corrupt + non-image docs) -> real decode-meta ->
+    min-size filter -> real resize -> per-format summary.  Rows-only;
+    tests/test_media_prep.py pins the summary against the serial synth
+    spec."""
+    from grawler_ray.stages.multimodal import media_prep
+
+    return media_prep(_read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
 def _multimodal_frames(sf_dir: str):
     from grawler_ray.stages.multimodal import sample_frames
 
@@ -4026,6 +4037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_meta": _gif_meta,
         "gif_frames": _gif_frames,
         "wav_features": _wav_features,
+        "media_prep": _media_prep,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

@@ -140,6 +140,14 @@ def decode_gif(data: bytes, max_frames: int | None = None) -> list[dict]:
     """GIF bytes -> list of frames, each ``{"image": (h, w, 3) uint8,
     "delay_ms": int}`` — frames are the COMPOSED animation states (full
     logical-screen size, disposal applied), not raw sub-rectangles."""
+    try:
+        return _decode_gif(data, max_frames)
+    except (IndexError, struct.error) as e:
+        # truncated stream hit a raw read: surface as the codec error
+        raise GifError(f"truncated/malformed GIF: {e}") from e
+
+
+def _decode_gif(data: bytes, max_frames: int | None = None) -> list[dict]:
     if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise GifError("not a GIF (bad signature)")
     W, H = struct.unpack("<HH", data[6:10])
@@ -234,6 +242,13 @@ def decode_gif(data: bytes, max_frames: int | None = None) -> list[dict]:
 
 def gif_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) via a structural walk (no LZW work)."""
+    try:
+        return _gif_meta(data)
+    except (IndexError, struct.error) as e:
+        raise GifError(f"truncated/malformed GIF: {e}") from e
+
+
+def _gif_meta(data: bytes) -> tuple[int, int, int]:
     if len(data) < 13 or data[:4] != b"GIF8":
         raise GifError("not a GIF (bad signature)")
     W, H = struct.unpack("<HH", data[6:10])

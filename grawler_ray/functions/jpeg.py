@@ -169,6 +169,13 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"truncated/malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -566,6 +573,13 @@ def encode_jpeg(
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the SOF marker, no entropy
     decode — the cheap metadata path."""
+    try:
+        return _jpeg_meta(data)
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"truncated/malformed JPEG: {e}") from e
+
+
+def _jpeg_meta(data: bytes) -> tuple[int, int, int]:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2

@@ -43,6 +43,13 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array of shape (h, w) for grayscale or
     (h, w, channels) otherwise.  Palette images expand to RGB."""
+    try:
+        return _decode_png(data)
+    except (IndexError, struct.error) as e:
+        raise PngError(f"truncated/malformed PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if len(data) < 8 or data[:8] != _SIG:
         raise PngError("not a PNG (bad signature)")
     pos = 8

@@ -24,6 +24,13 @@ class WavError(ValueError):
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples float64 (n, channels) in [-1, 1], rate)."""
+    try:
+        return _decode_wav(data)
+    except (IndexError, struct.error) as e:
+        raise WavError(f"truncated/malformed WAV: {e}") from e
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a WAV (bad RIFF/WAVE header)")
     pos = 12

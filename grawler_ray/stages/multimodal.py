@@ -562,6 +562,132 @@ def extract_wav_features(docs_ds, batch_size: int = 256, concurrency=2):
     )
 
 
+def to_mixed_payload_batch(t: pa.Table) -> pa.Table:
+    """Mixed-format payloads (the realistic crawl shape): doc_id % 3
+    picks PNG / JPEG / animated GIF, all from the same synth_pixels
+    spec; every 11th doc is a deliberately TRUNCATED stream (corrupt)
+    and every 13th is non-image bytes."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import encode_png
+
+    payloads = []
+    for i in t.column("doc_id").to_pylist():
+        i = int(i)
+        if i % 13 == 0:
+            payloads.append(b"not an image " + bytes([i % 256]))
+            continue
+        px = synth_pixels(i)
+        kind = i % 3
+        if kind == 0:
+            p = encode_png(px)
+        elif kind == 1:
+            p3 = px[:, :, :3] if px.ndim == 3 else px
+            p = encode_jpeg(p3, quality=90)
+        else:
+            p = synth_gif(i)
+        if i % 11 == 0:
+            p = p[: max(8, len(p) // 2)]  # truncate -> corrupt
+        payloads.append(p)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_prep(docs_ds, min_pixels: int = 200, width: int = 16, height: int = 12,
+               batch_size: int = 128, concurrency=2):
+    """Flagship multimodal composition — the pipeline an image-text
+    curation run executes: mixed-format payloads -> REAL decode-meta ->
+    drop corrupt/unknown and tiny images (min_pixels) -> REAL resize to
+    training dims -> per-format summary (kept count, bytes in/out, mean
+    pixel stats).  Every stage is an actor-pool map over binary batches;
+    the only exchange is the final tiny per-format groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    payloads = docs_ds.map_batches(to_mixed_payload_batch, batch_format="pyarrow")
+    meta = payloads.map_batches(
+        DecodeImageMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"real_decode": True},
+    )
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        w = t.column("width").to_numpy(zero_copy_only=False)
+        h = t.column("height").to_numpy(zero_copy_only=False)
+        keep = (w * h) >= min_pixels
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    kept_meta = meta.map_batches(keep_mask, batch_format="pyarrow").materialize()
+
+    # resize only the kept docs: semi-join by broadcast of kept ids (the
+    # kept set is metadata-sized; payloads never cross an exchange)
+    import ray
+
+    kept_ids = set()
+    for b in kept_meta.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+        kept_ids.update(b.column("doc_id").to_pylist())
+    kept_ref = ray.put(kept_ids)
+
+    def keep_payloads(t: pa.Table) -> pa.Table:
+        ks = ray.get(kept_ref)
+        mask = [i in ks for i in t.column("doc_id").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    resized = payloads.map_batches(keep_payloads, batch_format="pyarrow").map_batches(
+        ResizeImage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "real_resize": True},
+    )
+
+    def tag_out_bytes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bytes_out": t.column("n_bytes_out"),
+            }
+        )
+
+    out_bytes = resized.map_batches(tag_out_bytes, batch_format="pyarrow")
+
+    # summary: join meta (format, n_bytes, px stats) with out bytes on
+    # doc_id via the broadcast map (out table is metadata-sized)
+    ob = {}
+    for b in out_bytes.iter_batches(batch_format="pyarrow"):
+        for i, n in zip(b.column("doc_id").to_pylist(), b.column("n_bytes_out").to_pylist()):
+            ob[i] = n
+    ob_ref = ray.put(ob)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ob_ref)
+        outs = [m.get(i, 0) for i in t.column("doc_id").to_pylist()]
+        return pa.table(
+            {
+                "format": t.column("format"),
+                "n_in": pa.array([1] * t.num_rows, pa.int64()),
+                "bytes_in": t.column("n_bytes"),
+                "bytes_out": pa.array(outs, pa.int64()),
+                "px_mean_milli": t.column("px_mean_milli"),
+            }
+        )
+
+    return (
+        kept_meta.map_batches(attach, batch_format="pyarrow")
+        .groupby("format")
+        .aggregate(
+            Count(alias_name="n_kept"),
+            Sum("bytes_in", alias_name="bytes_in"),
+            Sum("bytes_out", alias_name="bytes_out"),
+            Sum("px_mean_milli", alias_name="px_mean_milli_sum"),
+        )
+    )
+
+
 def sample_frames(docs_ds, frame_size: int = 1024, stride: int = 4, batch_size: int = 64):
     """Video-style frame sampling: the payload is treated as a sequence of
     ``frame_size``-byte frames; every ``stride``-th frame is emitted as its
