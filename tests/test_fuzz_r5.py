@@ -166,3 +166,30 @@ def test_decode_wav_random_bytes_raise_waverror(data):
         decode_wav(data)
     except WavError:
         pass  # the only acceptable failure mode
+
+
+# -- truncations of VALID streams: the class random bytes never reach ------
+
+@given(st.integers(0, 2**31 - 1), st.floats(0.01, 0.99))
+@settings(max_examples=120, deadline=None)
+def test_truncated_valid_streams_raise_typed_errors(seed, frac):
+    from grawler_ray.stages.multimodal import synth_gif, synth_pixels, synth_wav
+
+    rng = np.random.RandomState(seed)
+    doc = int(rng.randint(0, 10_000))
+    px = synth_pixels(doc)
+    px3 = px[:, :, :3] if px.ndim == 3 else px
+    streams = [
+        (encode_png(px), PngError, decode_png),
+        (encode_jpeg(px3, quality=90), JpegError, decode_jpeg),
+        (synth_gif(doc), GifError, decode_gif),
+        (synth_wav(doc), __import__("grawler_ray.functions.wav", fromlist=["WavError"]).WavError,
+         __import__("grawler_ray.functions.wav", fromlist=["decode_wav"]).decode_wav),
+    ]
+    for data, err, dec in streams:
+        cut = max(1, int(len(data) * frac))
+        try:
+            dec(data[:cut])
+        except err:
+            pass  # typed error is the only acceptable failure
+        # a successful decode of a long-enough prefix is also fine
