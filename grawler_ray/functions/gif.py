@@ -142,7 +142,9 @@ def decode_gif(data: bytes, max_frames: int | None = None) -> list[dict]:
     logical-screen size, disposal applied), not raw sub-rectangles."""
     try:
         return _decode_gif(data, max_frames)
-    except (IndexError, struct.error) as e:
+    except GifError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         # truncated stream hit a raw read: surface as the codec error
         raise GifError(f"truncated/malformed GIF: {e}") from e
 
@@ -244,7 +246,9 @@ def gif_meta(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) via a structural walk (no LZW work)."""
     try:
         return _gif_meta(data)
-    except (IndexError, struct.error) as e:
+    except GifError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         raise GifError(f"truncated/malformed GIF: {e}") from e
 
 

@@ -171,7 +171,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as e:
+    except JpegError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         raise JpegError(f"truncated/malformed JPEG: {e}") from e
 
 
@@ -575,7 +577,9 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     decode — the cheap metadata path."""
     try:
         return _jpeg_meta(data)
-    except (IndexError, struct.error) as e:
+    except JpegError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         raise JpegError(f"truncated/malformed JPEG: {e}") from e
 
 

@@ -45,7 +45,9 @@ def decode_png(data: bytes) -> np.ndarray:
     (h, w, channels) otherwise.  Palette images expand to RGB."""
     try:
         return _decode_png(data)
-    except (IndexError, struct.error) as e:
+    except PngError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         raise PngError(f"truncated/malformed PNG: {e}") from e
 
 

@@ -26,7 +26,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples float64 (n, channels) in [-1, 1], rate)."""
     try:
         return _decode_wav(data)
-    except (IndexError, struct.error) as e:
+    except WavError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
         raise WavError(f"truncated/malformed WAV: {e}") from e
 
 
