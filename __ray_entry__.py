@@ -2718,6 +2718,62 @@ def _wav_features(sf_dir: str):
     )
 
 
+def _avi_meta(sf_dir: str):
+    """REAL video container parse: synthesized MJPEG AVIs (pure-stdlib
+    RIFF walk, functions/avi.py) -> header metadata (dims, frame count,
+    fps, codec fourcc) without frame decode.  Rows-only; the serial
+    oracle in tests/test_avi.py checks against the synth spec."""
+    import pyarrow as pa
+
+    from grawler_ray.functions.avi import avi_meta
+    from grawler_ray.stages.multimodal import to_avi_payload_batch
+
+    def meta_batch(t: pa.Table) -> pa.Table:
+        rows = [avi_meta(p) for p in t.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "width": pa.array([r["width"] for r in rows], pa.int64()),
+                "height": pa.array([r["height"] for r in rows], pa.int64()),
+                "n_frames": pa.array([r["n_frames"] for r in rows], pa.int64()),
+                "fps_milli": pa.array([r["fps_milli"] for r in rows], pa.int64()),
+                "codec": pa.array([r["codec"] for r in rows], pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(to_avi_payload_batch, batch_format="pyarrow")
+        .map_batches(meta_batch, batch_format="pyarrow", batch_size=256)
+    )
+
+
+def _avi_frames(sf_dir: str):
+    """REAL video frame sampling: every 2nd MJPEG frame of each
+    synthesized AVI decodes through the from-scratch JPEG codec — true
+    pixel stats + lossless PNG re-encode per sampled frame.  Rows-only;
+    serial oracle in tests/test_avi.py."""
+    from grawler_ray.stages.multimodal import sample_avi_frames
+
+    return sample_avi_frames(
+        _read(sf_dir, "documents").select_columns(["doc_id"]), stride=2
+    ).select_columns(["doc_id", "frame_idx", "fps_milli", "px_mean_milli"])
+
+
+def _audio_codecs(sf_dir: str):
+    """REAL compressed-audio decode: mixed-codec WAV synth (PCM16,
+    G.711 u-law/A-law, IMA ADPCM — functions/wav.py, G.711 bit-checked
+    against CPython audioop) -> DSP features with the decoding codec
+    tagged per row.  Rows-only; tests/test_wav.py holds per-codec
+    closed-form tone oracles."""
+    from grawler_ray.stages.multimodal import extract_audio_codec_features
+
+    return extract_audio_codec_features(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+    )
+
+
 def _media_prep(sf_dir: str):
     """Flagship multimodal composition: mixed PNG/JPEG/GIF payloads
     (with planted corrupt + non-image docs) -> real decode-meta ->
@@ -4037,6 +4093,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_meta": _gif_meta,
         "gif_frames": _gif_frames,
         "wav_features": _wav_features,
+        "avi_meta": _avi_meta,
+        "avi_frames": _avi_frames,
+        "audio_codecs": _audio_codecs,
         "media_prep": _media_prep,
         "langid": _langid,
         "langid_confusion": _langid_confusion,

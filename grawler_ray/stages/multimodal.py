@@ -14,10 +14,14 @@ with the exact box-average resample between them.  GIF decode
 frame-sampling stage real too: animated GIFs genuinely ARE frame
 sequences, so ``sample_gif_frames`` extracts true composed frames.
 WAV audio decodes for real too (``functions/wav.py`` — RIFF PCM all
-common widths + IEEE float) with numpy DSP features whose pure-tone
-oracles are closed-form.  General video (mp4/webm) and compressed audio
-remain honest stubs at the ffmpeg slot, and the fake paths keep their
-deterministic byte-length arithmetic so the DuckDB oracles stay exact.
+common widths, IEEE float, and COMPRESSED codecs G.711 u-law/A-law +
+IMA ADPCM) with numpy DSP features whose pure-tone oracles are
+closed-form.  MJPEG VIDEO is real as well: ``functions/avi.py`` walks
+the RIFF/AVI container and every sampled frame decodes through the
+from-scratch JPEG codec (``sample_avi_frames``).  Only inter-coded
+video (mp4/h264/webm) and perceptual audio (mp3/aac) remain honest
+stubs at the ffmpeg slot, and the fake paths keep their deterministic
+byte-length arithmetic so the DuckDB oracles stay exact.
 """
 
 from __future__ import annotations
@@ -469,6 +473,100 @@ def sample_gif_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrenc
     )
 
 
+def synth_avi(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI keyed on doc_id: 2-6 frames of a smooth
+    gradient shifted per frame (smooth -> high-quality JPEG roundtrip),
+    fps derived from the id — shared with the serial test oracle."""
+    from ..functions.avi import encode_avi
+
+    w = 32 + (doc_id % 4) * 16
+    h = 24 + (doc_id % 3) * 8
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = ((doc_id % 64) + 2 * y + 3 * x) % 256
+    frames = [
+        np.stack(
+            [(base + 40 * k) % 256, (base + 40 * k + 30) % 256, base], -1
+        ).astype(np.uint8)
+        for k in range(2 + doc_id % 5)
+    ]
+    return encode_avi(frames, fps=8 + doc_id % 17, quality=92)
+
+
+def to_avi_payload_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [synth_avi(int(i)) for i in t.column("doc_id").to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+class SampleAviFrames:
+    """REAL video frame-sampling stage: MJPEG-AVI payloads parse through
+    the RIFF container walk and every ``stride``-th frame DECODES through
+    the from-scratch JPEG codec (functions/avi.py + functions/jpeg.py) —
+    true pixel stats and a lossless PNG re-encode per sampled frame.
+    Inter-coded video (mp4/h264) would plug in at this exact slot via
+    ffmpeg; non-AVI / corrupt payloads emit no rows."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 32):
+        from ..functions.avi import AviError, avi_meta, decode_avi
+        from ..functions.png import encode_png
+
+        self._decode = decode_avi
+        self._meta = avi_meta
+        self._encode_png = encode_png
+        self._err = AviError
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, fpsm, frames, means = [], [], [], [], []
+        for doc_id, p in zip(
+            t.column("doc_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            p = p or b""
+            if not p.startswith(b"RIFF") or p[8:12] != b"AVI ":
+                continue
+            try:
+                meta = self._meta(p)
+                fr = self._decode(p, stride=self.stride, max_frames=self.max_frames)
+            except self._err:
+                continue
+            for d in fr:
+                img = d["image"]
+                ids.append(doc_id)
+                idxs.append(d["frame_idx"])
+                fpsm.append(meta["fps_milli"])
+                frames.append(self._encode_png(img))
+                means.append(int(img.sum(dtype=np.int64)) * 1000 // img.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "fps_milli": pa.array(fpsm, pa.int64()),
+                "frame_png": pa.array(frames, pa.binary()),
+                "px_mean_milli": pa.array(means, pa.int64()),
+            }
+        )
+
+
+def sample_avi_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=2):
+    """REAL video frame sampling over synthesized MJPEG AVIs."""
+    return docs_ds.map_batches(
+        to_avi_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        SampleAviFrames,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride},
+    )
+
+
 def synth_wav(doc_id: int) -> bytes:
     """Deterministic WAV keyed on doc_id: a pure tone (freq/amp/duration
     derive from the id; stereo every 3rd doc) — pure tones have
@@ -500,24 +598,63 @@ def to_wav_payload_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def synth_mixed_wav(doc_id: int) -> bytes:
+    """Deterministic WAV cycling through the real codec set by doc_id:
+    PCM16, G.711 u-law, G.711 A-law, IMA ADPCM — same tone family as
+    synth_wav, so the closed-form feature oracles still apply (within
+    each codec's quantization error)."""
+    from ..functions.wav import encode_wav, encode_wav_compressed
+
+    rate = 8000
+    freq = 100 + (doc_id * 37) % 800
+    amp = 0.2 + (doc_id % 5) / 10.0
+    n = rate // 4 + (doc_id % 7) * 100
+    t = np.arange(n) / rate
+    x = amp * np.sin(2 * np.pi * freq * t)
+    codec = ("pcm", "ulaw", "alaw", "ima_adpcm")[doc_id % 4]
+    if codec == "pcm":
+        return encode_wav(x, rate, bits=16)
+    return encode_wav_compressed(x, rate, codec, block_align=256)
+
+
+def to_mixed_wav_payload_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [synth_mixed_wav(int(i)) for i in t.column("doc_id").to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+
+
 class ExtractAudioFeatures:
     """REAL audio-feature stage: WAV payloads decode (pure-stdlib RIFF
-    PCM, functions/wav.py) and the numpy DSP kernels run per clip —
-    duration, RMS, zero-crossing rate, spectral centroid/rolloff.
-    Compressed audio (mp3/aac) would plug in at this exact slot via
-    ffmpeg; corrupt/non-WAV payloads emit zeroed rows with
-    format="corrupt"/"unknown" (web corpora demand it)."""
+    codec — PCM, IEEE float, G.711 u-law/A-law, IMA ADPCM;
+    functions/wav.py) and the numpy DSP kernels run per clip — duration,
+    RMS, zero-crossing rate, spectral centroid/rolloff; the ``codec``
+    column records the fmt tag that actually decoded.  Perceptual audio
+    (mp3/aac) would plug in at this exact slot via ffmpeg; corrupt /
+    non-WAV payloads emit zeroed rows with format="corrupt"/"unknown"
+    (web corpora demand it)."""
 
     def __init__(self):
-        from ..functions.wav import WavError, audio_features, decode_wav
+        from ..functions.wav import (
+            WavError,
+            audio_features,
+            decode_wav,
+            wav_codec_name,
+        )
 
         self._decode = decode_wav
         self._features = audio_features
+        self._codec = wav_codec_name
         self._err = WavError
 
     def __call__(self, t: pa.Table) -> pa.Table:
         cols: dict[str, list] = {
-            "format": [], "sample_rate": [], "channels": [],
+            "format": [], "codec": [], "sample_rate": [], "channels": [],
             "duration_ms": [], "rms_milli": [], "zcr_milli": [],
             "centroid_mhz": [], "rolloff_mhz": [],
         }
@@ -528,6 +665,7 @@ class ExtractAudioFeatures:
                     samples, rate = self._decode(p)
                     f = self._features(samples, rate)
                     cols["format"].append("wav")
+                    cols["codec"].append(self._codec(p))
                     cols["sample_rate"].append(rate)
                     cols["channels"].append(samples.shape[1])
                     for k in ("duration_ms", "rms_milli", "zcr_milli",
@@ -539,15 +677,30 @@ class ExtractAudioFeatures:
             else:
                 fmt = "unknown"
             cols["format"].append(fmt)
+            cols["codec"].append("")
             for k in ("sample_rate", "channels", "duration_ms", "rms_milli",
                       "zcr_milli", "centroid_mhz", "rolloff_mhz"):
                 cols[k].append(0)
         out = {"doc_id": t.column("doc_id")}
         out["format"] = pa.array(cols["format"], pa.string())
+        out["codec"] = pa.array(cols["codec"], pa.string())
         for k in ("sample_rate", "channels", "duration_ms", "rms_milli",
                   "zcr_milli", "centroid_mhz", "rolloff_mhz"):
             out[k] = pa.array(cols[k], pa.int64())
         return pa.table(out)
+
+
+def extract_audio_codec_features(docs_ds, batch_size: int = 256, concurrency=2):
+    """REAL audio features over the mixed-codec WAV synth (PCM / u-law /
+    A-law / IMA ADPCM) through the actor pool."""
+    return docs_ds.map_batches(
+        to_mixed_wav_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ExtractAudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def extract_wav_features(docs_ds, batch_size: int = 256, concurrency=2):

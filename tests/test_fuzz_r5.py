@@ -193,3 +193,78 @@ def test_truncated_valid_streams_raise_typed_errors(seed, frac):
         except err:
             pass  # typed error is the only acceptable failure
         # a successful decode of a long-enough prefix is also fine
+
+
+# -- AVI + compressed WAV (round-5 session-2 codecs) ------------------------
+
+from grawler_ray.functions.avi import AviError, decode_avi
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decode_avi_random_bytes_raise_avierror(data):
+    try:
+        decode_avi(data)
+    except AviError:
+        pass  # the only acceptable failure mode
+
+
+@given(st.integers(0, 2**31 - 1), st.floats(0.01, 0.99))
+@settings(max_examples=60, deadline=None)
+def test_truncated_avi_and_compressed_wav_raise_typed_errors(seed, frac):
+    from grawler_ray.stages.multimodal import synth_avi, synth_mixed_wav
+
+    rng = np.random.RandomState(seed)
+    doc = int(rng.randint(0, 10_000))
+    streams = [
+        (synth_avi(doc), AviError, decode_avi),
+        (synth_mixed_wav(doc), WavError, decode_wav),
+    ]
+    for data, err, dec in streams:
+        cut = max(1, int(len(data) * frac))
+        try:
+            dec(data[:cut])
+        except err:
+            pass  # typed error is the only acceptable failure
+
+
+def test_g711_code_fixpoint():
+    """encode(decode(code)) == code for every G.711 code — except u-law
+    0x7F (negative zero), which re-encodes as positive zero 0xFF; both
+    decode to the same linear 0 (the classic two-zeros artifact, same as
+    audioop)."""
+    from grawler_ray.functions.wav import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        alaw_encode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256)
+    ue = ulaw_encode(_ULAW_DEC)
+    assert np.array_equal(ue[codes != 0x7F], codes[codes != 0x7F])
+    assert ue[0x7F] == 0xFF and _ULAW_DEC[0x7F] == _ULAW_DEC[0xFF] == 0
+    assert np.array_equal(alaw_encode(_ALAW_DEC), codes)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 2))
+@settings(max_examples=40, deadline=None)
+def test_adpcm_random_blocks_decode_in_bounds(seed, ch):
+    """Arbitrary block bytes are VALID ADPCM (every nibble decodes) —
+    the vectorized decoder must accept them, keep int16 range, and be
+    deterministic; encode(x) then decode stays within the worst-case
+    step envelope of the source."""
+    from grawler_ray.functions.wav import ima_decode_blocks, ima_encode_blocks
+
+    rng = np.random.RandomState(seed)
+    align = 64 * ch
+    raw = rng.bytes(align * int(rng.randint(1, 5)))
+    dec = ima_decode_blocks(raw, ch, align)
+    assert dec.dtype == np.int16 and dec.shape[1] == ch
+    assert np.array_equal(dec, ima_decode_blocks(raw, ch, align))
+    # smooth signals roundtrip within a loose quantization envelope
+    n = int(rng.randint(50, 1500))
+    x = np.cumsum(rng.randint(-300, 300, size=(n, ch)), axis=0).clip(-30000, 30000)
+    x = x.astype(np.int16)
+    dec2 = ima_decode_blocks(ima_encode_blocks(x, align), ch, align)[:n]
+    assert np.abs(dec2.astype(int) - x.astype(int)).max() <= 4096

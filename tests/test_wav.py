@@ -145,3 +145,169 @@ class TestRealStage:
         out = ExtractAudioFeatures()(t)
         assert out.column("format").to_pylist() == ["corrupt", "unknown"]
         assert out.column("rms_milli").to_pylist() == [0, 0]
+
+
+class TestG711:
+    """G.711 u-law/A-law: decode tables and vectorized encoders are
+    bit-checked against CPython's audioop (the independent ITU oracle)
+    over the FULL code/sample space."""
+
+    def test_decode_tables_match_audioop(self):
+        audioop = pytest.importorskip("audioop")
+        from grawler_ray.functions.wav import _ALAW_DEC, _ULAW_DEC
+
+        codes = bytes(range(256))
+        assert np.array_equal(
+            np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2"), _ULAW_DEC
+        )
+        assert np.array_equal(
+            np.frombuffer(audioop.alaw2lin(codes, 2), "<i2"), _ALAW_DEC
+        )
+
+    def test_encoders_match_audioop_full_sweep(self):
+        audioop = pytest.importorskip("audioop")
+        from grawler_ray.functions.wav import alaw_encode, ulaw_encode
+
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        assert np.array_equal(
+            np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), np.uint8),
+            ulaw_encode(x),
+        )
+        assert np.array_equal(
+            np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), np.uint8),
+            alaw_encode(x),
+        )
+
+    @pytest.mark.parametrize("codec,min_snr", [("ulaw", 30.0), ("alaw", 30.0)])
+    def test_wav_roundtrip_snr(self, codec, min_snr):
+        from grawler_ray.functions.wav import encode_wav_compressed
+
+        rate = 8000
+        t = np.arange(2000) / rate
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        d, r = decode_wav(encode_wav_compressed(x, rate, codec))
+        assert r == rate and d.shape == (2000, 1)
+        err = d[:, 0] - x
+        snr = 10 * np.log10((x**2).mean() / (err**2).mean())
+        assert snr > min_snr
+        assert wav_meta(encode_wav_compressed(x, rate, codec)) == (rate, 1, 8, 2000)
+
+
+class TestImaAdpcm:
+    def test_reference_scalar_decoder_equality(self):
+        """The vectorized lockstep decoder must equal a straight-line
+        scalar IMA decoder (independent second plan) bit-for-bit."""
+        from grawler_ray.functions.wav import (
+            _IMA_INDEX,
+            _IMA_STEP,
+            ima_decode_blocks,
+            ima_encode_blocks,
+            ima_samples_per_block,
+        )
+
+        rng = np.random.default_rng(3)
+        x = (rng.integers(-8000, 8000, size=2000)).astype(np.int16)
+        # smooth it so deltas are codable
+        x = np.cumsum(x // 50).clip(-30000, 30000).astype(np.int16)
+        for ch in (1, 2):
+            s = np.stack([x, x[::-1]], 1)[:, :ch]
+            align = 128 * ch
+            raw = ima_encode_blocks(s, align)
+            got = ima_decode_blocks(raw, ch, align)
+
+            # scalar reference
+            spb = ima_samples_per_block(align, ch)
+            nb = len(raw) // align
+            ref = np.empty((nb * spb, ch), np.int16)
+            for bi in range(nb):
+                blk = raw[bi * align : (bi + 1) * align]
+                for c in range(ch):
+                    pred = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+                    idx = min(88, blk[4 * c + 2])
+                    ref[bi * spb, c] = pred
+                    si = 1
+                    data = blk[4 * ch :]
+                    # 4-byte channel groups interleaved, low nibble first
+                    nibbles = []
+                    for gi in range(len(data) // (4 * ch)):
+                        grp = data[gi * 4 * ch + 4 * c : gi * 4 * ch + 4 * c + 4]
+                        for byte in grp:
+                            nibbles.append(byte & 0x0F)
+                            nibbles.append(byte >> 4)
+                    for n in nibbles:
+                        step = int(_IMA_STEP[idx])
+                        delta = step >> 3
+                        if n & 4:
+                            delta += step
+                        if n & 2:
+                            delta += step >> 1
+                        if n & 1:
+                            delta += step >> 2
+                        pred = pred - delta if n & 8 else pred + delta
+                        pred = max(-32768, min(32767, pred))
+                        idx = max(0, min(88, idx + int(_IMA_INDEX[n & 7])))
+                        ref[bi * spb + si, c] = pred
+                        si += 1
+            assert np.array_equal(got, ref)
+
+    @pytest.mark.parametrize("ch", [1, 2])
+    def test_wav_roundtrip_snr_and_fact_trim(self, ch):
+        from grawler_ray.functions.wav import encode_wav_compressed
+
+        rate = 8000
+        t = np.arange(3777) / rate  # deliberately not a block multiple
+        x = 0.5 * np.sin(2 * np.pi * 300 * t)
+        s = np.stack([x, 0.7 * x], 1)[:, :ch]
+        wav = encode_wav_compressed(s, rate, "ima_adpcm", block_align=256 * ch)
+        d, r = decode_wav(wav)
+        assert r == rate and d.shape == s.shape  # fact chunk trims padding
+        err = d - s
+        snr = 10 * np.log10((s**2).mean() / (err**2).mean())
+        assert snr > 25.0
+        assert wav_meta(wav) == (rate, ch, 4, 3777)
+
+    def test_beats_audioop_reference_quality(self):
+        """Block-restart + slope-seeded index should not lose to the
+        stateful audioop DVI coder on a tone."""
+        audioop = pytest.importorskip("audioop")
+        from grawler_ray.functions.wav import encode_wav_compressed
+
+        rate = 8000
+        t = np.arange(4000) / rate
+        x = 0.5 * np.sin(2 * np.pi * 440 * t)
+        d, _ = decode_wav(encode_wav_compressed(x, rate, "ima_adpcm", block_align=256))
+        ours = 10 * np.log10((x**2).mean() / ((d[:, 0] - x) ** 2).mean())
+        s16 = np.clip(np.round(x * 32767), -32768, 32767).astype("<i2")
+        enc, _ = audioop.lin2adpcm(s16.tobytes(), 2, None)
+        dec, _ = audioop.adpcm2lin(enc, 2, None)
+        ref = np.frombuffer(dec, "<i2") / 32768.0
+        theirs = 10 * np.log10((x**2).mean() / ((ref - x) ** 2).mean())
+        assert ours > theirs - 1.0
+
+
+class TestMixedCodecStage:
+    def test_codec_column_and_closed_forms(self, ray_session):
+        import ray.data
+
+        from grawler_ray.stages.multimodal import extract_audio_codec_features
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = (
+            extract_audio_codec_features(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (got["format"] == "wav").all()
+        expect = np.array(["pcm", "ulaw", "alaw", "ima_adpcm"])
+        assert (got.codec == expect[got.doc_id % 4]).all()
+        for _, r in got.sample(20, random_state=0).iterrows():
+            doc_id = int(r.doc_id)
+            freq = 100 + (doc_id * 37) % 800
+            amp = 0.2 + (doc_id % 5) / 10.0
+            n = 8000 // 4 + (doc_id % 7) * 100
+            assert r.duration_ms == n * 1000 // 8000
+            # compressed codecs add quantization noise: wider slack than
+            # the PCM test, still pinned to the closed forms
+            assert abs(r.rms_milli - amp / np.sqrt(2) * 1000) <= 40
+            assert abs(r.centroid_mhz / 1000 - freq) < 60
