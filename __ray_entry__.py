@@ -2688,7 +2688,7 @@ def _gif_meta(sf_dir: str):
             DecodeImageMeta,
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=2,
+            concurrency=(2, 8),
             fn_constructor_kwargs={"real_decode": True},
         )
     )

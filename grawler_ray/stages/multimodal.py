@@ -128,7 +128,7 @@ def to_payload_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def decode_image_meta(docs_ds, batch_size: int = 256, concurrency=2):
+def decode_image_meta(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """The wired stage: payload column -> metadata, actor pool, small batches."""
     return docs_ds.map_batches(to_payload_batch, batch_format="pyarrow").map_batches(
         DecodeImageMeta,
@@ -214,7 +214,7 @@ class ResizeImage:
         )
 
 
-def resize_image(docs_ds, width: int = 64, height: int = 48, batch_size: int = 128, concurrency=2):
+def resize_image(docs_ds, width: int = 64, height: int = 48, batch_size: int = 128, concurrency=(2, 8)):
     """payload -> resized payload; actor pool with constructor-arg dims."""
     return docs_ds.map_batches(to_payload_batch, batch_format="pyarrow").map_batches(
         ResizeImage,
@@ -256,7 +256,7 @@ def synth_pixels(doc_id: int) -> np.ndarray:
     return a[:, :, 0] if ch == 1 else a
 
 
-def decode_png_meta(docs_ds, batch_size: int = 256, concurrency=2):
+def decode_png_meta(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """REAL-decode stage entry: synthesized PNG payloads -> actual
     IHDR/pixel metadata through the actor pool."""
     return docs_ds.map_batches(
@@ -270,7 +270,7 @@ def decode_png_meta(docs_ds, batch_size: int = 256, concurrency=2):
     )
 
 
-def resize_png(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=2):
+def resize_png(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=(2, 8)):
     """REAL-resize stage entry: PNG decode -> box resample -> PNG
     re-encode in the actor pool; emits the resized image's true pixel
     mean alongside the payload accounting."""
@@ -336,7 +336,7 @@ def to_jpeg_payload_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def decode_jpeg_meta(docs_ds, batch_size: int = 256, concurrency=2):
+def decode_jpeg_meta(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """REAL-decode stage entry over synthesized JPEGs (baseline T.81
     codec) through the actor pool."""
     return docs_ds.map_batches(
@@ -350,7 +350,7 @@ def decode_jpeg_meta(docs_ds, batch_size: int = 256, concurrency=2):
     )
 
 
-def resize_jpeg(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=2):
+def resize_jpeg(docs_ds, width: int = 16, height: int = 12, batch_size: int = 128, concurrency=(2, 8)):
     """REAL JPEG resize: decode -> box resample -> JPEG re-encode in the
     actor pool; emits the re-decoded pixel mean for the serial oracle."""
     resized = docs_ds.map_batches(
@@ -460,7 +460,7 @@ class SampleGifFrames:
         )
 
 
-def sample_gif_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=2):
+def sample_gif_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=(2, 8)):
     """REAL video-style frame sampling over synthesized animated GIFs."""
     return docs_ds.map_batches(
         to_gif_payload_batch, batch_format="pyarrow"
@@ -554,7 +554,7 @@ class SampleAviFrames:
         )
 
 
-def sample_avi_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=2):
+def sample_avi_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrency=(2, 8)):
     """REAL video frame sampling over synthesized MJPEG AVIs."""
     return docs_ds.map_batches(
         to_avi_payload_batch, batch_format="pyarrow"
@@ -690,7 +690,7 @@ class ExtractAudioFeatures:
         return pa.table(out)
 
 
-def extract_audio_codec_features(docs_ds, batch_size: int = 256, concurrency=2):
+def extract_audio_codec_features(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """REAL audio features over the mixed-codec WAV synth (PCM / u-law /
     A-law / IMA ADPCM) through the actor pool."""
     return docs_ds.map_batches(
@@ -703,7 +703,7 @@ def extract_audio_codec_features(docs_ds, batch_size: int = 256, concurrency=2):
     )
 
 
-def extract_wav_features(docs_ds, batch_size: int = 256, concurrency=2):
+def extract_wav_features(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """REAL audio features over synthesized WAVs through the actor pool."""
     return docs_ds.map_batches(
         to_wav_payload_batch, batch_format="pyarrow"
@@ -750,7 +750,7 @@ def to_mixed_payload_batch(t: pa.Table) -> pa.Table:
 
 
 def media_prep(docs_ds, min_pixels: int = 200, width: int = 16, height: int = 12,
-               batch_size: int = 128, concurrency=2):
+               batch_size: int = 128, concurrency=(2, 8)):
     """Flagship multimodal composition — the pipeline an image-text
     curation run executes: mixed-format payloads -> REAL decode-meta ->
     drop corrupt/unknown and tiny images (min_pixels) -> REAL resize to
@@ -905,7 +905,7 @@ class ExtractByteFeatures:
         )
 
 
-def extract_features(docs_ds, bins: int = 16, batch_size: int = 256, concurrency=2):
+def extract_features(docs_ds, bins: int = 16, batch_size: int = 256, concurrency=(2, 8)):
     return docs_ds.map_batches(to_payload_batch, batch_format="pyarrow").map_batches(
         ExtractByteFeatures,
         batch_format="pyarrow",
