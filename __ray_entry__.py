@@ -2774,6 +2774,18 @@ def _audio_codecs(sf_dir: str):
     )
 
 
+def _media_triage(sf_dir: str):
+    """REAL container triage: mixed MP3/MP4 payloads (spec-valid framing
+    with planted truncations) route by magic to the pure-stdlib frame /
+    box walkers (functions/mediameta.py) — duration, rates, dims, track
+    types, the pre-decode filter columns a 100-TB crawl needs.
+    Rows-only; tests/test_mediameta.py pins the stage against the synth
+    spec closed-forms."""
+    from grawler_ray.stages.multimodal import media_triage
+
+    return media_triage(_read(sf_dir, "documents").select_columns(["doc_id"]))
+
+
 def _media_prep(sf_dir: str):
     """Flagship multimodal composition: mixed PNG/JPEG/GIF payloads
     (with planted corrupt + non-image docs) -> real decode-meta ->
@@ -4096,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_meta": _avi_meta,
         "avi_frames": _avi_frames,
         "audio_codecs": _audio_codecs,
+        "media_triage": _media_triage,
         "media_prep": _media_prep,
         "langid": _langid,
         "langid_confusion": _langid_confusion,

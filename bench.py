@@ -167,7 +167,7 @@ def run_subqueries() -> dict[str, float]:
         "split_by_cluster", "zipf_fit", "bpe_token_counts",
         "png_meta", "png_resize", "jpeg_meta", "jpeg_resize",
         "gif_meta", "gif_frames", "wav_features", "skyline_range",
-        "avi_meta", "avi_frames", "audio_codecs",
+        "avi_meta", "avi_frames", "audio_codecs", "media_triage",
     ]
     import ray.data
 

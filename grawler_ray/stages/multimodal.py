@@ -18,9 +18,13 @@ common widths, IEEE float, and COMPRESSED codecs G.711 u-law/A-law +
 IMA ADPCM) with numpy DSP features whose pure-tone oracles are
 closed-form.  MJPEG VIDEO is real as well: ``functions/avi.py`` walks
 the RIFF/AVI container and every sampled frame decodes through the
-from-scratch JPEG codec (``sample_avi_frames``).  Only inter-coded
-video (mp4/h264/webm) and perceptual audio (mp3/aac) remain honest
-stubs at the ffmpeg slot, and the fake paths keep their deterministic
+from-scratch JPEG codec (``sample_avi_frames``).  For the formats whose
+sample decode genuinely needs ffmpeg (mp3/aac audio, mp4/h264 video),
+the container METADATA layer is still real: ``media_triage`` walks MP3
+frame headers and MP4 box trees (``functions/mediameta.py``) for the
+duration/dims/track-type columns a crawl filters on before any decode.
+Only the sample-decode half of those formats remains an honest stub at
+the ffmpeg slot, and the fake paths keep their deterministic
 byte-length arithmetic so the DuckDB oracles stay exact.
 """
 
@@ -869,6 +873,130 @@ def sample_frames(docs_ds, frame_size: int = 1024, stride: int = 4, batch_size: 
 
     return docs_ds.map_batches(to_payload_batch, batch_format="pyarrow").map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def synth_container(doc_id: int) -> bytes:
+    """Deterministic MP3/MP4 container keyed on doc_id (every 17th doc
+    deliberately truncated to a corrupt stub) — shared with the serial
+    test oracle.  Parameters are closed-form in doc_id, so the triage
+    stage's output is hand-checkable."""
+    from ..functions.mediameta import write_mp3_frames, write_mp4
+
+    if doc_id % 3 == 0:
+        p = write_mp4(
+            duration_ms=500 + (doc_id * 13) % 4000,
+            timescale=600,
+            width=320 + (doc_id % 5) * 160,
+            height=240 + (doc_id % 5) * 120,
+            tracks=("vide", "soun") if doc_id % 2 == 0 else ("vide",),
+        )
+    else:
+        rates = (44100, 22050, 8000)
+        p = write_mp3_frames(
+            n_frames=10 + doc_id % 50,
+            bitrate_kbps=(32, 64, 128)[doc_id % 3 - 1],
+            sample_rate=rates[doc_id % 3 - 1],
+            channels=1 + doc_id % 2,
+            id3=b"\x00" * (doc_id % 40) if doc_id % 5 == 0 else None,
+        )
+    if doc_id % 17 == 0:
+        p = p[: max(3, len(p) // 3)]
+    return p
+
+
+def to_container_payload_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [synth_container(int(i)) for i in t.column("doc_id").to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+class ExtractContainerMeta:
+    """REAL media-triage stage: route payloads by magic (ID3 / MPEG
+    sync -> MP3 frame walk; ISO BMFF box -> MP4 box walk) and emit the
+    container metadata a 100-TB crawl filters on BEFORE any decode —
+    duration, rates, dims, track types.  Sample DECODE of these formats
+    is the genuine ffmpeg slot; triage does not need it."""
+
+    def __init__(self):
+        from ..functions.mediameta import Mp3Error, Mp4Error, mp3_meta, mp4_meta
+
+        self._mp3 = mp3_meta
+        self._mp4 = mp4_meta
+        self._errs = (Mp3Error, Mp4Error)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "format": [], "duration_ms": [], "sample_rate": [], "channels": [],
+            "bitrate_kbps": [], "n_frames": [], "width": [], "height": [],
+            "track_types": [],
+        }
+
+        def zero(fmt):
+            cols["format"].append(fmt)
+            for k in ("duration_ms", "sample_rate", "channels",
+                      "bitrate_kbps", "n_frames", "width", "height"):
+                cols[k].append(0)
+            cols["track_types"].append("")
+
+        for p in t.column("payload").to_pylist():
+            p = p or b""
+            is_mp3 = p[:3] == b"ID3" or (
+                len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+            )
+            is_mp4 = len(p) >= 8 and p[4:8] in (b"ftyp", b"moov", b"mdat")
+            try:
+                if is_mp3:
+                    m = self._mp3(p)
+                    cols["format"].append("mp3")
+                    cols["duration_ms"].append(m["duration_ms"])
+                    cols["sample_rate"].append(m["sample_rate"])
+                    cols["channels"].append(m["channels"])
+                    cols["bitrate_kbps"].append(m["bitrate_kbps"])
+                    cols["n_frames"].append(m["n_frames"])
+                    cols["width"].append(0)
+                    cols["height"].append(0)
+                    cols["track_types"].append("")
+                elif is_mp4:
+                    m = self._mp4(p)
+                    cols["format"].append("mp4")
+                    cols["duration_ms"].append(m["duration_ms"])
+                    cols["sample_rate"].append(0)
+                    cols["channels"].append(0)
+                    cols["bitrate_kbps"].append(0)
+                    cols["n_frames"].append(0)
+                    cols["width"].append(m["width"])
+                    cols["height"].append(m["height"])
+                    cols["track_types"].append(",".join(m["track_types"]))
+                else:
+                    zero("unknown")
+            except self._errs:
+                zero("corrupt")
+        out = {"doc_id": t.column("doc_id")}
+        out["format"] = pa.array(cols["format"], pa.string())
+        for k in ("duration_ms", "sample_rate", "channels", "bitrate_kbps",
+                  "n_frames", "width", "height"):
+            out[k] = pa.array(cols[k], pa.int64())
+        out["track_types"] = pa.array(cols["track_types"], pa.string())
+        return pa.table(out)
+
+
+def media_triage(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
+    """REAL container triage over the mixed MP3/MP4 synth (with planted
+    truncations) through the actor pool."""
+    return docs_ds.map_batches(
+        to_container_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ExtractContainerMeta,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 
