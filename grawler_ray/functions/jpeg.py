@@ -173,7 +173,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except JpegError:
         raise
-    except (IndexError, struct.error, ValueError) as e:
+    except (IndexError, KeyError, struct.error, ValueError) as e:
         raise JpegError(f"truncated/malformed JPEG: {e}") from e
 
 
@@ -235,8 +235,19 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             scomp = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next((x for x in frame["comps"] if x["id"] == cs), None)
+                if comp is None:
+                    raise JpegError(f"SOS references unknown component {cs}")
                 scomp.append((comp, tds >> 4, tds & 0xF))
+            # MJPEG streams legitimately omit DHT: decoders supply the
+            # Annex K.3 typical tables (id 0 = luminance, 1 = chrominance)
+            for tc, defaults in ((0, (_DC_L, _DC_C)), (1, (_AC_L, _AC_C))):
+                for th in (0, 1):
+                    if (tc, th) not in hf:
+                        hf[(tc, th)] = _Huff(*defaults[th])
+            for comp, td, ta in scomp:
+                if (0, td) not in hf or (1, ta) not in hf:
+                    raise JpegError(f"missing Huffman table {td}/{ta}")
             return _decode_scan(
                 data, pos + 2 + seglen, frame, scomp, qt, hf, restart_interval
             )

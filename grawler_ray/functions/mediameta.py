@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
-
 
 class Mp3Error(ValueError):
     pass
@@ -145,7 +143,9 @@ def _mp3_meta(data: bytes) -> dict:
         pos += frame
     if n_frames == 0:
         raise Mp3Error("no frames")
-    if xing_frames is not None and xing_frames != n_frames:
+    # real encoders may exclude the Xing header frame from the count, so
+    # n_frames-1 is also in agreement; anything else means truncation
+    if xing_frames is not None and xing_frames not in (n_frames, n_frames - 1):
         raise Mp3Error(
             f"Xing frame count {xing_frames} != walked {n_frames} (truncated?)"
         )
@@ -353,31 +353,3 @@ def write_mp4(
     else:
         mdat = box(b"mdat", payload)
     return ftyp + moov + mdat
-
-
-def mp3_meta_batch(payloads: list[bytes]) -> dict[str, list]:
-    """Vectorization shim for map_batches kernels: parse a batch of
-    payloads, emitting zeroed rows with ok=False for malformed ones
-    (web corpora demand it)."""
-    cols: dict[str, list] = {
-        k: []
-        for k in (
-            "ok", "n_frames", "duration_ms", "sample_rate", "channels",
-            "bitrate_kbps", "layer", "vbr",
-        )
-    }
-    for p in payloads:
-        try:
-            m = mp3_meta(p or b"")
-            cols["ok"].append(True)
-            for k in ("n_frames", "duration_ms", "sample_rate", "channels",
-                      "bitrate_kbps", "layer"):
-                cols[k].append(int(m[k]))
-            cols["vbr"].append(bool(m["vbr"]))
-        except Mp3Error:
-            cols["ok"].append(False)
-            for k in ("n_frames", "duration_ms", "sample_rate", "channels",
-                      "bitrate_kbps", "layer"):
-                cols[k].append(0)
-            cols["vbr"].append(False)
-    return cols

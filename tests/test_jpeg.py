@@ -229,3 +229,88 @@ class TestRealStages:
                 encode_jpeg(resize_box(decode_jpeg(payload), 16, 12), quality=90)
             )
             assert r.px_mean_milli == int(ref.sum(dtype=np.int64)) * 1000 // ref.size
+
+
+class TestMjpegDefaultTables:
+    """MJPEG streams legitimately omit DHT segments: the decoder must
+    supply the Annex K.3 typical tables.  Our encoder emits exactly
+    those tables, so a DHT-stripped stream must decode bit-identically."""
+
+    @staticmethod
+    def _strip_dht(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0xC4:
+                seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+                i += 2 + seglen
+                continue
+            out.append(data[i])
+            i += 1
+        return bytes(out)
+
+    @pytest.mark.parametrize("mode", ["rgb", "subsampled", "gray"])
+    def test_dhtless_decodes_identically(self, mode):
+        y, x = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+        img = np.stack(
+            [(2 * y + 3 * x) % 256, (y + x) % 256, (3 * y) % 256], -1
+        ).astype(np.uint8)
+        if mode == "gray":
+            j = encode_jpeg(img[:, :, 0], quality=90)
+        elif mode == "subsampled":
+            j = encode_jpeg(img, quality=90, subsample=True)
+        else:
+            j = encode_jpeg(img, quality=95)
+        assert np.array_equal(decode_jpeg(self._strip_dht(j)), decode_jpeg(j))
+
+    def test_dhtless_avi_frames_decode(self):
+        from grawler_ray.functions.avi import decode_avi, encode_avi
+
+        y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        frames = [
+            np.stack([(y * k) % 256, (x * k) % 256, (y + x) % 256], -1).astype(
+                np.uint8
+            )
+            for k in range(1, 4)
+        ]
+        avi = bytearray(encode_avi(frames, fps=10, quality=92))
+        # strip DHT inside every movi frame chunk (true MJPEG shape);
+        # chunk sizes change, so rebuild via the codec's own walker
+        from grawler_ray.functions.avi import _iter_video_chunks
+
+        jpegs = [self._strip_dht(f) for f in _iter_video_chunks(bytes(avi))]
+        import struct as _s
+
+        def chunk(cc, body):
+            return cc + _s.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        base = bytes(avi)
+        hdrl_start = base.index(b"LIST", 12)
+        hdrl_size = _s.unpack_from("<I", base, hdrl_start + 4)[0]
+        hdrl = base[hdrl_start : hdrl_start + 8 + hdrl_size + (hdrl_size & 1)]
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", j) for j in jpegs))
+        payload = b"AVI " + hdrl + movi
+        mj = b"RIFF" + _s.pack("<I", len(payload)) + payload
+        dec = decode_avi(mj)
+        ref = decode_avi(bytes(avi))
+        assert len(dec) == 3
+        for d, r in zip(dec, ref):
+            assert np.array_equal(d["image"], r["image"])
+
+    def test_missing_qt_is_typed_error(self):
+        img = np.full((8, 8), 100, np.uint8)
+        j = bytearray(encode_jpeg(img, quality=90))
+        # strip DQT (FFDB) segments: decode must fail with JpegError
+        out = bytearray()
+        i = 0
+        while i < len(j):
+            if j[i] == 0xFF and i + 1 < len(j) and j[i + 1] == 0xDB:
+                seglen = int.from_bytes(j[i + 2 : i + 4], "big")
+                i += 2 + seglen
+                continue
+            out.append(j[i])
+            i += 1
+        with pytest.raises(JpegError):
+            decode_jpeg(bytes(out))
