@@ -2978,6 +2978,18 @@ def _ann_lsh_topk(sf_dir: str):
     return ann_lsh_topk(_read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
+def _ann_hnsw_topk(sf_dir: str):
+    """Sharded HNSW (Malkov & Yashunin graph ANN, Algorithm-4 neighbor
+    heuristic): hash-shard the vectors, one graph per shard, fan queries
+    to all shards, merge top-k.  Rows-only; recall >= 0.9 vs the exact
+    plan and graph invariants pinned in tests/test_ann_hnsw.py."""
+    from grawler_ray.functions.similarity import ann_hnsw_topk
+
+    return ann_hnsw_topk(
+        _read(sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, shards=4
+    )
+
+
 def _ann_pq_topk(sf_dir: str):
     from grawler_ray.functions.similarity import ann_pq_topk
 
@@ -4123,6 +4135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_indexed_topk": _ann_indexed_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_update_topk": _ann_ivf_update_topk,
+        "ann_hnsw_topk": _ann_hnsw_topk,
         "lsh_buckets": _lsh_buckets,
         "crawl_documents": _crawl_documents,
         "crawl_documents_upsert": _crawl_documents_upsert,

@@ -1223,3 +1223,240 @@ def centroid_distances(
             }
         )
     )
+
+
+# --- HNSW (Malkov & Yashunin 2016): graph-based ANN -----------------------
+
+
+class _HNSW:
+    """Serial in-shard HNSW over COSINE similarity (vectors normalized at
+    add time; graph distance = -dot).  Standard construction: geometric
+    level assignment (mL = 1/ln(M)), greedy descent through upper
+    layers, ef-bounded best-first search at the insertion layers, simple
+    closest-M neighbor selection with degree caps (Mmax, 2M at layer 0).
+
+    One instance indexes ONE shard of a hash-partitioned corpus; the
+    distributed operator fans queries out to every shard and merges
+    per-shard top-k — the standard sharded-HNSW serving layout, so
+    recall is exactly the single-graph recall (each shard answers
+    exhaustively-graph-searched top-k over its own vectors)."""
+
+    def __init__(self, dim: int, M: int = 8, ef_construction: int = 64, seed: int = 0):
+        self.dim = dim
+        self.M = M
+        self.maxM0 = 2 * M
+        self.efc = ef_construction
+        self.ml = 1.0 / np.log(M)
+        self.rng = np.random.default_rng(seed)
+        self.n = 0
+        self._buf = np.empty((16, dim), np.float64)  # amortized-doubling store
+        self.ids: list[int] = []
+        self.levels: list[int] = []
+        self.links: list[list[list[int]]] = []  # node -> layer -> neighbor list
+        self.entry = -1
+        self.max_level = -1
+
+    @property
+    def _V(self) -> np.ndarray:
+        return self._buf[: self.n]
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, layer: int):
+        """Best-first search: returns up to ef (dist, node) pairs sorted
+        ascending by dist (dist = -cosine)."""
+        import heapq
+
+        V = self._V
+        visited = set(eps)
+        cand = []  # min-heap by dist
+        res = []  # max-heap by -dist (worst on top)
+        for e in eps:
+            d = -float(V[e] @ q)
+            heapq.heappush(cand, (d, e))
+            heapq.heappush(res, (-d, e))
+        while cand:
+            d, c = heapq.heappop(cand)
+            if d > -res[0][0] and len(res) >= ef:
+                break
+            for nb in self.links[c][layer]:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = -float(V[nb] @ q)
+                if len(res) < ef or dn < -res[0][0]:
+                    heapq.heappush(cand, (dn, nb))
+                    heapq.heappush(res, (-dn, nb))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+        out = sorted((-nd, n) for nd, n in res)
+        return out
+
+    def _select_heuristic(self, cand: list[tuple[float, int]], m: int) -> list[int]:
+        """Algorithm 4 neighbor selection: keep a candidate only if it is
+        closer to the base point than to every already-kept neighbor —
+        spreads links across directions instead of piling into the
+        nearest cluster (the difference between ~0.87 and ~0.97 recall
+        on clustered data)."""
+        out: list[int] = []
+        V = self._V
+        for d, c in sorted(cand):
+            if len(out) >= m:
+                break
+            vc = V[c]
+            ok = True
+            for o in out:
+                if -float(V[o] @ vc) < d:  # c closer to o than to base
+                    ok = False
+                    break
+            if ok:
+                out.append(c)
+        if len(out) < m:  # backfill with the nearest skipped ones
+            chosen = set(out)
+            for d, c in sorted(cand):
+                if len(out) >= m:
+                    break
+                if c not in chosen:
+                    out.append(c)
+        return out
+
+    def add(self, vid: int, vec: np.ndarray) -> None:
+        v = np.asarray(vec, np.float64)
+        n = np.linalg.norm(v)
+        v = v / n if n > 0 else v
+        node = self.n
+        level = int(-np.log(max(self.rng.random(), 1e-12)) * self.ml)
+        if node == len(self._buf):
+            grown = np.empty((2 * len(self._buf), self.dim), np.float64)
+            grown[:node] = self._buf
+            self._buf = grown
+        self._buf[node] = v
+        self.n = node + 1
+        self.ids.append(int(vid))
+        self.levels.append(level)
+        self.links.append([[] for _ in range(level + 1)])
+        if self.entry < 0:
+            self.entry = node
+            self.max_level = level
+            return
+        ep = [self.entry]
+        # greedy descent above the insertion level
+        for ly in range(self.max_level, level, -1):
+            ep = [self._search_layer(v, ep, 1, ly)[0][1]]
+        # connect at each layer from min(level, max_level) down to 0
+        for ly in range(min(level, self.max_level), -1, -1):
+            found = self._search_layer(v, ep, self.efc, ly)
+            cap = self.maxM0 if ly == 0 else self.M
+            neigh = self._select_heuristic(found, self.M)
+            self.links[node][ly] = neigh
+            for nb in neigh:
+                ls = self.links[nb][ly]
+                ls.append(node)
+                if len(ls) > cap:
+                    W = self._V[ls] @ self._V[nb]
+                    self.links[nb][ly] = self._select_heuristic(
+                        [(-float(w), l) for w, l in zip(W, ls)], cap
+                    )
+            ep = [nn for _, nn in found]
+        if level > self.max_level:
+            self.max_level = level
+            self.entry = node
+
+    def search(self, q: np.ndarray, k: int, ef: int = 64):
+        """-> [(similarity, vid)] best-first, ties broken by vid."""
+        if self.entry < 0:
+            return []
+        qq = np.asarray(q, np.float64)
+        n = np.linalg.norm(qq)
+        qq = qq / n if n > 0 else qq
+        ep = [self.entry]
+        for ly in range(self.max_level, 0, -1):
+            ep = [self._search_layer(qq, ep, 1, ly)[0][1]]
+        found = self._search_layer(qq, ep, max(ef, k), 0)
+        out = [(-d, self.ids[nn]) for d, nn in found]
+        out.sort(key=lambda t: (-t[0], t[1]))
+        return out[:k]
+
+
+def ann_hnsw_topk(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 10,
+    shards: int = 8,
+    M: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    seed: int = 7,
+):
+    """Sharded-HNSW ANN: hash-partition vectors into ``shards`` groups,
+    build an in-memory HNSW graph per shard (seeded per shard —
+    deterministic), fan the broadcast query matrix out to every shard,
+    merge per-shard top-k through the same bounded partial reduce as the
+    other ANN plans.  Returns (query_id, rank, vec_id).
+
+    100-TB shape: shard count scales with the corpus (each graph holds
+    N/shards vectors in one task's heap — the standard sharded-HNSW
+    serving layout); queries ride the object store once via ray.put;
+    the exchange is ONE coarse hash groupby of (vec_id, embedding) and
+    the output is partials of k x |queries| rows per shard.  Recall vs
+    the exact plan is pinned in tests/test_ann_hnsw.py.
+    """
+    import ray
+
+    qset = set(int(q) for q in query_ids)
+
+    def grab_queries(t: pa.Table) -> pa.Table:
+        keep = [i for i, v in enumerate(t.column("vec_id").to_pylist()) if v in qset]
+        return t.take(pa.array(keep, pa.int64()))
+
+    q_tab = embeddings_ds.map_batches(grab_queries, batch_format="pyarrow").to_pandas()
+    q_tab = q_tab.sort_values("vec_id")
+    Q = np.array(q_tab["embedding"].tolist(), dtype=np.float64)
+    q_ids = q_tab["vec_id"].to_numpy()
+    q_ref = ray.put((q_ids, Q))
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        return t.append_column(
+            "shard", pa.array((vids % shards).astype(np.int64), pa.int64())
+        )
+
+    def build_and_search(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        shard = int(t.column("shard")[0].as_py())
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        V = _to_matrix(t.column("embedding"))
+        order = np.argsort(vids)  # deterministic insertion order
+        vids, V = vids[order], V[order]
+        g = _HNSW(V.shape[1], M=M, ef_construction=ef_construction,
+                  seed=seed * 1009 + shard)
+        for vid, vec in zip(vids, V):
+            g.add(int(vid), vec)
+        q_ids_, Q_ = ray.get(q_ref)
+        out_q, out_v, out_s = [], [], []
+        for qi, qvec in zip(q_ids_, Q_):
+            for sim, vid in g.search(qvec, k + 1, ef=ef_search):
+                if vid == qi:
+                    continue  # self-match excluded, same as ann_topk
+                out_q.append(int(qi))
+                out_v.append(int(vid))
+                out_s.append(float(sim))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        embeddings_ds.map_batches(to_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_and_search, batch_format="pyarrow")
+    )
+    return _reduce_partials(partials, k)
