@@ -855,6 +855,39 @@ def _pdf_ingest(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def _docx_ingest(sf_dir: str):
+    """Office-document ingest next to S8's PDF: one minimal DOCX per doc
+    synthesized from `text` (multi-run splitting on even ids), unzipped
+    and XML-parsed back with the real extractor (functions/docx.py) —
+    the oracle predicts length/md5 straight from `text`, so the whole
+    build-zip-parse-extract round-trip is SQL-checked.  Stateless
+    per-doc map, no shuffle."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from grawler_ray.functions.docx import build_docx, extract_docx_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        lens, md5s = [], []
+        for i, txt in zip(ids, texts):
+            data = build_docx(txt or "", split_runs=i % 2 == 0)
+            got = extract_docx_text(data)
+            lens.append(len(got))
+            md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars_docx": pa.array(lens, pa.int64()),
+                "docx_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def _token_budget_cap(sf_dir: str):
     """Per-source TOKEN budget (running n_chars sum <= 3000 in doc_id
     order) — mixtures are specified in tokens, not rows."""
@@ -4122,6 +4155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_codecs": _audio_codecs,
         "media_triage": _media_triage,
         "media_prep": _media_prep,
+        # appended post-rotation (r5 session 2): new entries go AFTER the
+        # driver's first-50 window so the rotated window stays intact
+        "docx_ingest": _docx_ingest,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
@@ -5820,6 +5856,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_pdf,
                    md5(text) AS pdf_md5
+            FROM documents
+        """,
+        # DOCX build-zip-parse-extract round-trip must reproduce `text`
+        # byte-for-byte (functions/docx.py)
+        "docx_ingest": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_docx,
+                   md5(text) AS docx_md5
             FROM documents
         """,
         # RFC 9309 truth table of the 8 robots-matcher corners the Ray
