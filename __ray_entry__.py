@@ -888,6 +888,38 @@ def _docx_ingest(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def _odt_ingest(sf_dir: str):
+    """OpenDocument ingest (functions/odt.py): one minimal ODT per doc
+    synthesized from `text` (span-wrapped runs on even ids; space runs
+    encoded via text:s per the ODF writer convention), unzipped and
+    XML-parsed back with the real extractor — the oracle predicts
+    length/md5 straight from `text`.  Stateless per-doc map."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from grawler_ray.functions.odt import build_odt, extract_odt_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        lens, md5s = [], []
+        for i, txt in zip(ids, texts):
+            data = build_odt(txt or "", use_spans=i % 2 == 0)
+            got = extract_odt_text(data)
+            lens.append(len(got))
+            md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars_odt": pa.array(lens, pa.int64()),
+                "odt_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def _token_budget_cap(sf_dir: str):
     """Per-source TOKEN budget (running n_chars sum <= 3000 in doc_id
     order) — mixtures are specified in tokens, not rows."""
@@ -4158,6 +4190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # appended post-rotation (r5 session 2): new entries go AFTER the
         # driver's first-50 window so the rotated window stays intact
         "docx_ingest": _docx_ingest,
+        "odt_ingest": _odt_ingest,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
@@ -5864,6 +5897,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_docx,
                    md5(text) AS docx_md5
+            FROM documents
+        """,
+        # same contract for ODT (functions/odt.py)
+        "odt_ingest": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_odt,
+                   md5(text) AS odt_md5
             FROM documents
         """,
         # RFC 9309 truth table of the 8 robots-matcher corners the Ray

@@ -168,7 +168,7 @@ def run_subqueries() -> dict[str, float]:
         "png_meta", "png_resize", "jpeg_meta", "jpeg_resize",
         "gif_meta", "gif_frames", "wav_features", "skyline_range",
         "avi_meta", "avi_frames", "audio_codecs", "media_triage",
-        "ann_hnsw_topk", "docx_ingest",
+        "ann_hnsw_topk", "docx_ingest", "odt_ingest",
     ]
     import ray.data
 
