@@ -3145,6 +3145,52 @@ def _ann_ivf_update_topk(sf_dir: str):
 _IVF_UPD_CACHE: dict[str, str] = {}
 
 
+def _ann_hnsw_update_topk(sf_dir: str):
+    """Persisted sharded-HNSW with continuous ingest: build shard graphs
+    from vec_id < 80% once, APPEND the rest in place (HNSW insertion is
+    natively incremental; write-then-swap per shard), query — appended
+    vectors must be reachable and recall vs the exact full-corpus plan
+    holds (pinned in tests/test_ann_hnsw.py).  Rows-only."""
+    import pyarrow.compute as pc
+
+    from grawler_ray.functions.similarity import (
+        ann_hnsw_indexed_topk,
+        build_hnsw_index,
+        update_hnsw_index,
+    )
+
+    emb = _read(sf_dir, "embeddings")
+    idx_dir = _HNSW_UPD_CACHE.get(sf_dir)
+    if idx_dir is None:
+        n = emb.count()
+        cut = int(n * 0.8)
+        idx_dir = f"/tmp/grawler_hnsw_upd_{abs(hash(sf_dir))}"
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        build_hnsw_index(
+            emb.map_batches(
+                lambda t: t.filter(pc.less(t.column("vec_id"), cut)),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+            shards=4,
+        )
+        update_hnsw_index(
+            emb.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("vec_id"), cut)),
+                batch_format="pyarrow",
+            ),
+            idx_dir,
+        )
+        _HNSW_UPD_CACHE[sf_dir] = idx_dir
+    q_ids, Q = _ann_query_matrix(sf_dir)
+    return ann_hnsw_indexed_topk(idx_dir, q_ids, Q, k=10)
+
+
+_HNSW_UPD_CACHE: dict[str, str] = {}
+
+
 def _ann_indexed_topk(sf_dir: str):
     """Bucket-partitioned ANN (the 100-TB path): build the bucket=...
     partitioned index once per process, then answer probes reading ONLY the
@@ -4191,6 +4237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver's first-50 window so the rotated window stays intact
         "docx_ingest": _docx_ingest,
         "odt_ingest": _odt_ingest,
+        "ann_hnsw_update_topk": _ann_hnsw_update_topk,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

@@ -1460,3 +1460,195 @@ def ann_hnsw_topk(
         .map_groups(build_and_search, batch_format="pyarrow")
     )
     return _reduce_partials(partials, k)
+
+
+def _hnsw_to_arrays(g: _HNSW) -> dict:
+    """Graph -> flat numpy arrays (npz-serializable): adjacency is a
+    ragged [node][layer] structure, stored as per-list lengths + one
+    flat neighbor stream in (node, layer) order."""
+    lens, flat = [], []
+    for node in range(g.n):
+        for ls in g.links[node]:
+            lens.append(len(ls))
+            flat.extend(ls)
+    return {
+        "vecs": g._V.copy(),
+        "ids": np.asarray(g.ids, np.int64),
+        "levels": np.asarray(g.levels, np.int32),
+        "list_lens": np.asarray(lens, np.int32),
+        "flat_links": np.asarray(flat, np.int32),
+        "entry": np.asarray([g.entry, g.max_level], np.int64),
+        "params": np.asarray([g.dim, g.M, g.efc], np.int64),
+    }
+
+
+def _hnsw_from_arrays(a: dict, seed: int) -> _HNSW:
+    dim, M, efc = (int(x) for x in a["params"])
+    g = _HNSW(dim, M=M, ef_construction=efc, seed=seed)
+    vecs = np.asarray(a["vecs"], np.float64)
+    n = len(vecs)
+    g._buf = vecs.copy()
+    g.n = n
+    g.ids = [int(x) for x in a["ids"]]
+    g.levels = [int(x) for x in a["levels"]]
+    g.entry, g.max_level = (int(x) for x in a["entry"])
+    lens = a["list_lens"]
+    flat = a["flat_links"]
+    links = []
+    li = fi = 0
+    for node in range(n):
+        per_layer = []
+        for _ in range(g.levels[node] + 1):
+            ln = int(lens[li])
+            li += 1
+            per_layer.append([int(x) for x in flat[fi : fi + ln]])
+            fi += ln
+        links.append(per_layer)
+    g.links = links
+    return g
+
+
+def build_hnsw_index(
+    embeddings_ds,
+    index_dir: str,
+    shards: int = 4,
+    M: int = 8,
+    ef_construction: int = 64,
+    seed: int = 7,
+) -> dict:
+    """Persist a sharded HNSW index: one graph per vec_id-hash shard,
+    serialized to ``shard=k.npz`` under ``index_dir`` + ``meta.json``.
+    The build is ONE coarse groupby; each graph is one task's heap
+    (shard count scales with the corpus, same layout contract as
+    ``ann_hnsw_topk``)."""
+    os.makedirs(index_dir, exist_ok=True)
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        return t.append_column(
+            "shard", pa.array((vids % shards).astype(np.int64), pa.int64())
+        )
+
+    def build_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        shard = int(t.column("shard")[0].as_py())
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        V = _to_matrix(t.column("embedding"))
+        order = np.argsort(vids)
+        vids, V = vids[order], V[order]
+        g = _HNSW(V.shape[1], M=M, ef_construction=ef_construction,
+                  seed=seed * 1009 + shard)
+        for vid, vec in zip(vids, V):
+            g.add(int(vid), vec)
+        np.savez(os.path.join(index_dir, f"shard={shard}.npz"), **_hnsw_to_arrays(g))
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "rows": pa.array([g.n], pa.int64())})
+
+    built = (
+        embeddings_ds.map_batches(to_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "shards": shards, "M": M, "ef_construction": ef_construction,
+        "seed": seed, "rows": int(built["rows"].sum()),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def update_hnsw_index(new_embeddings_ds, index_dir: str) -> dict:
+    """Append new vectors IN PLACE: HNSW insertion is natively
+    incremental, so each shard graph loads, inserts its share (same
+    vec_id-hash routing) and rewrites via write-then-swap — read and
+    write cost ∝ touched shards, queries see old-or-new, never half."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    shards, seed = meta["shards"], meta["seed"]
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        return t.append_column(
+            "shard", pa.array((vids % shards).astype(np.int64), pa.int64())
+        )
+
+    def append_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "added": pa.array([], pa.int64())})
+        shard = int(t.column("shard")[0].as_py())
+        vids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        V = _to_matrix(t.column("embedding"))
+        order = np.argsort(vids)
+        vids, V = vids[order], V[order]
+        path = os.path.join(index_dir, f"shard={shard}.npz")
+        with np.load(path) as z:
+            g = _hnsw_from_arrays(dict(z), seed=seed * 1009 + shard)
+        for vid, vec in zip(vids, V):
+            g.add(int(vid), vec)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **_hnsw_to_arrays(g))
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "added": pa.array([len(vids)], pa.int64())})
+
+    added = (
+        new_embeddings_ds.map_batches(to_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(append_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta["rows"] += int(added["added"].sum())
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_hnsw_indexed_topk(index_dir: str, query_ids, Q: np.ndarray, k: int = 10,
+                          ef_search: int = 64):
+    """Query the persisted sharded-HNSW index: one task per shard loads
+    its graph and answers the broadcast query matrix; partials merge
+    through the shared bounded reduce.  Read volume ∝ index size /
+    shard-parallelism, zero corpus scan."""
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q_ref = ray.put((np.asarray(query_ids, np.int64), np.asarray(Q, np.float64)))
+    seed = meta["seed"]
+
+    def search_shard(t: pa.Table) -> pa.Table:
+        out_q, out_v, out_s = [], [], []
+        q_ids_, Q_ = ray.get(q_ref)
+        for shard in t.column("shard").to_pylist():
+            path = os.path.join(index_dir, f"shard={shard}.npz")
+            if not os.path.exists(path):
+                continue
+            with np.load(path) as z:
+                g = _hnsw_from_arrays(dict(z), seed=seed * 1009 + shard)
+            for qi, qvec in zip(q_ids_, Q_):
+                for sim, vid in g.search(qvec, k + 1, ef=ef_search):
+                    if vid == int(qi):
+                        continue
+                    out_q.append(int(qi))
+                    out_v.append(int(vid))
+                    out_s.append(float(sim))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    shards_ds = ray.data.from_items(
+        [{"shard": s} for s in range(meta["shards"])]
+    ).repartition(meta["shards"])
+    return _reduce_partials(
+        shards_ds.map_batches(search_shard, batch_format="pyarrow"), k
+    )

@@ -150,3 +150,69 @@ class TestShardedOperator:
         serial = [v for _, v in g.search(np.array(items[3]["embedding"]), 11, ef=64)]
         serial = [v for v in serial if v != 3][:10]
         assert list(out.sort_values("rank")["vec_id"]) == serial
+
+
+class TestPersistedIndex:
+    DIR = "/tmp/gr_hnsw_index"
+
+    def test_build_query_update_cycle(self, ray_session):
+        import os
+        import shutil
+
+        import ray.data
+
+        from grawler_ray.functions.similarity import (
+            ann_hnsw_indexed_topk,
+            ann_topk,
+            build_hnsw_index,
+            update_hnsw_index,
+        )
+
+        items = _clustered(n=400)
+        old = [it for it in items if it["vec_id"] < 320]
+        new = [it for it in items if it["vec_id"] >= 320]
+        shutil.rmtree(self.DIR, ignore_errors=True)
+        meta = build_hnsw_index(ray.data.from_items(old), self.DIR, shards=4)
+        assert meta["rows"] == 320
+        assert sorted(os.listdir(self.DIR)) == [
+            "meta.json", "shard=0.npz", "shard=1.npz", "shard=2.npz", "shard=3.npz"
+        ]
+
+        qids = [0, 1, 2]
+        Q = np.array([items[q]["embedding"] for q in qids])
+        exact = ann_topk(ray.data.from_items(old), qids, k=10).to_pandas()
+        got = ann_hnsw_indexed_topk(self.DIR, qids, Q, k=10).to_pandas()
+        ex = set(map(tuple, exact[["query_id", "vec_id"]].values))
+        ap = set(map(tuple, got[["query_id", "vec_id"]].values))
+        assert len(ex & ap) / len(ex) >= 0.9
+
+        meta2 = update_hnsw_index(ray.data.from_items(new), self.DIR)
+        assert meta2["rows"] == 400
+        assert not any(f.endswith(".tmp.npz") for f in os.listdir(self.DIR))
+
+        # post-append: results now equal the full-corpus exact plan
+        exact_full = ann_topk(ray.data.from_items(items), qids, k=10).to_pandas()
+        got2 = ann_hnsw_indexed_topk(self.DIR, qids, Q, k=10).to_pandas()
+        exf = set(map(tuple, exact_full[["query_id", "vec_id"]].values))
+        ap2 = set(map(tuple, got2[["query_id", "vec_id"]].values))
+        assert len(exf & ap2) / len(exf) >= 0.9
+        # appended ids are genuinely reachable
+        assert any(v >= 320 for _, v in ap2)
+
+    def test_serialization_roundtrip_exact(self):
+        from grawler_ray.functions.similarity import (
+            _hnsw_from_arrays,
+            _hnsw_to_arrays,
+        )
+
+        items = _clustered(n=150)
+        g = _build(items, seed=3)
+        g2 = _hnsw_from_arrays(
+            {k: np.asarray(v) for k, v in _hnsw_to_arrays(g).items()}, seed=3
+        )
+        assert g2.links == g.links and g2.ids == g.ids
+        q = np.array(items[5]["embedding"])
+        assert g.search(q, 10) == g2.search(q, 10)
+        # the revived graph keeps accepting inserts
+        g2.add(9999, np.ones(32))
+        assert 9999 in [v for _, v in g2.search(np.ones(32), 3)]
