@@ -920,6 +920,38 @@ def _odt_ingest(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def _rtf_ingest(sf_dir: str):
+    """RTF ingest (functions/rtf.py): one minimal RTF per doc
+    synthesized from `text` (\\uc0 escaping on ids % 3 == 0, \\uc2
+    double-fallback on even ids), parsed back with the real extractor —
+    the oracle predicts length/md5 straight from `text`.  Stateless
+    per-doc map."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from grawler_ray.functions.rtf import build_rtf, extract_rtf_text
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        lens, md5s = [], []
+        for i, txt in zip(ids, texts):
+            uc = 0 if i % 3 == 0 else (2 if i % 2 == 0 else 1)
+            got = extract_rtf_text(build_rtf(txt or "", uc=uc))
+            lens.append(len(got))
+            md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars_rtf": pa.array(lens, pa.int64()),
+                "rtf_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def _token_budget_cap(sf_dir: str):
     """Per-source TOKEN budget (running n_chars sum <= 3000 in doc_id
     order) — mixtures are specified in tokens, not rows."""
@@ -4238,6 +4270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_ingest": _docx_ingest,
         "odt_ingest": _odt_ingest,
         "ann_hnsw_update_topk": _ann_hnsw_update_topk,
+        "rtf_ingest": _rtf_ingest,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
@@ -5951,6 +5984,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars_odt,
                    md5(text) AS odt_md5
+            FROM documents
+        """,
+        # and for RTF (functions/rtf.py)
+        "rtf_ingest": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars_rtf,
+                   md5(text) AS rtf_md5
             FROM documents
         """,
         # RFC 9309 truth table of the 8 robots-matcher corners the Ray
