@@ -3809,6 +3809,62 @@ _JSONL_CACHE: dict[str, str] = {}
 _CSV_CACHE: dict[str, str] = {}
 
 
+_XLSX_CACHE: dict[str, str] = {}
+
+
+def _xlsx_fixture(sf_dir: str) -> str:
+    """Deterministic XLSX workbook shards synthesized from the documents
+    table (shared-strings pool on even shards, inline strings on odd;
+    sparse rows via nulls) — the same differential-oracle trick as
+    [[_csv_fixture]] for the from-scratch sources/xlsx.py reader."""
+    import hashlib
+    import os
+
+    if sf_dir in _XLSX_CACHE:
+        return _XLSX_CACHE[sf_dir]
+    import duckdb
+
+    import pyarrow as pa
+
+    from grawler_ray.sources.xlsx import write_xlsx
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/grawler_xlsx_{tag}"
+    if not os.path.exists(os.path.join(d, "shard-3.xlsx")):
+        os.makedirs(d, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT doc_id, lang, source, length(text) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        shards: list[list] = [[] for _ in range(4)]
+        for r in rows:
+            shards[r[0] % 4].append(r)
+        for i, rs in enumerate(shards):
+            t = pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rs], pa.int64()),
+                    "lang": pa.array([r[1] for r in rs], pa.string()),
+                    "source": pa.array([r[2] for r in rs], pa.string()),
+                    "n_chars_xlsx": pa.array([r[3] for r in rs], pa.int64()),
+                }
+            )
+            with open(os.path.join(d, f"shard-{i}.xlsx"), "wb") as f:
+                f.write(write_xlsx(t, shared_strings=i % 2 == 0))
+    _XLSX_CACHE[sf_dir] = d
+    return d
+
+
+def _xlsx_ingest(sf_dir: str):
+    """From-scratch XLSX reader (sources/xlsx.py: zip + SpreadsheetML
+    cell walk, shared AND inline strings, sparse rows) over synthesized
+    workbook shards; the SQL oracle predicts every column from
+    `documents` directly."""
+    from grawler_ray.sources.xlsx import read_xlsx_files
+
+    d = _xlsx_fixture(sf_dir)
+    return read_xlsx_files([f"{d}/shard-{i}.xlsx" for i in range(4)])
+
+
 def _csv_fixture(sf_dir: str) -> str:
     """Deterministic quoted-CSV shards synthesized from the documents
     table (QUOTE_ALL, embedded newlines kept inside quotes) — the same
@@ -4271,6 +4327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "odt_ingest": _odt_ingest,
         "ann_hnsw_update_topk": _ann_hnsw_update_topk,
         "rtf_ingest": _rtf_ingest,
+        "xlsx_ingest": _xlsx_ingest,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
@@ -6120,6 +6177,12 @@ def oracle_sql() -> dict[str, str]:
         # from documents (quoting/newlines are what's being checked)
         "csv_ingest": """
             SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_csv
+            FROM documents
+        """,
+        # XLSX write-zip-parse loop (sources/xlsx.py) must reproduce the
+        # source columns exactly
+        "xlsx_ingest": """
+            SELECT doc_id, lang, source, length(text)::BIGINT AS n_chars_xlsx
             FROM documents
         """,
         # per-doc Flesch ingredients (both engines run RE2-class ASCII
