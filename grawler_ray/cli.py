@@ -68,6 +68,7 @@ def _cmd_gen_corpus(a: argparse.Namespace) -> dict:
         seed=a.seed,
         num_buckets=a.buckets,
         use_ray=a.hosts * a.pages >= 50_000,
+        office_mix=a.office_mix,
     )
     out = {
         "out": a.out,
@@ -143,6 +144,7 @@ def _cmd_crawl(a: argparse.Namespace) -> dict:
         num_fetch_buckets=a.fetch_buckets,
         write_trace=not a.no_trace,
         respect_nofollow=a.respect_nofollow,
+        extended_doc_types=a.extended_types,
     )
     return run_crawl(
         a.corpus,
@@ -456,6 +458,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--buckets", type=int, default=32)
     g.add_argument("--robots-cache", default=None, help="also write a robots cache parquet here")
+    g.add_argument("--office-mix", action="store_true",
+                   help="include real DOCX/ODT/RTF bodies in the corpus")
     g.set_defaults(fn=_cmd_gen_corpus, needs_ray=True)
 
     c = sub.add_parser("crawl", help="run the frontier crawl")
@@ -486,6 +490,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--no-trace", action="store_true")
     c.add_argument("--respect-nofollow", action="store_true",
                    help="honor meta-robots noindex/nofollow and rel=nofollow")
+    c.add_argument("--extended-types", action="store_true",
+                   help="also ingest pdf/docx/odt/rtf documents (text "
+                        "extracted inline, no link channel)")
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=_cmd_crawl, needs_ray=True)
 

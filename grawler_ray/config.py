@@ -27,6 +27,14 @@ class CrawlConfig:
     blocked_hosts: tuple[str, ...] = ()
     blocked_paths: tuple[str, ...] = ("/robots.txt",)
     allowed_content_types: tuple[str, ...] = ("text/html", "text/plain")
+    # False = reference parity (documentAllowed admits only the two types
+    # above; pdf/office rows trace "type-drop", src/crawler.go:274-282).
+    # True = the crawl also ingests application/pdf and the office formats
+    # the engine carries extractors for (DOCX/ODT/RTF) — text extracted via
+    # the same parsers the *_ingest queries gate, no child links, words and
+    # meta defaults over the extracted text.  Mirrored in oracle.py via the
+    # shared parse_page, so full-trace equality holds in this mode too.
+    extended_doc_types: bool = False
     per_host_quota: int = 4          # round-based politeness budget (T2)
     robots_ttl_days: int = 45        # ~1 month + 15 days (src/crawler.go:230)
     now_us: int = 1_722_988_800_000_000  # "wall clock" for TTL checks: 2024-08-07 UTC, the reference snapshot date (no real wall clock in the engine)
@@ -105,3 +113,21 @@ class CrawlConfig:
     out_dir: str = "/tmp/grawler_out"
 
     extra: dict = field(default_factory=dict)
+
+    # the extended-mode MIME set (the formats functions/{pdf,docx,odt,rtf}
+    # carry real extractors for)
+    EXTENDED_TYPES = (
+        "application/pdf",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "application/vnd.oasis.opendocument.text",
+        "application/rtf",
+        "text/rtf",
+    )
+
+    @property
+    def effective_content_types(self) -> tuple[str, ...]:
+        """documentAllowed's admit set: the parity pair, plus the
+        extractor-backed formats under ``extended_doc_types``."""
+        if self.extended_doc_types:
+            return self.allowed_content_types + self.EXTENDED_TYPES
+        return self.allowed_content_types

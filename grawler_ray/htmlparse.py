@@ -676,5 +676,61 @@ def parse_page(
             "words": words,
             "noindex": False,  # no HTML meta channel in plain text
         }
+    elif content_type in _OFFICE_EXTRACTORS or content_type == "application/pdf":
+        # extended_doc_types mode (config.py): the same extractors the
+        # *_ingest queries gate, run inline.  Malformed payloads extract
+        # as empty text (web corpora demand it) — deterministic, so the
+        # serial oracle reproduces it through this same function.
+        text = extract_office_text(body, content_type)
+        content = process_text(text)
+        content_bytes = content.encode("utf-8")
+        meta = {"icon_link": "", "title": "", "description": "", "site_name": ""}
+        meta = _fill_meta(meta, content_bytes, host, base_url)
+        words = words_freq(content)
+        return {
+            "content": content,
+            "meta_icon_link": meta["icon_link"],
+            "meta_site_name": meta["site_name"],
+            "meta_title": meta["title"],
+            "meta_description": meta["description"],
+            "child_urls": [],  # no link channel in document formats
+            "words": words,
+            "noindex": False,
+        }
     else:  # unreachable behind documentAllowed (src/crawler.go:274-282)
         raise ValueError(f"content type not parseable: {content_type}")
+
+
+_OFFICE_EXTRACTORS = (
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "application/vnd.oasis.opendocument.text",
+    "application/rtf",
+    "text/rtf",
+)
+
+
+def extract_office_text(body: bytes, content_type: str) -> str:
+    """Document-format text extraction for the extended crawl mode:
+    route by MIME to the pure-stdlib parsers; a typed parser error
+    yields "" (the page still traces "fetched" with empty content —
+    a crawl survives corrupt documents)."""
+    try:
+        if content_type == "application/pdf":
+            from .functions.pdf import read_pdf_from_bytes
+
+            return read_pdf_from_bytes(body)
+        if content_type.endswith("wordprocessingml.document"):
+            from .functions.docx import extract_docx_text
+
+            return extract_docx_text(body)
+        if content_type == "application/vnd.oasis.opendocument.text":
+            from .functions.odt import extract_odt_text
+
+            return extract_odt_text(body)
+        if content_type in ("application/rtf", "text/rtf"):
+            from .functions.rtf import extract_rtf_text
+
+            return extract_rtf_text(body)
+    except ValueError:
+        return ""  # every codec error type subclasses ValueError
+    raise ValueError(f"no extractor for {content_type}")

@@ -197,7 +197,7 @@ def run_oracle(
             # 7. content-type normalization (crawler.go:257)
             ctype = row["content_type"].lower().split(";")[0]
             # 8. documentAllowed (crawler.go:274-282)
-            if ctype not in cfg.allowed_content_types:
+            if ctype not in cfg.effective_content_types:
                 trace(seq, url, parent, "type-drop")
                 continue
             # 9. parse (crawler.go:172)

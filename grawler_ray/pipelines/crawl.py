@@ -469,7 +469,7 @@ class ParsePages:
         w_vals: list[str] = []
         f_vals: list[int] = []
 
-        allowed = self.cfg.allowed_content_types
+        allowed = self.cfg.effective_content_types
         for i in range(n):
             # fetch error: missing row or status > 399 (utils.go:40-42)
             if not founds[i] or scs[i] > 399:

@@ -59,6 +59,11 @@ _WORDS = (
 ).split()
 
 
+DOCX_CT = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+ODT_CT = "application/vnd.oasis.opendocument.text"
+RTF_CT = "application/rtf"
+
+
 def host_name(host_idx: int) -> str:
     return f"site{host_idx}.test"
 
@@ -75,8 +80,18 @@ def _sentence(r: random.Random, n: int) -> str:
     return " ".join(r.choice(_WORDS) for _ in range(n))
 
 
-def page_spec(seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_per_host: int) -> dict:
-    """Everything about one page, derived deterministically."""
+def page_spec(
+    seed: int,
+    host_idx: int,
+    page_idx: int,
+    n_hosts: int,
+    pages_per_host: int,
+    office_mix: bool = False,
+) -> dict:
+    """Everything about one page, derived deterministically.
+    ``office_mix=True`` diverts some of the html share to real
+    DOCX/ODT/RTF bodies (and keeps PDF) for the extended-doc-types
+    crawl mode; default False leaves every existing corpus byte-stable."""
     r = _rng(seed, host_idx, page_idx)
     url = page_url(host_idx, page_idx)
 
@@ -91,7 +106,9 @@ def page_spec(seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_per_h
 
     # content type mix: mostly html, some plain, a few pdf (type-drop)
     roll = r.random()
-    if roll < 0.90:
+    if office_mix and roll >= 0.80 and roll < 0.90:
+        ctype = (DOCX_CT, ODT_CT, RTF_CT)[int(roll * 100) % 3]
+    elif roll < 0.90:
         ctype = "text/html"
     elif roll < 0.97:
         ctype = "text/plain"
@@ -147,6 +164,30 @@ def page_body(seed: int, spec: dict) -> bytes:
         return body
     if spec["ctype"] == "application/pdf":
         return b"%PDF-1.4 fake " + _sentence(r, 5).encode()
+    if spec["ctype"] == DOCX_CT:
+        from ..functions.docx import build_docx
+
+        return build_docx(
+            f"docx page {pi} of {host_name(hi)}\n"
+            + "\n".join(_sentence(r, 7) for _ in range(r.randint(2, 5))),
+            split_runs=pi % 2 == 0,
+        )
+    if spec["ctype"] == ODT_CT:
+        from ..functions.odt import build_odt
+
+        return build_odt(
+            f"odt page {pi} of {host_name(hi)}\n"
+            + "\n".join(_sentence(r, 7) for _ in range(r.randint(2, 5))),
+            use_spans=pi % 2 == 0,
+        )
+    if spec["ctype"] == RTF_CT:
+        from ..functions.rtf import build_rtf
+
+        return build_rtf(
+            f"rtf page {pi} of {host_name(hi)}\n"
+            + "\n".join(_sentence(r, 7) for _ in range(r.randint(2, 5))),
+            uc=pi % 3,
+        )
 
     anchors = "".join(
         f'<a href="{h}">{_sentence(r, 1)}</a> ' for h in spec["hrefs"]
@@ -189,6 +230,10 @@ def golden_text(body: bytes, ctype: str) -> str:
         from ..textops import go_json_str
 
         return go_json_str(body.replace(b"\n", b"").replace(b"\r", b"").strip(b" "))
+    if ctype in (DOCX_CT, ODT_CT, RTF_CT):
+        from ..htmlparse import extract_office_text
+
+        return process_text(extract_office_text(body, ctype))
     return ""
 
 
@@ -248,12 +293,16 @@ def build_rows(seed: int, specs: list[dict], n_hosts: int) -> pa.Table:
     return t.sort_by("url")
 
 
-def all_specs(seed: int, n_hosts: int, pages_per_host: int) -> list[dict]:
+def all_specs(
+    seed: int, n_hosts: int, pages_per_host: int, office_mix: bool = False
+) -> list[dict]:
     specs = []
     for hi in range(n_hosts):
         specs.append({"url": f"https://{host_name(hi)}/robots.txt", "host_idx": hi, "page_idx": -1})
         for pi in range(pages_per_host):
-            specs.append(page_spec(seed, hi, pi, n_hosts, pages_per_host))
+            specs.append(
+                page_spec(seed, hi, pi, n_hosts, pages_per_host, office_mix=office_mix)
+            )
     return specs
 
 
@@ -264,11 +313,13 @@ def generate_corpus(
     seed: int = 42,
     num_buckets: int = 8,
     use_ray: bool = False,
+    office_mix: bool = False,
 ) -> str:
     """Write the bucketed corpus.  ``use_ray=True`` renders buckets as Ray
-    tasks (bench scale); serial otherwise (unit scale)."""
+    tasks (bench scale); serial otherwise (unit scale).  ``office_mix``
+    adds real DOCX/ODT/RTF bodies for the extended-doc-types crawl."""
     os.makedirs(out_dir, exist_ok=True)
-    specs = all_specs(seed, n_hosts, pages_per_host)
+    specs = all_specs(seed, n_hosts, pages_per_host, office_mix=office_mix)
     buckets: dict[int, list[dict]] = {}
     for s in specs:
         buckets.setdefault(xxhash64(s["url"]) % num_buckets, []).append(s)
