@@ -67,6 +67,69 @@ def _ensure_crawl(tag: str = "entry", n_hosts: int = 6, pages_per_host: int = 12
     return out
 
 
+def _ensure_extended_crawl() -> str:
+    """Office-mix corpus crawled with extended_doc_types=True, once per
+    process (cached like [[_ensure_crawl]])."""
+    tag = "extdocs"
+    if tag in _CRAWL_CACHE:
+        return _CRAWL_CACHE[tag]
+    from grawler_ray.config import CrawlConfig
+    from grawler_ray.pipelines.crawl import run_crawl
+    from grawler_ray.sources.corpus import (
+        generate_corpus,
+        generate_robots_cache,
+        seed_urls,
+    )
+
+    base = f"/tmp/grawler_entry_{tag}"
+    corpus = f"{base}/corpus"
+    out = f"{base}/out"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = CrawlConfig(
+        per_host_quota=3, max_rounds=6, num_fetch_buckets=8, seen_shards=4,
+        out_dir=out, extended_doc_types=True,
+    )
+    generate_corpus(
+        corpus, n_hosts=6, pages_per_host=12, seed=42, num_buckets=8,
+        office_mix=True,
+    )
+    robots = f"{base}/robots.parquet"
+    generate_robots_cache(robots, 42, 6, cfg.now_us)
+    run_crawl(corpus, seed_urls(6, 3), cfg, robots_cache_path=robots)
+    _CRAWL_CACHE[tag] = out
+    return out
+
+
+def _crawl_extended_docs(sf_dir: str):
+    """extended_doc_types crawl over the office-mix corpus: the document
+    sink rows whose content_type is PDF/DOCX/ODT/RTF — text extracted
+    inline by the office parsers during the crawl (config.py
+    extended_doc_types; full-trace oracle equality in
+    tests/test_extended_types.py).  Rows-only; input is the synthetic
+    corpus, not sf_dir."""
+    from grawler_ray.pipelines.crawl import read_documents
+
+    out = _ensure_extended_crawl()
+    docs = read_documents(out)
+
+    def office_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ct = t.column("content_type")
+        mask = pc.or_(
+            pc.or_(
+                pc.match_substring(ct, "wordprocessingml"),
+                pc.match_substring(ct, "opendocument"),
+            ),
+            pc.or_(pc.match_substring(ct, "rtf"), pc.equal(ct, "application/pdf")),
+        )
+        return t.filter(mask).select(
+            ["url", "content_type", "status_code", "content"]
+        )
+
+    return docs.map_batches(office_only, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: frontier-scheduled fetch+extract crawl over the synthetic
     Common-Crawl-style corpus; returns the documents table (byte-identical
@@ -4328,6 +4391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_update_topk": _ann_hnsw_update_topk,
         "rtf_ingest": _rtf_ingest,
         "xlsx_ingest": _xlsx_ingest,
+        "crawl_extended_docs": _crawl_extended_docs,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,
