@@ -146,8 +146,33 @@ class _Huff:
             k += n
             code <<= 1
         self.values = values
+        # 8-bit prefix fast table: lut[peek8] = (value, code_length) for
+        # every code of length <= 8 (covers ~all symbols in practice);
+        # longer codes fall through to the sequential walk
+        self.lut: list[tuple[int, int] | None] = [None] * 256
+        k = 0
+        code = 0
+        for ln in range(1, 9):
+            for _ in range(counts[ln - 1]):
+                base = code << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    self.lut[base | suffix] = (values[k], ln)
+                k += 1
+                code += 1
+            code <<= 1
 
     def decode(self, br: _BitReader) -> int:
+        # fast path: one 8-bit peek + table hit (bit-identical to the
+        # sequential walk; padding past markers is 1-bits, so a peek
+        # never under-runs)
+        if br.nbits < 8:
+            br._fill()
+        hit = self.lut[(br.acc >> (br.nbits - 8)) & 0xFF]
+        if hit is not None:
+            v, ln = hit
+            br.nbits -= ln
+            br.acc &= (1 << br.nbits) - 1
+            return v
         code = br.bits(1)
         ln = 1
         while True:
