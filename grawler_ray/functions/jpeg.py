@@ -55,10 +55,6 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
     return _C.T @ coef @ _C
 
 
-def _fdct2(block: np.ndarray) -> np.ndarray:
-    return _C @ block @ _C.T
-
-
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     stuffing; stops at any real marker (returns it via .marker)."""
@@ -522,23 +518,36 @@ def encode_jpeg(
         pp[:, pw:] = pp[:, pw - 1 : pw]
         padded.append(pp)
 
+    # batched transform: all 8x8 blocks of a plane through ONE
+    # broadcasted C @ B @ C.T + quantize + zigzag (numpy batched matmul
+    # is bit-identical to the per-block product; asserted by the
+    # encoder-equality tests)
+    qz_all = []
+    for ci, (pp, (sh, sv)) in enumerate(zip(padded, samp)):
+        rows, cols = pp.shape[0] // 8, pp.shape[1] // 8
+        blocks = (pp - 128.0).reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+        coef = _C @ blocks @ _C.T
+        qnat = np.round(coef / qtabs[ci].reshape(8, 8)).astype(np.int32)
+        qz_all.append(qnat.reshape(rows, cols, 64)[:, :, _ZIGZAG])
+
     bw = _BitWriter()
     pred = [0] * len(planes)
 
-    def put_block(ci, block):
-        coef = _fdct2(block - 128.0)
-        # tables are kept in NATURAL order here; DQT writes zigzag
-        qnat = np.round(coef / qtabs[ci].reshape(8, 8)).astype(np.int32)
-        zz = qnat.reshape(64)[_ZIGZAG]
+    def put_block(ci, zz):
         dc = int(zz[0])
         diff = dc - pred[ci]
         pred[ci] = dc
-        t = _mag_cat(diff)
+        t = (diff if diff >= 0 else -diff).bit_length()
         code, ln = dc_codes[ci][t]
-        bw.put(code, ln)
         if t:
-            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            # one put per symbol: huffman code and magnitude bits are
+            # MSB-first concatenated, so fusing them is bit-identical
+            bw.put((code << t) | ((diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1)), ln + t)
+        else:
+            bw.put(code, ln)
         run = 0
+        ac = ac_codes[ci]
+        put = bw.put
         nz = np.flatnonzero(zz[1:])
         last = nz[-1] + 1 if len(nz) else 0
         for k in range(1, last + 1):
@@ -547,17 +556,16 @@ def encode_jpeg(
                 run += 1
                 continue
             while run > 15:
-                code, ln = ac_codes[ci][0xF0]
-                bw.put(code, ln)
+                code, ln = ac[0xF0]
+                put(code, ln)
                 run -= 16
-            s = _mag_cat(v)
-            code, ln = ac_codes[ci][(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            s = (v if v >= 0 else -v).bit_length()
+            code, ln = ac[(run << 4) | s]
+            put((code << s) | ((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)), ln + s)
             run = 0
         if last < 63:
-            code, ln = ac_codes[ci][0x00]
-            bw.put(code, ln)
+            code, ln = ac[0x00]
+            put(code, ln)
 
     mcu_count = 0
     rst = 0
@@ -568,12 +576,11 @@ def encode_jpeg(
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0] * len(planes)
-            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for ci, (sh, sv) in enumerate(samp):
+                qz = qz_all[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        put_block(ci, p[y0 : y0 + 8, x0 : x0 + 8])
+                        put_block(ci, qz[my * sv + by, mx * sh + bx])
             mcu_count += 1
     bw.flush()
 
