@@ -214,7 +214,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise WavError(f"truncated/malformed WAV: {e}") from e
 
 
-def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+def _parse_wav(data: bytes) -> tuple[int, int, int, int, int, int | None, bytes]:
+    """-> (tag, ch, rate, bits, align, fact_samples, raw data bytes)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a WAV (bad RIFF/WAVE header)")
     pos = 12
@@ -248,6 +249,11 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     tag, ch, rate, bits, align = fmt
     if ch < 1:
         raise WavError("zero channels")
+    return tag, ch, rate, bits, align, fact_samples, raw
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    tag, ch, rate, bits, align, fact_samples, raw = _parse_wav(data)
     if tag == 0x11:  # IMA/DVI ADPCM — block-structured 4-bit
         if bits != 4:
             raise WavError(f"IMA ADPCM with bit depth {bits}")
@@ -389,6 +395,47 @@ def wav_meta(data: bytes) -> tuple[int, int, int, int]:
     else:
         n = data_size // max(1, ch * bits // 8)
     return rate, ch, bits, n
+
+
+def decode_wav_batch(payloads: list[bytes]) -> list[tuple[np.ndarray, int] | None]:
+    """Decode MANY WAVs at once: PCM/float/G.711 decode per payload
+    (already single vector ops); IMA ADPCM payloads GROUP by
+    (channels, block_align) and run ONE lockstep ``ima_decode_blocks``
+    over their concatenated block streams — blocks are independent and
+    none straddles a payload, so the result is bit-identical to
+    per-payload decode while the sequential nibble loop's vector width
+    becomes the whole batch's block count.  Malformed payloads yield
+    None (web corpora demand it)."""
+    out: list[tuple[np.ndarray, int] | None] = [None] * len(payloads)
+    ima: dict[tuple[int, int], list[tuple[int, int, int, int | None, bytes]]] = {}
+    for i, p in enumerate(payloads):
+        try:
+            tag, ch, rate, bits, align, fact, raw = _parse_wav(p or b"")
+            if tag == 0x11:
+                if bits != 4:
+                    raise WavError(f"IMA ADPCM with bit depth {bits}")
+                nb = len(raw) // align
+                if nb == 0:
+                    raise WavError("no complete ADPCM block")
+                ima.setdefault((ch, align), []).append(
+                    (i, rate, nb, fact, raw[: nb * align])
+                )
+            else:
+                out[i] = _decode_wav(p or b"")
+        except WavError:
+            out[i] = None
+    for (ch, align), group in ima.items():
+        cat = b"".join(raw for _, _, _, _, raw in group)
+        s16 = ima_decode_blocks(cat, ch, align)
+        spb = ima_samples_per_block(align, ch)
+        off = 0
+        for i, rate, nb, fact, _raw in group:
+            part = s16[off : off + nb * spb]
+            off += nb * spb
+            if fact is not None:
+                part = part[:fact]
+            out[i] = (part.astype(np.float64) / 32768.0, rate)
+    return out
 
 
 _TAG_NAMES = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 0x11: "ima_adpcm"}

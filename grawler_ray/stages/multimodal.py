@@ -622,13 +622,65 @@ def synth_mixed_wav(doc_id: int) -> bytes:
 
 
 def to_mixed_wav_payload_batch(t: pa.Table) -> pa.Table:
+    """Batch synth: the IMA ADPCM quarter of the docs encodes in ONE
+    lockstep ``ima_encode_blocks`` call (each doc padded to a whole
+    number of blocks first, so no block straddles a doc — bit-identical
+    to per-doc encode_wav_compressed); the other codecs are single
+    vector ops per doc already."""
+    import struct
+
+    from ..functions.wav import (
+        encode_wav_compressed,
+        ima_encode_blocks,
+        ima_samples_per_block,
+    )
+
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    payloads: list[bytes | None] = [None] * len(ids)
+    adpcm: list[tuple[int, np.ndarray]] = []
+    for j, doc_id in enumerate(ids):
+        if doc_id % 4 == 3:
+            rate = 8000
+            freq = 100 + (doc_id * 37) % 800
+            amp = 0.2 + (doc_id % 5) / 10.0
+            n = rate // 4 + (doc_id % 7) * 100
+            tt = np.arange(n) / rate
+            adpcm.append((j, amp * np.sin(2 * np.pi * freq * tt)))
+        else:
+            payloads[j] = synth_mixed_wav(doc_id)
+    if adpcm:
+        align = 256
+        spb = ima_samples_per_block(align, 1)
+        padded, counts, lens = [], [], []
+        for _, x in adpcm:
+            s16 = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+            nb = (len(s16) + spb - 1) // spb
+            pad = nb * spb - len(s16)
+            if pad:
+                s16 = np.concatenate([s16, np.repeat(s16[-1:], pad)])
+            padded.append(s16)
+            counts.append(nb)
+            lens.append(len(x))
+        blob = ima_encode_blocks(np.concatenate(padded), align)
+        off = 0
+        for (j, _x), nb, n in zip(adpcm, counts, lens):
+            data = blob[off : off + nb * align]
+            off += nb * align
+            rate = 8000
+            brate = (rate * align + spb - 1) // spb
+            fmt = struct.pack("<HHIIHH", 0x11, 1, rate, brate, align, 4)
+            fmt += struct.pack("<HH", 2, spb)
+            out = bytearray()
+            out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            out += b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+            out += b"data" + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                out += b"\x00"
+            payloads[j] = b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + bytes(out)
     return pa.table(
         {
             "doc_id": t.column("doc_id"),
-            "payload": pa.array(
-                [synth_mixed_wav(int(i)) for i in t.column("doc_id").to_pylist()],
-                pa.binary(),
-            ),
+            "payload": pa.array(payloads, pa.binary()),
         }
     )
 
@@ -647,11 +699,11 @@ class ExtractAudioFeatures:
         from ..functions.wav import (
             WavError,
             audio_features,
-            decode_wav,
+            decode_wav_batch,
             wav_codec_name,
         )
 
-        self._decode = decode_wav
+        self._decode_batch = decode_wav_batch
         self._features = audio_features
         self._codec = wav_codec_name
         self._err = WavError
@@ -662,24 +714,23 @@ class ExtractAudioFeatures:
             "duration_ms": [], "rms_milli": [], "zcr_milli": [],
             "centroid_mhz": [], "rolloff_mhz": [],
         }
-        for p in t.column("payload").to_pylist():
-            p = p or b""
-            if p.startswith(b"RIFF"):
-                try:
-                    samples, rate = self._decode(p)
-                    f = self._features(samples, rate)
-                    cols["format"].append("wav")
-                    cols["codec"].append(self._codec(p))
-                    cols["sample_rate"].append(rate)
-                    cols["channels"].append(samples.shape[1])
-                    for k in ("duration_ms", "rms_milli", "zcr_milli",
-                              "centroid_mhz", "rolloff_mhz"):
-                        cols[k].append(f[k])
-                    continue
-                except self._err:
-                    fmt = "corrupt"
-            else:
-                fmt = "unknown"
+        payloads = [p or b"" for p in t.column("payload").to_pylist()]
+        # IMA ADPCM payloads decode in ONE lockstep pass for the whole
+        # batch (decode_wav_batch); others are single vector ops each
+        decoded = self._decode_batch(payloads)
+        for p, dec in zip(payloads, decoded):
+            if p.startswith(b"RIFF") and dec is not None:
+                samples, rate = dec
+                f = self._features(samples, rate)
+                cols["format"].append("wav")
+                cols["codec"].append(self._codec(p))
+                cols["sample_rate"].append(rate)
+                cols["channels"].append(samples.shape[1])
+                for k in ("duration_ms", "rms_milli", "zcr_milli",
+                          "centroid_mhz", "rolloff_mhz"):
+                    cols[k].append(f[k])
+                continue
+            fmt = "corrupt" if p.startswith(b"RIFF") else "unknown"
             cols["format"].append(fmt)
             cols["codec"].append("")
             for k in ("sample_rate", "channels", "duration_ms", "rms_milli",
