@@ -1015,6 +1015,55 @@ def _rtf_ingest(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
 
 
+def _epub_ingest(sf_dir: str):
+    """EPUB ingest (functions/epub.py): one book per doc synthesized
+    from `text` (lines split across 1-3 spine chapters), extracted back
+    through the crawl's Go-parity HTML pipeline — per-doc chapter count
+    + total extracted length + md5.  Rows-only (the Go trim/join
+    transform is not SQL-expressible); tests/test_epub.py pins the
+    extraction semantics serially.  Stateless per-doc map."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from grawler_ray.functions.epub import build_epub, extract_epub
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        ncs, lens, md5s = [], [], []
+        for i, txt in zip(ids, texts):
+            k = 1 + i % 3
+            lines = (txt or "").split("\n")
+            if len(lines) < k:  # single-line docs: split on words instead
+                words = (txt or "").split(" ")
+                per = max(1, (len(words) + k - 1) // k)
+                lines = [
+                    " ".join(words[j * per : (j + 1) * per]) for j in range(k)
+                ]
+            per = max(1, (len(lines) + k - 1) // k)
+            chapters = [
+                (f"ch{j}", "\n".join(lines[j * per : (j + 1) * per]))
+                for j in range(k)
+                if lines[j * per : (j + 1) * per]
+            ]
+            m = extract_epub(build_epub(f"doc {i}", chapters))
+            joined = "\x1f".join(c[1] for c in m["chapters"])
+            ncs.append(len(m["chapters"]))
+            lens.append(len(joined))
+            md5s.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chapters": pa.array(ncs, pa.int64()),
+                "n_chars_epub": pa.array(lens, pa.int64()),
+                "epub_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(fn, batch_format="pyarrow")
+
+
 def _token_budget_cap(sf_dir: str):
     """Per-source TOKEN budget (running n_chars sum <= 3000 in doc_id
     order) — mixtures are specified in tokens, not rows."""
@@ -4392,6 +4441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rtf_ingest": _rtf_ingest,
         "xlsx_ingest": _xlsx_ingest,
         "crawl_extended_docs": _crawl_extended_docs,
+        "epub_ingest": _epub_ingest,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

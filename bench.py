@@ -169,7 +169,7 @@ def run_subqueries() -> dict[str, float]:
         "gif_meta", "gif_frames", "wav_features", "skyline_range",
         "avi_meta", "avi_frames", "audio_codecs", "media_triage",
         "ann_hnsw_topk", "docx_ingest", "odt_ingest",
-        "ann_hnsw_update_topk", "rtf_ingest", "xlsx_ingest",
+        "ann_hnsw_update_topk", "rtf_ingest", "xlsx_ingest", "epub_ingest",
     ]
     import ray.data
 
