@@ -122,6 +122,7 @@ class CrawlConfig:
         "application/vnd.oasis.opendocument.text",
         "application/rtf",
         "text/rtf",
+        "application/epub+zip",
     )
 
     @property

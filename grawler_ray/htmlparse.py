@@ -706,6 +706,7 @@ _OFFICE_EXTRACTORS = (
     "application/vnd.oasis.opendocument.text",
     "application/rtf",
     "text/rtf",
+    "application/epub+zip",
 )
 
 
@@ -731,6 +732,14 @@ def extract_office_text(body: bytes, content_type: str) -> str:
             from .functions.rtf import extract_rtf_text
 
             return extract_rtf_text(body)
+        if content_type == "application/epub+zip":
+            from .functions.epub import extract_epub
+
+            # chapter texts are each already process_text-normalized;
+            # join with spaces (the outer process_text is a no-op then)
+            return " ".join(
+                c[1] for c in extract_epub(body)["chapters"] if c[1]
+            )
     except ValueError:
         return ""  # every codec error type subclasses ValueError
     raise ValueError(f"no extractor for {content_type}")

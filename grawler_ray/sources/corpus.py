@@ -62,6 +62,7 @@ _WORDS = (
 DOCX_CT = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
 ODT_CT = "application/vnd.oasis.opendocument.text"
 RTF_CT = "application/rtf"
+EPUB_CT = "application/epub+zip"
 
 
 def host_name(host_idx: int) -> str:
@@ -107,7 +108,7 @@ def page_spec(
     # content type mix: mostly html, some plain, a few pdf (type-drop)
     roll = r.random()
     if office_mix and roll >= 0.80 and roll < 0.90:
-        ctype = (DOCX_CT, ODT_CT, RTF_CT)[int(roll * 100) % 3]
+        ctype = (DOCX_CT, ODT_CT, RTF_CT, EPUB_CT)[int(roll * 100) % 4]
     elif roll < 0.90:
         ctype = "text/html"
     elif roll < 0.97:
@@ -180,6 +181,13 @@ def page_body(seed: int, spec: dict) -> bytes:
             + "\n".join(_sentence(r, 7) for _ in range(r.randint(2, 5))),
             use_spans=pi % 2 == 0,
         )
+    if spec["ctype"] == EPUB_CT:
+        from ..functions.epub import build_epub
+
+        chapters = [
+            (f"ch{k}", _sentence(r, 9)) for k in range(1 + r.randint(0, 2))
+        ]
+        return build_epub(f"epub page {pi} of {host_name(hi)}", chapters)
     if spec["ctype"] == RTF_CT:
         from ..functions.rtf import build_rtf
 
@@ -230,7 +238,7 @@ def golden_text(body: bytes, ctype: str) -> str:
         from ..textops import go_json_str
 
         return go_json_str(body.replace(b"\n", b"").replace(b"\r", b"").strip(b" "))
-    if ctype in (DOCX_CT, ODT_CT, RTF_CT):
+    if ctype in (DOCX_CT, ODT_CT, RTF_CT, EPUB_CT):
         from ..htmlparse import extract_office_text
 
         return process_text(extract_office_text(body, ctype))

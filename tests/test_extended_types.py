@@ -20,6 +20,7 @@ from grawler_ray.htmlparse import extract_office_text, parse_page
 from grawler_ray.oracle import corpus_table_to_dict, run_oracle
 from grawler_ray.sources.corpus import (
     DOCX_CT,
+    EPUB_CT,
     ODT_CT,
     RTF_CT,
     generate_corpus,
@@ -97,7 +98,7 @@ def _assert_equal(out_dir, oracle):
     return docs, trace
 
 
-OFFICE_CTS = {DOCX_CT, ODT_CT, RTF_CT, "application/pdf"}
+OFFICE_CTS = {DOCX_CT, ODT_CT, RTF_CT, EPUB_CT, "application/pdf"}
 
 
 def test_extended_mode_full_equality(ray_session, corpus_fixture):
@@ -107,7 +108,7 @@ def test_extended_mode_full_equality(ray_session, corpus_fixture):
     got_office = docs[docs.content_type.isin(OFFICE_CTS)]
     # the office-mix corpus must actually exercise the new branch
     assert len(got_office) > 0
-    assert {DOCX_CT, ODT_CT, RTF_CT} <= set(got_office.content_type)
+    assert {DOCX_CT, ODT_CT, RTF_CT, EPUB_CT} <= set(got_office.content_type)
     # extracted content equals the corpus' golden text column
     full, _ = corpus_fixture
     golden = {
