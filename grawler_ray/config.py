@@ -29,8 +29,8 @@ class CrawlConfig:
     allowed_content_types: tuple[str, ...] = ("text/html", "text/plain")
     # False = reference parity (documentAllowed admits only the two types
     # above; pdf/office rows trace "type-drop", src/crawler.go:274-282).
-    # True = the crawl also ingests application/pdf and the office formats
-    # the engine carries extractors for (DOCX/ODT/RTF) — text extracted via
+    # True = the crawl also ingests application/pdf and the document formats
+    # the engine carries extractors for (DOCX/ODT/RTF/EPUB) — text extracted via
     # the same parsers the *_ingest queries gate, no child links, words and
     # meta defaults over the extracted text.  Mirrored in oracle.py via the
     # shared parse_page, so full-trace equality holds in this mode too.
@@ -114,7 +114,7 @@ class CrawlConfig:
 
     extra: dict = field(default_factory=dict)
 
-    # the extended-mode MIME set (the formats functions/{pdf,docx,odt,rtf}
+    # the extended-mode MIME set (the formats functions/{pdf,docx,odt,rtf,epub}
     # carry real extractors for)
     EXTENDED_TYPES = (
         "application/pdf",

@@ -1,5 +1,5 @@
 """extended_doc_types crawl mode: the pipeline ingests
-PDF/DOCX/ODT/RTF documents through the same extractors the *_ingest
+PDF/DOCX/ODT/RTF/EPUB documents through the same extractors the *_ingest
 queries gate, with FULL trace/docs/words equality vs the serial oracle
 (parse_page is shared, so the equality is structural, but the corpus
 routing, documentAllowed gate and sink plumbing are what these tests
