@@ -160,3 +160,43 @@ def test_parse_page_office_branches():
                    "https://h.test", "h.test")
     assert d["content"] == "" and d["words"] == {}
     assert extract_office_text(b"junk", RTF_CT) == ""
+
+
+class TestParsePageRobustness:
+    """The crawl parse boundary must never crash on hostile payloads in
+    extended mode: every extended MIME either extracts or yields empty
+    content — exceptions would kill a whole Ray batch."""
+
+    MIMES = (
+        "application/pdf", DOCX_CT, ODT_CT, RTF_CT, EPUB_CT, "text/rtf",
+    )
+
+    def test_random_bytes_never_crash(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        for _ in range(40):
+            blob = rng.bytes(rng.randint(0, 400))
+            for ct in self.MIMES:
+                d = parse_page(blob, ct, "https://h.test/x", "https://h.test", "h.test")
+                assert isinstance(d["content"], str)
+                assert d["child_urls"] == []
+
+    def test_truncated_valid_payloads_never_crash(self):
+        from grawler_ray.functions.docx import build_docx
+        from grawler_ray.functions.epub import build_epub
+        from grawler_ray.functions.odt import build_odt
+        from grawler_ray.functions.rtf import build_rtf
+
+        bodies = [
+            (DOCX_CT, build_docx("some docx body\nwith lines")),
+            (ODT_CT, build_odt("some odt body\nwith lines")),
+            (RTF_CT, build_rtf("some rtf body š unicode")),
+            (EPUB_CT, build_epub("t", [("c", "chapter body text")])),
+        ]
+        for ct, body in bodies:
+            for frac in (0.1, 0.4, 0.7, 0.95):
+                cut = max(1, int(len(body) * frac))
+                d = parse_page(body[:cut], ct, "https://h.test/x",
+                               "https://h.test", "h.test")
+                assert isinstance(d["content"], str)
