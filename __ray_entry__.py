@@ -2995,6 +2995,24 @@ def _media_triage(sf_dir: str):
     return media_triage(_read(sf_dir, "documents").select_columns(["doc_id"]))
 
 
+def _image_dhash_pairs(sf_dir: str):
+    """Image near-dup pairs over REAL decoded pixels: synthesized corpus
+    with planted brightness-shifted JPEG re-encodes of PNG originals ->
+    dHash (9x8 gradient signs over the exact box resample) -> the exact
+    Manku Hamming pairing shared with text SimHash.  Rows-only;
+    tests/test_imghash.py pins planted-pair recovery and brute-force
+    plan equality."""
+    from grawler_ray.functions.imghash import image_dhash_pairs
+    from grawler_ray.stages.multimodal import to_near_dup_image_batch
+
+    return image_dhash_pairs(
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .map_batches(to_near_dup_image_batch, batch_format="pyarrow"),
+        max_hamming=3,
+    )
+
+
 def _media_prep(sf_dir: str):
     """Flagship multimodal composition: mixed PNG/JPEG/GIF payloads
     (with planted corrupt + non-image docs) -> real decode-meta ->
@@ -4442,6 +4460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xlsx_ingest": _xlsx_ingest,
         "crawl_extended_docs": _crawl_extended_docs,
         "epub_ingest": _epub_ingest,
+        "image_dhash_pairs": _image_dhash_pairs,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

@@ -1287,7 +1287,8 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1024, num_groups: int = 256):
+def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1024, num_groups: int = 256,
+                  sig_fn=None):
     """SimHash near-dup candidate pairs (Manku et al. WWW'07 block-rotation
     bucketing): split the 64-bit fingerprint into ``max_hamming + 1`` blocks;
     any pair within Hamming distance ``max_hamming`` must agree exactly on at
@@ -1309,7 +1310,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, max_bucket: int = 1024, num_gro
     widths[-1] += 64 - sum(widths)
     offsets = np.cumsum([0] + widths[:-1]).tolist()
 
-    sigs = docs_ds.map_batches(simhash_batch, batch_format="pyarrow")
+    # sig_fn: pluggable fingerprint stage emitting (doc_id, simhash)
+    # — any 64-bit signature reuses the exact Manku pairing (e.g. image
+    # dHash in functions/imghash.py); default = text SimHash
+    sigs = docs_ds.map_batches(sig_fn or simhash_batch, batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
         # signed int64 storage; view as uint64 for bit slicing (the +-2^63

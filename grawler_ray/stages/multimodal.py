@@ -927,6 +927,41 @@ def sample_frames(docs_ds, frame_size: int = 1024, stride: int = 4, batch_size: 
     )
 
 
+def synth_near_dup_image(doc_id: int) -> bytes:
+    """Deterministic image corpus WITH PLANTED NEAR-DUPS: every 5th doc
+    is a brightness-shifted JPEG RE-ENCODE of the previous doc's PNG
+    (the classic web near-dup: same picture, different container /
+    exposure).  Bases are blocky seeded patterns (piecewise-constant, so
+    both codecs and the 9x8 dHash thumbnail preserve structure)."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import encode_png
+
+    base_id = doc_id - 4 if doc_id % 5 == 4 and doc_id >= 4 else doc_id
+    rng = np.random.default_rng(base_id * 7919 + 13)
+    grid = rng.integers(20, 236, (8, 9)).astype(np.uint8)
+    gray = np.kron(grid, np.ones((5, 6), np.uint8))
+    img = np.stack([gray, np.clip(gray * 0.92, 0, 255).astype(np.uint8), gray], -1)
+    if doc_id % 5 == 4 and doc_id >= 4:
+        img = np.clip(img.astype(np.int16) + 11, 0, 255).astype(np.uint8)
+        return encode_jpeg(img, quality=92)
+    return encode_png(img)
+
+
+def to_near_dup_image_batch(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(
+                [
+                    synth_near_dup_image(int(i))
+                    for i in t.column("doc_id").to_pylist()
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+
+
 def synth_container(doc_id: int) -> bytes:
     """Deterministic MP3/MP4 container keyed on doc_id (every 17th doc
     deliberately truncated to a corrupt stub) — shared with the serial
