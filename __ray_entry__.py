@@ -2983,6 +2983,19 @@ def _audio_codecs(sf_dir: str):
     )
 
 
+def _audio_mfcc(sf_dir: str):
+    """REAL MFCCs (mel filterbank + orthonormal DCT over the rFFT power
+    of decoded clips, functions/wav.py mfcc_features) over the
+    mixed-codec WAV synth — the standard audio-ML training feature.
+    Rows-only; tests/test_wav.py pins the tone -> mel-band closed form
+    for every codec."""
+    from grawler_ray.stages.multimodal import extract_audio_mfcc
+
+    return extract_audio_mfcc(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+    )
+
+
 def _media_triage(sf_dir: str):
     """REAL container triage: mixed MP3/MP4 payloads (spec-valid framing
     with planted truncations) route by magic to the pure-stdlib frame /
@@ -4461,6 +4474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extended_docs": _crawl_extended_docs,
         "epub_ingest": _epub_ingest,
         "image_dhash_pairs": _image_dhash_pairs,
+        "audio_mfcc": _audio_mfcc,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

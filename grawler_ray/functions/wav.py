@@ -491,3 +491,57 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
         "centroid_mhz": int(centroid * 1000),
         "rolloff_mhz": int(rolloff * 1000),
     }
+
+
+def mel_scale(f: np.ndarray | float) -> np.ndarray | float:
+    """HTK mel scale: mel = 2595 log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_filterbank(n_mels: int, n_fft: int, rate: int) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular filters, equal-width in mel
+    space from 0 to Nyquist (the standard HTK construction)."""
+    max_mel = float(mel_scale(rate / 2.0))
+    pts_mel = np.linspace(0.0, max_mel, n_mels + 2)
+    pts_hz = 700.0 * (10.0 ** (pts_mel / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * pts_hz / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ce, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, min(ce, fb.shape[1])):
+            if ce > lo:
+                fb[m - 1, k] = (k - lo) / (ce - lo)
+        for k in range(ce, min(hi, fb.shape[1])):
+            if hi > ce:
+                fb[m - 1, k] = (hi - k) / (hi - ce)
+    return fb
+
+
+def mfcc_features(
+    samples: np.ndarray, rate: int, n_mels: int = 20, n_mfcc: int = 8
+) -> dict:
+    """Whole-clip MFCCs over the channel-mean signal: rFFT power ->
+    triangular mel filterbank -> log -> orthonormal DCT-II, first
+    ``n_mfcc`` coefficients (milli-scaled ints for exact comparison).
+    Pure tones give closed-form checks: the argmax mel band is the band
+    whose center is nearest mel(f)."""
+    x = np.asarray(samples, np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = len(x)
+    if n == 0:
+        raise WavError("empty signal")
+    power = np.abs(np.fft.rfft(x)) ** 2 / n
+    fb = mel_filterbank(n_mels, n, rate)
+    mel_e = fb @ power
+    log_e = np.log(np.maximum(mel_e, 1e-12))
+    # orthonormal DCT-II
+    k = np.arange(n_mels)
+    basis = np.cos(np.pi * np.outer(k, 2 * np.arange(n_mels) + 1) / (2 * n_mels))
+    basis *= np.sqrt(2.0 / n_mels)
+    basis[0] *= 1.0 / np.sqrt(2.0)
+    mfcc = basis @ log_e
+    return {
+        "mel_argmax": int(np.argmax(mel_e)),
+        "mfcc_milli": [int(round(c * 1000)) for c in mfcc[:n_mfcc]],
+    }

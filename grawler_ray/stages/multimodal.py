@@ -745,6 +745,54 @@ class ExtractAudioFeatures:
         return pa.table(out)
 
 
+class ExtractAudioMfcc:
+    """REAL MFCC stage: WAV payloads (any supported codec) decode via
+    the batched path and the mel-filterbank/DCT kernel runs per clip —
+    the standard audio-ML training feature.  Corrupt/non-WAV payloads
+    emit no rows."""
+
+    def __init__(self, n_mels: int = 20, n_mfcc: int = 8):
+        from ..functions.wav import decode_wav_batch, mfcc_features
+
+        self._decode_batch = decode_wav_batch
+        self._mfcc = mfcc_features
+        self.n_mels = n_mels
+        self.n_mfcc = n_mfcc
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, bands, coeffs = [], [], []
+        payloads = [p or b"" for p in t.column("payload").to_pylist()]
+        for doc_id, dec in zip(
+            t.column("doc_id").to_pylist(), self._decode_batch(payloads)
+        ):
+            if dec is None:
+                continue
+            samples, rate = dec
+            f = self._mfcc(samples, rate, n_mels=self.n_mels, n_mfcc=self.n_mfcc)
+            ids.append(doc_id)
+            bands.append(f["mel_argmax"])
+            coeffs.append(f["mfcc_milli"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mel_argmax": pa.array(bands, pa.int64()),
+                "mfcc_milli": pa.array(coeffs, pa.list_(pa.int64())),
+            }
+        )
+
+
+def extract_audio_mfcc(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
+    """REAL MFCCs over the mixed-codec WAV synth through the actor pool."""
+    return docs_ds.map_batches(
+        to_mixed_wav_payload_batch, batch_format="pyarrow"
+    ).map_batches(
+        ExtractAudioMfcc,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def extract_audio_codec_features(docs_ds, batch_size: int = 256, concurrency=(2, 8)):
     """REAL audio features over the mixed-codec WAV synth (PCM / u-law /
     A-law / IMA ADPCM) through the actor pool."""

@@ -311,3 +311,66 @@ class TestMixedCodecStage:
             # the PCM test, still pinned to the closed forms
             assert abs(r.rms_milli - amp / np.sqrt(2) * 1000) <= 40
             assert abs(r.centroid_mhz / 1000 - freq) < 60
+
+
+class TestMfcc:
+    def test_tone_maps_to_nearest_mel_band(self):
+        from grawler_ray.functions.wav import mel_scale, mfcc_features
+
+        rate, n_mels = 8000, 20
+        centers = np.linspace(0, float(mel_scale(rate / 2)), n_mels + 2)[1:-1]
+        for f in (150, 440, 900, 2000, 3500):
+            t = np.arange(4000) / rate
+            m = mfcc_features(0.4 * np.sin(2 * np.pi * f * t), rate, n_mels=n_mels)
+            want = int(np.argmin(np.abs(centers - float(mel_scale(f)))))
+            assert m["mel_argmax"] == want, (f, m["mel_argmax"], want)
+            assert len(m["mfcc_milli"]) == 8
+
+    def test_filterbank_partition_of_unity_interior(self):
+        """Triangular mel filters overlap so interior FFT bins sum to
+        ~1 (the standard sanity check on the construction)."""
+        from grawler_ray.functions.wav import mel_filterbank
+
+        fb = mel_filterbank(20, 4000, 8000)
+        col = fb.sum(axis=0)
+        interior = col[100:-100]
+        assert (interior > 0.49).all() and (interior <= 1.01).all()
+
+    def test_amplitude_shifts_only_c0(self):
+        """Scaling the signal multiplies every mel energy by a constant:
+        log moves all bands equally, so only the DC coefficient
+        changes."""
+        from grawler_ray.functions.wav import mfcc_features
+
+        rate = 8000
+        # broadband noise keeps every mel band far above the log floor —
+        # the invariance only holds when no band is clamped
+        x = np.random.default_rng(3).standard_normal(4000)
+        a = np.array(mfcc_features(0.2 * x, rate)["mfcc_milli"], float)
+        b = np.array(mfcc_features(0.8 * x, rate)["mfcc_milli"], float)
+        assert abs(a[0] - b[0]) > 1000  # c0 moves with energy
+        assert np.abs(a[1:] - b[1:]).max() <= 2  # shape coefficients don't
+
+    def test_stage_over_mixed_codecs(self, ray_session):
+        import ray.data
+
+        from grawler_ray.functions.wav import mel_scale
+        from grawler_ray.stages.multimodal import extract_audio_mfcc
+
+        docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = (
+            extract_audio_mfcc(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 500
+        rate, n_mels = 8000, 20
+        centers = np.linspace(0, float(mel_scale(rate / 2)), n_mels + 2)[1:-1]
+        for _, r in got.sample(24, random_state=0).iterrows():
+            doc_id = int(r.doc_id)
+            freq = 100 + (doc_id * 37) % 800
+            want = int(np.argmin(np.abs(centers - float(mel_scale(freq)))))
+            # compressed codecs add quantization noise but the dominant
+            # band holds within one bin
+            assert abs(r.mel_argmax - want) <= 1, (doc_id, r.mel_argmax, want)
