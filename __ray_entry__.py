@@ -2970,6 +2970,18 @@ def _avi_frames(sf_dir: str):
     ).select_columns(["doc_id", "frame_idx", "fps_milli", "px_mean_milli"])
 
 
+def _avi_scenes(sf_dir: str):
+    """REAL shot-boundary detection: scene-structured MJPEG AVIs decode
+    through the from-scratch JPEG codec; adjacent-frame mean-abs-diff
+    marks the cuts — one row per detected scene.  Rows-only;
+    tests/test_avi.py pins exact planted-boundary recovery."""
+    from grawler_ray.stages.multimodal import detect_avi_scenes
+
+    return detect_avi_scenes(
+        _read(sf_dir, "documents").select_columns(["doc_id"])
+    )
+
+
 def _audio_codecs(sf_dir: str):
     """REAL compressed-audio decode: mixed-codec WAV synth (PCM16,
     G.711 u-law/A-law, IMA ADPCM — functions/wav.py, G.711 bit-checked
@@ -4475,6 +4487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epub_ingest": _epub_ingest,
         "image_dhash_pairs": _image_dhash_pairs,
         "audio_mfcc": _audio_mfcc,
+        "avi_scenes": _avi_scenes,
         "langid": _langid,
         "langid_confusion": _langid_confusion,
         "minhash_pairs": _minhash_pairs,

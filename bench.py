@@ -170,7 +170,7 @@ def run_subqueries() -> dict[str, float]:
         "avi_meta", "avi_frames", "audio_codecs", "media_triage",
         "ann_hnsw_topk", "docx_ingest", "odt_ingest",
         "ann_hnsw_update_topk", "rtf_ingest", "xlsx_ingest", "epub_ingest",
-        "image_dhash_pairs", "audio_mfcc",
+        "image_dhash_pairs", "audio_mfcc", "avi_scenes",
     ]
     import ray.data
 

@@ -571,6 +571,106 @@ def sample_avi_frames(docs_ds, stride: int = 2, batch_size: int = 64, concurrenc
     )
 
 
+def synth_scene_avi(doc_id: int) -> bytes:
+    """Deterministic MJPEG AVI with PLANTED SCENES: 2-4 segments of 2-4
+    frames each; frames within a segment are small shifts of one
+    pattern, segment changes swap the pattern entirely — so true shot
+    boundaries are exactly the planted segment starts."""
+    from ..functions.avi import encode_avi
+
+    rng = np.random.default_rng(doc_id * 104729 + 7)
+    n_scenes = 2 + doc_id % 3
+    frames = []
+    for s in range(n_scenes):
+        grid = rng.integers(20, 236, (6, 8)).astype(np.uint8)
+        base = np.kron(grid, np.ones((4, 4), np.uint8))
+        for k in range(2 + int(rng.integers(0, 3))):
+            f = np.roll(base, shift=k, axis=1)
+            frames.append(np.stack([f, f, f], -1))
+    return encode_avi(frames, fps=12, quality=92)
+
+
+def scene_boundaries(payload: bytes, threshold_milli: int = 40_000) -> list[int]:
+    """Decoded-frame shot boundaries: frame indices whose mean absolute
+    pixel difference vs the previous frame exceeds ``threshold_milli``
+    (milli pixel-levels).  Index 0 always starts a scene."""
+    from ..functions.avi import decode_avi
+
+    frames = [d["image"].astype(np.int32) for d in decode_avi(payload)]
+    bounds = [0]
+    for i in range(1, len(frames)):
+        diff = int(np.abs(frames[i] - frames[i - 1]).mean() * 1000)
+        if diff > threshold_milli:
+            bounds.append(i)
+    return bounds
+
+
+class DetectAviScenes:
+    """REAL shot-boundary stage: MJPEG frames decode through the
+    from-scratch JPEG codec and adjacent-frame mean-abs-diff marks the
+    cuts — one row per detected scene with its start frame and length.
+    Non-AVI / corrupt payloads emit no rows."""
+
+    def __init__(self, threshold_milli: int = 40_000):
+        from ..functions.avi import AviError, decode_avi
+
+        self._decode = decode_avi
+        self._err = AviError
+        self.threshold = threshold_milli
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, scenes, starts, lens = [], [], [], []
+        for doc_id, p in zip(
+            t.column("doc_id").to_pylist(), t.column("payload").to_pylist()
+        ):
+            p = p or b""
+            if not p.startswith(b"RIFF") or p[8:12] != b"AVI ":
+                continue
+            try:
+                bounds = scene_boundaries(p, self.threshold)
+                n_frames = len(self._decode(p))
+            except self._err:
+                continue
+            ends = bounds[1:] + [n_frames]
+            for si, (a, b) in enumerate(zip(bounds, ends)):
+                ids.append(doc_id)
+                scenes.append(si)
+                starts.append(a)
+                lens.append(b - a)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "scene_idx": pa.array(scenes, pa.int64()),
+                "start_frame": pa.array(starts, pa.int64()),
+                "n_frames": pa.array(lens, pa.int64()),
+            }
+        )
+
+
+def detect_avi_scenes(docs_ds, batch_size: int = 64, concurrency=(2, 8)):
+    """REAL shot-boundary detection over scene-structured MJPEG synth."""
+
+    def to_scene_payloads(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [synth_scene_avi(int(i)) for i in t.column("doc_id").to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(
+        to_scene_payloads, batch_format="pyarrow"
+    ).map_batches(
+        DetectAviScenes,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synth_wav(doc_id: int) -> bytes:
     """Deterministic WAV keyed on doc_id: a pure tone (freq/amp/duration
     derive from the id; stereo every 3rd doc) — pure tones have

@@ -157,3 +157,55 @@ class TestRealStage:
         )
         out = SampleAviFrames(stride=1)(t)
         assert set(out.column("doc_id").to_pylist()) == {2}
+
+
+class TestSceneDetection:
+    @staticmethod
+    def _planted(doc_id):
+        rng = np.random.default_rng(doc_id * 104729 + 7)
+        bounds, pos = [], 0
+        for _ in range(2 + doc_id % 3):
+            rng.integers(20, 236, (6, 8))
+            k = 2 + int(rng.integers(0, 3))
+            bounds.append(pos)
+            pos += k
+        return bounds, pos
+
+    def test_planted_boundaries_recovered_exactly(self):
+        from grawler_ray.stages.multimodal import scene_boundaries, synth_scene_avi
+
+        for doc_id in range(50):
+            want, _total = self._planted(doc_id)
+            assert scene_boundaries(synth_scene_avi(doc_id)) == want, doc_id
+
+    def test_stage_rows(self, ray_session):
+        import ray.data
+
+        from grawler_ray.stages.multimodal import detect_avi_scenes
+
+        docs = ray.data.from_items([{"doc_id": i} for i in range(40)])
+        got = (
+            detect_avi_scenes(docs)
+            .to_pandas()
+            .sort_values(["doc_id", "scene_idx"])
+            .reset_index(drop=True)
+        )
+        for doc_id in range(40):
+            want, total = self._planted(doc_id)
+            rows = got[got.doc_id == doc_id]
+            assert list(rows.start_frame) == want
+            assert list(rows.scene_idx) == list(range(len(want)))
+            assert rows.n_frames.sum() == total  # scenes tile the video
+
+    def test_stage_skips_non_avi(self):
+        import pyarrow as pa
+
+        from grawler_ray.stages.multimodal import DetectAviScenes
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "payload": pa.array([b"not avi"], pa.binary()),
+            }
+        )
+        assert DetectAviScenes()(t).num_rows == 0
